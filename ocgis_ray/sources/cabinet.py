@@ -1,0 +1,104 @@
+"""PolygonCabinet — named selection-geometry layers.
+
+The analog of the reference's ``GeomCabinet`` shapefile library
+(``/root/reference/src/ocgis/spatial/geom_cabinet.py:98-110``): a small
+registry of named polygon layers with stable ``ugid`` keys, loaded
+driver-side and broadcast to probe actors via ``ray.put`` — never a
+Dataset.  Layers here stand in for the reference's US-state boundaries
+fixture (``test/bin/shp/state_boundaries``): a handful of rectangles /
+convex polygons placed to exercise hot-city skew, background sprinkle,
+multi-polygon overlap, and an empty selection (the ``allow_empty``
+case, ``ops/parms/definition.py:57``).
+
+Convex layers generate their own exact DuckDB point-in-polygon SQL
+(see ``Polygon.convex_pip_sql``) so the spatial joins are
+oracle-checkable; the non-convex and antimeridian layers are covered by
+pytest fixtures instead.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ocgis_ray.geometry import Polygon
+
+
+def _rect(ugid: int, name: str, x0: float, y0: float, x1: float, y1: float) -> Polygon:
+    return Polygon(ugid, name, np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]]))
+
+
+def _world_regions() -> list[Polygon]:
+    """The canonical oracle-checked layer: all convex, overlapping on
+    purpose (ugid 9 contains ugid 1's area -> inner-join multi-match),
+    with one certainly-empty selection (ugid 8)."""
+    return [
+        _rect(1, "bay_area", -123.0, 37.0, -121.5, 38.5),
+        _rect(2, "nyc", -75.0, 40.0, -73.0, 41.5),
+        _rect(3, "london", -1.0, 51.0, 1.0, 52.2),
+        Polygon(4, "tokyo_diamond",
+                np.array([[139.7, 34.7], [141.0, 35.7], [139.7, 36.7], [138.4, 35.7]])),
+        _rect(5, "sydney", 150.0, -35.0, 152.5, -33.0),
+        _rect(6, "atlantic_band", -60.0, -20.0, -20.0, 20.0),
+        Polygon(7, "central_asia_tri",
+                np.array([[60.0, 30.0], [100.0, 30.0], [80.0, 55.0]])),
+        _rect(8, "pacific_empty", -170.0, -60.0, -160.0, -50.0),
+        _rect(9, "bay_wide", -130.0, 30.0, -115.0, 45.0),
+    ]
+
+
+def _quadrants() -> list[Polygon]:
+    """Port of the reference's analytic 4x4 quadrant fixture
+    (``test/test_simple/make_test_data.py:35-120``: 1-degree cells at
+    origin (-105, 40), quadrant values [[1,1,2,2],[1,1,2,2],[3,3,4,4],
+    [3,3,4,4]]) re-expressed as four 2x2-degree selection rectangles."""
+    x0, y0 = -105.5, 37.5  # grid outer corner (cell centers -105..-102, 38..41)
+    return [
+        _rect(1, "q_nw", x0, y0 + 2.0, x0 + 2.0, y0 + 4.0),
+        _rect(2, "q_ne", x0 + 2.0, y0 + 2.0, x0 + 4.0, y0 + 4.0),
+        _rect(3, "q_sw", x0, y0, x0 + 2.0, y0 + 2.0),
+        _rect(4, "q_se", x0 + 2.0, y0, x0 + 4.0, y0 + 2.0),
+    ]
+
+
+def _hard_cases() -> list[Polygon]:
+    """pytest-only layer: non-convex ring + antimeridian-adjacent box
+    (the reference's wrap/unwrap subsystem, ``spatial/wrap.py``,
+    collapses to canonical lon in this engine; a true crossing polygon
+    is represented as two split parts sharing a ugid)."""
+    lshape = Polygon(
+        101, "lshape",
+        np.array([[10.0, 10.0], [20.0, 10.0], [20.0, 14.0], [14.0, 14.0],
+                  [14.0, 20.0], [10.0, 20.0]]),
+    )
+    west = _rect(102, "fiji_w", 175.0, -20.0, 180.0, -15.0)
+    east = _rect(102, "fiji_e", -180.0, -20.0, -177.0, -15.0)
+    return [lshape, west, east]
+
+
+_LAYERS = {
+    "world_regions": _world_regions,
+    "quadrants": _quadrants,
+    "hard_cases": _hard_cases,
+}
+
+
+def layer(name: str) -> list[Polygon]:
+    """Load a named polygon layer (the ``GeomCabinetIterator`` analog).
+
+    Multiple entries may share a ugid (split multipart geometries, e.g.
+    antimeridian halves) — joins treat them as one logical selection.
+    """
+    try:
+        return _LAYERS[name]()
+    except KeyError:
+        raise KeyError(f"unknown layer {name!r}; have {sorted(_LAYERS)}") from None
+
+
+def layer_names() -> list[str]:
+    return sorted(_LAYERS)
+
+
+def register_layer(name: str, factory) -> None:
+    """User-extension seam (the converter/driver-registry analog,
+    ``conv/base.py:263-291``)."""
+    _LAYERS[name] = factory

@@ -1,0 +1,192 @@
+"""Broadcast spatial join: pages (points) x polygon layer.
+
+The engine's core operator, replacing the reference's sequential
+selection-geometry loop (``/root/reference/src/ocgis/ops/engine.py:
+287-385``) and its rtree + prepared-geometry machinery
+(``spatial/index.py:5-87``, ``variable/geom.py:154-186``,
+``spatial/grid.py:555-724``) with the Ray-native shape:
+
+- **build side** (small): polygon layer -> per-polygon cell coverings
+  (full vs boundary cells, ``ocgis_ray.cover``) built ONCE on the
+  driver and broadcast via ``ray.put`` — the whole layer ships to each
+  actor exactly once, never per batch;
+- **probe side** (the 100 TB side): an actor-pool ``map_batches`` stage
+  that per batch runs the two-stage test: (1) vectorized cell-membership
+  prefilter (``np.isin`` on int64 cell columns — the reference's bbox
+  "hint mask", ``spatial/grid.py:1234-1273``), (2) exact vectorized
+  point-in-polygon only on rows in *boundary* cells.  Rows in *full*
+  cells join with no geometry work at all.
+
+Join modes (``how``):
+- ``inner``: one output row per (page, polygon) match, ``ugid`` column
+  appended — overlapping polygons multiply rows;
+- ``semi``: pages with >=1 match, original schema (``intersects`` keep);
+- ``anti``: pages with no match (the ``allow_empty`` complement,
+  ``ops/parms/definition.py:57``).
+
+``keep_touches`` mirrors ``spatial/grid.py:627-631``: boundary-touching
+points kept (True) or dropped (False).
+
+No shuffle: the join is embarrassingly parallel over page batches.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+
+from ocgis_ray.cover import Covering, cover_polygon
+from ocgis_ray.geometry import Polygon
+
+
+@dataclass
+class SpatialJoinIndex:
+    """Driver-built broadcast index: polygons + their coverings.
+
+    Multipart geometries (several ``Polygon`` parts sharing a ugid,
+    e.g. antimeridian splits) are merged: a page matches the ugid if it
+    matches any part."""
+
+    res: int
+    parts: dict[int, list[Polygon]]        # ugid -> polygon parts
+    full: dict[int, np.ndarray]            # ugid -> cells fully inside
+    boundary: dict[int, np.ndarray]        # ugid -> cells needing exact test
+    bbox: dict[int, tuple[float, float, float, float]]
+
+    @property
+    def ugids(self) -> list[int]:
+        return sorted(self.parts)
+
+
+def build_index(polys: list[Polygon], res: int = 7) -> SpatialJoinIndex:
+    parts: dict[int, list[Polygon]] = {}
+    for p in polys:
+        parts.setdefault(p.ugid, []).append(p)
+    full: dict[int, np.ndarray] = {}
+    boundary: dict[int, np.ndarray] = {}
+    bbox: dict[int, tuple[float, float, float, float]] = {}
+    for ugid, plist in parts.items():
+        covs: list[Covering] = [cover_polygon(p, res) for p in plist]
+        f = np.unique(np.concatenate([c.full for c in covs]))
+        b = np.unique(np.concatenate([c.boundary for c in covs]))
+        # a cell full in one part may be boundary in another; full wins
+        boundary[ugid] = np.setdiff1d(b, f)
+        full[ugid] = f
+        xs0, ys0, xs1, ys1 = zip(*(p.bbox for p in plist))
+        bbox[ugid] = (min(xs0), min(ys0), max(xs1), max(ys1))
+    return SpatialJoinIndex(res=res, parts=parts, full=full, boundary=boundary, bbox=bbox)
+
+
+def _match_matrix(
+    index: SpatialJoinIndex,
+    lon: np.ndarray,
+    lat: np.ndarray,
+    cell: np.ndarray,
+    keep_touches: bool,
+) -> dict[int, np.ndarray]:
+    """Per ugid: boolean row mask of matches (vectorized, no row loop)."""
+    out: dict[int, np.ndarray] = {}
+    for ugid in index.ugids:
+        x0, y0, x1, y1 = index.bbox[ugid]
+        hint = (lon >= x0) & (lon <= x1) & (lat >= y0) & (lat <= y1)
+        if not hint.any():
+            out[ugid] = hint
+            continue
+        m = hint & np.isin(cell, index.full[ugid])
+        bmask = hint & ~m & np.isin(cell, index.boundary[ugid])
+        if bmask.any():
+            idx = np.nonzero(bmask)[0]
+            exact = np.zeros(idx.shape, dtype=bool)
+            for part in index.parts[ugid]:
+                exact |= part.contains(lon[idx], lat[idx], keep_touches=keep_touches)
+            m[idx[exact]] = True
+        out[ugid] = m
+    return out
+
+
+class SpatialJoinProbe:
+    """Actor-pool probe stage (``map_batches(SpatialJoinProbe, ...)``).
+
+    ``__init__`` runs once per actor: it fetches the broadcast index
+    from the object store (zero-copy for the numpy cell arrays).  Pass
+    ``index_ref=ray.put(build_index(...))`` via ``fn_constructor_kwargs``.
+    """
+
+    def __init__(
+        self,
+        index_ref,
+        how: str = "inner",
+        keep_touches: bool = True,
+        cell_col: str | None = None,
+    ):
+        import ray
+
+        self.index: SpatialJoinIndex = (
+            ray.get(index_ref) if not isinstance(index_ref, SpatialJoinIndex) else index_ref
+        )
+        if how not in ("inner", "semi", "anti"):
+            raise ValueError(f"how={how!r}")
+        self.how = how
+        self.keep_touches = keep_touches
+        self.cell_col = cell_col or f"cell_r{self.index.res}"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        cell = batch[self.cell_col].to_numpy(zero_copy_only=False)
+        matches = _match_matrix(self.index, lon, lat, cell, self.keep_touches)
+
+        if self.how == "inner":
+            rows, ugids = [], []
+            for ugid in self.index.ugids:
+                m = matches[ugid]
+                if m.any():
+                    r = np.nonzero(m)[0]
+                    rows.append(r)
+                    ugids.append(np.full(r.shape, ugid, dtype=np.int64))
+            if not rows:
+                empty = batch.slice(0, 0)
+                return empty.append_column("ugid", pa.array([], type=pa.int64()))
+            take = np.concatenate(rows)
+            out = batch.take(pa.array(take))
+            return out.append_column("ugid", pa.array(np.concatenate(ugids)))
+
+        any_match = np.zeros(batch.num_rows, dtype=bool)
+        for m in matches.values():
+            any_match |= m
+        keep = any_match if self.how == "semi" else ~any_match
+        return batch.filter(pa.array(keep))
+
+
+def spatial_join(
+    ds,
+    polys: list[Polygon],
+    how: str = "inner",
+    keep_touches: bool = True,
+    res: int = 7,
+    concurrency: int | None = 4,
+    batch_size: int = 8192,
+):
+    """pages Dataset (geocoded) -> joined Dataset.
+
+    Builds and broadcasts the index, then attaches the probe actor
+    pool.  Probe batches are larger than extract batches (slim rows,
+    cheap per-row work — SURVEY §4 sizing).
+    """
+    import ray
+
+    index_ref = ray.put(build_index(polys, res=res))
+    return ds.map_batches(
+        SpatialJoinProbe,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+        batch_size=batch_size,
+        fn_constructor_kwargs={
+            "index_ref": index_ref,
+            "how": how,
+            "keep_touches": keep_touches,
+        },
+    )

@@ -1,0 +1,179 @@
+"""Tiling service: per-cell rollups, histograms, salting, clip areas.
+
+Replaces the reference's tile machinery — ``get_tile_schema``
+(``/root/reference/src/ocgis/calc/tile.py:6-20``), the GridChunker's
+spatial decomposition (``spatial/grid_chunker.py``), and the tiled
+calculation loop (``util/large_array.py:15-225``) — with cell-id keyed
+Ray Data aggregation.  A "tile" is a quadgrid cell id; tile
+uniqueness is free because every page hashes to exactly one cell (the
+reference needs jittered split polygons + ``no_touching`` aborts for
+the same guarantee, ``spatial/base.py:776-790``).
+
+Scale design:
+- **partial aggregation**: per-batch pandas groupby inside
+  ``map_batches`` emits one row per (key, batch) BEFORE the global
+  ``groupby`` — the all-to-all shuffle moves partials, not pages.
+  This is also the skew story for aggregates: a hot cell's million
+  pages become one partial row per batch.
+- **salting** (for ``map_groups``-style per-tile work that can't be
+  partially aggregated): ``cell_histogram`` + ``salt_plan`` compute a
+  histogram-driven salt factor per hot cell; ``add_salt`` appends a
+  deterministic ``salt`` column (pure function of page_id, preserving
+  resume determinism — SURVEY §7.5).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data.aggregate import Count, Max, Min, Sum
+
+#: aggregation spec: out_col -> (in_col, kind); kinds below
+PARTIAL_KINDS = ("count", "sum", "min", "max", "sumsq")
+
+
+def _partial_batch(df: pd.DataFrame, keys: list[str], spec: dict) -> pd.DataFrame:
+    """One batch -> per-key partial aggregate rows (vectorized pandas)."""
+    agg_cols = {}
+    tmp = df[keys].copy()
+    for out, (col, kind) in spec.items():
+        if kind == "count":
+            tmp[out] = np.int64(1) if col is None else df[col].notna().astype(np.int64)
+            agg_cols[out] = "sum"
+        elif kind == "sum":
+            tmp[out] = df[col]
+            agg_cols[out] = "sum"
+        elif kind == "sumsq":
+            tmp[out] = df[col].to_numpy(dtype=np.float64) ** 2
+            agg_cols[out] = "sum"
+        elif kind in ("min", "max"):
+            tmp[out] = df[col]
+            agg_cols[out] = kind
+        else:
+            raise ValueError(f"unknown partial kind {kind!r}")
+    return tmp.groupby(keys, as_index=False, sort=False).agg(agg_cols)
+
+
+def grouped_aggregate(ds, keys: list[str] | str, spec: dict, batch_size: int = 65536):
+    """Generic partial+final grouped aggregate.
+
+    ``spec``: ``{out_col: (in_col, kind)}`` with kinds count/sum/min/
+    max/sumsq.  Returns a Dataset with ``keys`` + out columns.  The
+    global shuffle only ever sees per-batch partials."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    partial = ds.map_batches(
+        lambda df: _partial_batch(df, keys, spec),
+        batch_format="pandas",
+        batch_size=batch_size,
+    )
+    aggs = []
+    for out, (_, kind) in spec.items():
+        if kind in ("count", "sum", "sumsq"):
+            aggs.append(Sum(out, alias_name=out))
+        elif kind == "min":
+            aggs.append(Min(out, alias_name=out))
+        else:
+            aggs.append(Max(out, alias_name=out))
+    return partial.groupby(keys).aggregate(*aggs)
+
+
+def tile_rollup(
+    ds,
+    cell_col: str = "cell_r8",
+    extra_keys: list[str] | None = None,
+    batch_size: int = 65536,
+):
+    """The north star's per-tile page rollup: groupby cell ->
+    n_pages, total n_chars, distinct-ish stats — partial+final, then
+    range-sorted by tile id for ordered output (the
+    groupby-aggregate-sort of the north rule)."""
+    keys = [cell_col] + (extra_keys or [])
+    out = grouped_aggregate(
+        ds,
+        keys,
+        {
+            "n_pages": (None, "count"),
+            "sum_chars": ("n_chars", "sum"),
+            "min_ts": ("warc_ts", "min"),
+            "max_ts": ("warc_ts", "max"),
+        },
+        batch_size=batch_size,
+    )
+    return out.sort(cell_col)
+
+
+def cell_histogram(ds, cell_col: str = "cell_r7", batch_size: int = 65536) -> pd.DataFrame:
+    """Small driver-side histogram of pages per cell (itself computed
+    with partial aggregation — cheap even on the full input)."""
+    hist = grouped_aggregate(ds, [cell_col], {"n": (None, "count")}, batch_size)
+    return hist.to_pandas()
+
+
+def salt_plan(hist: pd.DataFrame, cell_col: str = "cell_r7", rows_per_salt: int = 100_000) -> dict[int, int]:
+    """cell -> number of salt buckets (only hot cells appear)."""
+    hot = hist[hist["n"] > rows_per_salt]
+    return {
+        int(c): int(np.ceil(n / rows_per_salt))
+        for c, n in zip(hot[cell_col], hot["n"])
+    }
+
+
+class SaltStage:
+    """Appends a deterministic ``salt`` int64 column: 0 for cold cells,
+    ``hash(page_id) % n_salts(cell)`` for hot ones.  Deterministic in
+    page_id so resume/retry re-derives identical partitions."""
+
+    def __init__(self, plan_ref, cell_col: str = "cell_r7"):
+        import ray
+
+        self.plan: dict[int, int] = (
+            ray.get(plan_ref) if not isinstance(plan_ref, dict) else plan_ref
+        )
+        self.cell_col = cell_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cell = batch[self.cell_col].to_numpy(zero_copy_only=False)
+        page_id = batch["page_id"].to_numpy(zero_copy_only=False)
+        salt = np.zeros(batch.num_rows, dtype=np.int64)
+        if self.plan:
+            nsalts = np.asarray(
+                [self.plan.get(int(c), 1) for c in np.unique(cell)], dtype=np.int64
+            )
+            uniq = np.unique(cell)
+            per_row = nsalts[np.searchsorted(uniq, cell)]
+            mixed = (page_id * 2654435761) % 9576890767
+            salt = np.where(per_row > 1, mixed % per_row, 0)
+        return batch.append_column("salt", pa.array(salt))
+
+
+def add_salt(ds, plan: dict[int, int], cell_col: str = "cell_r7"):
+    import ray
+
+    plan_ref = ray.put(plan)
+    return ds.map_batches(
+        SaltStage,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=2,
+        fn_constructor_kwargs={"plan_ref": plan_ref, "cell_col": cell_col},
+    )
+
+
+def clip_cells_batch(batch: pa.Table, polys_by_ugid: dict, res: int) -> pa.Table:
+    """Per (ugid, cell) row: intersection area of cell square x polygon
+    — the ``clip``/``intersection`` analog for tiles
+    (``variable/geom.py:718-764``), Sutherland-Hodgman per pair."""
+    from ocgis_ray import grid
+
+    ugid = batch["ugid"].to_numpy(zero_copy_only=False)
+    cell = batch["cell"].to_numpy(zero_copy_only=False)
+    x0, y0, x1, y1 = grid.bounds(cell, res)
+    areas = np.empty(len(cell), dtype=np.float64)
+    for i in range(len(cell)):
+        best = 0.0
+        for part in polys_by_ugid[int(ugid[i])]:
+            best += part.clip_area_rect(x0[i], y0[i], x1[i], y1[i])
+        areas[i] = best
+    return batch.append_column("clip_area", pa.array(areas))
