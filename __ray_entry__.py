@@ -4,13 +4,13 @@ The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
 DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+CORRECTNESS_r{N}.json).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Implementation lives in ``ocgis_ray`` (see SURVEY.md §2/§7); the query
+catalog with its generated oracle SQL is
+``ocgis_ray/pipelines/catalog.py``.  Nothing here (or in the library)
+calls ``ray.init()`` / ``ray.shutdown()`` — the caller owns the
+session.
 """
 
 from __future__ import annotations
@@ -20,25 +20,29 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: pages synthesis ->
+    html extraction (byte-identity asserted) -> geocode -> broadcast
+    spatial join -> per-(ugid, tile) rollup -> sort."""
+    from ocgis_ray.pipelines.flagship import flagship
+
+    # conservative pool sizes: entry() must run under ANY session size
+    # (two actor pools reserving >= session CPUs starves the read/
+    # aggregate tasks and stalls the pipeline)
+    return flagship("/root/testdata/sf0.001", extract_concurrency=1, probe_concurrency=1)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    """One entry per implemented operator/pipeline from SURVEY.md §2."""
+    from ocgis_ray.pipelines.catalog import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB twins for every SQL-expressible query (generated from the
+    same constants/vertex arrays the engine uses).  Rows-only queries
+    (LSH dedup, langid, fingerprints, LSH ANN, multimodal stubs,
+    knn_cells) intentionally have no entry."""
+    from ocgis_ray.pipelines.catalog import ORACLES
+
+    return {name: fn() for name, fn in ORACLES.items()}

@@ -1,0 +1,865 @@
+"""Query catalog: every operator as a (Ray pipeline, DuckDB oracle) pair.
+
+This is the driver contract behind ``__ray_entry__.py``: each entry in
+:func:`queries` is a named pipeline over the driver's parquet tables at
+``sf_dir``; :func:`oracle_sql` carries the ANSI-SQL twin DuckDB runs on
+the same tables.  Column names and numeric conventions are matched
+exactly (see NUMERIC CONVENTIONS below); non-SQL-expressible operators
+(minhash/simhash LSH, langid, LSH ANN, multimodal stubs) have queries
+but no oracle entry — the driver records rows-only checks for those.
+
+NUMERIC CONVENTIONS (both sides):
+- counts -> BIGINT/int64
+- integer sums -> CAST AS BIGINT / int64
+- float sums/means -> round(x, 4); ratios -> round(x, 6)
+- timestamps in outputs -> epoch microseconds BIGINT (avoids
+  timestamp-unit mismatches between Arrow/pandas/DuckDB)
+- ranks -> row_number ordered with explicit deterministic tiebreaks
+
+SURVEY §2 coverage notes are inline per query.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ocgis_ray.parity import sql_round
+import pandas as pd
+import pyarrow as pa
+
+from ocgis_ray import grid
+from ocgis_ray.geometry import rect_clip_area_sqlparity
+from ocgis_ray.sources import cabinet
+from ocgis_ray.sources.pages import REPS, geo_cte, pages_cte, pages_dataset
+from ocgis_ray.stages import calc, temporal, text
+from ocgis_ray.stages.geocode import geocode
+from ocgis_ray.stages.spatial_join import spatial_join
+from ocgis_ray.stages.tiles import grouped_aggregate
+
+WORLD = "world_regions"
+KNN_QUERIES = pd.DataFrame(
+    {
+        "query_id": np.arange(7, dtype=np.int64),
+        "lon": [-122.4, -74.0, 0.1, 139.7, 151.2, 60.0, -30.0],
+        "lat": [37.8, 40.7, 51.5, 35.7, -33.9, 40.0, 0.0],
+    }
+)
+ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+
+
+def _geo_pages(sf_dir: str):
+    """pages + lon/lat + cells, html projected away early."""
+    return geocode(pages_dataset(sf_dir, reps=REPS).drop_columns(["html"]))
+
+
+def _ts_us(ds, col: str, out: str):
+    """timestamp column -> epoch-microsecond int64 column."""
+
+    def f(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.append_column(out, pc.cast(t[col], pa.int64()))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# =====================================================================
+# Spatial family (pages table synthesized from documents; oracle uses
+# the byte-equivalent CTE from ocgis_ray.sources.pages)
+# =====================================================================
+
+def q_pages_synth(sf_dir: str):
+    ds = pages_dataset(sf_dir, reps=REPS).drop_columns(["html"])
+    ds = _ts_us(ds, "warc_ts", "warc_ts_us")
+    return ds.select_columns(["page_id", "doc_id", "rep", "url", "warc_ts_us", "text", "lang"])
+
+
+def sql_pages_synth() -> str:
+    return (
+        f"WITH {pages_cte(REPS)}\n"
+        "SELECT page_id, doc_id, rep, url, epoch_us(warc_ts) AS warc_ts_us, text, lang FROM pages"
+    )
+
+
+def q_geocode_cells(sf_dir: str):
+    return _geo_pages(sf_dir).select_columns(
+        ["page_id", "lon", "lat", "cell_r7", "cell_r8", "cell_r9"]
+    )
+
+
+def sql_geocode_cells() -> str:
+    cells = ", ".join(
+        f"{grid.encode_sql('lon', 'lat', r)} AS cell_r{r}" for r in (7, 8, 9)
+    )
+    return f"{geo_cte(REPS)}\nSELECT page_id, lon, lat, {cells} FROM geo"
+
+
+def _join_preds() -> dict[int, str]:
+    """ugid -> SQL point-in-polygon predicate (generated from the same
+    vertex arrays the engine probes — multipart ORed)."""
+    preds: dict[int, list[str]] = {}
+    for p in cabinet.layer(WORLD):
+        preds.setdefault(p.ugid, []).append(p.convex_pip_sql("lon", "lat"))
+    return {u: "(" + " OR ".join(ps) + ")" for u, ps in preds.items()}
+
+
+def q_spatial_join_inner(sf_dir: str):
+    j = spatial_join(_geo_pages(sf_dir), cabinet.layer(WORLD), how="inner", res=7)
+    return j.select_columns(["page_id", "ugid"])
+
+
+def sql_spatial_join_inner() -> str:
+    parts = [
+        f"SELECT page_id, CAST({u} AS BIGINT) AS ugid FROM geo WHERE {pred}"
+        for u, pred in sorted(_join_preds().items())
+    ]
+    return f"{geo_cte(REPS)}\n" + "\nUNION ALL\n".join(parts)
+
+
+def q_spatial_join_semi(sf_dir: str):
+    j = spatial_join(_geo_pages(sf_dir), cabinet.layer(WORLD), how="semi", res=7)
+    return j.select_columns(["page_id", "url"])
+
+
+def sql_spatial_join_semi() -> str:
+    anypred = " OR ".join(p for _, p in sorted(_join_preds().items()))
+    return f"{geo_cte(REPS)}\nSELECT page_id, url FROM geo WHERE {anypred}"
+
+
+def q_spatial_join_anti(sf_dir: str):
+    j = spatial_join(_geo_pages(sf_dir), cabinet.layer(WORLD), how="anti", res=7)
+    return j.select_columns(["page_id"])
+
+
+def sql_spatial_join_anti() -> str:
+    anypred = " OR ".join(p for _, p in sorted(_join_preds().items()))
+    return f"{geo_cte(REPS)}\nSELECT page_id FROM geo WHERE NOT ({anypred})"
+
+
+def q_spatial_join_counts(sf_dir: str):
+    j = spatial_join(_geo_pages(sf_dir), cabinet.layer(WORLD), how="inner", res=7)
+    return grouped_aggregate(j, ["ugid"], {"n_pages": (None, "count")})
+
+
+def sql_spatial_join_counts() -> str:
+    return (
+        f"WITH j AS ({sql_spatial_join_inner()})\n"
+        "SELECT ugid, count(*) AS n_pages FROM j GROUP BY ugid"
+    )
+
+
+def q_polygon_aggregate(sf_dir: str):
+    """Spatial aggregation analog (variable/geom.py:870-1075): per-ugid
+    rollup of joined pages with a weighted mean (weights = n_chars)."""
+    j = spatial_join(_geo_pages(sf_dir), cabinet.layer(WORLD), how="inner", res=7)
+
+    def add_w(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        w = pc.cast(t["n_chars"], pa.float64())
+        wx = pc.multiply(w, pc.cast(t["rep"], pa.float64()))
+        t = t.append_column("w", w)
+        return t.append_column("wx", wx)
+
+    j = j.map_batches(add_w, batch_format="pyarrow", zero_copy_batch=True)
+    agg = grouped_aggregate(
+        j,
+        ["ugid"],
+        {
+            "n_pages": (None, "count"),
+            "sum_chars": ("n_chars", "sum"),
+            "sw": ("w", "sum"),
+            "swx": ("wx", "sum"),
+        },
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["ugid", "n_pages"]].copy()
+        out["sum_chars"] = df["sum_chars"].astype(np.int64)
+        out["wmean_rep"] = sql_round(df["swx"] / df["sw"], 6)
+        return out
+
+    return agg.map_batches(finalize, batch_format="pandas")
+
+
+def sql_polygon_aggregate() -> str:
+    return (
+        f"WITH j AS ({sql_spatial_join_inner()}),\n"
+        f"{geo_cte(REPS)[5:]},\n"  # strip leading 'WITH '
+        "m AS (SELECT j.ugid, g.n_chars, g.rep FROM j JOIN geo g USING (page_id))\n"
+        "SELECT ugid, count(*) AS n_pages, CAST(sum(n_chars) AS BIGINT) AS sum_chars,\n"
+        "  round(sum(CAST(n_chars AS DOUBLE) * CAST(rep AS DOUBLE)) / sum(CAST(n_chars AS DOUBLE)), 6) AS wmean_rep\n"
+        "FROM m GROUP BY ugid"
+    )
+
+
+def q_tile_rollup_r8(sf_dir: str):
+    ds = _ts_us(_geo_pages(sf_dir), "warc_ts", "ts_us")
+    agg = grouped_aggregate(
+        ds,
+        ["cell_r8"],
+        {
+            "n_pages": (None, "count"),
+            "sum_chars": ("n_chars", "sum"),
+            "min_ts_us": ("ts_us", "min"),
+            "max_ts_us": ("ts_us", "max"),
+        },
+    )
+
+    def cast_types(df: pd.DataFrame) -> pd.DataFrame:
+        df["sum_chars"] = df["sum_chars"].astype(np.int64)
+        return df
+
+    return agg.map_batches(cast_types, batch_format="pandas")
+
+
+def sql_tile_rollup_r8() -> str:
+    return (
+        f"{geo_cte(REPS)}\n"
+        f"SELECT {grid.encode_sql('lon', 'lat', 8)} AS cell_r8, count(*) AS n_pages,\n"
+        "  CAST(sum(n_chars) AS BIGINT) AS sum_chars,\n"
+        "  min(epoch_us(warc_ts)) AS min_ts_us, max(epoch_us(warc_ts)) AS max_ts_us\n"
+        "FROM geo GROUP BY 1"
+    )
+
+
+def q_clip_rect_areas(sf_dir: str):
+    """Clip analog over tiles: distinct page cells x rectangular
+    selection polygons -> intersection areas (sq deg).  Engine uses
+    the SQL-parity rect kernel; general-polygon clip is pytest-covered
+    (Sutherland-Hodgman vs analytic)."""
+    cells_pdf = (
+        grouped_aggregate(_geo_pages(sf_dir), ["cell_r7"], {"n": (None, "count")})
+        .to_pandas()
+    )
+    cell = cells_pdf["cell_r7"].to_numpy(np.int64)
+    x0, y0, x1, y1 = grid.bounds(cell, 7)
+    rows = []
+    for p in cabinet.layer(WORLD):
+        bx0, by0, bx1, by1 = p.bbox
+        if not _is_rect(p):
+            continue
+        a = rect_clip_area_sqlparity(x0, y0, x1, y1, bx0, by0, bx1, by1)
+        m = a > 0.0
+        rows.append(
+            pd.DataFrame(
+                {
+                    "ugid": np.full(int(m.sum()), p.ugid, dtype=np.int64),
+                    "cell_r7": cell[m],
+                    "clip_area": sql_round(a[m], 6),
+                }
+            )
+        )
+    return pd.concat(rows, ignore_index=True)
+
+
+def _is_rect(p) -> bool:
+    v = p.verts
+    return (
+        v.shape[0] == 4
+        and len(np.unique(v[:, 0])) == 2
+        and len(np.unique(v[:, 1])) == 2
+    )
+
+
+def sql_clip_rect_areas() -> str:
+    cs = repr(grid.cell_size(7))
+    parts = []
+    for p in cabinet.layer(WORLD):
+        if not _is_rect(p):
+            continue
+        bx0, by0, bx1, by1 = (repr(v) for v in p.bbox)
+        parts.append(
+            f"SELECT CAST({p.ugid} AS BIGINT) AS ugid, cell_r7,\n"
+            f"  round(greatest(0.0, least(cx1, {bx1}) - greatest(cx0, {bx0}))"
+            f" * greatest(0.0, least(cy1, {by1}) - greatest(cy0, {by0})), 6) AS clip_area\n"
+            "FROM cells WHERE greatest(0.0, least(cx1, "
+            f"{bx1}) - greatest(cx0, {bx0})) * greatest(0.0, least(cy1, {by1}) - greatest(cy0, {by0})) > 0.0"
+        )
+    return (
+        f"{geo_cte(REPS)},\n"
+        f"cellids AS (SELECT DISTINCT {grid.encode_sql('lon', 'lat', 7)} AS cell_r7 FROM geo),\n"
+        "cells AS (SELECT cell_r7,\n"
+        f"  CAST(cell_r7 // 4294967296 AS DOUBLE) * {cs} - 180.0 AS cx0,\n"
+        f"  CAST(cell_r7 % 4294967296 AS DOUBLE) * {cs} - 90.0 AS cy0,\n"
+        f"  CAST(cell_r7 // 4294967296 AS DOUBLE) * {cs} - 180.0 + {cs} AS cx1,\n"
+        f"  CAST(cell_r7 % 4294967296 AS DOUBLE) * {cs} - 90.0 + {cs} AS cy1\n"
+        "FROM cellids)\n" + "\nUNION ALL\n".join(parts)
+    )
+
+
+def q_knn_pages(sf_dir: str):
+    from ocgis_ray.stages.knn import knn_bruteforce
+
+    res = knn_bruteforce(_geo_pages(sf_dir), KNN_QUERIES, k=5)
+    return res.select_columns(["query_id", "page_id", "rank"])
+
+
+def sql_knn_pages() -> str:
+    vals = ", ".join(
+        f"({int(q.query_id)}, {q.lon!r}, {q.lat!r})" for q in KNN_QUERIES.itertuples()
+    )
+    dist = (
+        "2.0 * 6371.0088 * asin(sqrt("
+        "power(sin((radians(g.lat) - radians(q.qlat)) / 2.0), 2) + "
+        "cos(radians(q.qlat)) * cos(radians(g.lat)) * "
+        "power(sin((radians(g.lon) - radians(q.qlon)) / 2.0), 2)))"
+    )
+    return (
+        f"{geo_cte(REPS)},\n"
+        f"q(query_id, qlon, qlat) AS (VALUES {vals}),\n"
+        f"d AS (SELECT q.query_id, g.page_id, {dist} AS dist FROM geo g, q)\n"
+        "SELECT CAST(query_id AS BIGINT) AS query_id, page_id,\n"
+        "  CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist, page_id) AS BIGINT) AS rank\n"
+        "FROM d QUALIFY rank <= 5"
+    )
+
+
+# =====================================================================
+# Temporal family
+# =====================================================================
+
+def q_time_range_pages(sf_dir: str):
+    ds = pages_dataset(sf_dir, reps=REPS).drop_columns(["html"])
+    ds = temporal.time_range_filter(
+        ds, "warc_ts", "2024-03-01T00:00:00", "2024-06-30T23:59:59"
+    )
+    return _ts_us(ds, "warc_ts", "warc_ts_us").select_columns(["page_id", "warc_ts_us"])
+
+
+def sql_time_range_pages() -> str:
+    from ocgis_ray.sources.pages import pages_cte
+
+    return (
+        f"WITH {pages_cte(REPS)}\n"
+        "SELECT page_id, epoch_us(warc_ts) AS warc_ts_us FROM pages\n"
+        "WHERE warc_ts >= TIMESTAMP '2024-03-01 00:00:00' AND warc_ts <= TIMESTAMP '2024-06-30 23:59:59'"
+    )
+
+
+def q_time_region_events(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts"])
+    ds = temporal.time_region_filter(ds, "ts", {"month": [1], "day": [5, 6, 7, 8, 9, 10]})
+    return ds.select_columns(["event_id"])
+
+
+def sql_time_region_events() -> str:
+    return (
+        "SELECT event_id FROM events WHERE month(ts) IN (1) AND day(ts) IN (5,6,7,8,9,10)"
+    )
+
+
+def q_temporal_rollup_events(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+    ds = temporal.add_time_parts(ds, "ts", parts=("year", "month", "day"))
+    agg = grouped_aggregate(
+        ds,
+        ["year", "month", "day", "event_type"],
+        {"n": (None, "count"), "sum_value": ("value", "sum")},
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df["sum_value"] = sql_round(df["sum_value"], 4)
+        return df
+
+    return agg.map_batches(finalize, batch_format="pandas")
+
+
+def sql_temporal_rollup_events() -> str:
+    return (
+        "SELECT CAST(year(ts) AS BIGINT) AS year, CAST(month(ts) AS BIGINT) AS month,\n"
+        "  CAST(day(ts) AS BIGINT) AS day, event_type, count(*) AS n,\n"
+        "  round(sum(value), 4) AS sum_value\n"
+        "FROM events GROUP BY 1, 2, 3, 4"
+    )
+
+
+def q_seasonal_rollup_pages(sf_dir: str):
+    ds = pages_dataset(sf_dir, reps=REPS).drop_columns(["html"])
+    ds = temporal.add_season(ds, "warc_ts")
+    return grouped_aggregate(ds, ["season"], {"n_pages": (None, "count")})
+
+
+def sql_seasonal_rollup_pages() -> str:
+    from ocgis_ray.sources.pages import pages_cte
+
+    return (
+        f"WITH {pages_cte(REPS)}\n"
+        f"SELECT {temporal.season_sql('warc_ts')} AS season, count(*) AS n_pages\n"
+        "FROM pages GROUP BY 1"
+    )
+
+
+# =====================================================================
+# Calculation family (set functions, thresholds, windows, expressions)
+# =====================================================================
+
+def _events(sf_dir: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+
+
+def q_calc_stats_events(sf_dir: str):
+    return calc.stats_rollup(
+        _events(sf_dir, ["event_type", "value"]), "event_type", "value"
+    )
+
+
+def sql_calc_stats_events() -> str:
+    return (
+        "SELECT event_type, count(value) AS cnt, round(sum(value), 4) AS sum_v,\n"
+        "  round(avg(value), 4) AS mean_v, round(stddev_samp(value), 4) AS std_v,\n"
+        "  min(value) AS min_v, max(value) AS max_v\n"
+        "FROM events GROUP BY event_type"
+    )
+
+
+def q_calc_median_events(sf_dir: str):
+    return calc.quantile_rollup(
+        _events(sf_dir, ["event_type", "value"]), "event_type", "value", 0.5,
+        out_col="median_v", round_digits=6,
+    )
+
+
+def sql_calc_median_events() -> str:
+    return (
+        "SELECT event_type, round(CAST(quantile_cont(value, 0.5) AS DOUBLE), 6) AS median_v\n"
+        "FROM events GROUP BY event_type"
+    )
+
+
+def q_threshold_events(sf_dir: str):
+    return calc.threshold_rollup(
+        _events(sf_dir, ["event_type", "value"]), "event_type", "value",
+        lower=100.0, upper=300.0,
+    )
+
+
+def sql_threshold_events() -> str:
+    return (
+        "SELECT event_type, CAST(sum(CASE WHEN value >= 100.0 AND value <= 300.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_meeting\n"
+        "FROM events GROUP BY event_type"
+    )
+
+
+def q_duration_events(sf_dir: str):
+    return calc.duration_rollup(
+        _events(sf_dir, ["event_id", "user_id", "ts", "value"]),
+        "user_id", "ts", "value", threshold=200.0,
+    )
+
+
+def sql_duration_events() -> str:
+    return """WITH flagged AS (
+  SELECT user_id,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      - row_number() OVER (PARTITION BY user_id, (value > 200.0) ORDER BY ts, event_id) AS grp,
+    (value > 200.0) AS flag
+  FROM events
+), runs AS (
+  SELECT user_id, count(*) AS run_len FROM flagged WHERE flag GROUP BY user_id, grp
+)
+SELECT user_id, CAST(max(run_len) AS BIGINT) AS max_run FROM runs GROUP BY user_id"""
+
+
+def q_moving_window_events(sf_dir: str):
+    out = calc.moving_window(
+        _events(sf_dir, ["event_id", "user_id", "ts", "value"]),
+        "user_id", "ts", "value", window=5, tiebreak_col="event_id",
+    )
+    return out.select_columns(["event_id", "moving_mean"])
+
+
+def sql_moving_window_events() -> str:
+    return (
+        "SELECT event_id, round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id\n"
+        "  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS moving_mean\n"
+        "FROM events"
+    )
+
+
+def q_eval_expression_events(sf_dir: str):
+    ds = _events(sf_dir, ["event_id", "value"])
+    out = calc.eval_function(ds, "score = log(value + 1.0) * 2.0 + 3.0")
+    return out.select_columns(["event_id", "score"])
+
+
+def sql_eval_expression_events() -> str:
+    return "SELECT event_id, round(ln(value + 1.0) * 2.0 + 3.0, 4) AS score FROM events"
+
+
+def q_heat_index_lineitem(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    out = calc.multivariate_map(
+        ds,
+        "cond_revenue",
+        lambda q, p, d: np.where(q > 25.0, p * (1.0 - d), np.nan),
+        ["l_quantity", "l_extendedprice", "l_discount"],
+    )
+    return out.select_columns(["l_orderkey", "l_linenumber", "cond_revenue"])
+
+
+def sql_heat_index_lineitem() -> str:
+    return (
+        "SELECT l_orderkey, l_linenumber,\n"
+        "  CASE WHEN l_quantity > 25.0 THEN round(l_extendedprice * (1.0 - l_discount), 4) END AS cond_revenue\n"
+        "FROM lineitem"
+    )
+
+
+# =====================================================================
+# General query capability (broadcast joins, wide aggregates)
+# =====================================================================
+
+def q_pricing_summary_lineitem(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def add_cols(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        disc_price = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        return t.append_column("disc_price", disc_price)
+
+    ds = ds.map_batches(add_cols, batch_format="pyarrow", zero_copy_batch=True)
+    agg = grouped_aggregate(
+        ds,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "n": (None, "count"),
+            "sum_qty": ("l_quantity", "sum"),
+            "sum_base": ("l_extendedprice", "sum"),
+            "sum_disc_price": ("disc_price", "sum"),
+        },
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df["sum_qty"] = sql_round(df["sum_qty"], 4)
+        df["sum_base"] = sql_round(df["sum_base"], 4)
+        df["sum_disc_price"] = sql_round(df["sum_disc_price"], 4)
+        return df
+
+    return agg.map_batches(finalize, batch_format="pandas")
+
+
+def sql_pricing_summary_lineitem() -> str:
+    return (
+        "SELECT l_returnflag, l_linestatus, count(*) AS n,\n"
+        "  round(sum(l_quantity), 4) AS sum_qty, round(sum(l_extendedprice), 4) AS sum_base,\n"
+        "  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price\n"
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+    )
+
+
+def q_revenue_by_nation(sf_dir: str):
+    """Broadcast-hash join: orders (stream) x customer x nation (small
+    sides as a driver-built dict, ``ray.put`` once) — the engine's
+    small-side join pattern (SURVEY §2.4)."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    nk = dict(zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist()))
+    cust_to_nation = {
+        int(c): nk[int(n)]
+        for c, n in zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist())
+    }
+    lookup_ref = ray.put(cust_to_nation)
+
+    class JoinStage:
+        def __init__(self):
+            self.lookup = ray.get(lookup_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["n_name"] = df["o_custkey"].map(self.lookup)
+            return df[["n_name", "o_totalprice"]]
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    joined = orders.map_batches(JoinStage, batch_format="pandas", concurrency=2)
+    agg = grouped_aggregate(
+        joined, ["n_name"], {"n_orders": (None, "count"), "revenue": ("o_totalprice", "sum")}
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df["revenue"] = sql_round(df["revenue"], 4)
+        return df
+
+    return agg.map_batches(finalize, batch_format="pandas")
+
+
+def sql_revenue_by_nation() -> str:
+    return (
+        "SELECT n.n_name, count(*) AS n_orders, round(sum(o.o_totalprice), 4) AS revenue\n"
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey\n"
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey\n"
+        "GROUP BY n.n_name"
+    )
+
+
+def q_events_user_rollup(sf_dir: str):
+    agg = grouped_aggregate(
+        _events(sf_dir, ["user_id", "value"]),
+        ["user_id"],
+        {"n": (None, "count"), "sum_value": ("value", "sum")},
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df["sum_value"] = sql_round(df["sum_value"], 4)
+        return df
+
+    return agg.map_batches(finalize, batch_format="pandas")
+
+
+def sql_events_user_rollup() -> str:
+    return (
+        "SELECT user_id, count(*) AS n, round(sum(value), 4) AS sum_value\n"
+        "FROM events GROUP BY user_id"
+    )
+
+
+# =====================================================================
+# Dedup / text / ANN / multimodal (oracle where SQL-expressible)
+# =====================================================================
+
+def q_dedup_exact_documents(sf_dir: str):
+    import ray.data as rd
+
+    from ocgis_ray.stages.dedup import dedup_exact
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return dedup_exact(docs, id_col="doc_id", col="text").select_columns(["doc_id"])
+
+
+def sql_dedup_exact_documents() -> str:
+    return "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
+
+
+def q_text_stats_documents(sf_dir: str):
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = text.add_text_stats(docs)
+    return out.select_columns(
+        ["doc_id", "token_count", "alpha_ratio", "punct_ratio", "quality_score"]
+    )
+
+
+def sql_text_stats_documents() -> str:
+    frags = text.text_stats_sql("text")
+    cols = ",\n  ".join(f"{sql} AS {name}" for name, sql in frags.items())
+    return f"SELECT doc_id,\n  {cols}\nFROM documents"
+
+
+def q_token_rollup_by_lang(sf_dir: str):
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"])
+    stats = text.add_text_stats(docs)
+    agg = grouped_aggregate(
+        stats,
+        ["lang"],
+        {"n_docs": (None, "count"), "sum_tokens": ("token_count", "sum")},
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df["sum_tokens"] = df["sum_tokens"].astype(np.int64)
+        return df
+
+    return agg.map_batches(finalize, batch_format="pandas")
+
+
+def sql_token_rollup_by_lang() -> str:
+    tokens = text.text_stats_sql("text")["token_count"]
+    return (
+        f"SELECT lang, count(*) AS n_docs, CAST(sum({tokens}) AS BIGINT) AS sum_tokens\n"
+        "FROM documents GROUP BY lang"
+    )
+
+
+def q_ann_bruteforce(sf_dir: str):
+    import ray.data as rd
+
+    from ocgis_ray.stages.ann import ann_bruteforce, load_query_vectors
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    queries = load_query_vectors(sf_dir, ANN_QUERY_IDS)
+    res = ann_bruteforce(emb, queries, k=10)
+    return res.select_columns(["query_id", "vec_id", "rank"])
+
+
+def sql_ann_bruteforce() -> str:
+    ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    return (
+        f"WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id IN ({ids})),\n"
+        "s AS (SELECT q.query_id, e.vec_id, list_cosine_similarity(q.qe, e.embedding) AS sim\n"
+        "      FROM q, embeddings e)\n"
+        "SELECT query_id, vec_id,\n"
+        "  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rank\n"
+        "FROM s QUALIFY rank <= 10"
+    )
+
+
+# ---- rows-only (non-SQL-expressible) --------------------------------
+
+def q_minhash_near_dup(sf_dir: str):
+    import ray.data as rd
+
+    from ocgis_ray.stages.dedup import minhash_near_duplicates
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return minhash_near_duplicates(docs, threshold=0.5)
+
+
+def q_simhash_pairs(sf_dir: str):
+    import ray.data as rd
+
+    from ocgis_ray.stages.dedup import simhash_near_duplicates, simhash_signatures
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return simhash_near_duplicates(simhash_signatures(docs), max_hamming=6)
+
+
+def q_langid_documents(sf_dir: str):
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return text.add_lang_pred(docs).select_columns(["doc_id", "lang_pred"])
+
+
+def q_fingerprint_documents(sf_dir: str):
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return text.add_fingerprint(docs).select_columns(["doc_id", "fingerprint"])
+
+
+def q_ann_lsh(sf_dir: str):
+    import ray.data as rd
+
+    from ocgis_ray.stages.ann import ann_lsh, load_query_vectors
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    queries = load_query_vectors(sf_dir, ANN_QUERY_IDS)
+    res = ann_lsh(emb, queries, k=10)
+    return res.select_columns(["query_id", "vec_id", "rank"])
+
+
+def q_embedding_near_dup(sf_dir: str):
+    import ray.data as rd
+
+    from ocgis_ray.stages.ann import embedding_near_duplicates
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    # synthetic embeddings are near-orthogonal (max pairwise cosine
+    # ~0.51 at sf0.01); 0.4 keeps the operator's output non-trivial
+    pairs = embedding_near_duplicates(emb, threshold=0.4)
+    return pairs.select_columns(["vec_a", "vec_b"])
+
+
+def q_media_features(sf_dir: str):
+    from ocgis_ray.stages.multimodal import decode_features, synth_media
+
+    media = synth_media(sf_dir)
+    return decode_features(media).select_columns(["media_id", "kind", "n_bytes"])
+
+
+def q_knn_cells(sf_dir: str):
+    from ocgis_ray.stages.knn import knn_cells
+
+    res = knn_cells(_geo_pages(sf_dir), KNN_QUERIES, k=5)
+    return res.select_columns(["query_id", "page_id", "rank"])
+
+
+# =====================================================================
+# registry
+# =====================================================================
+
+QUERIES = {
+    "pages_synth": q_pages_synth,
+    "geocode_cells": q_geocode_cells,
+    "spatial_join_inner": q_spatial_join_inner,
+    "spatial_join_semi": q_spatial_join_semi,
+    "spatial_join_anti": q_spatial_join_anti,
+    "spatial_join_counts": q_spatial_join_counts,
+    "polygon_aggregate": q_polygon_aggregate,
+    "tile_rollup_r8": q_tile_rollup_r8,
+    "clip_rect_areas": q_clip_rect_areas,
+    "knn_pages": q_knn_pages,
+    "time_range_pages": q_time_range_pages,
+    "time_region_events": q_time_region_events,
+    "temporal_rollup_events": q_temporal_rollup_events,
+    "seasonal_rollup_pages": q_seasonal_rollup_pages,
+    "calc_stats_events": q_calc_stats_events,
+    "calc_median_events": q_calc_median_events,
+    "threshold_events": q_threshold_events,
+    "duration_events": q_duration_events,
+    "moving_window_events": q_moving_window_events,
+    "eval_expression_events": q_eval_expression_events,
+    "heat_index_lineitem": q_heat_index_lineitem,
+    "pricing_summary_lineitem": q_pricing_summary_lineitem,
+    "revenue_by_nation": q_revenue_by_nation,
+    "events_user_rollup": q_events_user_rollup,
+    "dedup_exact_documents": q_dedup_exact_documents,
+    "text_stats_documents": q_text_stats_documents,
+    "token_rollup_by_lang": q_token_rollup_by_lang,
+    "ann_bruteforce": q_ann_bruteforce,
+    # rows-only (no SQL twin)
+    "minhash_near_dup": q_minhash_near_dup,
+    "simhash_pairs": q_simhash_pairs,
+    "langid_documents": q_langid_documents,
+    "fingerprint_documents": q_fingerprint_documents,
+    "ann_lsh": q_ann_lsh,
+    "embedding_near_dup": q_embedding_near_dup,
+    "media_features": q_media_features,
+    "knn_cells": q_knn_cells,
+}
+
+ORACLES = {
+    "pages_synth": sql_pages_synth,
+    "geocode_cells": sql_geocode_cells,
+    "spatial_join_inner": sql_spatial_join_inner,
+    "spatial_join_semi": sql_spatial_join_semi,
+    "spatial_join_anti": sql_spatial_join_anti,
+    "spatial_join_counts": sql_spatial_join_counts,
+    "polygon_aggregate": sql_polygon_aggregate,
+    "tile_rollup_r8": sql_tile_rollup_r8,
+    "clip_rect_areas": sql_clip_rect_areas,
+    "knn_pages": sql_knn_pages,
+    "time_range_pages": sql_time_range_pages,
+    "time_region_events": sql_time_region_events,
+    "temporal_rollup_events": sql_temporal_rollup_events,
+    "seasonal_rollup_pages": sql_seasonal_rollup_pages,
+    "calc_stats_events": sql_calc_stats_events,
+    "calc_median_events": sql_calc_median_events,
+    "threshold_events": sql_threshold_events,
+    "duration_events": sql_duration_events,
+    "moving_window_events": sql_moving_window_events,
+    "eval_expression_events": sql_eval_expression_events,
+    "heat_index_lineitem": sql_heat_index_lineitem,
+    "pricing_summary_lineitem": sql_pricing_summary_lineitem,
+    "revenue_by_nation": sql_revenue_by_nation,
+    "events_user_rollup": sql_events_user_rollup,
+    "dedup_exact_documents": sql_dedup_exact_documents,
+    "text_stats_documents": sql_text_stats_documents,
+    "token_rollup_by_lang": sql_token_rollup_by_lang,
+    "ann_bruteforce": sql_ann_bruteforce,
+}

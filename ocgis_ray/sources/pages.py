@@ -71,7 +71,7 @@ def synthesize_pages_batch(batch: pa.Table, reps: int = REPS) -> pa.Table:
         "",
     )
     html = pc.cast(html_str, pa.binary())
-    warc_ts = TS_BASE + ((page_id * 37) % SECONDS_PER_YEAR) * np.int64(1_000_000)
+    warc_ts = TS_BASE + ((page_id * 7777789) % SECONDS_PER_YEAR) * np.int64(1_000_000)
 
     return pa.table(
         {
@@ -167,7 +167,7 @@ def pages_cte(reps: int = REPS) -> str:
   SELECT {pid} AS page_id, doc_id, rep, lang, source, n_chars,
          'p' || CAST(rep AS VARCHAR) || ' ' || text AS text,
          'https://site-' || CAST({pid} % 1000 AS VARCHAR) || '.example.com/p/' || CAST({pid} AS VARCHAR) AS url,
-         TIMESTAMP '2024-01-01 00:00:00' + to_seconds(({pid} * 37) % {SECONDS_PER_YEAR}) AS warc_ts
+         TIMESTAMP '2024-01-01 00:00:00' + to_seconds(({pid} * 7777789) % {SECONDS_PER_YEAR}) AS warc_ts
   FROM documents, range({reps}) t(rep)
 )"""
 

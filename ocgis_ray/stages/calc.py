@@ -1,0 +1,264 @@
+"""Calculation library: grouped set functions, thresholds, windows,
+run-lengths, and string-expression kernels.
+
+The Ray re-expression of the reference's calculation engine
+(``/root/reference/src/ocgis/calc/engine.py:48-157``) and function
+library: set functions mean/min/max/median/std/sum
+(``calc/library/statistics.py:355-425``), threshold counts
+(``calc/library/thresholds.py:6-61``), duration/run-length indices
+(``calc/library/index/duration.py:10-153``), freeze-thaw-style state
+machines (``calc/library/index/freeze_thaw.py:9-110``), moving windows
+(``calc/library/statistics.py:12-135``), elementwise multivariate math
+(``calc/library/math.py``), and string-expression functions
+(``calc/eval_function.py:9-170``).
+
+Where the reference conforms arrays to a 5-D (realization, time,
+level, y, x) layout and reduces per temporal group, this engine
+derives group-key columns and reduces with partial+final aggregation
+(``ocgis_ray.stages.tiles.grouped_aggregate``) — the shuffle only
+moves per-batch partials.  Order-dependent functions (duration,
+moving window, state machines) use ``groupby().map_groups`` with an
+in-group sort by timestamp; the ordering assumption is *within group
+only* (no cross-partition order is relied on).
+
+Float outputs that feed the DuckDB oracle are rounded (ROUND_DIGITS)
+on BOTH sides to absorb summation-order ulp differences — the
+deterministic-combine answer to the reference's documented parallel
+FP caveat (``doc/parallel.rst`` "Spatial Averaging in Parallel").
+"""
+
+from __future__ import annotations
+
+import ast
+
+import numpy as np
+
+from ocgis_ray.parity import sql_round
+import pandas as pd
+import pyarrow as pa
+
+from ocgis_ray.stages.tiles import grouped_aggregate
+
+ROUND_DIGITS = 4
+
+
+# --------------------------------------------------------------- set functions
+
+def stats_rollup(ds, keys, value_col: str, round_digits: int = ROUND_DIGITS):
+    """Grouped mean/min/max/sum/std/count of ``value_col``.
+
+    std is the sample standard deviation (ddof=1) finalized from
+    (sum, sumsq, count) partials — matching DuckDB ``stddev_samp``
+    within rounding."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    agg = grouped_aggregate(
+        ds,
+        keys,
+        {
+            "cnt": (value_col, "count"),
+            "sum_v": (value_col, "sum"),
+            "sumsq_v": (value_col, "sumsq"),
+            "min_v": (value_col, "min"),
+            "max_v": (value_col, "max"),
+        },
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["cnt"].to_numpy(dtype=np.float64)
+        s = df["sum_v"].to_numpy(dtype=np.float64)
+        ss = df["sumsq_v"].to_numpy(dtype=np.float64)
+        mean = s / n
+        var = np.where(n > 1, (ss - s * s / n) / (n - 1), np.nan)
+        out = df[keys].copy()
+        out["mean_v"] = sql_round(mean, round_digits)
+        out["std_v"] = sql_round(np.sqrt(np.maximum(var, 0.0)), round_digits)
+        out["sum_v"] = sql_round(s, round_digits)
+        out["min_v"] = df["min_v"]
+        out["max_v"] = df["max_v"]
+        out["cnt"] = df["cnt"]
+        return out
+
+    return agg.map_batches(finalize, batch_format="pandas")
+
+
+def quantile_rollup(ds, keys, value_col: str, q: float, out_col: str = "q_v",
+                    round_digits: int = ROUND_DIGITS):
+    """Exact grouped percentile (``freq_perc``/median analog) via
+    ``map_groups`` — linear interpolation, identical to DuckDB
+    ``quantile_cont``.  Exact quantiles are inherently a full-group
+    operation; groups here are small (key-partitioned); for huge
+    groups a t-digest sketch would replace this."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.head(1)[keys].copy()
+        out[out_col] = sql_round(
+            np.percentile(g[value_col].to_numpy(dtype=np.float64), q * 100.0),
+            round_digits,
+        )
+        return out
+
+    return ds.groupby(keys).map_groups(per_group, batch_format="pandas")
+
+
+def threshold_rollup(ds, keys, value_col: str, lower=None, upper=None,
+                     out_col: str = "n_meeting"):
+    """Count of values meeting the predicate per group — the
+    ``between``/``threshold`` analog (``calc/library/thresholds.py``).
+    Pure partial+final (sum of booleans)."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def add_flag(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        v = t[value_col]
+        m = pc.is_valid(v)
+        if lower is not None:
+            m = pc.and_(m, pc.greater_equal(v, pa.scalar(float(lower))))
+        if upper is not None:
+            m = pc.and_(m, pc.less_equal(v, pa.scalar(float(upper))))
+        return t.append_column("_meets", pc.cast(m, pa.int64()))
+
+    flagged = ds.map_batches(add_flag, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_aggregate(flagged, keys, {out_col: ("_meets", "sum")})
+
+
+# ----------------------------------------------------- order-dependent kernels
+
+def duration_rollup(ds, entity_keys, ts_col: str, value_col: str, threshold: float,
+                    out_col: str = "max_run"):
+    """Longest consecutive run of ``value > threshold`` per entity in
+    timestamp order (``calc/library/index/duration.py:10-153``).
+
+    ``map_groups`` with an in-group sort by (ts, and a stable
+    tiebreak on the first extra column) — run-length encoding is
+    vectorized numpy.  Entities with no qualifying value are omitted
+    (matching the SQL gaps-and-islands oracle)."""
+    entity_keys = [entity_keys] if isinstance(entity_keys, str) else list(entity_keys)
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col] + [c for c in ("event_id",) if c in g.columns])
+        flag = (g[value_col].to_numpy(dtype=np.float64) > threshold).astype(np.int8)
+        if flag.sum() == 0:
+            return g.head(0)[entity_keys].assign(**{out_col: pd.Series([], dtype=np.int64)})
+        # run-length encode: boundaries where the flag changes
+        change = np.flatnonzero(np.diff(flag)) + 1
+        starts = np.concatenate([[0], change])
+        lengths = np.diff(np.concatenate([starts, [len(flag)]]))
+        max_run = int(lengths[flag[starts] == 1].max())
+        out = g.head(1)[entity_keys].copy()
+        out[out_col] = np.int64(max_run)
+        return out
+
+    return ds.groupby(entity_keys).map_groups(per_group, batch_format="pandas")
+
+
+def moving_window(ds, entity_keys, ts_col: str, value_col: str, window: int,
+                  out_col: str = "moving_mean", round_digits: int = ROUND_DIGITS,
+                  tiebreak_col: str | None = None):
+    """Trailing moving mean over the previous ``window`` rows per
+    entity in timestamp order (``calc/library/statistics.py:12-135``,
+    ``calc/library/math.py:48-109``).  SQL twin: ``AVG(v) OVER
+    (PARTITION BY entity ORDER BY ts, tiebreak ROWS BETWEEN window-1
+    PRECEDING AND CURRENT ROW)``."""
+    entity_keys = [entity_keys] if isinstance(entity_keys, str) else list(entity_keys)
+    sort_cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(sort_cols).copy()
+        g[out_col] = sql_round(
+            g[value_col].rolling(window, min_periods=1).mean().to_numpy(),
+            round_digits,
+        )
+        return g
+
+    return ds.groupby(entity_keys).map_groups(per_group, batch_format="pandas")
+
+
+def state_machine(ds, entity_keys, ts_col: str, fn, batch_format: str = "pandas"):
+    """Sequential per-entity state machine along the time axis — the
+    ``freezethaw`` plugin surface (``calc/library/index/freeze_thaw.py``).
+    ``fn(sorted_group_df) -> df``; runs under ``map_groups``."""
+    entity_keys = [entity_keys] if isinstance(entity_keys, str) else list(entity_keys)
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        return fn(g.sort_values(ts_col))
+
+    return ds.groupby(entity_keys).map_groups(per_group, batch_format=batch_format)
+
+
+# ------------------------------------------------------------ expression eval
+
+_ALLOWED_FUNCS = {
+    "exp": np.exp, "log": np.log, "log10": np.log10, "abs": np.abs,
+    "power": np.power, "sqrt": np.sqrt, "sin": np.sin, "cos": np.cos,
+    "tan": np.tan, "floor": np.floor, "ceil": np.ceil,
+}
+_ALLOWED_NODES = (
+    ast.Expression, ast.BinOp, ast.UnaryOp, ast.Call, ast.Name, ast.Load,
+    ast.Constant, ast.Add, ast.Sub, ast.Mult, ast.Div, ast.Pow, ast.Mod,
+    ast.USub, ast.UAdd, ast.FloorDiv,
+)
+
+
+def compile_expression(expr: str):
+    """``"out = log(v + 1) * 2"`` -> (out_name, kernel(cols) -> ndarray).
+
+    The ``EvalFunction`` analog (``calc/eval_function.py:9-170``) with
+    the same whitelist idea (``constants.py:132``) but a real AST
+    validator instead of ``eval`` on a regex-scrubbed string."""
+    if "=" not in expr:
+        raise ValueError("expression must be 'out = f(...)'")
+    out_name, rhs = (s.strip() for s in expr.split("=", 1))
+    tree = ast.parse(rhs, mode="eval")
+    for node in ast.walk(tree):
+        if not isinstance(node, _ALLOWED_NODES):
+            raise ValueError(f"disallowed syntax: {type(node).__name__}")
+        if isinstance(node, ast.Call):
+            if not isinstance(node.func, ast.Name) or node.func.id not in _ALLOWED_FUNCS:
+                raise ValueError("only whitelisted functions allowed")
+    code = compile(tree, "<calc-expr>", "eval")
+    names = {
+        n.id for n in ast.walk(tree)
+        if isinstance(n, ast.Name) and n.id not in _ALLOWED_FUNCS
+    }
+
+    def kernel(cols: dict[str, np.ndarray]) -> np.ndarray:
+        env = dict(_ALLOWED_FUNCS)
+        for n in names:
+            env[n] = cols[n]
+        return eval(code, {"__builtins__": {}}, env)  # noqa: S307 — AST-validated
+
+    return out_name, kernel
+
+
+def eval_function(ds, expr: str, round_digits: int | None = ROUND_DIGITS):
+    """Apply a string expression as a vectorized per-batch column."""
+    out_name, kernel = compile_expression(expr)
+
+    def f(t: pa.Table) -> pa.Table:
+        cols = {name: t[name].to_numpy(zero_copy_only=False) for name in t.column_names}
+        v = np.asarray(kernel(cols), dtype=np.float64)
+        if round_digits is not None:
+            v = sql_round(v, round_digits)
+        return t.append_column(out_name, pa.array(v))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def multivariate_map(ds, out_col: str, fn, in_cols: list[str],
+                     round_digits: int | None = ROUND_DIGITS):
+    """Elementwise multivariate function with optional conditional
+    masking — the ``heat_index`` pattern (``calc/library/index/
+    heat_index.py:6-36``, plumbing ``calc/base.py:771-925``).
+    ``fn(*arrays) -> ndarray`` (may contain NaN for masked rows; NaN
+    becomes null in Arrow)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        arrays = [t[c].to_numpy(zero_copy_only=False) for c in in_cols]
+        v = np.asarray(fn(*arrays), dtype=np.float64)
+        if round_digits is not None:
+            v = sql_round(v, round_digits)
+        return t.append_column(out_col, pa.array(v, from_pandas=True))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

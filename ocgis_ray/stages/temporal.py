@@ -33,7 +33,10 @@ _PART_FNS = {
 def time_range_filter(ds, col: str, lower, upper):
     """Keep rows with ``lower <= col <= upper`` (inclusive both ends,
     matching the reference's bounds-overlap rule)."""
-    lo, hi = pa.scalar(lower, pa.timestamp("us")), pa.scalar(upper, pa.timestamp("us"))
+    import numpy as np
+
+    lo = pa.scalar(np.datetime64(lower, "us"), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64(upper, "us"), pa.timestamp("us"))
 
     def f(t: pa.Table) -> pa.Table:
         c = t[col]

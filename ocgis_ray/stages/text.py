@@ -1,0 +1,134 @@
+"""Text analysis: token counts, quality scores, language ID,
+document fingerprinting.
+
+First-class training-data-pipeline operators over the ``documents`` /
+pages text column (no reference analog — the reference's scalar-
+function surface is thin, SURVEY §2.7).  SQL-parity notes per kernel:
+
+- ``token_count`` counts ``split(' ')`` fields == DuckDB
+  ``len(string_split(text, ' '))`` (empty fields included — parity is
+  with the SQL function, not Python ``str.split()``'s collapsing).
+- ``alpha_ratio``/``punct_ratio`` use the same regex class as the
+  generated oracle SQL; ratios are rounded on both sides.
+- language ID and fingerprints are hash/heuristic kernels with no SQL
+  twin — they get rows-only oracle checks plus pytest assertions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ocgis_ray.parity import sql_round
+import pandas as pd
+import pyarrow as pa
+
+ROUND_DIGITS = 6
+
+STOPWORDS = {
+    "en": {"the", "and", "of", "a", "to", "in", "is", "for", "with", "on"},
+    "es": {"el", "la", "de", "y", "que", "en", "un", "una", "los", "las"},
+    "de": {"der", "die", "das", "und", "in", "von", "mit", "ist", "den", "ein"},
+    "fr": {"le", "la", "de", "et", "les", "des", "un", "une", "est", "dans"},
+    "zh": {"的", "了", "是", "在", "我", "有", "和", "就", "不", "人"},
+}
+
+
+def add_text_stats(ds, col: str = "text"):
+    """token_count, alpha_ratio, punct_ratio, quality_score columns —
+    all vectorized pandas str kernels, oracle-checkable."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[col]
+        n_chars = s.str.len().to_numpy(dtype=np.float64)
+        tokens = (s.str.count(" ") + 1).astype(np.int64)  # == len(string_split(s,' '))
+        alpha = s.str.count(r"[A-Za-z]").to_numpy(dtype=np.float64)
+        punct = s.str.count(r"[.,!?;:]").to_numpy(dtype=np.float64)
+        safe_n = np.maximum(n_chars, 1.0)
+        alpha_ratio = alpha / safe_n
+        punct_ratio = punct / safe_n
+        tokf = tokens.to_numpy(dtype=np.float64)
+        quality = 0.5 * alpha_ratio + 0.3 * np.minimum(1.0, tokf / 100.0) + 0.2 * (1.0 - punct_ratio)
+        df = df.copy()
+        df["token_count"] = tokens
+        df["alpha_ratio"] = sql_round(alpha_ratio, ROUND_DIGITS)
+        df["punct_ratio"] = sql_round(punct_ratio, ROUND_DIGITS)
+        df["quality_score"] = sql_round(quality, ROUND_DIGITS)
+        return df
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def text_stats_sql(col: str = "text") -> dict[str, str]:
+    """Select-list fragments matching :func:`add_text_stats` exactly."""
+    n = f"greatest(CAST(length({col}) AS DOUBLE), 1.0)"
+    alpha = f"CAST(length(regexp_replace({col}, '[^A-Za-z]', '', 'g')) AS DOUBLE)"
+    punct = f"CAST(length(regexp_replace({col}, '[^.,!?;:]', '', 'g')) AS DOUBLE)"
+    tokens = f"CAST(len(string_split({col}, ' ')) AS BIGINT)"
+    return {
+        "token_count": tokens,
+        "alpha_ratio": f"round({alpha} / {n}, {ROUND_DIGITS})",
+        "punct_ratio": f"round({punct} / {n}, {ROUND_DIGITS})",
+        "quality_score": (
+            f"round(0.5 * ({alpha} / {n}) + 0.3 * least(1.0, CAST({tokens} AS DOUBLE) / 100.0)"
+            f" + 0.2 * (1.0 - ({punct} / {n})), {ROUND_DIGITS})"
+        ),
+    }
+
+
+class LangIdStage:
+    """Actor-pool language ID: stopword-profile scoring.
+
+    Sets are built once per actor (``__init__``); scoring is a token
+    membership fraction per language, argmax with deterministic 'en'
+    tiebreak.  A heuristic n-gram/stopword identifier per the build
+    brief — NOT a model; the plumbing (actor pool, batch scoring) is
+    what a fasttext-style model would use."""
+
+    def __init__(self):
+        self.profiles = {lang: frozenset(ws) for lang, ws in STOPWORDS.items()}
+        self.langs = sorted(self.profiles)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        preds = []
+        for t in df["text"]:
+            toks = t.lower().split()
+            if not toks:
+                preds.append("und")
+                continue
+            scores = {
+                lang: sum(tok in ws for tok in toks) / len(toks)
+                for lang, ws in self.profiles.items()
+            }
+            best = max(scores.values())
+            if best == 0.0:
+                preds.append("und")
+            else:
+                preds.append(min(l for l, s in scores.items() if s == best))
+        df = df.copy()
+        df["lang_pred"] = preds
+        return df
+
+
+def add_lang_pred(ds, concurrency: int | None = 4):
+    return ds.map_batches(LangIdStage, batch_format="pandas", concurrency=concurrency)
+
+
+def add_fingerprint(ds, col: str = "text", k: int = 8, out: str = "fingerprint"):
+    """Winnowing-style document fingerprint: min rolling char-k-gram
+    hash (deterministic int64).  Near-identical texts share it; used
+    as a cheap pre-cluster key."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        fps = np.empty(len(df), dtype=np.int64)
+        for i, t in enumerate(df[col]):
+            if len(t) < k:
+                grams = np.asarray([t], dtype=object)
+            else:
+                grams = np.asarray([t[j : j + k] for j in range(len(t) - k + 1)],
+                                   dtype=object)
+            fps[i] = int(pd.util.hash_array(grams).min())
+        df = df.copy()
+        df[out] = fps
+        return df
+
+    return ds.map_batches(f, batch_format="pandas")

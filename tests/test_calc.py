@@ -1,0 +1,138 @@
+"""Calculation library vs pandas/analytic ground truth."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from ocgis_ray.parity import sql_round
+from ocgis_ray.stages import calc
+
+
+@pytest.fixture(scope="module")
+def events_ds(ray_session):
+    import ray.data as rd
+
+    rng = np.random.RandomState(1)
+    n = 5000
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.randint(0, 40, n),
+        "ts": pd.to_datetime("2024-01-01") + pd.to_timedelta(rng.randint(0, 86400 * 30, n), unit="s"),
+        "value": np.round(rng.uniform(0, 500, n), 2),
+        "event_type": rng.choice(["a", "b", "c"], n),
+    })
+    return rd.from_pandas(df).repartition(4), df
+
+
+def test_stats_rollup(events_ds):
+    ds, df = events_ds
+    out = calc.stats_rollup(ds, "event_type", "value").to_pandas().sort_values("event_type")
+    exp = df.groupby("event_type")["value"].agg(["count", "sum", "mean", "std", "min", "max"])
+    np.testing.assert_array_equal(out["cnt"], exp["count"])
+    np.testing.assert_allclose(out["sum_v"], sql_round(exp["sum"].to_numpy(), 4), atol=1e-9)
+    np.testing.assert_allclose(out["mean_v"], sql_round(exp["mean"].to_numpy(), 4), atol=1e-9)
+    np.testing.assert_allclose(out["std_v"], exp["std"].to_numpy(), atol=1e-3)
+    np.testing.assert_array_equal(out["min_v"], exp["min"])
+    np.testing.assert_array_equal(out["max_v"], exp["max"])
+
+
+def test_quantile_rollup(events_ds):
+    ds, df = events_ds
+    out = calc.quantile_rollup(ds, "event_type", "value", 0.5, out_col="m").to_pandas()
+    exp = df.groupby("event_type")["value"].quantile(0.5)
+    for _, row in out.iterrows():
+        assert row["m"] == pytest.approx(exp[row["event_type"]], abs=1e-6)
+
+
+def test_threshold_rollup(events_ds):
+    ds, df = events_ds
+    out = calc.threshold_rollup(ds, "event_type", "value", lower=100, upper=300).to_pandas()
+    exp = df[(df["value"] >= 100) & (df["value"] <= 300)].groupby("event_type").size()
+    for _, row in out.iterrows():
+        assert row["n_meeting"] == exp[row["event_type"]]
+
+
+def test_duration_rollup_constructed(ray_session):
+    import ray.data as rd
+
+    df = pd.DataFrame({
+        "event_id": range(8),
+        "user_id": [1] * 5 + [2] * 3,
+        "ts": pd.date_range("2024-01-01", periods=8, freq="h"),
+        "value": [10, 300, 310, 5, 320, 400, 400, 400],  # u1: runs 2,1 ; u2: run 3
+    })
+    out = calc.duration_rollup(
+        rd.from_pandas(df), "user_id", "ts", "value", threshold=200.0
+    ).to_pandas().sort_values("user_id")
+    assert out["max_run"].tolist() == [2, 3]
+
+
+def test_duration_no_qualifying_user(ray_session):
+    import ray.data as rd
+
+    df = pd.DataFrame({
+        "event_id": range(4),
+        "user_id": [1, 1, 2, 2],
+        "ts": pd.date_range("2024-01-01", periods=4, freq="h"),
+        "value": [1.0, 2.0, 500.0, 1.0],
+    })
+    out = calc.duration_rollup(
+        rd.from_pandas(df), "user_id", "ts", "value", threshold=100.0
+    ).to_pandas()
+    assert out["user_id"].tolist() == [2]  # user 1 omitted
+
+
+def test_moving_window(events_ds):
+    ds, df = events_ds
+    out = calc.moving_window(ds, "user_id", "ts", "value", window=5,
+                             tiebreak_col="event_id").to_pandas()
+    merged = out.set_index("event_id")["moving_mean"]
+    for eid in [0, 100, 2500, 4999]:
+        user = df.loc[df["event_id"] == eid, "user_id"].iloc[0]
+        g = df[df["user_id"] == user].sort_values(["ts", "event_id"]).reset_index(drop=True)
+        pos = g.index[g["event_id"] == eid][0]
+        expect = g["value"].iloc[max(0, pos - 4) : pos + 1].mean()
+        assert merged[eid] == pytest.approx(sql_round(expect, 4), abs=1e-9)
+
+
+def test_state_machine(ray_session):
+    import ray.data as rd
+
+    df = pd.DataFrame({
+        "user_id": [1] * 4,
+        "ts": pd.date_range("2024-01-01", periods=4, freq="h"),
+        "value": [-1.0, 2.0, -3.0, 4.0],
+    })
+
+    def crossings(g):
+        sign = np.sign(g["value"].to_numpy())
+        flips = int(np.sum(sign[1:] != sign[:-1]))
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "flips": [flips]})
+
+    out = calc.state_machine(rd.from_pandas(df), "user_id", "ts", crossings).to_pandas()
+    assert out["flips"].tolist() == [3]
+
+
+def test_compile_expression_whitelist():
+    name, kernel = calc.compile_expression("out = log(v + 1.0) * 2.0")
+    assert name == "out"
+    v = np.array([0.0, np.e - 1.0])
+    np.testing.assert_allclose(kernel({"v": v}), [0.0, 2.0], atol=1e-12)
+    with pytest.raises(ValueError):
+        calc.compile_expression("out = __import__('os').system('x')")
+    with pytest.raises(ValueError):
+        calc.compile_expression("out = open('/etc/passwd')")
+    with pytest.raises(ValueError):
+        calc.compile_expression("no equals sign")
+
+
+def test_multivariate_map(ray_session):
+    import ray.data as rd
+
+    df = pd.DataFrame({"q": [10.0, 30.0], "p": [100.0, 100.0], "d": [0.1, 0.1]})
+    out = calc.multivariate_map(
+        rd.from_pandas(df), "rev",
+        lambda q, p, d: np.where(q > 25.0, p * (1.0 - d), np.nan), ["q", "p", "d"],
+    ).to_pandas()
+    assert np.isnan(out["rev"][0])
+    assert out["rev"][1] == pytest.approx(90.0)

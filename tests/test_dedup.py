@@ -1,0 +1,102 @@
+"""Dedup: exact, minhash estimate accuracy, simhash, jaccard."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from ocgis_ray.stages.dedup import (
+    MinHashStage,
+    SimHashStage,
+    _hamming64,
+    dedup_exact,
+    dedup_survivors,
+    minhash_near_duplicates,
+    ngram_jaccard,
+    simhash_near_duplicates,
+    simhash_signatures,
+)
+
+BASE = "the quick brown fox jumps over the lazy dog again and again with words " * 3
+NEAR = BASE.replace("lazy", "sleepy")
+FAR = "completely different content about database engines and shuffles " * 4
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data as rd
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": [BASE, BASE, NEAR, FAR, FAR, "tiny"],
+    })
+    return rd.from_pandas(df), df
+
+
+def test_dedup_exact(docs_ds):
+    ds, df = docs_ds
+    out = dedup_exact(ds).to_pandas().sort_values("doc_id")
+    # doc 1 (dup of 0) and doc 4 (dup of 3) dropped
+    assert out["doc_id"].tolist() == [0, 2, 3, 5]
+
+
+def test_ngram_jaccard_bounds():
+    assert ngram_jaccard(BASE, BASE) == 1.0
+    j_near = ngram_jaccard(BASE, NEAR)
+    assert 0.3 < j_near < 1.0
+    assert ngram_jaccard(BASE, FAR) < 0.05
+
+
+def test_minhash_estimates_jaccard():
+    st = MinHashStage(num_perm=256)
+    sa, sb = st.signature(BASE), st.signature(NEAR)
+    est = float(np.mean(sa == sb))
+    exact = ngram_jaccard(BASE, NEAR)
+    assert est == pytest.approx(exact, abs=0.15)
+    sc = st.signature(FAR)
+    assert float(np.mean(sa == sc)) < 0.1
+
+
+def test_minhash_pipeline_finds_near_dups(docs_ds):
+    ds, df = docs_ds
+    pairs = minhash_near_duplicates(ds, threshold=0.4).to_pandas()
+    found = set(map(tuple, pairs[["doc_a", "doc_b"]].to_numpy()))
+    assert (0, 1) in found  # exact dup
+    assert (3, 4) in found
+    assert (0, 2) in found or (1, 2) in found  # near dup
+    assert not any({a, b} == {0, 3} for a, b in found)
+
+
+def test_dedup_survivors(docs_ds):
+    ds, df = docs_ds
+    pairs = pd.DataFrame({"doc_a": [0, 3], "doc_b": [1, 4]})
+    out = dedup_survivors(ds, pairs).to_pandas()
+    assert sorted(out["doc_id"].tolist()) == [0, 2, 3, 5]
+
+
+def test_hamming64():
+    a = np.array([0b1010, 0xFFFFFFFFFFFFFFFF], dtype=np.uint64)
+    b = np.array([0b0010, 0x0], dtype=np.uint64)
+    assert _hamming64(a, b).tolist() == [1, 64]
+
+
+def test_simhash_identical_and_near(docs_ds):
+    ds, df = docs_ds
+    sigs = simhash_signatures(ds).to_pandas().set_index("doc_id")["simhash"]
+    assert sigs[0] == sigs[1]  # identical docs
+    ham_near = _hamming64(
+        np.array([sigs[0]], dtype=np.int64).astype(np.uint64),
+        np.array([sigs[2]], dtype=np.int64).astype(np.uint64),
+    )[0]
+    ham_far = _hamming64(
+        np.array([sigs[0]], dtype=np.int64).astype(np.uint64),
+        np.array([sigs[3]], dtype=np.int64).astype(np.uint64),
+    )[0]
+    assert ham_near < ham_far
+
+
+def test_simhash_pairs_pipeline(docs_ds):
+    ds, df = docs_ds
+    pairs = simhash_near_duplicates(simhash_signatures(ds), max_hamming=3).to_pandas()
+    found = set(map(tuple, pairs[["doc_a", "doc_b"]].to_numpy()))
+    assert (0, 1) in found
+    assert (3, 4) in found

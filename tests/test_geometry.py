@@ -1,0 +1,110 @@
+"""Geometry kernels: point-in-polygon, clip, haversine.
+
+Assertion style ported from the reference's analytic fixtures
+(test/test_simple: exact areas, exact quadrant membership)."""
+
+import numpy as np
+import pytest
+
+from ocgis_ray.geometry import (
+    Polygon,
+    clip_poly_rect,
+    haversine_km,
+    rect_clip_area_sqlparity,
+    shoelace_area,
+)
+
+
+def rect(x0, y0, x1, y1, ugid=1):
+    return Polygon(ugid, "r", np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]]))
+
+
+def test_convex_contains_and_touches():
+    p = rect(0, 0, 10, 10)
+    px = np.array([5.0, 0.0, 10.0, 10.1, -0.1])
+    py = np.array([5.0, 5.0, 10.0, 5.0, 5.0])
+    inside_incl = p.contains(px, py, keep_touches=True)
+    assert inside_incl.tolist() == [True, True, True, False, False]
+    inside_excl = p.contains(px, py, keep_touches=False)
+    assert inside_excl.tolist() == [True, False, False, False, False]
+
+
+def test_nonconvex_raycast():
+    l_shape = Polygon(
+        1, "L",
+        np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 1.0], [1.0, 1.0], [1.0, 4.0], [0.0, 4.0]]),
+    )
+    assert not l_shape.convex
+    px = np.array([0.5, 3.0, 3.0, 0.5])
+    py = np.array([0.5, 0.5, 3.0, 3.0])
+    assert l_shape.contains(px, py).tolist() == [True, True, False, True]
+
+
+def test_vertex_order_normalized():
+    cw = Polygon(1, "cw", np.array([[0, 0], [0, 1], [1, 1], [1, 0]], dtype=float))
+    assert cw.contains(np.array([0.5]), np.array([0.5]))[0]
+
+
+def test_clip_areas_quadrant_fixture():
+    # the reference's 4x4 quadrant grid: unit cells, clip against a
+    # 2x2 selection polygon centered on a cell corner -> four 1x1
+    # intersections of area 1.0, union area 4.0 (test_simple.py:562-575
+    # analog with our cell layout)
+    sel = rect(-1.0, -1.0, 1.0, 1.0)
+    total = 0.0
+    for cx in (-1.0, 0.0):
+        for cy in (-1.0, 0.0):
+            a = sel.clip_area_rect(cx, cy, cx + 1.0, cy + 1.0)
+            assert a == pytest.approx(1.0)
+            total += a
+    assert total == pytest.approx(sel.area())
+
+
+def test_clip_partial_and_disjoint():
+    sel = rect(0.0, 0.0, 2.0, 2.0)
+    assert sel.clip_area_rect(1.0, 1.0, 3.0, 3.0) == pytest.approx(1.0)
+    assert sel.clip_area_rect(5.0, 5.0, 6.0, 6.0) == 0.0
+
+
+def test_clip_triangle_analytic():
+    tri = Polygon(1, "t", np.array([[0.0, 0.0], [4.0, 0.0], [0.0, 4.0]]))
+    # square [0,1]^2 fully inside (x+y <= 4 everywhere)
+    assert tri.clip_area_rect(0.0, 0.0, 1.0, 1.0) == pytest.approx(1.0)
+    # square [2,3]x[1,2]: hypotenuse x+y=4 bisects it -> area 0.5
+    assert tri.clip_area_rect(2.0, 1.0, 3.0, 2.0) == pytest.approx(0.5)
+    # square [1,2]^2 touches the hypotenuse only at (2,2) -> area 0
+    tri2 = Polygon(2, "t2", np.array([[0.0, 0.0], [2.0, 0.0], [0.0, 2.0]]))
+    assert tri2.clip_area_rect(1.0, 1.0, 2.0, 2.0) == pytest.approx(0.0)
+
+
+def test_rect_clip_sqlparity_matches_shoelace():
+    rng = np.random.RandomState(5)
+    for _ in range(200):
+        a = np.sort(rng.uniform(-10, 10, 2))
+        b = np.sort(rng.uniform(-10, 10, 2))
+        c = np.sort(rng.uniform(-10, 10, 2))
+        d = np.sort(rng.uniform(-10, 10, 2))
+        q = rect(a[0], b[0], a[1], b[1])
+        sqlv = rect_clip_area_sqlparity(
+            np.array([c[0]]), np.array([d[0]]), np.array([c[1]]), np.array([d[1]]),
+            a[0], b[0], a[1], b[1],
+        )[0]
+        shv = q.clip_area_rect(c[0], d[0], c[1], d[1])
+        assert sqlv == pytest.approx(shv, abs=1e-12)
+
+
+def test_haversine_known():
+    # London -> Paris ~ 343 km
+    d = haversine_km(np.array([-0.1276]), np.array([51.5072]),
+                     np.array([2.3522]), np.array([48.8566]))
+    assert 340 < d[0] < 346
+    assert haversine_km(np.array([10.0]), np.array([20.0]),
+                        np.array([10.0]), np.array([20.0]))[0] == 0.0
+
+
+def test_shoelace_and_clip_poly_rect():
+    tri = np.array([[0.0, 0.0], [4.0, 0.0], [0.0, 4.0]])
+    assert shoelace_area(tri) == pytest.approx(8.0)
+    clipped = clip_poly_rect(tri, -1.0, -1.0, 5.0, 5.0)
+    assert shoelace_area(clipped) == pytest.approx(8.0)
+    assert clip_poly_rect(tri, 10.0, 10.0, 11.0, 11.0) is None

@@ -1,0 +1,66 @@
+"""kNN: brute force vs cell-ring acceleration, known nearest."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from ocgis_ray.sources.pages import HOT_CENTERS_LAT, HOT_CENTERS_LON
+
+
+@pytest.fixture(scope="module")
+def geo_ds(ray_session, sf_dir):
+    from ocgis_ray.sources.pages import pages_dataset
+    from ocgis_ray.stages.geocode import geocode
+
+    return geocode(pages_dataset(sf_dir).drop_columns(["html"])).materialize()
+
+
+QUERIES = pd.DataFrame({
+    "query_id": np.arange(4, dtype=np.int64),
+    "lon": [HOT_CENTERS_LON[0], 0.0, 100.0, -179.9],
+    "lat": [HOT_CENTERS_LAT[0], 0.0, 45.0, 0.0],
+})
+
+
+def test_bruteforce_topk_shape(geo_ds):
+    from ocgis_ray.stages.knn import knn_bruteforce
+
+    out = knn_bruteforce(geo_ds, QUERIES, k=5).to_pandas()
+    assert len(out) == 20
+    for q in range(4):
+        mine = out[out["query_id"] == q].sort_values("rank")
+        assert mine["rank"].tolist() == [1, 2, 3, 4, 5]
+        assert mine["dist_km"].is_monotonic_increasing
+
+
+def test_bruteforce_hot_city_nearest(geo_ds):
+    """query at hot city 0 center: nearest pages must be in its 0.2deg
+    box (dist < ~20 km)."""
+    from ocgis_ray.stages.knn import knn_bruteforce
+
+    out = knn_bruteforce(geo_ds, QUERIES, k=5).to_pandas()
+    city = out[out["query_id"] == 0]
+    assert (city["dist_km"] < 20.0).all()
+
+
+def test_cells_matches_bruteforce(geo_ds):
+    from ocgis_ray.stages.knn import knn_bruteforce, knn_cells
+
+    bf = knn_bruteforce(geo_ds, QUERIES, k=5).to_pandas()
+    cr = knn_cells(geo_ds, QUERIES, k=5).to_pandas()
+    for q in range(4):
+        a = bf[bf["query_id"] == q].sort_values("rank")["page_id"].tolist()
+        b = cr[cr["query_id"] == q].sort_values("rank")["page_id"].tolist()
+        assert a == b, f"query {q}: {a} vs {b}"
+
+
+def test_bruteforce_matches_numpy_direct(geo_ds):
+    from ocgis_ray.geometry import haversine_km
+    from ocgis_ray.stages.knn import knn_bruteforce
+
+    pdf = geo_ds.to_pandas()
+    out = knn_bruteforce(geo_ds, QUERIES.head(1), k=3).to_pandas().sort_values("rank")
+    d = haversine_km(pdf["lon"].to_numpy(), pdf["lat"].to_numpy(),
+                     float(QUERIES["lon"][0]), float(QUERIES["lat"][0]))
+    order = np.lexsort((pdf["page_id"].to_numpy(), d))[:3]
+    assert out["page_id"].tolist() == pdf["page_id"].to_numpy()[order].tolist()

@@ -1,0 +1,107 @@
+"""Lineage manifest + resume-from-checkpoint semantics."""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from ocgis_ray.state import lineage
+
+
+def make_ds_factory(tmp_path_str):
+    import ray.data as rd
+
+    calls = []
+
+    def make_ds(part: str):
+        calls.append(part)
+        df = pd.DataFrame({
+            "part": [part] * 10,
+            "v": np.arange(10, dtype=np.int64) + int(part) * 100,
+        })
+        return rd.from_pandas(df)
+
+    return make_ds, calls
+
+
+def test_write_and_manifest(ray_session, tmp_path):
+    out = str(tmp_path / "o1")
+    make_ds, calls = make_ds_factory(out)
+    recs = lineage.run_partitioned(make_ds, out, ["0", "1", "2"])
+    assert len(recs) == 3
+    assert sorted(os.listdir(out)) == ["manifest.jsonl", "part=0", "part=1", "part=2"]
+    man = lineage.read_manifest(out)
+    assert all(r["status"] == "complete" for r in man)
+    assert all(r["rows"] == 10 for r in man)
+    assert all(r["bytes"] > 0 for r in man)
+
+
+def test_resume_skips_completed(ray_session, tmp_path):
+    out = str(tmp_path / "o2")
+    make_ds, calls = make_ds_factory(out)
+    lineage.run_partitioned(make_ds, out, ["0", "1"])
+    assert calls == ["0", "1"]
+    # simulate adding new partitions; resume must not re-run 0/1
+    recs = lineage.run_partitioned(make_ds, out, ["0", "1", "2", "3"])
+    assert calls == ["0", "1", "2", "3"]
+    assert [r["partition"] for r in recs] == ["2", "3"]
+
+
+def test_crash_mid_partition_is_idempotent(ray_session, tmp_path):
+    out = str(tmp_path / "o3")
+    make_ds, calls = make_ds_factory(out)
+    lineage.run_partitioned(make_ds, out, ["0"])
+    # simulate a crash AFTER data write but BEFORE manifest append:
+    # remove the manifest line; the rename target exists but is re-done
+    os.remove(lineage.manifest_path(out))
+    recs = lineage.run_partitioned(make_ds, out, ["0"])
+    assert len(recs) == 1
+    man = lineage.read_manifest(out)
+    assert len(man) == 1
+
+    # outputs identical across the redo
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(out, "part=0")).to_pandas().sort_values("v")
+    assert t["v"].tolist() == list(range(10))
+
+
+def test_outputs_identical_after_resume(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    out_a = str(tmp_path / "full")
+    out_b = str(tmp_path / "resumed")
+    make_a, _ = make_ds_factory(out_a)
+    make_b, _ = make_ds_factory(out_b)
+    lineage.run_partitioned(make_a, out_a, ["0", "1", "2"])
+    # interrupted run: only partition 0 done, then resume all
+    lineage.run_partitioned(make_b, out_b, ["0"])
+    lineage.run_partitioned(make_b, out_b, ["0", "1", "2"])
+
+    for p in ["0", "1", "2"]:
+        ta = pq.read_table(os.path.join(out_a, f"part={p}")).to_pandas().sort_values("v")
+        tb = pq.read_table(os.path.join(out_b, f"part={p}")).to_pandas().sort_values("v")
+        assert ta["v"].tolist() == tb["v"].tolist()
+
+
+def test_flagship_partitioned_resume(ray_session, sf_dir, tmp_path):
+    from ocgis_ray.pipelines.flagship import flagship_partitioned
+
+    out = str(tmp_path / "fp")
+    recs1 = flagship_partitioned(sf_dir, out, n_partitions=4)
+    assert len(recs1) == 4
+    # rerun: everything complete -> no work
+    recs2 = flagship_partitioned(sf_dir, out, n_partitions=4)
+    assert recs2 == []
+    # total joined rows across partitions == unpartitioned join count
+    total = sum(r["rows"] for r in recs1)
+    from ocgis_ray.sources.cabinet import layer
+    from ocgis_ray.sources.pages import pages_dataset
+    from ocgis_ray.stages.geocode import geocode
+    from ocgis_ray.stages.spatial_join import spatial_join
+
+    ds = geocode(pages_dataset(sf_dir).drop_columns(["html"]))
+    expect = spatial_join(ds, layer("world_regions"), how="inner", concurrency=2).count()
+    assert total == expect

@@ -1,0 +1,141 @@
+"""Spatial join: quadrant-fixture exact placements, join modes,
+keep_touches, multipart/antimeridian, overlaps.
+
+Mirrors the reference's quadrant assertions
+(test/test_simple/test_simple.py:552-560: intersects subset returns
+exact quadrant members)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from ocgis_ray import grid
+from ocgis_ray.sources.cabinet import layer
+from ocgis_ray.stages.spatial_join import SpatialJoinProbe, build_index
+
+
+def probe_batch(lon, lat, res=7):
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    return pa.table({
+        "lon": pa.array(lon),
+        "lat": pa.array(lat),
+        "page_id": pa.array(np.arange(len(lon), dtype=np.int64)),
+        f"cell_r{res}": pa.array(grid.encode(lon, lat, res)),
+    })
+
+
+def run_probe(polys, batch, how="inner", keep_touches=True, res=7):
+    idx = build_index(polys, res=res)
+    return SpatialJoinProbe(idx, how=how, keep_touches=keep_touches)(batch)
+
+
+def test_quadrant_exact_membership():
+    # 16 points at the quadrant-fixture cell centers (-105..-102, 38..41)
+    xs, ys = np.meshgrid(np.arange(-105.0, -101.0), np.arange(38.0, 42.0))
+    batch = probe_batch(xs.ravel(), ys.ravel())
+    out = run_probe(layer("quadrants"), batch)
+    assert out.num_rows == 16  # every point in exactly one quadrant
+    got = {}
+    for pid, ugid in zip(out["page_id"].to_pylist(), out["ugid"].to_pylist()):
+        got.setdefault(ugid, set()).add(pid)
+    # quadrant sizes: 2x2 each
+    assert all(len(v) == 4 for v in got.values())
+    # NW quadrant = lon in {-105,-104}, lat in {40,41} -> indices
+    lonv, latv = xs.ravel(), ys.ravel()
+    nw = {i for i in range(16) if lonv[i] < -103.5 and latv[i] > 39.5}
+    assert got[1] == nw
+
+
+def test_inner_vs_semi_vs_anti_partition():
+    rng = np.random.RandomState(11)
+    lon = rng.uniform(-180, 180, 2000)
+    lat = rng.uniform(-85, 85, 2000)
+    batch = probe_batch(lon, lat)
+    polys = layer("world_regions")
+    semi = run_probe(polys, batch, how="semi")
+    anti = run_probe(polys, batch, how="anti")
+    assert semi.num_rows + anti.num_rows == 2000
+    inner = run_probe(polys, batch, how="inner")
+    assert inner.num_rows >= semi.num_rows  # overlaps multiply
+
+
+def test_overlapping_polygons_multiply_rows():
+    # bay_area (1) sits inside bay_wide (9)
+    batch = probe_batch([-122.0], [37.9])
+    out = run_probe(layer("world_regions"), batch, how="inner")
+    assert sorted(out["ugid"].to_pylist()) == [1, 9]
+
+
+def test_keep_touches_edges_and_corners():
+    polys = [p for p in layer("world_regions") if p.ugid == 2]  # nyc rect
+    # edge point, corner point, interior, exterior
+    batch = probe_batch([-75.0, -75.0, -74.0, -76.0], [40.5, 40.0, 40.5, 40.5])
+    incl = run_probe(polys, batch, how="inner", keep_touches=True)
+    assert sorted(incl["page_id"].to_pylist()) == [0, 1, 2]
+    excl = run_probe(polys, batch, how="inner", keep_touches=False)
+    assert sorted(excl["page_id"].to_pylist()) == [2]
+
+
+def test_multipart_antimeridian():
+    polys = [p for p in layer("hard_cases") if p.ugid == 102]
+    batch = probe_batch([179.0, -178.0, 0.0], [-17.0, -17.0, -17.0])
+    out = run_probe(polys, batch, how="inner")
+    assert sorted(out["page_id"].to_pylist()) == [0, 1]
+    assert set(out["ugid"].to_pylist()) == {102}
+    # a page in both halves' cells still emits ONE row per ugid
+    assert out.num_rows == 2
+
+
+def test_nonconvex_lshape():
+    polys = [p for p in layer("hard_cases") if p.ugid == 101]
+    batch = probe_batch([11.0, 18.0, 18.0, 12.0], [18.0, 12.0, 18.0, 12.0])
+    out = run_probe(polys, batch, how="inner")
+    assert sorted(out["page_id"].to_pylist()) == [0, 1, 3]
+
+
+def test_empty_batch():
+    batch = probe_batch([], [])
+    out = run_probe(layer("world_regions"), batch, how="inner")
+    assert out.num_rows == 0
+    assert "ugid" in out.column_names
+
+
+def test_full_cell_fast_path_agrees_with_exact():
+    """Pages in 'full' cells skip the exact test — verify the fast path
+    and a pure-exact probe agree (the hint-mask/exact split contract,
+    spatial/grid.py:635-705)."""
+    rng = np.random.RandomState(4)
+    lon = rng.uniform(-130, -114, 3000)
+    lat = rng.uniform(29, 46, 3000)  # dense around bay_wide
+    batch = probe_batch(lon, lat)
+    polys = layer("world_regions")
+    fast = run_probe(polys, batch, how="inner")
+    # exact reference: direct contains() per polygon
+    rows = []
+    for p in polys:
+        m = np.zeros(len(lon), dtype=bool)
+        m |= p.contains(lon, lat, keep_touches=True)
+        rows.extend((i, p.ugid) for i in np.nonzero(m)[0])
+    expect = sorted(set(rows))
+    got = sorted(zip(fast["page_id"].to_pylist(), fast["ugid"].to_pylist()))
+    assert got == expect
+
+
+def test_ray_pipeline_join(ray_session, sf_dir):
+    from ocgis_ray.sources.pages import pages_dataset
+    from ocgis_ray.stages.geocode import geocode
+    from ocgis_ray.stages.spatial_join import spatial_join
+
+    ds = geocode(pages_dataset(sf_dir).drop_columns(["html"]))
+    n = ds.count()
+    semi = spatial_join(ds, layer("world_regions"), how="semi", concurrency=2).count()
+    anti = spatial_join(ds, layer("world_regions"), how="anti", concurrency=2).count()
+    assert semi + anti == n
+    assert semi > 0
+
+
+def test_unknown_how_rejected():
+    idx = build_index(layer("quadrants"), res=7)
+    with pytest.raises(ValueError):
+        SpatialJoinProbe(idx, how="outer")

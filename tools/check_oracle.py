@@ -1,0 +1,118 @@
+"""Mimic the driver's correctness gate: run every queries() entry at a
+given sf and diff it against oracle_sql() via DuckDB.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def to_pandas(res) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        res = res.to_pandas()
+    elif isinstance(res, pa.Table):
+        res = res.to_pandas()
+    return res
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+        elif df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def compare(name: str, mine: pd.DataFrame, oracle: pd.DataFrame) -> str:
+    if len(mine) != len(oracle):
+        return f"ROWS {len(mine)} vs {len(oracle)}"
+    a, b = canon(mine), canon(oracle)
+    if list(a.columns) != list(b.columns):
+        return f"SCHEMA {list(a.columns)} vs {list(b.columns)}"
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if pd.api.types.is_float_dtype(a[c]):
+            ok = (av == bv) | (np.isnan(av.astype(float)) & np.isnan(bv.astype(float)))
+        else:
+            ok = av == bv
+        if not np.all(ok):
+            i = int(np.nonzero(~ok)[0][0])
+            return f"VALUES col={c} row={i}: {av[i]!r} vs {bv[i]!r} ({int((~ok).sum())} diffs)"
+    return "OK"
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    sys.path.insert(0, ".")
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            mine = to_pandas(fn(sf_dir))
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"{name:28s} ENGINE ERROR: {type(e).__name__}: {e}")
+            continue
+        if name not in oracles:
+            print(f"{name:28s} rows-only: {len(mine)} rows")
+            continue
+        try:
+            oracle = con.execute(oracles[name]).fetchdf()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"{name:28s} ORACLE ERROR: {type(e).__name__}: {e}")
+            continue
+        verdict = compare(name, mine, oracle)
+        if verdict != "OK":
+            failures.append(name)
+        print(f"{name:28s} {verdict}  ({len(mine)} rows)")
+    ray.shutdown()
+    if failures:
+        print(f"\nFAILURES: {failures}")
+        sys.exit(1)
+    print("\nall green")
+
+
+if __name__ == "__main__":
+    main()
