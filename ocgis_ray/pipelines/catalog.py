@@ -338,9 +338,9 @@ def sql_time_range_pages() -> str:
 
 
 def q_time_region_events(sf_dir: str):
-    import ray.data as rd
+    from ocgis_ray.sources.io import read_parquet_sized
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts"])
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["event_id", "ts"])
     ds = temporal.time_region_filter(ds, "ts", {"month": [1], "day": [5, 6, 7, 8, 9, 10]})
     return ds.select_columns(["event_id"])
 
@@ -352,9 +352,9 @@ def sql_time_region_events() -> str:
 
 
 def q_temporal_rollup_events(sf_dir: str):
-    import ray.data as rd
+    from ocgis_ray.sources.io import read_parquet_sized
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
     ds = temporal.add_time_parts(ds, "ts", parts=("year", "month", "day"))
     agg = grouped_aggregate(
         ds,
@@ -399,9 +399,9 @@ def sql_seasonal_rollup_pages() -> str:
 # =====================================================================
 
 def _events(sf_dir: str, columns=None):
-    import ray.data as rd
+    from ocgis_ray.sources.io import read_parquet_sized
 
-    return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+    return read_parquet_sized(f"{sf_dir}/events.parquet", columns=columns)
 
 
 def q_calc_stats_events(sf_dir: str):
@@ -494,9 +494,9 @@ def sql_eval_expression_events() -> str:
 
 
 def q_heat_index_lineitem(sf_dir: str):
-    import ray.data as rd
+    from ocgis_ray.sources.io import read_parquet_sized
 
-    ds = rd.read_parquet(
+    ds = read_parquet_sized(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"],
     )
@@ -522,9 +522,9 @@ def sql_heat_index_lineitem() -> str:
 # =====================================================================
 
 def q_pricing_summary_lineitem(sf_dir: str):
-    import ray.data as rd
+    from ocgis_ray.sources.io import read_parquet_sized
 
-    ds = rd.read_parquet(
+    ds = read_parquet_sized(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
     )
@@ -573,7 +573,6 @@ def q_revenue_by_nation(sf_dir: str):
     small-side join pattern (SURVEY §2.4)."""
     import pyarrow.parquet as pq
     import ray
-    import ray.data as rd
 
     cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
     nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
@@ -593,7 +592,9 @@ def q_revenue_by_nation(sf_dir: str):
             df["n_name"] = df["o_custkey"].map(self.lookup)
             return df[["n_name", "o_totalprice"]]
 
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    from ocgis_ray.sources.io import read_parquet_sized
+
+    orders = read_parquet_sized(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
     joined = orders.map_batches(JoinStage, batch_format="pandas", concurrency=2)
     agg = grouped_aggregate(
         joined, ["n_name"], {"n_orders": (None, "count"), "revenue": ("o_totalprice", "sum")}
@@ -641,11 +642,11 @@ def sql_events_user_rollup() -> str:
 # =====================================================================
 
 def q_dedup_exact_documents(sf_dir: str):
-    import ray.data as rd
+    from ocgis_ray.sources.io import read_parquet_sized
 
     from ocgis_ray.stages.dedup import dedup_exact
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return dedup_exact(docs, id_col="doc_id", col="text").select_columns(["doc_id"])
 
 
@@ -654,9 +655,9 @@ def sql_dedup_exact_documents() -> str:
 
 
 def q_text_stats_documents(sf_dir: str):
-    import ray.data as rd
+    from ocgis_ray.sources.io import read_parquet_sized
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = text.add_text_stats(docs)
     return out.select_columns(
         ["doc_id", "token_count", "alpha_ratio", "punct_ratio", "quality_score"]
@@ -670,9 +671,9 @@ def sql_text_stats_documents() -> str:
 
 
 def q_token_rollup_by_lang(sf_dir: str):
-    import ray.data as rd
+    from ocgis_ray.sources.io import read_parquet_sized
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"])
+    docs = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"])
     stats = text.add_text_stats(docs)
     agg = grouped_aggregate(
         stats,
@@ -696,11 +697,11 @@ def sql_token_rollup_by_lang() -> str:
 
 
 def q_ann_bruteforce(sf_dir: str):
-    import ray.data as rd
+    from ocgis_ray.sources.io import read_parquet_sized
 
     from ocgis_ray.stages.ann import ann_bruteforce, load_query_vectors
 
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    emb = read_parquet_sized(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     queries = load_query_vectors(sf_dir, ANN_QUERY_IDS)
     res = ann_bruteforce(emb, queries, k=10)
     return res.select_columns(["query_id", "vec_id", "rank"])
@@ -721,54 +722,54 @@ def sql_ann_bruteforce() -> str:
 # ---- rows-only (non-SQL-expressible) --------------------------------
 
 def q_minhash_near_dup(sf_dir: str):
-    import ray.data as rd
+    from ocgis_ray.sources.io import read_parquet_sized
 
     from ocgis_ray.stages.dedup import minhash_near_duplicates
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return minhash_near_duplicates(docs, threshold=0.5)
 
 
 def q_simhash_pairs(sf_dir: str):
-    import ray.data as rd
+    from ocgis_ray.sources.io import read_parquet_sized
 
     from ocgis_ray.stages.dedup import simhash_near_duplicates, simhash_signatures
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return simhash_near_duplicates(simhash_signatures(docs), max_hamming=6)
 
 
 def q_langid_documents(sf_dir: str):
-    import ray.data as rd
+    from ocgis_ray.sources.io import read_parquet_sized
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return text.add_lang_pred(docs).select_columns(["doc_id", "lang_pred"])
 
 
 def q_fingerprint_documents(sf_dir: str):
-    import ray.data as rd
+    from ocgis_ray.sources.io import read_parquet_sized
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return text.add_fingerprint(docs).select_columns(["doc_id", "fingerprint"])
 
 
 def q_ann_lsh(sf_dir: str):
-    import ray.data as rd
+    from ocgis_ray.sources.io import read_parquet_sized
 
     from ocgis_ray.stages.ann import ann_lsh, load_query_vectors
 
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    emb = read_parquet_sized(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     queries = load_query_vectors(sf_dir, ANN_QUERY_IDS)
     res = ann_lsh(emb, queries, k=10)
     return res.select_columns(["query_id", "vec_id", "rank"])
 
 
 def q_embedding_near_dup(sf_dir: str):
-    import ray.data as rd
+    from ocgis_ray.sources.io import read_parquet_sized
 
     from ocgis_ray.stages.ann import embedding_near_duplicates
 
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    emb = read_parquet_sized(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     # synthetic embeddings are near-orthogonal (max pairwise cosine
     # ~0.51 at sf0.01); 0.4 keeps the operator's output non-trivial
     pairs = embedding_near_duplicates(emb, threshold=0.4)

@@ -83,7 +83,13 @@ def flagship(
             "max_ts": ("warc_ts", "max"),
         },
     )
-    return rollup.sort(["ugid", rollup_cell])
+    # the rollup is small (one row per (ugid, tile)); a range-partition
+    # sort across many tiny blocks costs seconds of pure overhead —
+    # coalesce to one block first so the sort is a single local sort.
+    # At 100 TB the rollup is still ~10^6 rows (tiles x polygons), so
+    # this stays driver-safe; a truly huge ordered output would use
+    # sort() on the un-coalesced Dataset instead.
+    return rollup.repartition(1).sort(["ugid", rollup_cell])
 
 
 def flagship_partitioned(

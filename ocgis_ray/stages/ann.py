@@ -177,12 +177,12 @@ def ann_lsh(ds, queries: pd.DataFrame, k: int, id_col: str = "vec_id",
             return pa.table({"query_id": pa.array(out_q, pa.int64()),
                              id_col: pa.array(out_i, pa.int64())})
 
+    from ocgis_ray.sources.io import distinct_rows
+
     cand = ds.map_batches(CandidateStage, batch_format="pyarrow",
                           zero_copy_batch=True, batch_size=batch_size,
                           concurrency=2)
-    cand = cand.groupby(["query_id", id_col]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    cand = distinct_rows(cand, ["query_id", id_col])
     # exact refine: broadcast-join candidates back to vectors
     vec_pdf = ds.to_pandas()
     vec_map = {int(v): e for v, e in zip(vec_pdf[id_col], vec_pdf[col])}
@@ -237,25 +237,32 @@ def embedding_near_duplicates(ds, threshold: float = 0.95, id_col: str = "vec_id
     vref = ray.put(vmap)
 
     def pair_stage(g: pd.DataFrame) -> pd.DataFrame:
-        # map_groups runs plain functions; the vector map is fetched
-        # from the local object store per task (zero-copy plasma read)
+        # hash-bucketed apply: the fn sees many LSH buckets at once;
+        # per-LSH-bucket pairing runs only where >=2 vectors collide.
+        # The vector map is fetched from the local object store per
+        # task (zero-copy plasma read).
+        empty = pd.DataFrame({"vec_a": pd.Series(dtype=np.int64),
+                              "vec_b": pd.Series(dtype=np.int64),
+                              "sim": pd.Series(dtype=np.float64)})
+        g = g.drop_duplicates(["table_id", "bucket", id_col])
+        sizes = g.groupby(["table_id", "bucket"], sort=False)[id_col].transform("size")
+        g = g[sizes >= 2]
+        if len(g) == 0:
+            return empty
         vecs = ray.get(vref)
-        ids = np.sort(np.unique(g[id_col].to_numpy()))
-        if ids.size < 2:
-            return pd.DataFrame({"vec_a": pd.Series(dtype=np.int64),
-                                 "vec_b": pd.Series(dtype=np.int64),
-                                 "sim": pd.Series(dtype=np.float64)})
-        m = np.stack([vecs[int(i)] for i in ids])
-        sims = m @ m.T
-        ia, ib = np.triu_indices(ids.size, k=1)
-        s = sims[ia, ib]
-        keep = s >= threshold
-        return pd.DataFrame({"vec_a": ids[ia][keep], "vec_b": ids[ib][keep],
-                             "sim": s[keep]})
+        frames = []
+        for _, grp in g.groupby(["table_id", "bucket"], sort=False):
+            ids = np.sort(np.unique(grp[id_col].to_numpy()))
+            m = np.stack([vecs[int(i)] for i in ids])
+            sims = m @ m.T
+            ia, ib = np.triu_indices(ids.size, k=1)
+            s = sims[ia, ib]
+            keep = s >= threshold
+            frames.append(pd.DataFrame({"vec_a": ids[ia][keep],
+                                        "vec_b": ids[ib][keep], "sim": s[keep]}))
+        return pd.concat(frames, ignore_index=True) if frames else empty
 
-    pairs = bucket_rows.groupby(["table_id", "bucket"]).map_groups(
-        pair_stage, batch_format="pandas"
-    )
-    return pairs.groupby(["vec_a", "vec_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    from ocgis_ray.sources.io import bucketed_group_apply, distinct_rows
+
+    pairs = bucketed_group_apply(bucket_rows, ["table_id", "bucket"], pair_stage)
+    return distinct_rows(pairs, ["vec_a", "vec_b"])

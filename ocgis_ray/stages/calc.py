@@ -130,27 +130,39 @@ def duration_rollup(ds, entity_keys, ts_col: str, value_col: str, threshold: flo
     """Longest consecutive run of ``value > threshold`` per entity in
     timestamp order (``calc/library/index/duration.py:10-153``).
 
-    ``map_groups`` with an in-group sort by (ts, and a stable
-    tiebreak on the first extra column) — run-length encoding is
-    vectorized numpy.  Entities with no qualifying value are omitted
-    (matching the SQL gaps-and-islands oracle)."""
+    Entity-bucketed shuffle; the run-length encode is vectorized
+    across ALL of a bucket's entities in one numpy pass (a run breaks
+    where the entity OR the flag changes).  Entities with no
+    qualifying value are omitted (matching the SQL gaps-and-islands
+    oracle)."""
     entity_keys = [entity_keys] if isinstance(entity_keys, str) else list(entity_keys)
+    from ocgis_ray.sources.io import bucketed_group_apply
 
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([ts_col] + [c for c in ("event_id",) if c in g.columns])
-        flag = (g[value_col].to_numpy(dtype=np.float64) > threshold).astype(np.int8)
-        if flag.sum() == 0:
-            return g.head(0)[entity_keys].assign(**{out_col: pd.Series([], dtype=np.int64)})
-        # run-length encode: boundaries where the flag changes
-        change = np.flatnonzero(np.diff(flag)) + 1
-        starts = np.concatenate([[0], change])
-        lengths = np.diff(np.concatenate([starts, [len(flag)]]))
-        max_run = int(lengths[flag[starts] == 1].max())
-        out = g.head(1)[entity_keys].copy()
-        out[out_col] = np.int64(max_run)
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        sort_cols = entity_keys + [ts_col] + [c for c in ("event_id",) if c in g.columns]
+        g = g.sort_values(sort_cols)
+        flag = (g[value_col].to_numpy(dtype=np.float64) > threshold)
+        ent = pd.util.hash_pandas_object(
+            g[entity_keys].reset_index(drop=True), index=False
+        ).to_numpy()
+        # run boundaries: entity change OR flag change
+        boundary = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            boundary[1:] = (ent[1:] != ent[:-1]) | (flag[1:] != flag[:-1])
+        starts = np.flatnonzero(boundary)
+        lengths = np.diff(np.append(starts, len(g)))
+        qualifying = flag[starts]
+        runs = pd.DataFrame({
+            **{k: g[k].to_numpy()[starts[qualifying]] for k in entity_keys},
+            "run_len": lengths[qualifying],
+        })
+        if len(runs) == 0:
+            return runs.rename(columns={"run_len": out_col})
+        out = runs.groupby(entity_keys, as_index=False, sort=False)["run_len"].max()
+        out[out_col] = out.pop("run_len").astype(np.int64)
         return out
 
-    return ds.groupby(entity_keys).map_groups(per_group, batch_format="pandas")
+    return bucketed_group_apply(ds, entity_keys, per_bucket)
 
 
 def moving_window(ds, entity_keys, ts_col: str, value_col: str, window: int,
@@ -164,15 +176,35 @@ def moving_window(ds, entity_keys, ts_col: str, value_col: str, window: int,
     entity_keys = [entity_keys] if isinstance(entity_keys, str) else list(entity_keys)
     sort_cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
 
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(sort_cols).copy()
-        g[out_col] = sql_round(
-            g[value_col].rolling(window, min_periods=1).mean().to_numpy(),
-            round_digits,
+    # Scale path: shuffle on an entity-hash BUCKET (small int key ->
+    # cheap range sort) and run the rolling window VECTORIZED across
+    # all of a bucket's entities at once (pandas groupby-rolling) —
+    # Ray's per-group map_groups on raw entity keys pays per-group
+    # Python overhead that dominates with many entities.
+    num_buckets = 32
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(
+            df[entity_keys].reset_index(drop=True), index=False
         )
+        df = df.copy()
+        df["_bucket"] = (h % np.uint64(num_buckets)).astype(np.int64)
+        return df
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(entity_keys + sort_cols).drop(columns=["_bucket"])
+        rolled = (
+            g.groupby(entity_keys, sort=False)[value_col]
+            .rolling(window, min_periods=1)
+            .mean()
+            .to_numpy()
+        )
+        g = g.copy()
+        g[out_col] = sql_round(rolled, round_digits)
         return g
 
-    return ds.groupby(entity_keys).map_groups(per_group, batch_format="pandas")
+    bucketed = ds.map_batches(add_bucket, batch_format="pandas")
+    return bucketed.groupby("_bucket").map_groups(per_bucket, batch_format="pandas")
 
 
 def state_machine(ds, entity_keys, ts_col: str, fn, batch_format: str = "pandas"):

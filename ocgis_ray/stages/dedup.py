@@ -43,15 +43,15 @@ def add_text_hash(ds, col: str = "text", out: str = "text_hash"):
 
 
 def dedup_exact(ds, id_col: str = "doc_id", col: str = "text"):
-    """Keep the min-id row per distinct content (hash-partitioned).
+    """Keep the min-id row per distinct content (hash-partitioned via
+    the bucketed shuffle — identical hashes co-locate, keep-first runs
+    vectorized per bucket).
 
     SQL twin: ``SELECT min(id) FROM t GROUP BY content``."""
+    from ocgis_ray.sources.io import distinct_rows
+
     hashed = add_text_hash(ds, col=col)
-
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(id_col).head(1)
-
-    out = hashed.groupby("text_hash").map_groups(keep_first, batch_format="pandas")
+    out = distinct_rows(hashed, "text_hash", order_col=id_col)
     return out.drop_columns(["text_hash"])
 
 
@@ -98,7 +98,32 @@ class MinHashStage:
         return h.min(axis=1)
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        sigs = np.stack([self.signature(t) for t in df["text"]])
+        # vectorized across the whole batch: hash ALL shingles in one
+        # pd.util.hash_array call, then segment-min per doc via
+        # np.minimum.reduceat — no per-doc Python hashing.
+        k = self.k
+        all_shingles: list[str] = []
+        offsets = [0]
+        for t in df["text"]:
+            toks = t.split()
+            if len(toks) < k:
+                all_shingles.append(" ".join(toks))
+            else:
+                all_shingles.extend(
+                    " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
+                )
+            offsets.append(len(all_shingles))
+        x = pd.util.hash_array(np.asarray(all_shingles, dtype=object)).astype(np.uint64)
+        starts = np.asarray(offsets[:-1])
+        sigs = np.empty((len(df), self.num_perm), dtype=np.uint64)
+        # (P, S_total) then per-doc segmented min — chunk the perm axis
+        # to bound memory at P_chunk * S_total * 8 bytes
+        pchunk = 32
+        for p0 in range(0, self.num_perm, pchunk):
+            a = self.a[p0 : p0 + pchunk, None]
+            b = self.b[p0 : p0 + pchunk, None]
+            h = a * x[None, :] + b  # uint64 wrap
+            sigs[:, p0 : p0 + pchunk] = np.minimum.reduceat(h, starts, axis=1).T
         return pd.DataFrame(
             {
                 "doc_id": df["doc_id"].to_numpy(),
@@ -141,28 +166,40 @@ def _band_rows(df: pd.DataFrame, bands: int, rows: int) -> pd.DataFrame:
 
 
 def lsh_candidate_pairs(sig_ds, bands: int = 16, rows: int = 8, max_bucket: int = 2000):
-    """Banded LSH: bucket rows -> groupby -> within-bucket pairs.
+    """Banded LSH: bucket rows -> bucketed shuffle -> within-bucket
+    pairs (vectorized over LSH buckets that actually collide — almost
+    all (band, band_hash) keys are singletons and are dropped without
+    per-key Python).
 
     Oversized buckets (> ``max_bucket``) are truncated with a log —
     the no-silent-caps rule; at 100 TB scale a bucket that large means
     a degenerate shingle (boilerplate) better handled upstream."""
+    from ocgis_ray.sources.io import bucketed_group_apply, distinct_rows
 
     band_ds = sig_ds.map_batches(
         lambda df: _band_rows(df, bands, rows), batch_format="pandas"
     )
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(np.unique(g["doc_id"].to_numpy()))[:max_bucket]
-        if ids.size < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []}).astype(np.int64)
-        ia, ib = np.triu_indices(ids.size, k=1)
-        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
+        # keep only LSH buckets with >= 2 docs, then pair within each
+        g = g.drop_duplicates(["band", "band_hash", "doc_id"])
+        sizes = g.groupby(["band", "band_hash"], sort=False)["doc_id"].transform("size")
+        g = g[sizes >= 2]
+        out_a, out_b = [], []
+        for _, grp in g.groupby(["band", "band_hash"], sort=False):
+            ids = np.sort(grp["doc_id"].to_numpy())[:max_bucket]
+            ia, ib = np.triu_indices(ids.size, k=1)
+            out_a.append(ids[ia])
+            out_b.append(ids[ib])
+        if not out_a:
+            return pd.DataFrame({"doc_a": pd.Series(dtype=np.int64),
+                                 "doc_b": pd.Series(dtype=np.int64)})
+        return pd.DataFrame({"doc_a": np.concatenate(out_a),
+                             "doc_b": np.concatenate(out_b)})
 
-    cand = band_ds.groupby(["band", "band_hash"]).map_groups(pairs, batch_format="pandas")
+    cand = bucketed_group_apply(band_ds, ["band", "band_hash"], pairs)
     # distinct pairs (a pair can surface from many bands)
-    return cand.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    return distinct_rows(cand, ["doc_a", "doc_b"])
 
 
 def minhash_near_duplicates(ds, threshold: float = 0.7, num_perm: int = 128,
@@ -273,20 +310,27 @@ def simhash_near_duplicates(sig_ds, max_hamming: int = 3):
     banded = sig_ds.map_batches(band_rows, batch_format="pandas")
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        ids = g["doc_id"].to_numpy()
-        sigs = g["simhash"].to_numpy().astype(np.uint64)
-        if ids.size < 2:
-            return pd.DataFrame({"doc_a": pd.Series(dtype=np.int64),
-                                 "doc_b": pd.Series(dtype=np.int64),
-                                 "hamming": pd.Series(dtype=np.int64)})
-        ia, ib = np.triu_indices(ids.size, k=1)
-        ham = _hamming64(sigs[ia], sigs[ib])
-        m = ham <= max_hamming
-        return pd.DataFrame({"doc_a": ids[ia][m], "doc_b": ids[ib][m],
-                             "hamming": ham[m].astype(np.int64)})
+        empty = pd.DataFrame({"doc_a": pd.Series(dtype=np.int64),
+                              "doc_b": pd.Series(dtype=np.int64),
+                              "hamming": pd.Series(dtype=np.int64)})
+        g = g.drop_duplicates(["band", "band_val", "doc_id"])
+        sizes = g.groupby(["band", "band_val"], sort=False)["doc_id"].transform("size")
+        g = g[sizes >= 2]
+        if len(g) == 0:
+            return empty
+        frames = []
+        for _, grp in g.groupby(["band", "band_val"], sort=False):
+            grp = grp.sort_values("doc_id")
+            ids = grp["doc_id"].to_numpy()
+            sigs = grp["simhash"].to_numpy().astype(np.uint64)
+            ia, ib = np.triu_indices(ids.size, k=1)
+            ham = _hamming64(sigs[ia], sigs[ib])
+            m = ham <= max_hamming
+            frames.append(pd.DataFrame({"doc_a": ids[ia][m], "doc_b": ids[ib][m],
+                                        "hamming": ham[m].astype(np.int64)}))
+        return pd.concat(frames, ignore_index=True) if frames else empty
 
-    cand = banded.groupby(["band", "band_val"]).map_groups(pairs, batch_format="pandas")
-    return cand.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    from ocgis_ray.sources.io import bucketed_group_apply, distinct_rows
+
+    cand = bucketed_group_apply(banded, ["band", "band_val"], pairs)
+    return distinct_rows(cand, ["doc_a", "doc_b"])

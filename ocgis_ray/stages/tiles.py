@@ -121,7 +121,7 @@ def tile_rollup(
         },
         batch_size=batch_size,
     )
-    return out.sort(cell_col)
+    return out.repartition(1).sort(cell_col)  # small result: local sort
 
 
 def cell_histogram(ds, cell_col: str = "cell_r7", batch_size: int = 65536) -> pd.DataFrame:
