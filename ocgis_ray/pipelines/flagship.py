@@ -23,6 +23,9 @@ reserves every CPU serializes the pipeline).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
 import pyarrow.compute as pc
 
 from ocgis_ray.sources.cabinet import layer as load_layer
@@ -43,15 +46,25 @@ def flagship(
     extract_concurrency: int | None = 4,
     probe_concurrency: int | None = 4,
     verify_extraction: bool = True,
+    extract_batch_size: int = 16384,
+    probe_batch_size: int = 32768,
 ):
-    """Full pipeline -> per-(ugid, tile) rollup Dataset (lazy)."""
+    """Full pipeline -> per-(ugid, tile) rollup Dataset (lazy).
+
+    Batch sizing: the driver dispatches one actor task per batch, and
+    that dispatch loop is single-threaded — small batches serialize the
+    whole pipeline behind the scheduler (measured: batch 2048 at 2M
+    pages gave INVERSE cpu scaling).  Default batches are sized for
+    ~10-20MB of synthetic html; REAL Common-Crawl html (~100KB/row)
+    needs extract_batch_size ~256-1024 to keep batches in the same
+    byte range — size by bytes, not rows."""
     ds = pages_dataset(sf_dir, reps=reps)
     ds = ds.map_batches(
         HtmlExtractor,
         batch_format="pyarrow",
         zero_copy_batch=True,
         concurrency=extract_concurrency,
-        batch_size=2048,
+        batch_size=extract_batch_size,
     )
     if verify_extraction:
         def check(t):
@@ -71,7 +84,7 @@ def flagship(
         how="inner",
         res=7,
         concurrency=probe_concurrency,
-        batch_size=8192,
+        batch_size=probe_batch_size,
     )
     rollup = grouped_aggregate(
         joined,
@@ -89,6 +102,130 @@ def flagship(
     # At 100 TB the rollup is still ~10^6 rows (tiles x polygons), so
     # this stays driver-safe; a truly huge ordered output would use
     # sort() on the un-coalesced Dataset instead.
+    return rollup.repartition(1).sort(["ugid", rollup_cell])
+
+
+class FusedPageWorker:
+    """One actor pool running extract -> byte-identity check -> slim
+    projection -> geocode -> spatial-join probe per batch.
+
+    Why fused: every operator boundary round-trips its blocks through
+    the object store; with fat html/text columns that IPC serializes
+    the whole node (measured: separate extract+probe pools gave NO
+    speedup from 8->32 cpus because ~10GB of intermediate blocks
+    bottlenecked on plasma).  Fused, the fat columns live only inside
+    the worker; only slim join rows (~100B/page) are emitted.  The
+    composable per-stage API remains for pipelines that need the
+    intermediates."""
+
+    def __init__(self, index_ref, keep_touches: bool = True, verify: bool = True,
+                 analyze: bool = True):
+        self.extractor = HtmlExtractor()
+        from ocgis_ray.stages.spatial_join import SpatialJoinProbe
+
+        self.probe = SpatialJoinProbe(index_ref, how="inner", keep_touches=keep_touches)
+        self.verify = verify
+        self.analyze = analyze
+
+    def __call__(self, t):
+        from ocgis_ray.stages.geocode import geocode_batch
+        from ocgis_ray.stages.text import text_stats_arrays
+
+        t = self.extractor(t)
+        if self.verify:
+            bad = pc.sum(
+                pc.cast(pc.invert(pc.equal(t["text_extracted"], t["text"])), "int64")
+            ).as_py()
+            if bad:
+                raise ValueError(f"extraction byte-identity violated on {bad} rows")
+        if self.analyze:
+            # per-page text analysis on the EXTRACTED text (the
+            # training-data-prep stage) — byte-LUT vectorized kernels;
+            # language ID stays a separate operator (its per-token
+            # scoring is Python-loop-bound and belongs off the hot path
+            # until a vectorized model replaces it)
+            stats = text_stats_arrays(t["text_extracted"])
+            t = t.append_column("token_count", pa.array(stats["token_count"]))
+            t = t.append_column("quality", pa.array(stats["quality_score"]))
+        t = t.drop_columns([c for c in ("html", "text", "text_extracted") if c in t.column_names])
+        t = geocode_batch(t)
+        return self.probe(t)
+
+
+_WORKER_CACHE: dict = {}
+
+
+def flagship_from_parquet(
+    pages_path: str,
+    layer_name: str = "world_regions",
+    rollup_cell: str = "cell_r8",
+    extract_concurrency: int | None = 4,
+    probe_concurrency: int | None = 4,
+    verify_extraction: bool = True,
+    extract_batch_size: int = 16384,
+    probe_batch_size: int = 32768,
+    use_actors: bool = False,
+    analyze: bool = True,
+):
+    """Flagship over a MATERIALIZED pages parquet table — the bench /
+    production shape (the real deployment reads pages from storage;
+    see ``ocgis_ray.sources.pages.materialize_pages_parquet``).  Block
+    counts come from the files' uncompressed size, and the per-page
+    stages run FUSED in a single actor pool (see FusedPageWorker) so
+    fat html/text columns never cross an operator boundary."""
+    import ray
+
+    from ocgis_ray.sources.io import read_parquet_sized
+    from ocgis_ray.stages.spatial_join import build_index
+
+    ds = read_parquet_sized(
+        pages_path,
+        columns=["page_id", "url", "warc_ts", "html", "text", "lang", "n_chars"],
+    )
+    index_ref = ray.put(build_index(load_layer(layer_name), res=7))
+    if use_actors:
+        joined = ds.map_batches(
+            FusedPageWorker,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=extract_concurrency,
+            batch_size=extract_batch_size,
+            fn_constructor_kwargs={"index_ref": index_ref, "verify": verify_extraction,
+                                   "analyze": analyze},
+        )
+    else:
+        # stateless-task mode: same init-once-per-worker state (module
+        # cache + zero-copy plasma fetch of the index), but the task
+        # pool is ELASTIC — no fixed actor reservation to balance
+        # against the read stage, which matters when read and compute
+        # contend for the same node (ray_guide: a pool that reserves
+        # every CPU starves the read)
+        verify = verify_extraction
+
+        def fused_task(t):
+            w = _WORKER_CACHE.get("w")
+            if w is None or w.verify != verify or w.analyze != analyze:
+                w = _WORKER_CACHE["w"] = FusedPageWorker(
+                    index_ref, verify=verify, analyze=analyze
+                )
+            return w(t)
+
+        joined = ds.map_batches(
+            fused_task,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=extract_batch_size,
+        )
+    spec = {
+        "n_pages": (None, "count"),
+        "sum_chars": ("n_chars", "sum"),
+        "min_ts": ("warc_ts", "min"),
+        "max_ts": ("warc_ts", "max"),
+    }
+    if analyze:
+        spec["sum_tokens"] = ("token_count", "sum")
+        spec["sum_quality"] = ("quality", "sum")
+    rollup = grouped_aggregate(joined, ["ugid", rollup_cell], spec)
     return rollup.repartition(1).sort(["ugid", rollup_cell])
 
 

@@ -44,7 +44,25 @@ def read_parquet_sized(
     """``ray.data.read_parquet`` with size-derived block count."""
     import ray.data as rd
 
-    size = os.path.getsize(path) if os.path.isfile(path) else None
+    def uncompressed(fp: str) -> int:
+        # block sizing must use IN-MEMORY bytes: repetitive text
+        # columns compress >10x on disk and file-size-based counts
+        # would under-parallelize the read by the same factor
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(fp).metadata
+        return sum(md.row_group(i).total_byte_size for i in range(md.num_row_groups))
+
+    if os.path.isfile(path):
+        size = uncompressed(path)
+    elif os.path.isdir(path):
+        size = sum(
+            uncompressed(os.path.join(path, f))
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    else:
+        size = None
     kwargs = {}
     if size is not None:
         nb = int(np.clip((size + target_block_bytes - 1) // target_block_bytes,

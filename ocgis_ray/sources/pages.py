@@ -49,6 +49,12 @@ def synthesize_pages_batch(batch: pa.Table, reps: int = REPS) -> pa.Table:
     n = batch.num_rows
     idx = np.repeat(np.arange(n, dtype=np.int64), reps)
     rep = np.tile(np.arange(reps, dtype=np.int64), n)
+    return _build_pages(batch, idx, rep, reps)
+
+
+def _build_pages(batch: pa.Table, idx: np.ndarray, rep: np.ndarray, reps: int) -> pa.Table:
+    """Shared kernel: doc rows (selected by ``idx``) + rep numbers ->
+    pages columns.  ``batch`` must carry doc_id/text/lang/source/n_chars."""
     doc_id = batch["doc_id"].to_numpy(zero_copy_only=False)[idx]
     page_id = doc_id * np.int64(reps) + rep
 
@@ -87,6 +93,81 @@ def synthesize_pages_batch(batch: pa.Table, reps: int = REPS) -> pa.Table:
             "n_chars": batch["n_chars"].take(pa.array(idx)),
         }
     )
+
+
+class PagesSynthesizer:
+    """Actor stage for RANGE-driven synthesis: input batches are page
+    ids from ``ray.data.range``, the documents table is broadcast once
+    (``ray.put``) and fetched per actor in ``__init__``.
+
+    Why range-driven: a documents->pages ``map_batches`` expansion
+    inherits the READ's row count for task bundling (Ray bundles
+    ``min_rows_per_bundled_input = batch_size`` *input* rows per task,
+    blind to the 400x expansion), so a small documents file collapses
+    the whole synthesis+extract into one task.  Driving by page-id
+    range gives exact output-row task shaping."""
+
+    def __init__(self, docs_ref, reps: int):
+        import ray
+
+        docs: pa.Table = ray.get(docs_ref) if not isinstance(docs_ref, pa.Table) else docs_ref
+        self.docs = docs.combine_chunks()
+        self.reps = reps
+        # doc_id must be dense 0..n-1 for positional lookup
+        did = self.docs["doc_id"].to_numpy()
+        if not (did[0] == 0 and did[-1] == len(did) - 1):
+            raise ValueError("documents doc_id must be dense 0..n-1 (sorted)")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        page_id = batch["id"].to_numpy(zero_copy_only=False)
+        idx = page_id // self.reps
+        rep = page_id % self.reps
+        return _build_pages(self.docs, idx, rep, self.reps)
+
+
+def materialize_pages_parquet(
+    sf_dir: str, reps: int, out_dir: str, num_blocks: int = 64,
+    concurrency: int = 8,
+) -> str:
+    """Synthesize the pages table IN PARALLEL and persist it as
+    partitioned parquet (write-tmp-then-rename, idempotent).  This is
+    the bench input: the real deployment reads an existing pages table
+    from storage, so benchmarks measure read->...->rollup from parquet,
+    not in-process synthesis."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    final = os.path.join(out_dir, f"pages_reps{reps}")
+    if os.path.exists(os.path.join(final, "_SUCCESS")):
+        return final
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    ).sort_by("doc_id")
+    ref = ray.put(docs)
+    n_pages = docs.num_rows * reps
+    ds = rd.range(n_pages, override_num_blocks=num_blocks)
+    ds = ds.map_batches(
+        PagesSynthesizer,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"docs_ref": ref, "reps": reps},
+    )
+    tmp = final + "_tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    ds.write_parquet(tmp)
+    if os.path.exists(final):
+        shutil.rmtree(final)
+    os.rename(tmp, final)
+    with open(os.path.join(final, "_SUCCESS"), "w") as f:
+        f.write("")
+    return final
 
 
 def pages_dataset(sf_dir: str, reps: int = REPS, parallelism: int = -1):

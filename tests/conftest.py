@@ -14,11 +14,9 @@ def ray_session():
         ignore_reinit_error=True,
         logging_level="ERROR",
     )
-    from ray.data import DataContext
+    from ocgis_ray.tuning import tune_data_context
 
-    ctx = DataContext.get_current()
-    ctx.enable_progress_bars = False
-    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    tune_data_context()
     yield
     ray.shutdown()
 

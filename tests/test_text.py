@@ -57,3 +57,39 @@ def test_fingerprint(docs, ray_session):
     assert out.set_index("doc_id").loc[0, "fingerprint"] == out2["fingerprint"][0]
     # distinct texts -> (almost surely) distinct fingerprints
     assert out["fingerprint"].nunique() == 4
+
+
+def test_byte_class_counts_unicode():
+    import pyarrow as pa
+
+    from ocgis_ray.stages.text import ALPHA_BYTES, PUNCT_BYTES, byte_class_counts
+
+    arr = pa.array(["abc def!", "é中文a.", "", "...", "no punct here"])
+    alpha = byte_class_counts(arr, ALPHA_BYTES)
+    punct = byte_class_counts(arr, PUNCT_BYTES)
+    import re
+
+    for i, s in enumerate(arr.to_pylist()):
+        assert alpha[i] == len(re.findall(r"[A-Za-z]", s)), s
+        assert punct[i] == len(re.findall(r"[.,!?;:]", s)), s
+
+
+def test_byte_class_counts_sliced_array():
+    import pyarrow as pa
+
+    from ocgis_ray.stages.text import byte_class_counts
+
+    arr = pa.array(["xxxx", "ab", "ba", "yyy"]).slice(1, 2)
+    counts = byte_class_counts(arr, b"a")
+    assert counts.tolist() == [1, 1]
+
+
+def test_text_stats_arrays_matches_python():
+    import pyarrow as pa
+
+    from ocgis_ray.stages.text import text_stats_arrays
+
+    texts = ["the cat", "a  b", "Hello, world!"]
+    stats = text_stats_arrays(pa.array(texts))
+    for i, s in enumerate(texts):
+        assert stats["token_count"][i] == s.count(" ") + 1

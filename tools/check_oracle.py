@@ -67,12 +67,9 @@ def main() -> None:
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=8, include_dashboard=False,
                  logging_level="ERROR")
-    from ray.data import DataContext
+    from ocgis_ray.tuning import tune_data_context
 
-    DataContext.get_current().enable_progress_bars = False
-    import logging
-
-    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    tune_data_context()
 
     sys.path.insert(0, ".")
     import __ray_entry__ as entrymod
