@@ -790,6 +790,245 @@ def q_knn_cells(sf_dir: str):
     return res.select_columns(["query_id", "page_id", "rank"])
 
 
+
+
+# =====================================================================
+# CRS / subset fast paths / reshape / regrid-replacement family
+# =====================================================================
+
+def q_crs_web_mercator(sf_dir: str):
+    """update_crs analog (variable/crs.py): EPSG:4326 -> web mercator."""
+    from ocgis_ray.stages.crs import update_crs
+
+    ds = update_crs(_geo_pages(sf_dir))
+
+    def rnd(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        x = sql_round(t["x"].to_numpy(zero_copy_only=False), 4)
+        y = sql_round(t["y"].to_numpy(zero_copy_only=False), 4)
+        t = t.drop_columns(["x", "y"])
+        t = t.append_column("x", pa.array(x))
+        return t.append_column("y", pa.array(y))
+
+    return ds.map_batches(rnd, batch_format="pyarrow", zero_copy_batch=True).select_columns(
+        ["page_id", "x", "y"]
+    )
+
+
+def sql_crs_web_mercator() -> str:
+    from ocgis_ray.stages.crs import web_mercator_sql
+
+    x, y = web_mercator_sql("lon", "lat")
+    return (
+        f"{geo_cte(REPS)}\n"
+        f"SELECT page_id, round({x}, 4) AS x, round({y}, 4) AS y FROM geo"
+    )
+
+
+BBOX = (-130.0, 25.0, -60.0, 50.0)  # north-america-ish window
+
+
+def q_bbox_subset_pages(sf_dir: str):
+    """Optimized bbox subset (spatial/grid.py:635-674): pure window
+    filter, no geometry work."""
+    from ocgis_ray.stages.subset import bbox_filter
+
+    return bbox_filter(_geo_pages(sf_dir), *BBOX).select_columns(["page_id"])
+
+
+def sql_bbox_subset_pages() -> str:
+    x0, y0, x1, y1 = BBOX
+    return (
+        f"{geo_cte(REPS)}\n"
+        f"SELECT page_id FROM geo WHERE lon >= {x0!r} AND lon <= {x1!r} "
+        f"AND lat >= {y0!r} AND lat <= {y1!r}"
+    )
+
+
+RADIUS_CENTER = (0.1, 51.5)  # london
+RADIUS_KM = 500.0
+
+
+def q_radius_search_pages(sf_dir: str):
+    """Buffered-point subset (ops/engine.py:515-531): pages within
+    500 km of London, two-stage bbox-hint + exact haversine."""
+    from ocgis_ray.stages.subset import radius_filter
+
+    return radius_filter(
+        _geo_pages(sf_dir), RADIUS_CENTER[0], RADIUS_CENTER[1], RADIUS_KM
+    ).select_columns(["page_id"])
+
+
+def sql_radius_search_pages() -> str:
+    clon, clat = RADIUS_CENTER
+    dist = (
+        "2.0 * 6371.0088 * asin(sqrt("
+        f"power(sin((radians(lat) - radians({clat!r})) / 2.0), 2) + "
+        f"cos(radians({clat!r})) * cos(radians(lat)) * "
+        f"power(sin((radians(lon) - radians({clon!r})) / 2.0), 2)))"
+    )
+    return f"{geo_cte(REPS)}\nSELECT page_id FROM geo WHERE {dist} <= {RADIUS_KM!r}"
+
+
+def q_melt_lineitem(sf_dir: str):
+    """Melted record iteration (collection/field.py:636-750): wide ->
+    long over lineitem value columns."""
+    from ocgis_ray.sources.io import read_parquet_sized
+    from ocgis_ray.stages.reshape import melt
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"],
+    )
+    return melt(ds, ["l_orderkey", "l_linenumber"], ["l_quantity", "l_extendedprice"])
+
+
+def sql_melt_lineitem() -> str:
+    return (
+        "SELECT l_orderkey, l_linenumber, 'l_quantity' AS variable, l_quantity AS value FROM lineitem\n"
+        "UNION ALL\n"
+        "SELECT l_orderkey, l_linenumber, 'l_extendedprice' AS variable, l_extendedprice AS value FROM lineitem"
+    )
+
+
+def q_union_events(sf_dir: str):
+    """MultiRequestDataset concatenation (driver/request/multi_request
+    .py): union-all of two event subsets (overlap preserved)."""
+    import pyarrow.compute as _pc
+
+    from ocgis_ray.stages.reshape import union_all
+
+    a = _events(sf_dir, ["event_id", "event_type", "value"]).map_batches(
+        lambda t: t.filter(_pc.equal(t["event_type"], pa.scalar("click"))),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    b = _events(sf_dir, ["event_id", "event_type", "value"]).map_batches(
+        lambda t: t.filter(_pc.greater(t["value"], pa.scalar(400.0))),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return union_all(a, b).select_columns(["event_id", "event_type"])
+
+
+def sql_union_events() -> str:
+    return (
+        "SELECT event_id, event_type FROM events WHERE event_type = 'click'\n"
+        "UNION ALL\n"
+        "SELECT event_id, event_type FROM events WHERE value > 400.0"
+    )
+
+
+def q_daily_perc_events(sf_dir: str):
+    """daily_perc analog (calc/library/statistics.py:138-352):
+    day-of-period percentile basis."""
+    ds = temporal.add_time_parts(_events(sf_dir, ["ts", "value"]), "ts", parts=("day",))
+    return calc.quantile_rollup(ds, "day", "value", 0.9, out_col="p90", round_digits=6)
+
+
+def sql_daily_perc_events() -> str:
+    return (
+        "SELECT CAST(day(ts) AS BIGINT) AS day, "
+        "round(CAST(quantile_cont(value, 0.9) AS DOUBLE), 6) AS p90 "
+        "FROM events GROUP BY 1"
+    )
+
+
+def q_convolve_events(sf_dir: str):
+    """convolve_1d (calc/library/math.py:48-109): [0.25, 0.5, 0.25]
+    smoothing along each user's event sequence, same-mode (zero pad)."""
+    out = calc.convolve_1d(
+        _events(sf_dir, ["event_id", "user_id", "ts", "value"]),
+        "user_id", "ts", "value", kernel=[0.25, 0.5, 0.25],
+        out_col="smoothed", tiebreak_col="event_id",
+    )
+    return out.select_columns(["event_id", "smoothed"])
+
+
+def sql_convolve_events() -> str:
+    return """SELECT event_id,
+  round(0.25 * coalesce(lag(value) OVER w, 0.0)
+      + 0.5 * value
+      + 0.25 * coalesce(lead(value) OVER w, 0.0), 4) AS smoothed
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
+
+
+def q_cells_to_polygons(sf_dir: str):
+    """Vectorize: distinct page cells -> boundary rectangles
+    (spatial/geomc.py:283-415 analog)."""
+    from ocgis_ray.stages.regrid import cells_to_polygons
+
+    cells_pdf = (
+        grouped_aggregate(_geo_pages(sf_dir), ["cell_r7"], {"n": (None, "count")})
+        .to_pandas()
+    )
+    t = cells_to_polygons(cells_pdf["cell_r7"].to_numpy(np.int64), 7)
+    out = pd.DataFrame({
+        "cell": t["cell"].to_numpy(),
+        "x0": sql_round(t["x0"].to_numpy(), 6),
+        "y0": sql_round(t["y0"].to_numpy(), 6),
+        "x1": sql_round(t["x1"].to_numpy(), 6),
+        "y1": sql_round(t["y1"].to_numpy(), 6),
+    })
+    return out
+
+
+def sql_cells_to_polygons() -> str:
+    cs = repr(grid.cell_size(7))
+    return (
+        f"{geo_cte(REPS)},\n"
+        f"cellids AS (SELECT DISTINCT {grid.encode_sql('lon', 'lat', 7)} AS cell FROM geo)\n"
+        "SELECT cell,\n"
+        f"  round(CAST(cell // 4294967296 AS DOUBLE) * {cs} - 180.0, 6) AS x0,\n"
+        f"  round(CAST(cell % 4294967296 AS DOUBLE) * {cs} - 90.0, 6) AS y0,\n"
+        f"  round(CAST(cell // 4294967296 AS DOUBLE) * {cs} - 180.0 + {cs}, 6) AS x1,\n"
+        f"  round(CAST(cell % 4294967296 AS DOUBLE) * {cs} - 90.0 + {cs}, 6) AS y1\n"
+        "FROM cellids"
+    )
+
+
+def q_apply_weights_cells(sf_dir: str):
+    """smm analog (regrid/base.py:937-992): sparse src->dst weights
+    (here: each r7 cell -> its r5 parent, w=0.25) applied as broadcast
+    lookup + partial aggregation."""
+    from ocgis_ray.stages.regrid import apply_weights
+
+    ds = _geo_pages(sf_dir)
+    cells_pdf = grouped_aggregate(ds, ["cell_r7"], {"n": (None, "count")}).to_pandas()
+    src = cells_pdf["cell_r7"].to_numpy(np.int64)
+    dst = grid.parent(src, 7, 5)
+    weights = pd.DataFrame({"src": src, "dst": dst, "w": 0.25})
+    agg = apply_weights(ds, weights, src_col="cell_r7", value_col="n_chars")
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df["wsum"] = sql_round(df["wsum"], 4)
+        return df
+
+    return agg.map_batches(finalize, batch_format="pandas")
+
+
+def sql_apply_weights_cells() -> str:
+    return (
+        f"{geo_cte(REPS)}\n"
+        "SELECT (({c} // 4294967296) // 4) * 4294967296 + (({c} % 4294967296) // 4) AS dst,\n"
+        "  round(0.25 * sum(CAST(n_chars AS DOUBLE)), 4) AS wsum\n"
+        "FROM geo GROUP BY 1"
+    ).format(c=f"({grid.encode_sql('lon', 'lat', 7)})")
+
+
+def q_idw_interpolate(sf_dir: str):
+    """IDW interpolation at target points (the regrid apply path) —
+    rows-only; verified against direct numpy in pytest."""
+    from ocgis_ray.stages.regrid import idw_interpolate
+
+    targets = pd.DataFrame({
+        "target_id": np.arange(4, dtype=np.int64),
+        "lon": [-122.0, 0.0, 100.0, -30.0],
+        "lat": [37.5, 51.0, 40.0, 0.0],
+    })
+    return idw_interpolate(_geo_pages(sf_dir), targets, k=8)
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -823,7 +1062,17 @@ QUERIES = {
     "text_stats_documents": q_text_stats_documents,
     "token_rollup_by_lang": q_token_rollup_by_lang,
     "ann_bruteforce": q_ann_bruteforce,
+    "crs_web_mercator": q_crs_web_mercator,
+    "bbox_subset_pages": q_bbox_subset_pages,
+    "radius_search_pages": q_radius_search_pages,
+    "melt_lineitem": q_melt_lineitem,
+    "union_events": q_union_events,
+    "daily_perc_events": q_daily_perc_events,
+    "convolve_events": q_convolve_events,
+    "cells_to_polygons": q_cells_to_polygons,
+    "apply_weights_cells": q_apply_weights_cells,
     # rows-only (no SQL twin)
+    "idw_interpolate": q_idw_interpolate,
     "minhash_near_dup": q_minhash_near_dup,
     "simhash_pairs": q_simhash_pairs,
     "langid_documents": q_langid_documents,
@@ -863,4 +1112,13 @@ ORACLES = {
     "text_stats_documents": sql_text_stats_documents,
     "token_rollup_by_lang": sql_token_rollup_by_lang,
     "ann_bruteforce": sql_ann_bruteforce,
+    "crs_web_mercator": sql_crs_web_mercator,
+    "bbox_subset_pages": sql_bbox_subset_pages,
+    "radius_search_pages": sql_radius_search_pages,
+    "melt_lineitem": sql_melt_lineitem,
+    "union_events": sql_union_events,
+    "daily_perc_events": sql_daily_perc_events,
+    "convolve_events": sql_convolve_events,
+    "cells_to_polygons": sql_cells_to_polygons,
+    "apply_weights_cells": sql_apply_weights_cells,
 }

@@ -207,6 +207,38 @@ def moving_window(ds, entity_keys, ts_col: str, value_col: str, window: int,
     return bucketed.groupby("_bucket").map_groups(per_bucket, batch_format="pandas")
 
 
+def convolve_1d(ds, entity_keys, ts_col: str, value_col: str, kernel,
+                out_col: str = "convolved", mode: str = "same",
+                round_digits: int = ROUND_DIGITS, tiebreak_col: str | None = None):
+    """1-D convolution along the time axis per entity
+    (``calc/library/math.py:48-109``): ``mode='same'`` pads (edge rows
+    keep partial sums), ``'valid'`` nulls the rows without full kernel
+    support — mirroring the reference's valid-mode masking."""
+    entity_keys = [entity_keys] if isinstance(entity_keys, str) else list(entity_keys)
+    kernel = np.asarray(kernel, dtype=np.float64)
+    sort_cols = entity_keys + [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    from ocgis_ray.sources.io import bucketed_group_apply
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(sort_cols).copy()
+        out = np.full(len(g), np.nan)
+        start = 0
+        for _, grp in g.groupby(entity_keys, sort=False):
+            v = grp[value_col].to_numpy(dtype=np.float64)
+            c = np.convolve(v, kernel, mode="same")
+            if mode == "valid":
+                half = (len(kernel) - 1) // 2
+                c[:half] = np.nan
+                if len(kernel) - 1 - half > 0:
+                    c[len(v) - (len(kernel) - 1 - half):] = np.nan
+            out[start : start + len(v)] = c
+            start += len(v)
+        g[out_col] = sql_round(out, round_digits)
+        return g
+
+    return bucketed_group_apply(ds, entity_keys, per_bucket)
+
+
 def state_machine(ds, entity_keys, ts_col: str, fn, batch_format: str = "pandas"):
     """Sequential per-entity state machine along the time axis — the
     ``freezethaw`` plugin surface (``calc/library/index/freeze_thaw.py``).

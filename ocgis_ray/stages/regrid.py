@@ -1,0 +1,162 @@
+"""Raster-tile <-> vector-cell conversion + kNN/IDW interpolation —
+the engine's replacement for the reference's ESMF regrid path.
+
+Reference: ``RegridOperation``/``regrid_field`` generate ESMF weights
+and sparse-matrix-multiply them per time slice
+(``/root/reference/src/ocgis/regrid/base.py:24-119,646-840``);
+``smm`` applies chunked weight files (``regrid/base.py:937-992``);
+polygon->mesh conversion is ``variable/geom.py:333-637`` and
+mesh->geometry ``spatial/geomc.py:283-415``.
+
+Here (per the north star) regridding becomes:
+- **rasterize**: polygon -> cell covering (``ocgis_ray.cover``);
+- **vectorize**: cell ids -> boundary polygons (:func:`cells_to_polygons`);
+- **interpolate**: per-target inverse-distance weights over the k
+  nearest pages (:func:`idw_interpolate`) — weights computed once
+  per target from streamed partial top-k gathers (no all-pairs);
+- **apply_weights**: a precomputed sparse (src_cell, dst_cell, w)
+  table applied as broadcast lookup + partial aggregation
+  (:func:`apply_weights`) — the ``smm`` analog.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ocgis_ray import grid
+from ocgis_ray.geometry import haversine_km
+
+
+def cells_to_polygons(cells: np.ndarray, res: int) -> pa.Table:
+    """Vectorize cell ids to boundary rectangles (bounds + WKT ring).
+
+    The computed-not-stored cell geometry (``grid.boundary``) in bulk;
+    WKT keeps the output engine-agnostic (no WKB writer available)."""
+    cells = np.asarray(cells, dtype=np.int64)
+    x0, y0, x1, y1 = grid.bounds(cells, res)
+    wkt = [
+        f"POLYGON(({a} {b}, {c} {b}, {c} {d}, {a} {d}, {a} {b}))"
+        for a, b, c, d in zip(x0, y0, x1, y1)
+    ]
+    return pa.table({
+        "cell": pa.array(cells),
+        "x0": pa.array(x0), "y0": pa.array(y0),
+        "x1": pa.array(x1), "y1": pa.array(y1),
+        "area": pa.array((x1 - x0) * (y1 - y0)),
+        "wkt": pa.array(wkt, pa.string()),
+    })
+
+
+class _IdwGather:
+    """Per batch: for each target, the local k nearest (dist, value)."""
+
+    def __init__(self, targets_ref, k: int, value_col: str):
+        import ray
+
+        t = ray.get(targets_ref) if not isinstance(targets_ref, dict) else targets_ref
+        self.tid = t["target_id"]
+        self.tlon = t["lon"]
+        self.tlat = t["lat"]
+        self.k = k
+        self.value_col = value_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"target_id": pa.array([], pa.int64()),
+                             "dist_km": pa.array([], pa.float64()),
+                             "value": pa.array([], pa.float64())})
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        val = batch[self.value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        d = haversine_km(self.tlon[:, None], self.tlat[:, None], lon[None, :], lat[None, :])
+        k = min(self.k, d.shape[1])
+        part = np.argpartition(d, k - 1, axis=1)[:, :k]
+        return pa.table({
+            "target_id": pa.array(np.repeat(self.tid, k)),
+            "dist_km": pa.array(np.take_along_axis(d, part, axis=1).ravel()),
+            "value": pa.array(val[part.ravel()]),
+        })
+
+
+def idw_interpolate(ds, targets: pd.DataFrame, k: int = 8, power: float = 2.0,
+                    value_col: str = "n_chars", out_col: str = "idw_value",
+                    batch_size: int = 16384, round_digits: int = 4):
+    """Inverse-distance-weighted estimate at each target point from the
+    k nearest source rows.  ``targets``: (target_id, lon, lat), small,
+    broadcast once.  Zero-distance sources short-circuit to their exact
+    value (standard IDW convention)."""
+    import ray
+
+    from ocgis_ray.parity import sql_round
+
+    tref = ray.put({
+        "target_id": targets["target_id"].to_numpy(np.int64),
+        "lon": targets["lon"].to_numpy(np.float64),
+        "lat": targets["lat"].to_numpy(np.float64),
+    })
+    partial = ds.map_batches(
+        _IdwGather, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size, concurrency=2,
+        fn_constructor_kwargs={"targets_ref": tref, "k": k, "value_col": value_col},
+    )
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.nsmallest(k, "dist_km")
+        d = g["dist_km"].to_numpy()
+        v = g["value"].to_numpy()
+        exact = d <= 1e-12
+        if exact.any():
+            est = float(v[exact][0])
+        else:
+            w = 1.0 / d ** power
+            est = float(np.sum(w * v) / np.sum(w))
+        return pd.DataFrame({
+            "target_id": [int(g["target_id"].iloc[0])],
+            out_col: [float(sql_round(est, round_digits))],
+        })
+
+    return partial.groupby("target_id").map_groups(finalize, batch_format="pandas")
+
+
+def apply_weights(ds, weights: pd.DataFrame, src_col: str = "cell_r7",
+                  value_col: str = "n_chars", out_col: str = "wsum"):
+    """Sparse weight application (the chunked-``smm`` analog): weights
+    (src, dst, w) broadcast as a lookup; each batch emits partial
+    (dst, w*value) sums; a tiny grouped aggregate finishes.
+
+    At 100 TB the weights table is itself sharded by dst range and the
+    broadcast becomes a hash-partitioned join on src — same dataflow."""
+    import ray
+
+    from ocgis_ray.stages.tiles import grouped_aggregate
+
+    lut: dict[int, list[tuple[int, float]]] = {}
+    for s, dst, w in zip(weights["src"], weights["dst"], weights["w"]):
+        lut.setdefault(int(s), []).append((int(dst), float(w)))
+    lref = ray.put(lut)
+
+    def expand(batch: pa.Table) -> pa.Table:
+        table = ray.get(lref)
+        src = batch[src_col].to_numpy(zero_copy_only=False)
+        val = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        dsts, wv = [], []
+        uniq = np.unique(src)
+        for s in uniq.tolist():
+            hits = table.get(int(s))
+            if not hits:
+                continue
+            m = src == s
+            sv = val[m]
+            for dst, w in hits:
+                dsts.append(np.full(sv.shape, dst, dtype=np.int64))
+                wv.append(sv * w)
+        if not dsts:
+            return pa.table({"dst": pa.array([], pa.int64()),
+                             "wv": pa.array([], pa.float64())})
+        return pa.table({"dst": pa.array(np.concatenate(dsts)),
+                         "wv": pa.array(np.concatenate(wv))})
+
+    expanded = ds.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_aggregate(expanded, ["dst"], {out_col: ("wv", "sum")})

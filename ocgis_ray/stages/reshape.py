@@ -1,0 +1,58 @@
+"""Row-shape transforms: melt (wide->long), union-all, size estimates.
+
+- ``melt``: the reference's melted record iteration
+  (``/root/reference/src/ocgis/collection/field.py:636-750``,
+  ``variable/iterator.py``) flattens a field to header-standardized
+  rows; columnar analog is an unpivot over value columns.  DuckDB twin:
+  ``UNPIVOT``/stacked ``UNION ALL`` selects.
+- ``union_all``: ``MultiRequestDataset`` concatenation
+  (``driver/request/multi_request.py``) == ``Dataset.union``.
+- ``request_size``: the dry-run size estimate (``ops/core.py:218-289``)
+  == schema + pruned byte/row counts off the lazy plan.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def melt(ds, id_cols: list[str], value_cols: list[str],
+         var_name: str = "variable", value_name: str = "value"):
+    """Wide -> long: one output row per (row, value column)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        out: dict[str, pa.Array] = {}
+        idx = pa.array(np.tile(np.arange(n, dtype=np.int64), len(value_cols)))
+        for c in id_cols:
+            out[c] = t[c].take(idx)
+        names = []
+        for c in value_cols:
+            names.extend([c] * n)
+        out[var_name] = pa.array(names, pa.string())
+        vals = [pa.chunked_array([t[c]]).cast(pa.float64()) for c in value_cols]
+        out[value_name] = pa.concat_arrays(
+            [v.combine_chunks() for v in vals]
+        )
+        return pa.table(out)
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def union_all(*datasets):
+    """Concatenate Datasets (schema-aligned union-all)."""
+    out = datasets[0]
+    for d in datasets[1:]:
+        out = out.union(d)
+    return out
+
+
+def request_size(ds) -> dict:
+    """Dry-run size accounting over the (lazy) plan — executes only
+    counting, not the user pipeline's consumption."""
+    return {
+        "rows": ds.count(),
+        "bytes": ds.size_bytes(),
+        "columns": [f.name for f in ds.schema().base_schema],
+    }

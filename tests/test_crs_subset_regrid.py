@@ -1,0 +1,159 @@
+"""CRS transforms, subset fast paths, reshape, regrid replacement."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from ocgis_ray.geometry import haversine_km
+from ocgis_ray.stages.crs import (
+    from_web_mercator,
+    rotated_pole_transform,
+    to_web_mercator,
+)
+
+
+def test_web_mercator_roundtrip():
+    rng = np.random.RandomState(2)
+    lon = rng.uniform(-179, 179, 1000)
+    lat = rng.uniform(-84, 84, 1000)
+    x, y = to_web_mercator(lon, lat)
+    lon2, lat2 = from_web_mercator(x, y)
+    np.testing.assert_allclose(lon, lon2, atol=1e-9)
+    np.testing.assert_allclose(lat, lat2, atol=1e-9)
+    # known point: (0,0) -> (0,0)
+    x0, y0 = to_web_mercator(np.array([0.0]), np.array([0.0]))
+    assert abs(x0[0]) < 1e-9 and abs(y0[0]) < 1e-6
+
+
+def test_rotated_pole_roundtrip():
+    rng = np.random.RandomState(3)
+    lon = rng.uniform(-179, 179, 500)
+    lat = rng.uniform(-85, 85, 500)
+    rl, rp = rotated_pole_transform(lon, lat, pole_lon=-162.0, pole_lat=39.25)
+    lon2, lat2 = rotated_pole_transform(rl, rp, pole_lon=-162.0, pole_lat=39.25,
+                                        inverse=True)
+    # compare on the sphere (lon wraps at +-180)
+    d = haversine_km(lon, lat, lon2, lat2)
+    assert d.max() < 1e-6
+
+
+def test_rotated_pole_identity_pole():
+    # pole at the true north pole with pole_lon=0 => identity rotation
+    lon = np.array([10.0, -50.0])
+    lat = np.array([20.0, 60.0])
+    rl, rp = rotated_pole_transform(lon, lat, pole_lon=0.0, pole_lat=90.0)
+    d = haversine_km(lon, lat, rl, rp)
+    assert d.max() < 1e-6
+
+
+def test_radius_filter_exact(ray_session, sf_dir):
+    import ray.data as rd
+
+    from ocgis_ray.sources.pages import pages_dataset
+    from ocgis_ray.stages.geocode import geocode
+    from ocgis_ray.stages.subset import radius_filter
+
+    ds = geocode(pages_dataset(sf_dir).drop_columns(["html"]))
+    got = radius_filter(ds, 0.1, 51.5, 300.0).to_pandas()
+    pdf = ds.to_pandas()
+    d = haversine_km(pdf["lon"].to_numpy(), pdf["lat"].to_numpy(), 0.1, 51.5)
+    expect = set(pdf.loc[d <= 300.0, "page_id"])
+    assert set(got["page_id"]) == expect
+    assert len(expect) > 0
+
+
+def test_melt_roundtrip(ray_session):
+    import ray.data as rd
+
+    from ocgis_ray.stages.reshape import melt
+
+    df = pd.DataFrame({"id": [1, 2], "a": [1.0, 2.0], "b": [3.0, 4.0]})
+    out = melt(rd.from_pandas(df), ["id"], ["a", "b"]).to_pandas()
+    assert len(out) == 4
+    assert set(out["variable"]) == {"a", "b"}
+    assert out.loc[(out["id"] == 2) & (out["variable"] == "b"), "value"].iloc[0] == 4.0
+
+
+def test_request_size(ray_session, sf_dir):
+    import ray.data as rd
+
+    from ocgis_ray.stages.reshape import request_size
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    info = request_size(ds)
+    assert info["rows"] == 500
+    assert info["columns"] == ["doc_id", "lang"]
+    assert info["bytes"] > 0
+
+
+def test_cells_to_polygons_roundtrip():
+    from ocgis_ray import grid
+    from ocgis_ray.stages.regrid import cells_to_polygons
+
+    lon = np.array([10.3, -77.7])
+    lat = np.array([45.1, 38.2])
+    cells = grid.encode(lon, lat, 7)
+    t = cells_to_polygons(cells, 7)
+    x0 = t["x0"].to_numpy()
+    x1 = t["x1"].to_numpy()
+    y0 = t["y0"].to_numpy()
+    y1 = t["y1"].to_numpy()
+    assert ((x0 <= lon) & (lon < x1)).all()
+    assert ((y0 <= lat) & (lat < y1)).all()
+    assert t["wkt"][0].as_py().startswith("POLYGON((")
+
+
+def test_idw_matches_numpy(ray_session, sf_dir):
+    from ocgis_ray.parity import sql_round
+    from ocgis_ray.sources.pages import pages_dataset
+    from ocgis_ray.stages.geocode import geocode
+    from ocgis_ray.stages.regrid import idw_interpolate
+
+    ds = geocode(pages_dataset(sf_dir).drop_columns(["html"]))
+    targets = pd.DataFrame({"target_id": [0, 1], "lon": [-122.0, 100.0],
+                            "lat": [37.5, 40.0]})
+    out = idw_interpolate(ds, targets, k=5).to_pandas().set_index("target_id")
+
+    pdf = ds.to_pandas()
+    for _, trow in targets.iterrows():
+        d = haversine_km(pdf["lon"].to_numpy(), pdf["lat"].to_numpy(),
+                         trow["lon"], trow["lat"])
+        order = np.argsort(d)[:5]
+        w = 1.0 / d[order] ** 2
+        v = pdf["n_chars"].to_numpy(dtype=np.float64)[order]
+        expect = float(sql_round(np.sum(w * v) / np.sum(w), 4))
+        assert out.loc[int(trow["target_id"]), "idw_value"] == pytest.approx(expect, abs=2e-4)
+
+
+def test_apply_weights(ray_session):
+    import ray.data as rd
+
+    from ocgis_ray.stages.regrid import apply_weights
+
+    df = pd.DataFrame({"cell_r7": [1, 1, 2, 3], "n_chars": [10, 20, 30, 40]})
+    weights = pd.DataFrame({"src": [1, 2], "dst": [100, 100], "w": [0.5, 1.0]})
+    out = apply_weights(rd.from_pandas(df), weights).to_pandas()
+    assert len(out) == 1
+    assert out["wsum"].iloc[0] == pytest.approx(0.5 * 30 + 1.0 * 30)
+
+
+def test_convolve_1d(ray_session):
+    import ray.data as rd
+
+    from ocgis_ray.stages import calc
+
+    df = pd.DataFrame({
+        "user_id": [1] * 4 + [2] * 3,
+        "event_id": range(7),
+        "ts": pd.date_range("2024-01-01", periods=7, freq="h"),
+        "value": [1.0, 2.0, 3.0, 4.0, 10.0, 20.0, 30.0],
+    })
+    out = calc.convolve_1d(rd.from_pandas(df), "user_id", "ts", "value",
+                           kernel=[0.25, 0.5, 0.25], tiebreak_col="event_id"
+                           ).to_pandas().set_index("event_id")
+    # interior point of user 1: 0.25*1 + 0.5*2 + 0.25*3 = 2.0
+    assert out.loc[1, "convolved"] == pytest.approx(2.0)
+    # edge (same-mode zero pad): 0.5*1 + 0.25*2 = 1.0
+    assert out.loc[0, "convolved"] == pytest.approx(1.0)
+    # user 2 interior: 0.25*10 + 0.5*20 + 0.25*30 = 20.0
+    assert out.loc[5, "convolved"] == pytest.approx(20.0)

@@ -1,0 +1,70 @@
+"""CSV round-trip, time-subset-by-function, extension registry."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def test_csv_roundtrip(ray_session, tmp_path):
+    """DriverCSV analog: Ray-native csv sink + source."""
+    import ray.data as rd
+
+    df = pd.DataFrame({"a": [1, 2, 3], "b": ["x", "y", "z"]})
+    out = str(tmp_path / "csv_out")
+    rd.from_pandas(df).write_csv(out)
+    back = rd.read_csv(out).to_pandas().sort_values("a").reset_index(drop=True)
+    assert back.equals(df)
+
+
+def test_time_subset_fn(ray_session):
+    """Arbitrary-UDF time subset (variable/temporal.py:345-378)."""
+    import ray.data as rd
+
+    from ocgis_ray.stages.temporal import time_subset_fn
+
+    df = pd.DataFrame({
+        "event_id": range(6),
+        "ts": pd.to_datetime([
+            "2024-01-01", "2024-01-15", "2024-02-01",
+            "2024-02-15", "2024-03-01", "2024-03-15",
+        ]),
+    })
+
+    def odd_months(ts: np.ndarray) -> np.ndarray:
+        months = ts.astype("datetime64[M]").astype(int) % 12 + 1
+        return months % 2 == 1
+
+    out = time_subset_fn(rd.from_pandas(df), "ts", odd_months).to_pandas()
+    assert sorted(out["event_id"]) == [0, 1, 4, 5]
+
+
+def test_registry_seams(ray_session):
+    """User-extension surface (calc/library/register.py analog)."""
+    import ray.data as rd
+
+    from ocgis_ray.functions import registry
+
+    def double_v(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.append_column("v2", pc.multiply(t["v"], pa.scalar(2.0)))
+
+    registry.register_kernel("double_v", double_v)
+    registry.register_source("range3", lambda sf_dir: rd.from_pandas(
+        pd.DataFrame({"v": [1.0, 2.0, 3.0]})))
+    registry.register_aggregate("sum_v", {"s": ("v", "sum")})
+
+    ds = registry.source("range3")("unused")
+    out = registry.apply_kernel(ds, "double_v").to_pandas()
+    assert out["v2"].tolist() == [2.0, 4.0, 6.0]
+
+    from ocgis_ray.stages.tiles import grouped_aggregate
+
+    ds2 = ds.map_batches(lambda t: t.append_column("k", pa.array([1, 1, 2])),
+                         batch_format="pyarrow")
+    agg = grouped_aggregate(ds2, ["k"], registry.aggregate_spec("sum_v")).to_pandas()
+    assert sorted(agg["s"]) == [3.0, 3.0]
+
+    names = registry.names()
+    assert "double_v" in names["kernels"]
+    assert "range3" in names["sources"]

@@ -67,11 +67,11 @@ def main() -> None:
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=8, include_dashboard=False,
                  logging_level="ERROR")
+    sys.path.insert(0, ".")
     from ocgis_ray.tuning import tune_data_context
 
     tune_data_context()
 
-    sys.path.insert(0, ".")
     import __ray_entry__ as entrymod
 
     qs = entrymod.queries()
