@@ -1029,6 +1029,73 @@ def q_idw_interpolate(sf_dir: str):
     return idw_interpolate(_geo_pages(sf_dir), targets, k=8)
 
 
+
+
+def q_freq_duration_events(sf_dir: str):
+    """freq_duration (calc/library/index/duration.py): per user, count
+    of qualifying runs of each length."""
+    return calc.freq_duration_rollup(
+        _events(sf_dir, ["event_id", "user_id", "ts", "value"]),
+        "user_id", "ts", "value", threshold=200.0,
+    )
+
+
+def sql_freq_duration_events() -> str:
+    return """WITH flagged AS (
+  SELECT user_id,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      - row_number() OVER (PARTITION BY user_id, (value > 200.0) ORDER BY ts, event_id) AS grp,
+    (value > 200.0) AS flag
+  FROM events
+), runs AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS run_len
+  FROM flagged WHERE flag GROUP BY user_id, grp
+)
+SELECT user_id, run_len, count(*) AS n_runs FROM runs GROUP BY user_id, run_len"""
+
+
+def q_tile_rollup_salted(sf_dir: str):
+    """The north rule's salted groupby-aggregate path demonstrated end
+    to end: histogram -> salt plan -> deterministic salt column ->
+    groupby (cell, salt) partials -> unsalted final combine.  Result is
+    byte-identical to the unsalted rollup (same oracle); the salt only
+    re-shapes the shuffle so a hot cell's rows spread over many
+    reducers.  (The default rollup path already collapses skew via
+    per-batch partials; salting is the tool for map_groups-style
+    per-tile work where partials don't apply.)"""
+    from ocgis_ray.stages.tiles import add_salt, cell_histogram, salt_plan
+
+    ds = _geo_pages(sf_dir)
+    hist = cell_histogram(ds, "cell_r7")
+    # low threshold so the plan actually fires on the hot city cells
+    plan = salt_plan(hist, "cell_r7", rows_per_salt=50)
+    salted = add_salt(_geo_pages(sf_dir), plan, "cell_r7")
+    partial = grouped_aggregate(
+        salted, ["cell_r7", "salt"],
+        {"n_pages": (None, "count"), "sum_chars": ("n_chars", "sum")},
+    )
+    final = grouped_aggregate(
+        partial, ["cell_r7"],
+        {"n_pages": ("n_pages", "sum"), "sum_chars": ("sum_chars", "sum")},
+    )
+
+    def cast_types(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_pages"] = df["n_pages"].astype(np.int64)
+        df["sum_chars"] = df["sum_chars"].astype(np.int64)
+        return df
+
+    return final.map_batches(cast_types, batch_format="pandas")
+
+
+def sql_tile_rollup_salted() -> str:
+    return (
+        f"{geo_cte(REPS)}\n"
+        f"SELECT {grid.encode_sql('lon', 'lat', 7)} AS cell_r7, count(*) AS n_pages,\n"
+        "  CAST(sum(n_chars) AS BIGINT) AS sum_chars\n"
+        "FROM geo GROUP BY 1"
+    )
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -1071,6 +1138,8 @@ QUERIES = {
     "convolve_events": q_convolve_events,
     "cells_to_polygons": q_cells_to_polygons,
     "apply_weights_cells": q_apply_weights_cells,
+    "freq_duration_events": q_freq_duration_events,
+    "tile_rollup_salted": q_tile_rollup_salted,
     # rows-only (no SQL twin)
     "idw_interpolate": q_idw_interpolate,
     "minhash_near_dup": q_minhash_near_dup,
@@ -1121,4 +1190,6 @@ ORACLES = {
     "convolve_events": sql_convolve_events,
     "cells_to_polygons": sql_cells_to_polygons,
     "apply_weights_cells": sql_apply_weights_cells,
+    "freq_duration_events": sql_freq_duration_events,
+    "tile_rollup_salted": sql_tile_rollup_salted,
 }

@@ -207,6 +207,43 @@ def moving_window(ds, entity_keys, ts_col: str, value_col: str, window: int,
     return bucketed.groupby("_bucket").map_groups(per_bucket, batch_format="pandas")
 
 
+def freq_duration_rollup(ds, entity_keys, ts_col: str, value_col: str,
+                         threshold: float, out_len: str = "run_len",
+                         out_count: str = "n_runs"):
+    """Frequency-of-durations (``calc/library/index/duration.py``
+    ``freq_duration``): per entity, how many qualifying runs of each
+    length occurred.  Same vectorized RLE as :func:`duration_rollup`,
+    grouped by (entity, run length)."""
+    entity_keys = [entity_keys] if isinstance(entity_keys, str) else list(entity_keys)
+    from ocgis_ray.sources.io import bucketed_group_apply
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        sort_cols = entity_keys + [ts_col] + [c for c in ("event_id",) if c in g.columns]
+        g = g.sort_values(sort_cols)
+        flag = g[value_col].to_numpy(dtype=np.float64) > threshold
+        ent = pd.util.hash_pandas_object(
+            g[entity_keys].reset_index(drop=True), index=False
+        ).to_numpy()
+        boundary = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            boundary[1:] = (ent[1:] != ent[:-1]) | (flag[1:] != flag[:-1])
+        starts = np.flatnonzero(boundary)
+        lengths = np.diff(np.append(starts, len(g)))
+        q = flag[starts]
+        runs = pd.DataFrame({
+            **{k: g[k].to_numpy()[starts[q]] for k in entity_keys},
+            out_len: lengths[q].astype(np.int64),
+        })
+        if len(runs) == 0:
+            runs[out_count] = pd.Series([], dtype=np.int64)
+            return runs
+        out = runs.groupby(entity_keys + [out_len], as_index=False, sort=False).size()
+        out[out_count] = out.pop("size").astype(np.int64)
+        return out
+
+    return bucketed_group_apply(ds, entity_keys, per_bucket)
+
+
 def convolve_1d(ds, entity_keys, ts_col: str, value_col: str, kernel,
                 out_col: str = "convolved", mode: str = "same",
                 round_digits: int = ROUND_DIGITS, tiebreak_col: str | None = None):
