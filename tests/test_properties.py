@@ -1,0 +1,129 @@
+"""Property-based tests (hypothesis) for grid + geometry invariants.
+
+The reference's suite is example-based only (SURVEY §5); these
+properties pin the invariants the engine's correctness rests on."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ocgis_ray import grid
+from ocgis_ray.geometry import Polygon, rect_clip_area_sqlparity, shoelace_area
+
+lons = st.floats(min_value=-180.0, max_value=179.999, allow_nan=False)
+lats = st.floats(min_value=-89.999, max_value=89.999, allow_nan=False)
+res_st = st.integers(min_value=1, max_value=12)
+
+
+@settings(max_examples=200, deadline=None)
+@given(lons, lats, res_st)
+def test_encode_bounds_contains_point(lon, lat, res):
+    # containment up to float absorption: a point within ~1 ulp of a
+    # cell edge may land in the neighbor (the +180.0 shift absorbs
+    # magnitudes < 2^-45 deg); what matters for correctness is that
+    # engine and SQL twin make the IDENTICAL choice (test_grid parity)
+    c = grid.encode(np.array([lon]), np.array([lat]), res)
+    x0, y0, x1, y1 = grid.bounds(c, res)
+    eps = 1e-9
+    assert x0[0] - eps <= lon < x1[0] + eps
+    assert y0[0] - eps <= lat < y1[0] + eps
+
+
+@settings(max_examples=200, deadline=None)
+@given(lons, lats, st.integers(min_value=2, max_value=12), st.integers(min_value=0, max_value=6))
+def test_parent_nesting(lon, lat, res, up):
+    up = min(up, res - 1)
+    c = grid.encode(np.array([lon]), np.array([lat]), res)
+    p_direct = grid.encode(np.array([lon]), np.array([lat]), res - up)
+    assert grid.parent(c, res, res - up)[0] == p_direct[0]
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(min_value=1, max_value=3), lons, lats)
+def test_disk_contains_ring(k, lon, lat):
+    c = int(grid.encode(np.array([lon]), np.array([lat]), 7)[0])
+    d = set(grid.disk(c, 7, k).tolist())
+    r = set(grid.ring(c, 7, k).tolist())
+    assert r <= d
+    assert c in d and c not in r
+    inner = set(grid.disk(c, 7, k - 1).tolist())
+    assert d == inner | r
+
+
+@st.composite
+def convex_polygons(draw):
+    """Random well-conditioned convex polygon: points on a circle at
+    angles separated by >= 0.3 rad (no needle edges)."""
+    n = draw(st.integers(min_value=3, max_value=8))
+    cx = draw(st.floats(min_value=-100, max_value=100))
+    cy = draw(st.floats(min_value=-60, max_value=60))
+    r = draw(st.floats(min_value=0.5, max_value=20.0))
+    slots = draw(
+        st.lists(st.integers(min_value=0, max_value=19), min_size=n, max_size=n,
+                 unique=True)
+    )
+    angles = sorted(s * (2 * np.pi / 20.0) for s in slots)
+    verts = np.array([[cx + r * np.cos(a), cy + r * np.sin(a)] for a in angles])
+    return Polygon(1, "rand", verts)
+
+
+@settings(max_examples=100, deadline=None)
+@given(convex_polygons(), st.integers(min_value=0, max_value=1000))
+def test_convex_and_raycast_agree(poly, seed):
+    """Away from edges, the half-plane and ray-casting predicates must
+    agree — the engine relies on both (convex fast path, general)."""
+    rng = np.random.RandomState(seed)
+    x0, y0, x1, y1 = poly.bbox
+    px = rng.uniform(x0 - 1.0, x1 + 1.0, 64)
+    py = rng.uniform(y0 - 1.0, y1 + 1.0, 64)
+    from ocgis_ray.geometry import _contains_convex, _contains_raycast
+
+    a = _contains_convex(poly.verts, px, py, keep_touches=True)
+    b = _contains_raycast(poly.verts, px, py)
+    # exclude points within eps of any edge (where conventions differ)
+    eps_mask = np.ones(64, dtype=bool)
+    v = poly.verts
+    n = v.shape[0]
+    for i in range(n):
+        e0, e1 = v[i], v[(i + 1) % n]
+        d = e1 - e0
+        ln = np.hypot(*d)
+        if ln == 0:
+            continue
+        cross = np.abs(d[0] * (py - e0[1]) - d[1] * (px - e0[0])) / ln
+        eps_mask &= cross > 1e-6
+    assert (a[eps_mask] == b[eps_mask]).all()
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.floats(-50, 50), st.floats(-50, 50),
+    st.floats(0.1, 30), st.floats(0.1, 30),
+    st.floats(-50, 50), st.floats(-50, 50),
+    st.floats(0.1, 30), st.floats(0.1, 30),
+)
+def test_rect_clip_symmetry_and_bounds(ax, ay, aw, ah, bx, by, bw, bh):
+    a = rect_clip_area_sqlparity(
+        np.array([ax]), np.array([ay]), np.array([ax + aw]), np.array([ay + ah]),
+        bx, by, bx + bw, by + bh,
+    )[0]
+    b = rect_clip_area_sqlparity(
+        np.array([bx]), np.array([by]), np.array([bx + bw]), np.array([by + bh]),
+        ax, ay, ax + aw, ay + ah,
+    )[0]
+    assert a == b  # symmetric
+    assert 0.0 <= a <= min(aw * ah, bw * bh) + 1e-9
+
+
+@settings(max_examples=100, deadline=None)
+@given(convex_polygons())
+def test_covering_conserves_area(poly):
+    """Full-cell area + boundary clip areas == polygon area exactly —
+    the invariant the join fast path rests on."""
+    from ocgis_ray.cover import cover_polygon
+
+    res = 6
+    cov = cover_polygon(poly, res)
+    cell_area = grid.cell_size(res) ** 2
+    total = len(cov.full) * cell_area + cov.boundary_clip_area.sum()
+    assert abs(total - shoelace_area(poly.verts)) < 1e-6 * max(1.0, shoelace_area(poly.verts))
