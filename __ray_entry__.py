@@ -15,8 +15,16 @@ session.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
+
+# the driver may import this module from any CWD; make the repo root
+# (this file's directory) importable so `ocgis_ray` resolves
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
 
 
 def entry() -> Any:

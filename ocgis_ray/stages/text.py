@@ -55,14 +55,18 @@ def _string_byte_view(arr) -> tuple[np.ndarray, np.ndarray]:
     return data, off.astype(np.int64)
 
 
-def byte_class_counts(arr, class_bytes: bytes) -> np.ndarray:
+def byte_class_counts(arr, class_bytes: bytes, view=None) -> np.ndarray:
     """Per-row count of bytes in ``class_bytes`` (ASCII classes only —
     multi-byte utf8 sequences can't collide with ASCII ranges, so byte
-    counts equal char counts for these classes)."""
-    data, off = _string_byte_view(arr)
+    counts equal char counts for these classes).  Pass a precomputed
+    ``view = _string_byte_view(arr)`` when counting several classes
+    over the same column (avoids re-materializing the buffers)."""
+    data, off = _string_byte_view(arr) if view is None else view
     lut = np.zeros(256, dtype=np.uint8)
     lut[list(class_bytes)] = 1
-    cum = np.concatenate([[0], lut[data].cumsum(dtype=np.int64)])
+    cum = np.empty(len(data) + 1, dtype=np.int64)
+    cum[0] = 0
+    np.cumsum(lut[data], out=cum[1:])
     return cum[off[1:]] - cum[off[:-1]]
 
 
@@ -70,12 +74,28 @@ def text_stats_arrays(text_arr) -> dict[str, np.ndarray]:
     """Vectorized stats over an Arrow string column (shared by
     ``add_text_stats`` and the fused flagship worker); outputs match
     the DuckDB oracle SQL exactly."""
+    import pyarrow as pa
     import pyarrow.compute as pc
 
+    if isinstance(text_arr, pa.ChunkedArray):
+        text_arr = text_arr.combine_chunks()
+    data, off = _string_byte_view(text_arr)
     n_chars = pc.utf8_length(text_arr).to_numpy(zero_copy_only=False).astype(np.float64)
-    tokens = byte_class_counts(text_arr, SPACE_BYTE) + 1  # == len(string_split(s,' '))
-    alpha = byte_class_counts(text_arr, ALPHA_BYTES).astype(np.float64)
-    punct = byte_class_counts(text_arr, PUNCT_BYTES).astype(np.float64)
+    # one pass for all three classes: bit-packed per-byte LUT
+    # (space -> 1, alpha -> 2^21, punct -> 2^42; per-row counts stay
+    # far below 2^21 for any sane block's row, so fields don't carry)
+    lut = np.zeros(256, dtype=np.int64)
+    lut[list(SPACE_BYTE)] += 1
+    lut[list(ALPHA_BYTES)] += 1 << 21
+    lut[list(PUNCT_BYTES)] += 1 << 42
+    cum = np.empty(len(data) + 1, dtype=np.int64)
+    cum[0] = 0
+    np.cumsum(lut[data], out=cum[1:])
+    packed = cum[off[1:]] - cum[off[:-1]]
+    mask = (1 << 21) - 1
+    tokens = (packed & mask) + 1  # == len(string_split(s,' '))
+    alpha = ((packed >> 21) & mask).astype(np.float64)
+    punct = ((packed >> 42) & mask).astype(np.float64)
     safe_n = np.maximum(n_chars, 1.0)
     alpha_ratio = alpha / safe_n
     punct_ratio = punct / safe_n
