@@ -75,10 +75,32 @@ def _hard_cases() -> list[Polygon]:
     return [lshape, west, east]
 
 
+def _us_states48() -> list[Polygon]:
+    """A 48-polygon CONUS-style layer (8x6 grid of rectangles over
+    (-125..-67, 25..49)) — the state_boundaries-scale fixture proving
+    the probe's cost is driven by candidates present, not layer size."""
+    polys = []
+    x0, x1 = -125.0, -67.0
+    y0, y1 = 25.0, 49.0
+    nx, ny = 8, 6
+    dx = (x1 - x0) / nx
+    dy = (y1 - y0) / ny
+    ugid = 0
+    for j in range(ny):
+        for i in range(nx):
+            ugid += 1
+            polys.append(
+                _rect(ugid, f"state_{ugid:02d}",
+                      x0 + i * dx, y0 + j * dy, x0 + (i + 1) * dx, y0 + (j + 1) * dy)
+            )
+    return polys
+
+
 _LAYERS = {
     "world_regions": _world_regions,
     "quadrants": _quadrants,
     "hard_cases": _hard_cases,
+    "us_states48": _us_states48,
 }
 
 

@@ -43,7 +43,10 @@ from ocgis_ray.geometry import Polygon
 
 @dataclass
 class SpatialJoinIndex:
-    """Driver-built broadcast index: polygons + their coverings.
+    """Driver-built broadcast index: polygons + their coverings, plus
+    the INVERTED cell -> candidate-ugid maps that make probe cost
+    proportional to the candidates actually present in a batch (not to
+    layer size — the O(10^3)-polygon county-layer case).
 
     Multipart geometries (several ``Polygon`` parts sharing a ugid,
     e.g. antimeridian splits) are merged: a page matches the ugid if it
@@ -54,6 +57,8 @@ class SpatialJoinIndex:
     full: dict[int, np.ndarray]            # ugid -> cells fully inside
     boundary: dict[int, np.ndarray]        # ugid -> cells needing exact test
     bbox: dict[int, tuple[float, float, float, float]]
+    cell_full: dict[int, list[int]]        # cell -> ugids fully covering it
+    cell_boundary: dict[int, list[int]]    # cell -> ugids needing exact test
 
     @property
     def ugids(self) -> list[int]:
@@ -67,6 +72,8 @@ def build_index(polys: list[Polygon], res: int = 7) -> SpatialJoinIndex:
     full: dict[int, np.ndarray] = {}
     boundary: dict[int, np.ndarray] = {}
     bbox: dict[int, tuple[float, float, float, float]] = {}
+    cell_full: dict[int, list[int]] = {}
+    cell_boundary: dict[int, list[int]] = {}
     for ugid, plist in parts.items():
         covs: list[Covering] = [cover_polygon(p, res) for p in plist]
         f = np.unique(np.concatenate([c.full for c in covs]))
@@ -76,7 +83,14 @@ def build_index(polys: list[Polygon], res: int = 7) -> SpatialJoinIndex:
         full[ugid] = f
         xs0, ys0, xs1, ys1 = zip(*(p.bbox for p in plist))
         bbox[ugid] = (min(xs0), min(ys0), max(xs1), max(ys1))
-    return SpatialJoinIndex(res=res, parts=parts, full=full, boundary=boundary, bbox=bbox)
+        for c in full[ugid].tolist():
+            cell_full.setdefault(c, []).append(ugid)
+        for c in boundary[ugid].tolist():
+            cell_boundary.setdefault(c, []).append(ugid)
+    return SpatialJoinIndex(
+        res=res, parts=parts, full=full, boundary=boundary, bbox=bbox,
+        cell_full=cell_full, cell_boundary=cell_boundary,
+    )
 
 
 def _match_matrix(
@@ -86,22 +100,39 @@ def _match_matrix(
     cell: np.ndarray,
     keep_touches: bool,
 ) -> dict[int, np.ndarray]:
-    """Per ugid: boolean row mask of matches (vectorized, no row loop)."""
+    """Per ugid present in the batch: boolean row mask of matches.
+
+    Candidate discovery is via the inverted cell maps over the batch's
+    UNIQUE cells, so per-batch cost is O(unique_cells + candidate
+    (ugid, rows) work) — independent of total layer size; ugids with no
+    cells in the batch are never touched."""
+    uniq, inverse = np.unique(cell, return_inverse=True)
+    n = lon.shape[0]
+    # candidate ugids and, per ugid, which unique-cell slots hit them
+    full_hits: dict[int, list[int]] = {}
+    boundary_hits: dict[int, list[int]] = {}
+    for slot, c in enumerate(uniq.tolist()):
+        for u in index.cell_full.get(c, ()):  # type: ignore[arg-type]
+            full_hits.setdefault(u, []).append(slot)
+        for u in index.cell_boundary.get(c, ()):  # type: ignore[arg-type]
+            boundary_hits.setdefault(u, []).append(slot)
     out: dict[int, np.ndarray] = {}
-    for ugid in index.ugids:
-        x0, y0, x1, y1 = index.bbox[ugid]
-        hint = (lon >= x0) & (lon <= x1) & (lat >= y0) & (lat <= y1)
-        if not hint.any():
-            out[ugid] = hint
-            continue
-        m = hint & np.isin(cell, index.full[ugid])
-        bmask = hint & ~m & np.isin(cell, index.boundary[ugid])
-        if bmask.any():
-            idx = np.nonzero(bmask)[0]
-            exact = np.zeros(idx.shape, dtype=bool)
-            for part in index.parts[ugid]:
-                exact |= part.contains(lon[idx], lat[idx], keep_touches=keep_touches)
-            m[idx[exact]] = True
+    for ugid in set(full_hits) | set(boundary_hits):
+        m = np.zeros(n, dtype=bool)
+        slots = full_hits.get(ugid)
+        if slots:
+            m |= np.isin(inverse, slots)
+        bslots = boundary_hits.get(ugid)
+        if bslots:
+            bmask = np.isin(inverse, bslots) & ~m
+            if bmask.any():
+                idx = np.nonzero(bmask)[0]
+                exact = np.zeros(idx.shape, dtype=bool)
+                for part in index.parts[ugid]:
+                    exact |= part.contains(
+                        lon[idx], lat[idx], keep_touches=keep_touches
+                    )
+                m[idx[exact]] = True
         out[ugid] = m
     return out
 
@@ -140,7 +171,7 @@ class SpatialJoinProbe:
 
         if self.how == "inner":
             rows, ugids = [], []
-            for ugid in self.index.ugids:
+            for ugid in sorted(matches):
                 m = matches[ugid]
                 if m.any():
                     r = np.nonzero(m)[0]

@@ -139,3 +139,37 @@ def test_unknown_how_rejected():
     idx = build_index(layer("quadrants"), res=7)
     with pytest.raises(ValueError):
         SpatialJoinProbe(idx, how="outer")
+
+
+def test_us_states48_partition():
+    """48-rect tiling of CONUS: interior points land in exactly one
+    state; the probe's inverted cell maps handle the larger layer."""
+    rng = np.random.RandomState(9)
+    lon = rng.uniform(-124.9, -67.1, 5000)
+    lat = rng.uniform(25.1, 48.9, 5000)
+    # keep clear of internal edges (shared boundaries match 2 states)
+    x0, x1, y0, y1 = -125.0, -67.0, 25.0, 49.0
+    dx, dy = (x1 - x0) / 8, (y1 - y0) / 6
+    fx = (lon - x0) / dx % 1.0
+    fy = (lat - y0) / dy % 1.0
+    keep = (fx > 0.01) & (fx < 0.99) & (fy > 0.01) & (fy < 0.99)
+    batch = probe_batch(lon[keep], lat[keep])
+    out = run_probe(layer("us_states48"), batch, how="inner")
+    assert out.num_rows == int(keep.sum())  # exactly one state each
+    # spot-check one point against arithmetic
+    i = 0
+    exp_state = (int((lat[keep][i] - y0) // dy)) * 8 + int((lon[keep][i] - x0) // dx) + 1
+    got = [u for p, u in zip(out["page_id"].to_pylist(), out["ugid"].to_pylist()) if p == i]
+    assert got == [exp_state]
+
+
+def test_shared_boundary_matches_both():
+    """A point ON an internal edge of the states grid belongs to both
+    neighbors under keep_touches=True — the reference's touch
+    semantics (spatial/grid.py:627-631)."""
+    x_edge = -125.0 + ((-67.0) - (-125.0)) / 8  # boundary between state 1 and 2
+    batch = probe_batch([x_edge], [26.0])
+    out = run_probe(layer("us_states48"), batch, how="inner")
+    assert sorted(out["ugid"].to_pylist()) == [1, 2]
+    out2 = run_probe(layer("us_states48"), batch, how="inner", keep_touches=False)
+    assert out2.num_rows == 0
