@@ -1,0 +1,198 @@
+"""Declarative operations front end — the ``OcgOperations`` analog.
+
+The reference's primary user API is a single declarative call
+(``/root/reference/src/ocgis/ops/core.py``: dataset + selection
+geometry + temporal subsets + calculations + output format, validated
+parameters, then ``execute()``).  ``OcgRayOperations`` offers the same
+shape over the Ray engine: a user of the reference maps their call
+onto this one-to-one:
+
+    ocgis.OcgOperations(dataset=rd, geom='state_boundaries',
+                        select_ugid=[25], calc=[{'func': 'mean', ...}],
+                        calc_grouping=['month'], spatial_operation='clip',
+                        aggregate=True, output_format='csv').execute()
+
+    OcgRayOperations(sf_dir, geom='us_states48', select_ugid=[25],
+                     calc=[{'func': 'mean', 'field': 'n_chars',
+                            'name': 'mean_chars'}],
+                     calc_grouping=('month',), spatial_operation='clip',
+                     aggregate=True, output_format='pandas').execute()
+
+Validation happens eagerly in ``__init__`` (the AbstractParameter
+analog); ``execute()`` composes the stage pipeline lazily and only
+consumes per the output format.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+_CALC_FUNCS = {"mean", "min", "max", "sum", "count", "std", "median"}
+_SPATIAL_OPS = {"intersects", "clip"}
+_OUTPUT_FORMATS = {"dataset", "pandas", "parquet", "csv"}
+_GROUPINGS = {"year", "month", "day", "hour", "season"}
+
+
+@dataclass
+class OcgRayOperations:
+    """Declarative pipeline spec over the pages table.
+
+    Parameters mirror the reference's (``ops/parms/definition.py``):
+
+    - ``sf_dir``: data root (the RequestDataset uri analog)
+    - ``geom``: cabinet layer name (GeomCabinet key analog)
+    - ``select_ugid``: restrict the selection geometries
+    - ``spatial_operation``: 'intersects' (subset) | 'clip' (for point
+      data clip == intersects; retained for call parity)
+    - ``aggregate``: True -> one rollup row per selection geometry
+      (spatial aggregation analog); False -> per-(ugid, tile) rollup
+      when ``calc`` given, else the joined rows
+    - ``time_range`` / ``time_region``: temporal subsets
+    - ``calc``: list of {'func', 'field', 'name'} (calculation library)
+    - ``calc_grouping``: temporal group keys ('year','month',...,'season')
+    - ``output_format``: dataset | pandas | parquet | csv
+    - ``prefix`` / ``output_dir``: sink naming for file formats
+    """
+
+    sf_dir: str
+    geom: str | None = None
+    select_ugid: list[int] | None = None
+    spatial_operation: str = "intersects"
+    aggregate: bool = False
+    time_range: tuple[str, str] | None = None
+    time_region: dict[str, list[int]] | None = None
+    calc: list[dict[str, Any]] | None = None
+    calc_grouping: tuple[str, ...] = ()
+    output_format: str = "dataset"
+    prefix: str = "ocgis_ray_output"
+    output_dir: str = "/tmp/ocgis_ray"
+    reps: int = 4
+
+    def __post_init__(self) -> None:
+        if self.spatial_operation not in _SPATIAL_OPS:
+            raise ValueError(f"spatial_operation must be one of {_SPATIAL_OPS}")
+        if self.output_format not in _OUTPUT_FORMATS:
+            raise ValueError(f"output_format must be one of {_OUTPUT_FORMATS}")
+        for g in self.calc_grouping:
+            if g not in _GROUPINGS:
+                raise ValueError(f"unknown calc_grouping {g!r}; have {_GROUPINGS}")
+        for c in self.calc or []:
+            if c.get("func") not in _CALC_FUNCS:
+                raise ValueError(f"unknown calc func {c.get('func')!r}")
+            if "field" not in c:
+                raise ValueError("calc entries need a 'field'")
+        if self.geom is not None:
+            from ocgis_ray.sources import cabinet
+
+            if self.geom not in cabinet.layer_names():
+                raise ValueError(
+                    f"unknown geom {self.geom!r}; have {cabinet.layer_names()}"
+                )
+
+    # -- pipeline assembly -------------------------------------------
+
+    def _dataset(self):
+        from ocgis_ray.sources.pages import pages_dataset
+        from ocgis_ray.stages import temporal
+        from ocgis_ray.stages.geocode import geocode
+
+        ds = pages_dataset(self.sf_dir, reps=self.reps).drop_columns(["html"])
+        if self.time_range is not None:
+            ds = temporal.time_range_filter(ds, "warc_ts", *self.time_range)
+        if self.time_region is not None:
+            ds = temporal.time_region_filter(ds, "warc_ts", self.time_region)
+        ds = geocode(ds)
+        if self.geom is not None:
+            from ocgis_ray.sources import cabinet
+            from ocgis_ray.stages.spatial_join import spatial_join
+
+            polys = cabinet.layer(self.geom)
+            if self.select_ugid is not None:
+                polys = [p for p in polys if p.ugid in self.select_ugid]
+                if not polys:
+                    raise ValueError("select_ugid matched no geometries")
+            # for point data, clip == intersects (SURVEY §2.2)
+            ds = spatial_join(ds, polys, how="inner", concurrency=2)
+        if self.calc_grouping:
+            parts = tuple(g for g in self.calc_grouping if g != "season")
+            if parts:
+                ds = temporal.add_time_parts(ds, "warc_ts", parts=parts)
+            if "season" in self.calc_grouping:
+                ds = temporal.add_season(ds, "warc_ts")
+        return ds
+
+    def _group_keys(self) -> list[str]:
+        keys: list[str] = []
+        if self.geom is not None:
+            keys.append("ugid")
+        if not self.aggregate:
+            keys.append("cell_r8")
+        keys.extend(self.calc_grouping)
+        return keys
+
+    def execute(self):
+        """Run the pipeline; return type follows ``output_format``."""
+        ds = self._dataset()
+        if self.calc:
+            from ocgis_ray.stages import calc as calc_mod
+            from ocgis_ray.stages.tiles import grouped_aggregate
+
+            keys = self._group_keys() or ["rep"]  # degenerate: global-ish
+            out = None
+            for spec in self.calc:
+                func = spec["func"]
+                fld = spec["field"]
+                name = spec.get("name", f"{func}_{fld}")
+                if func == "median":
+                    part = calc_mod.quantile_rollup(ds, keys, fld, 0.5, out_col=name)
+                elif func in ("mean", "std"):
+                    stats = calc_mod.stats_rollup(ds, keys, fld)
+                    col = {"mean": "mean_v", "std": "std_v"}[func]
+                    part = stats.map_batches(
+                        lambda df, col=col, name=name: df[keys + [col]].rename(
+                            columns={col: name}
+                        ),
+                        batch_format="pandas",
+                    )
+                else:
+                    kind = {"sum": "sum", "min": "min", "max": "max", "count": "count"}[func]
+                    part = grouped_aggregate(
+                        ds, keys, {name: (fld if kind != "count" else None, kind)}
+                    )
+                if out is None:
+                    out = part
+                else:
+                    # join result columns on the group keys (driver-side;
+                    # results are small rollups)
+                    a = out.to_pandas()
+                    b = part.to_pandas()
+                    import ray.data as rd
+
+                    out = rd.from_pandas(a.merge(b, on=keys))
+            result = out
+        elif self.aggregate and self.geom is not None:
+            from ocgis_ray.stages.tiles import grouped_aggregate
+
+            result = grouped_aggregate(
+                ds, ["ugid"],
+                {"n_pages": (None, "count"), "sum_chars": ("n_chars", "sum")},
+            )
+        else:
+            result = ds
+        return self._convert(result)
+
+    def _convert(self, result):
+        import os
+
+        if self.output_format == "dataset":
+            return result
+        if self.output_format == "pandas":
+            return result.to_pandas()
+        out = os.path.join(self.output_dir, self.prefix)
+        os.makedirs(self.output_dir, exist_ok=True)
+        if self.output_format == "parquet":
+            result.write_parquet(out)
+        else:
+            result.write_csv(out)
+        return out

@@ -181,19 +181,3 @@ def add_salt(ds, plan: dict[int, int], cell_col: str = "cell_r7"):
     )
 
 
-def clip_cells_batch(batch: pa.Table, polys_by_ugid: dict, res: int) -> pa.Table:
-    """Per (ugid, cell) row: intersection area of cell square x polygon
-    — the ``clip``/``intersection`` analog for tiles
-    (``variable/geom.py:718-764``), Sutherland-Hodgman per pair."""
-    from ocgis_ray import grid
-
-    ugid = batch["ugid"].to_numpy(zero_copy_only=False)
-    cell = batch["cell"].to_numpy(zero_copy_only=False)
-    x0, y0, x1, y1 = grid.bounds(cell, res)
-    areas = np.empty(len(cell), dtype=np.float64)
-    for i in range(len(cell)):
-        best = 0.0
-        for part in polys_by_ugid[int(ugid[i])]:
-            best += part.clip_area_rect(x0[i], y0[i], x1[i], y1[i])
-        areas[i] = best
-    return batch.append_column("clip_area", pa.array(areas))

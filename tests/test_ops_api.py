@@ -1,0 +1,72 @@
+"""OcgRayOperations — the declarative OcgOperations-analog API."""
+
+import os
+
+import numpy as np
+import pytest
+
+from ocgis_ray.pipelines.ops import OcgRayOperations
+
+
+def test_validation_errors(sf_dir):
+    with pytest.raises(ValueError, match="spatial_operation"):
+        OcgRayOperations(sf_dir, spatial_operation="nope")
+    with pytest.raises(ValueError, match="output_format"):
+        OcgRayOperations(sf_dir, output_format="netcdf")
+    with pytest.raises(ValueError, match="calc_grouping"):
+        OcgRayOperations(sf_dir, calc_grouping=("fortnight",))
+    with pytest.raises(ValueError, match="calc func"):
+        OcgRayOperations(sf_dir, calc=[{"func": "kurtosis", "field": "n_chars"}])
+    with pytest.raises(ValueError, match="unknown geom"):
+        OcgRayOperations(sf_dir, geom="mars_craters")
+
+
+def test_subset_with_geometry(ray_session, sf_dir):
+    ops = OcgRayOperations(sf_dir, geom="world_regions", output_format="pandas")
+    out = ops.execute()
+    assert "ugid" in out.columns
+    assert len(out) > 0
+    # select_ugid restricts the selection geometries
+    one = OcgRayOperations(sf_dir, geom="world_regions", select_ugid=[1],
+                           output_format="pandas").execute()
+    assert set(one["ugid"]) == {1}
+
+
+def test_aggregate_per_geometry(ray_session, sf_dir):
+    out = OcgRayOperations(sf_dir, geom="world_regions", aggregate=True,
+                           output_format="pandas").execute()
+    assert set(out.columns) >= {"ugid", "n_pages", "sum_chars"}
+    # one row per matched geometry
+    assert out["ugid"].is_unique
+
+
+def test_calc_with_temporal_grouping(ray_session, sf_dir):
+    ops = OcgRayOperations(
+        sf_dir, geom="world_regions", select_ugid=[1],
+        calc=[{"func": "mean", "field": "n_chars", "name": "mean_chars"},
+              {"func": "count", "field": "n_chars", "name": "n"}],
+        calc_grouping=("month",), aggregate=True, output_format="pandas",
+    )
+    out = ops.execute()
+    assert set(out.columns) == {"ugid", "month", "mean_chars", "n"}
+    assert (out["ugid"] == 1).all()
+    assert out["n"].sum() > 0
+    # mean within plausible n_chars bounds
+    assert out["mean_chars"].between(1, 1000).all()
+
+
+def test_time_range_and_parquet_output(ray_session, sf_dir, tmp_path):
+    ops = OcgRayOperations(
+        sf_dir, time_range=("2024-01-01T00:00:00", "2024-06-30T23:59:59"),
+        geom="world_regions", aggregate=True,
+        output_format="parquet", output_dir=str(tmp_path), prefix="agg",
+    )
+    path = ops.execute()
+    assert os.path.isdir(path)
+    import pyarrow.parquet as pq
+    import glob
+
+    files = glob.glob(os.path.join(path, "*.parquet"))
+    assert files
+    t = pq.read_table(files[0])
+    assert "n_pages" in t.column_names
