@@ -1113,6 +1113,58 @@ def sql_tile_rollup_salted() -> str:
     )
 
 
+
+
+def q_temporal_bounds_events(sf_dir: str):
+    """Temporal-group bounds + representative centroid
+    (``TemporalGroupVariable`` climatology bounds,
+    variable/temporal.py:227-271): per month, group extent and count."""
+    ds = temporal.add_time_parts(_events(sf_dir, ["ts", "value"]), "ts", parts=("month",))
+    ds = _ts_us(ds, "ts", "ts_us")
+    agg = grouped_aggregate(
+        ds, ["month"],
+        {"n": (None, "count"), "lb_ts_us": ("ts_us", "min"), "ub_ts_us": ("ts_us", "max")},
+    )
+    return agg
+
+
+def sql_temporal_bounds_events() -> str:
+    return (
+        "SELECT CAST(month(ts) AS BIGINT) AS month, count(*) AS n,\n"
+        "  min(epoch_us(ts)) AS lb_ts_us, max(epoch_us(ts)) AS ub_ts_us\n"
+        "FROM events GROUP BY 1"
+    )
+
+
+def q_snippet_first_page(sf_dir: str):
+    """Snippet analog (ops/parms/definition.py:1135: first time slice):
+    the earliest page per selection geometry, deterministic tiebreak."""
+    from ocgis_ray.sources.io import bucketed_group_apply
+
+    j = spatial_join(_geo_pages(sf_dir), cabinet.layer(WORLD), how="inner", res=7)
+    j = _ts_us(j, "warc_ts", "warc_ts_us")
+
+    def first_per_ugid(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["warc_ts_us", "page_id"])
+        return g.drop_duplicates("ugid", keep="first")[["ugid", "page_id", "warc_ts_us"]]
+
+    # two-level: per-bucket first, then global first per ugid (tiny)
+    part = bucketed_group_apply(j, ["ugid"], first_per_ugid)
+    pdf = part.to_pandas().sort_values(["warc_ts_us", "page_id"]).drop_duplicates("ugid")
+    return pdf.reset_index(drop=True)
+
+
+def sql_snippet_first_page() -> str:
+    return (
+        f"WITH j AS ({sql_spatial_join_inner()}),\n"
+        f"{geo_cte(REPS)[5:]},\n"
+        "m AS (SELECT j.ugid, j.page_id, epoch_us(g.warc_ts) AS warc_ts_us\n"
+        "      FROM j JOIN geo g USING (page_id))\n"
+        "SELECT ugid, page_id, warc_ts_us FROM m\n"
+        "QUALIFY row_number() OVER (PARTITION BY ugid ORDER BY warc_ts_us, page_id) = 1"
+    )
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -1157,6 +1209,8 @@ QUERIES = {
     "apply_weights_cells": q_apply_weights_cells,
     "freq_duration_events": q_freq_duration_events,
     "tile_rollup_salted": q_tile_rollup_salted,
+    "temporal_bounds_events": q_temporal_bounds_events,
+    "snippet_first_page": q_snippet_first_page,
     # rows-only (no SQL twin)
     "idw_interpolate": q_idw_interpolate,
     "minhash_near_dup": q_minhash_near_dup,
@@ -1209,4 +1263,6 @@ ORACLES = {
     "apply_weights_cells": sql_apply_weights_cells,
     "freq_duration_events": sql_freq_duration_events,
     "tile_rollup_salted": sql_tile_rollup_salted,
+    "temporal_bounds_events": sql_temporal_bounds_events,
+    "snippet_first_page": sql_snippet_first_page,
 }
