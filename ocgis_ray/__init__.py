@@ -23,3 +23,12 @@ are owned by the caller (driver, bench.py, or the pytest fixture).
 __version__ = "0.1.0"
 
 from ocgis_ray import geometry, grid  # noqa: F401
+
+
+def __getattr__(name):
+    # lazy top-level API (avoids importing ray at package import time)
+    if name == "OcgRayOperations":
+        from ocgis_ray.pipelines.ops import OcgRayOperations
+
+        return OcgRayOperations
+    raise AttributeError(name)

@@ -1165,6 +1165,56 @@ def sql_snippet_first_page() -> str:
     )
 
 
+
+
+def q_sessionize_events(sf_dir: str):
+    """Gap-based session windows per user (30-minute gap): output
+    (event_id, session_id) with deterministic per-user numbering."""
+    out = calc.sessionize(
+        _events(sf_dir, ["event_id", "user_id", "ts"]), "user_id", "ts",
+        gap_seconds=1800.0,
+    )
+    return out.select_columns(["event_id", "session_id"])
+
+
+def sql_sessionize_events() -> str:
+    return """WITH flagged AS (
+  SELECT event_id, user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id,
+  CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+FROM flagged"""
+
+
+def q_value_histogram_events(sf_dir: str):
+    """Fixed-width value histogram (distribution profiling): bucket =
+    floor(value / 25), counts per (event_type, bucket)."""
+    import pyarrow.compute as _pc
+
+    ds = _events(sf_dir, ["event_type", "value"])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        b = np.floor(v / 25.0).astype(np.int64)
+        return t.append_column("bucket", pa.array(b))
+
+    ds = ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_aggregate(ds, ["event_type", "bucket"], {"n": (None, "count")})
+
+
+def sql_value_histogram_events() -> str:
+    return (
+        "SELECT event_type, CAST(floor(value / 25.0) AS BIGINT) AS bucket, count(*) AS n\n"
+        "FROM events GROUP BY 1, 2"
+    )
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -1211,6 +1261,8 @@ QUERIES = {
     "tile_rollup_salted": q_tile_rollup_salted,
     "temporal_bounds_events": q_temporal_bounds_events,
     "snippet_first_page": q_snippet_first_page,
+    "sessionize_events": q_sessionize_events,
+    "value_histogram_events": q_value_histogram_events,
     # rows-only (no SQL twin)
     "idw_interpolate": q_idw_interpolate,
     "minhash_near_dup": q_minhash_near_dup,
@@ -1265,4 +1317,6 @@ ORACLES = {
     "tile_rollup_salted": sql_tile_rollup_salted,
     "temporal_bounds_events": sql_temporal_bounds_events,
     "snippet_first_page": sql_snippet_first_page,
+    "sessionize_events": sql_sessionize_events,
+    "value_histogram_events": sql_value_histogram_events,
 }

@@ -207,6 +207,45 @@ def moving_window(ds, entity_keys, ts_col: str, value_col: str, window: int,
     return bucketed.groupby("_bucket").map_groups(per_bucket, batch_format="pandas")
 
 
+def sessionize(ds, entity_keys, ts_col: str, gap_seconds: float,
+               out_col: str = "session_id"):
+    """Gap-based sessionization: within each entity (timestamp order),
+    a new session starts when the gap to the previous event exceeds
+    ``gap_seconds``.  Session ids are ``<entity-order> * 2^20 + seq``
+    —deterministic and stable under resume.  The engine's session-
+    window primitive (ray_guide streaming-shaped workloads; no
+    reference analog — the reference is pure batch, SURVEY §2.8).
+
+    SQL twin: gaps-and-islands with ``lag(ts)`` + a running sum of
+    new-session flags."""
+    entity_keys = [entity_keys] if isinstance(entity_keys, str) else list(entity_keys)
+    from ocgis_ray.sources.io import bucketed_group_apply
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        sort_cols = entity_keys + [ts_col] + [c for c in ("event_id",) if c in g.columns]
+        g = g.sort_values(sort_cols).copy()
+        ts = g[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        ent = pd.util.hash_pandas_object(
+            g[entity_keys].reset_index(drop=True), index=False
+        ).to_numpy()
+        new_entity = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            new_entity[1:] = ent[1:] != ent[:-1]
+        gap = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            gap[1:] = (ts[1:] - ts[:-1]) > gap_seconds * 1_000_000
+        new_session = new_entity | gap
+        # per-entity sequential session number (0-based)
+        seq = np.cumsum(new_session)  # global running count
+        # subtract the running count at each entity's first row
+        first_of_entity = np.where(new_entity)[0]
+        base = np.repeat(seq[first_of_entity], np.diff(np.append(first_of_entity, len(g))))
+        g[out_col] = (seq - base).astype(np.int64)
+        return g
+
+    return bucketed_group_apply(ds, entity_keys, per_bucket)
+
+
 def freq_duration_rollup(ds, entity_keys, ts_col: str, value_col: str,
                          threshold: float, out_len: str = "run_len",
                          out_count: str = "n_runs"):

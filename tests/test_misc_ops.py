@@ -68,3 +68,29 @@ def test_registry_seams(ray_session):
     names = registry.names()
     assert "double_v" in names["kernels"]
     assert "range3" in names["sources"]
+
+
+def test_sessionize(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from ocgis_ray.stages import calc
+
+    df = pd.DataFrame({
+        "event_id": range(6),
+        "user_id": [1, 1, 1, 2, 2, 2],
+        "ts": pd.to_datetime([
+            "2024-01-01 00:00", "2024-01-01 00:10", "2024-01-01 02:00",
+            "2024-01-01 00:00", "2024-01-01 01:00", "2024-01-01 01:20",
+        ]),
+    })
+    out = calc.sessionize(rd.from_pandas(df), "user_id", "ts", gap_seconds=1800)
+    pdf = out.to_pandas().set_index("event_id")["session_id"]
+    assert pdf[0] == 0 and pdf[1] == 0 and pdf[2] == 1  # 2h gap splits
+    assert pdf[3] == 0 and pdf[4] == 1 and pdf[5] == 1  # 1h gap splits, 20m doesn't
+
+
+def test_top_level_api_export():
+    import ocgis_ray
+
+    assert ocgis_ray.OcgRayOperations.__name__ == "OcgRayOperations"
