@@ -1215,6 +1215,31 @@ def sql_value_histogram_events() -> str:
     )
 
 
+
+
+def q_asof_join_events(sf_dir: str):
+    """As-of join (build brief custom operator): each event picks up
+    the latest hourly 'rate' mark at-or-before its timestamp
+    (broadcast series + vectorized searchsorted)."""
+    from ocgis_ray.stages.asof import asof_join
+
+    marks = pd.date_range("2024-01-01", "2024-01-31", freq="h")
+    series = pd.DataFrame({
+        "ts": marks,
+        "rate": np.arange(len(marks), dtype=np.float64),
+    })
+    out = asof_join(_events(sf_dir, ["event_id", "ts"]), series, on="ts")
+    return out.select_columns(["event_id", "rate"])
+
+
+def sql_asof_join_events() -> str:
+    return """WITH marks AS (
+  SELECT ts, CAST(row_number() OVER (ORDER BY ts) - 1 AS DOUBLE) AS rate
+  FROM generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-31', INTERVAL 1 HOUR) t(ts)
+)
+SELECT e.event_id, m.rate FROM events e ASOF JOIN marks m ON e.ts >= m.ts"""
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -1263,6 +1288,7 @@ QUERIES = {
     "snippet_first_page": q_snippet_first_page,
     "sessionize_events": q_sessionize_events,
     "value_histogram_events": q_value_histogram_events,
+    "asof_join_events": q_asof_join_events,
     # rows-only (no SQL twin)
     "idw_interpolate": q_idw_interpolate,
     "minhash_near_dup": q_minhash_near_dup,
@@ -1319,4 +1345,5 @@ ORACLES = {
     "snippet_first_page": sql_snippet_first_page,
     "sessionize_events": sql_sessionize_events,
     "value_histogram_events": sql_value_histogram_events,
+    "asof_join_events": sql_asof_join_events,
 }

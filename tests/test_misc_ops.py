@@ -94,3 +94,30 @@ def test_top_level_api_export():
     import ocgis_ray
 
     assert ocgis_ray.OcgRayOperations.__name__ == "OcgRayOperations"
+
+
+def test_asof_join(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from ocgis_ray.stages.asof import asof_join
+
+    df = pd.DataFrame({
+        "id": [1, 2, 3],
+        "k": ["a", "a", "b"],
+        "ts": pd.to_datetime(["2024-01-01 00:30:00", "2024-01-01 02:00:00",
+                              "2024-01-01 00:30:00"]),
+    })
+    series = pd.DataFrame({
+        "k": ["a", "a", "b"],
+        "ts": pd.to_datetime(["2024-01-01 00:00:00", "2024-01-01 01:00:00",
+                              "2024-01-01 01:00:00"]),
+        "rate": [10.0, 20.0, 30.0],
+    })
+    out = asof_join(rd.from_pandas(df), series, on="ts", by="k").to_pandas()
+    got = out.set_index("id")["rate"]
+    assert got[1] == 10.0   # latest 'a' mark <= 00:30
+    assert got[2] == 20.0   # latest 'a' mark <= 02:00
+    import numpy as np
+
+    assert np.isnan(got[3])  # 'b' has no mark <= 00:30
