@@ -35,7 +35,9 @@ from ocgis_ray.stages.geocode import geocode
 from ocgis_ray.stages.spatial_join import spatial_join
 from ocgis_ray.stages.tiles import grouped_aggregate
 
-SLIM_COLUMNS_DROP = ["html", "text_extracted"]
+# fat columns never reach a shuffle (SURVEY §7.5): html AND text die
+# right after the byte-identity check
+SLIM_COLUMNS_DROP = ["html", "text", "text_extracted"]
 
 
 def flagship(
