@@ -65,6 +65,10 @@ def write_partition(ds, out_dir: str, partition: str, meta: dict | None = None) 
     t0 = time.perf_counter()
     ds.write_parquet(tmp)
     wall = time.perf_counter() - t0
+    # an empty partition writes no files (Ray skips dir creation);
+    # materialize the empty dir so the rename-commit still happens and
+    # resume records the partition as complete
+    os.makedirs(tmp, exist_ok=True)
     # row count + bytes from the written files' own metadata (no re-execution)
     import pyarrow.parquet as pq
 

@@ -105,3 +105,22 @@ def test_flagship_partitioned_resume(ray_session, sf_dir, tmp_path):
     ds = geocode(pages_dataset(sf_dir).drop_columns(["html"]))
     expect = spatial_join(ds, layer("world_regions"), how="inner", concurrency=2).count()
     assert total == expect
+
+
+def test_empty_partition_completes(ray_session, tmp_path):
+    """A partition with zero rows still commits + resumes as complete
+    (the allow_empty analog for tiled output)."""
+    import pandas as pd
+    import ray.data as rd
+
+    out = str(tmp_path / "empty")
+    calls = []
+
+    def make_ds(part):
+        calls.append(part)
+        return rd.from_pandas(pd.DataFrame({"a": pd.Series([], dtype="int64")}))
+
+    recs = lineage.run_partitioned(make_ds, out, ["p0"])
+    assert recs[0]["rows"] == 0
+    recs2 = lineage.run_partitioned(make_ds, out, ["p0"])
+    assert recs2 == [] and calls == ["p0"]
