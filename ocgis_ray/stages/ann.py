@@ -160,22 +160,55 @@ def ann_lsh(ds, queries: pd.DataFrame, k: int, id_col: str = "vec_id",
     class CandidateStage:
         def __init__(self):
             self.planes = ray.get(planes_ref)
-            self.qb = ray.get(qb_ref)
+            qb = ray.get(qb_ref)
+            # per table: sorted bucket ids with query-list offsets, for
+            # vectorized probe via searchsorted (no per-row Python)
+            ntab = self.planes.shape[0]
+            self.tab_buckets: list[np.ndarray] = []
+            self.tab_qoff: list[np.ndarray] = []
+            self.tab_qids: list[np.ndarray] = []
+            for t in range(ntab):
+                items = sorted(
+                    (b, qs) for (tt, b), qs in qb.items() if tt == t
+                )
+                buckets = np.asarray([b for b, _ in items], dtype=np.int64)
+                qids = [q for _, qs in items for q in qs]
+                lens = np.asarray([len(qs) for _, qs in items], dtype=np.int64)
+                off = np.concatenate([[0], np.cumsum(lens)])
+                self.tab_buckets.append(buckets)
+                self.tab_qoff.append(off)
+                self.tab_qids.append(np.asarray(qids, dtype=np.int64))
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             out_q, out_i = [], []
             if batch.num_rows:
                 m = _normalize(_batch_matrix(batch, col).astype(np.float64))
                 ids = batch[id_col].to_numpy(zero_copy_only=False)
-                sig = _signatures(m, self.planes)
+                sig = _signatures(m, self.planes).astype(np.int64)
                 for t in range(sig.shape[0]):
-                    for n_i in range(sig.shape[1]):
-                        qs = self.qb.get((t, int(sig[t, n_i])))
-                        if qs:
-                            out_q.extend(qs)
-                            out_i.extend([ids[n_i]] * len(qs))
-            return pa.table({"query_id": pa.array(out_q, pa.int64()),
-                             id_col: pa.array(out_i, pa.int64())})
+                    buckets = self.tab_buckets[t]
+                    if buckets.size == 0:
+                        continue
+                    pos = np.searchsorted(buckets, sig[t])
+                    pos_c = np.minimum(pos, buckets.size - 1)
+                    hit = buckets[pos_c] == sig[t]
+                    rows = np.nonzero(hit)[0]
+                    if rows.size == 0:
+                        continue
+                    off = self.tab_qoff[t]
+                    p = pos_c[rows]
+                    counts = off[p + 1] - off[p]
+                    out_i.append(np.repeat(ids[rows], counts))
+                    # gather the query ids for each hit slot
+                    gather = np.concatenate(
+                        [self.tab_qids[t][off[j]:off[j + 1]] for j in p]
+                    ) if rows.size else np.empty(0, np.int64)
+                    out_q.append(gather)
+            if not out_q:
+                return pa.table({"query_id": pa.array([], pa.int64()),
+                                 id_col: pa.array([], pa.int64())})
+            return pa.table({"query_id": pa.array(np.concatenate(out_q)),
+                             id_col: pa.array(np.concatenate(out_i))})
 
     from ocgis_ray.sources.io import distinct_rows
 
