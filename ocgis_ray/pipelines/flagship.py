@@ -24,7 +24,6 @@ reserves every CPU serializes the pipeline).
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 

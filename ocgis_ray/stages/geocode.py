@@ -18,7 +18,6 @@ columns, res 7-9 hierarchy — is the real thing.
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 
 from ocgis_ray import grid

@@ -20,7 +20,6 @@ features are extracted.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 MEDIA_SCHEMA = pa.schema(
