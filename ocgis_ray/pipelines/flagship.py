@@ -202,13 +202,19 @@ def flagship_from_parquet(
         # contend for the same node (ray_guide: a pool that reserves
         # every CPU starves the read)
         verify = verify_extraction
+        # cache key must include the broadcast-index identity: Ray
+        # reuses worker processes across Dataset executions, so a
+        # second flagship call in the same session (different layer /
+        # res) must not probe the previous call's index
+        cache_key = (index_ref.hex(), verify, analyze)
 
         def fused_task(t):
             w = _WORKER_CACHE.get("w")
-            if w is None or w.verify != verify or w.analyze != analyze:
+            if w is None or _WORKER_CACHE.get("key") != cache_key:
                 w = _WORKER_CACHE["w"] = FusedPageWorker(
                     index_ref, verify=verify, analyze=analyze
                 )
+                _WORKER_CACHE["key"] = cache_key
             return w(t)
 
         joined = ds.map_batches(

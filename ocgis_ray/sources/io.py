@@ -75,6 +75,34 @@ def read_parquet_sized(
     return rd.read_parquet(path, **kwargs)
 
 
+def join_datasets(left, right, on, right_on=None, join_type: str = "inner",
+                  num_partitions: int | None = None, left_suffix: str | None = None,
+                  right_suffix: str | None = None):
+    """``Dataset.join`` with cluster-aware partition/aggregator sizing.
+
+    Ray's hash-shuffle join reserves ``0.125 CPU x num_partitions`` of
+    long-lived aggregator actors PER JOIN; a pipeline with two joins
+    plus an actor-pool map stage deadlocks a small cluster (the
+    aggregators and the pool together ask for more CPUs than exist and
+    none can release).  Scale partitions with the cluster and cap each
+    join's aggregator reservation at ~1/8 of the cluster so several
+    concurrent shuffle stages still fit — on a 256-node cluster the
+    same formula yields hundreds of partitions, which is what a 100 TB
+    join wants."""
+    import ray
+
+    total = int(ray.cluster_resources().get("CPU", 8)) or 8
+    if num_partitions is None:
+        num_partitions = max(2, min(64, total))
+    agg_cpus = max(0.01, min(0.125, (total / 8.0) / num_partitions))
+    return left.join(
+        right, join_type=join_type, num_partitions=num_partitions,
+        on=on, right_on=right_on,
+        left_suffix=left_suffix, right_suffix=right_suffix,
+        aggregator_ray_remote_args={"num_cpus": agg_cpus},
+    )
+
+
 def bucketed_group_apply(ds, keys: list[str] | str, fn, num_buckets: int = 32,
                          batch_format: str = "pandas"):
     """Apply ``fn(bucket_df)`` once per hash bucket of ``keys``.

@@ -11,10 +11,16 @@ is the embedding counterpart the build brief mandates:
   per batch reach the shuffle.
 - :func:`ann_lsh` — the scale path: random-hyperplane signatures
   bucket vectors into 2^nbits cells per table; queries probe their
-  buckets across ``ntables`` tables, exact-refining candidates only.
-  Recall measured against brute force in tests.
+  buckets across ``ntables`` tables.  The exact cosine for every
+  candidate is computed IN-BATCH (the probing task already holds the
+  vector), so nothing but (query_id, vec_id, sim) rows — at most a few
+  per vector — ever leave the scan.  No driver-side materialization
+  anywhere; recall measured against brute force in tests.
 - :func:`embedding_near_duplicates` — cosine >= threshold pairs via
-  the same LSH buckets (embedding near-dup for dedup suites).
+  shared LSH buckets; candidate (a, b) id pairs are joined back to
+  their vectors with Ray's hash-shuffle ``Dataset.join`` (vectors ride
+  as fixed-width binary — Acero joins don't carry list columns), then
+  the exact cosine check runs vectorized per batch.
 
 Ranking ties break on vec_id (deterministic output).
 """
@@ -33,6 +39,37 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
     return np.stack(batch[col].to_pandas().to_numpy())
+
+
+def pack_vectors(m: np.ndarray) -> pa.Array:
+    """(N, D) float64 -> fixed-width binary column (D*8 bytes/row).
+
+    Acero hash joins reject list-typed non-key fields; fixed-width
+    binary payloads join fine and decode zero-copy on the other side.
+    """
+    m = np.ascontiguousarray(m, dtype=np.float64)
+    if m.shape[0] == 0:
+        return pa.array([], type=pa.binary())
+    width = m.shape[1] * 8
+    offsets = np.arange(0, (m.shape[0] + 1) * width, width, dtype=np.int32)
+    return pa.BinaryArray.from_buffers(
+        pa.binary(), m.shape[0],
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(m.tobytes())],
+    )
+
+
+def unpack_vectors(arr, dim: int) -> np.ndarray:
+    """Binary column of D*8-byte payloads -> (N, D) float64."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    # variable-width binary: concatenate via to_numpy on the buffer is
+    # only safe when all rows have equal width — enforced by pack
+    bufs = arr.buffers()
+    data = np.frombuffer(bufs[2], dtype=np.float64)
+    off = np.frombuffer(bufs[1], dtype=np.int32)[arr.offset: arr.offset + len(arr) + 1]
+    start = off[0] // 8
+    out = data[start: start + len(arr) * dim]
+    return out.reshape(len(arr), dim)
 
 
 def load_query_vectors(sf_dir: str, vec_ids: list[int]) -> pd.DataFrame:
@@ -136,12 +173,18 @@ class _LshBucketStage:
 def ann_lsh(ds, queries: pd.DataFrame, k: int, id_col: str = "vec_id",
             col: str = "embedding", nbits: int = 10, ntables: int = 8,
             batch_size: int = 4096):
-    """LSH-bucketed approximate cosine top-k.
+    """LSH-bucketed approximate cosine top-k — single pass over ``ds``.
 
-    Pipeline: bucket rows for the data side (one pass), driver-side
-    bucket ids for the queries, semi-join on (table, bucket) inside
-    ``map_batches`` via broadcast of the query buckets, exact refine of
-    the candidate union per query."""
+    The probe stage holds (broadcast) the query signatures AND the
+    normalized query matrix; for each data batch it computes data-side
+    signatures, finds (query, vector) bucket collisions vectorized
+    (searchsorted over per-table sorted bucket arrays), dedups the
+    collision pairs within the batch (each vector lives in exactly one
+    batch, so per-batch dedup is global dedup), and emits the EXACT
+    cosine for each candidate right there — the vector is already in
+    registers, so no join / refine / driver materialization is needed.
+    Only candidate (query_id, vec_id, sim) rows reach the final tiny
+    per-query top-k shuffle."""
     import ray
 
     qmat = _normalize(np.stack(queries["embedding"].to_numpy()).astype(np.float64))
@@ -149,113 +192,113 @@ def ann_lsh(ds, queries: pd.DataFrame, k: int, id_col: str = "vec_id",
     planes = _hyperplanes(dim, nbits, ntables)
     qsig = _signatures(qmat, planes)  # (T, Q)
     qid = queries["query_id"].to_numpy(np.int64)
-    # query bucket lookup: (table, bucket) -> query ids
-    qbuckets: dict[tuple[int, int], list[int]] = {}
-    for t in range(ntables):
-        for j, q in enumerate(qid):
-            qbuckets.setdefault((t, int(qsig[t, j])), []).append(int(q))
-    planes_ref = ray.put(planes)
-    qb_ref = ray.put(qbuckets)
+    bundle_ref = ray.put({"planes": planes, "qsig": qsig, "qid": qid, "qmat": qmat})
 
     class CandidateStage:
         def __init__(self):
-            self.planes = ray.get(planes_ref)
-            qb = ray.get(qb_ref)
-            # per table: sorted bucket ids with query-list offsets, for
-            # vectorized probe via searchsorted (no per-row Python)
+            b = ray.get(bundle_ref)
+            self.planes = b["planes"]
+            self.qmat = b["qmat"]          # (Q, D) normalized
+            qsig = b["qsig"].astype(np.int64)
             ntab = self.planes.shape[0]
+            nq = qsig.shape[1]
+            # per table: sorted unique bucket ids + offsets into a
+            # flat array of query ROW indices (not ids) — vectorized
+            # probe via searchsorted, vectorized sim via row gather
             self.tab_buckets: list[np.ndarray] = []
             self.tab_qoff: list[np.ndarray] = []
-            self.tab_qids: list[np.ndarray] = []
+            self.tab_qrows: list[np.ndarray] = []
             for t in range(ntab):
-                items = sorted(
-                    (b, qs) for (tt, b), qs in qb.items() if tt == t
-                )
-                buckets = np.asarray([b for b, _ in items], dtype=np.int64)
-                qids = [q for _, qs in items for q in qs]
-                lens = np.asarray([len(qs) for _, qs in items], dtype=np.int64)
-                off = np.concatenate([[0], np.cumsum(lens)])
-                self.tab_buckets.append(buckets)
+                order = np.argsort(qsig[t], kind="stable")
+                sorted_b = qsig[t][order]
+                uniq, starts = np.unique(sorted_b, return_index=True)
+                off = np.concatenate([starts, [nq]])
+                self.tab_buckets.append(uniq)
                 self.tab_qoff.append(off)
-                self.tab_qids.append(np.asarray(qids, dtype=np.int64))
+                self.tab_qrows.append(order)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            out_q, out_i = [], []
-            if batch.num_rows:
-                m = _normalize(_batch_matrix(batch, col).astype(np.float64))
-                ids = batch[id_col].to_numpy(zero_copy_only=False)
-                sig = _signatures(m, self.planes).astype(np.int64)
-                for t in range(sig.shape[0]):
-                    buckets = self.tab_buckets[t]
-                    if buckets.size == 0:
-                        continue
-                    pos = np.searchsorted(buckets, sig[t])
-                    pos_c = np.minimum(pos, buckets.size - 1)
-                    hit = buckets[pos_c] == sig[t]
-                    rows = np.nonzero(hit)[0]
-                    if rows.size == 0:
-                        continue
-                    off = self.tab_qoff[t]
-                    p = pos_c[rows]
-                    counts = off[p + 1] - off[p]
-                    out_i.append(np.repeat(ids[rows], counts))
-                    # gather the query ids for each hit slot
-                    gather = np.concatenate(
-                        [self.tab_qids[t][off[j]:off[j + 1]] for j in p]
-                    ) if rows.size else np.empty(0, np.int64)
-                    out_q.append(gather)
+            empty = pa.table({"query_id": pa.array([], pa.int64()),
+                              id_col: pa.array([], pa.int64()),
+                              "sim": pa.array([], pa.float64())})
+            if batch.num_rows == 0:
+                return empty
+            m = _normalize(_batch_matrix(batch, col).astype(np.float64))
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            sig = _signatures(m, self.planes).astype(np.int64)
+            out_q, out_v = [], []
+            for t in range(sig.shape[0]):
+                buckets = self.tab_buckets[t]
+                if buckets.size == 0:
+                    continue
+                pos = np.searchsorted(buckets, sig[t])
+                pos_c = np.minimum(pos, buckets.size - 1)
+                hit = buckets[pos_c] == sig[t]
+                rows = np.nonzero(hit)[0]
+                if rows.size == 0:
+                    continue
+                off = self.tab_qoff[t]
+                p = pos_c[rows]
+                counts = off[p + 1] - off[p]
+                out_v.append(np.repeat(rows, counts))
+                # vectorized segment-arange: flat indices of each hit
+                # bucket's query slots (no per-hit Python)
+                total = int(counts.sum())
+                within = np.arange(total) - np.repeat(
+                    np.cumsum(counts) - counts, counts
+                )
+                gather_idx = np.repeat(off[p], counts) + within
+                out_q.append(self.tab_qrows[t][gather_idx])
             if not out_q:
-                return pa.table({"query_id": pa.array([], pa.int64()),
-                                 id_col: pa.array([], pa.int64())})
-            return pa.table({"query_id": pa.array(np.concatenate(out_q)),
-                             id_col: pa.array(np.concatenate(out_i))})
-
-    from ocgis_ray.sources.io import distinct_rows
+                return empty
+            qrow = np.concatenate(out_q)   # query ROW index
+            vrow = np.concatenate(out_v)   # batch row index
+            # dedup (query, vector) pairs found in multiple tables —
+            # each vector is in exactly one batch, so this per-batch
+            # unique IS the global distinct (no extra shuffle)
+            key = vrow.astype(np.int64) * np.int64(len(self.qmat)) + qrow
+            _, first = np.unique(key, return_index=True)
+            qrow, vrow = qrow[first], vrow[first]
+            sims = np.einsum("ij,ij->i", self.qmat[qrow], m[vrow])
+            return pa.table({"query_id": pa.array(qid[qrow]),
+                             id_col: pa.array(ids[vrow]),
+                             "sim": pa.array(sims)})
 
     cand = ds.map_batches(CandidateStage, batch_format="pyarrow",
                           zero_copy_batch=True, batch_size=batch_size,
                           concurrency=2)
-    cand = distinct_rows(cand, ["query_id", id_col])
-    # exact refine: broadcast-join candidates back to vectors
-    vec_pdf = ds.to_pandas()
-    vec_map = {int(v): e for v, e in zip(vec_pdf[id_col], vec_pdf[col])}
-    vref = ray.put(vec_map)
-    qmap = {int(q): qmat[i] for i, q in enumerate(qid)}
-    qmref = ray.put(qmap)
-
-    class Refine:
-        def __init__(self):
-            self.vecs = ray.get(vref)
-            self.qs = ray.get(qmref)
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            sims = np.empty(len(df))
-            for i, (q, v) in enumerate(zip(df["query_id"], df[id_col])):
-                vv = _normalize(np.asarray(self.vecs[int(v)], dtype=np.float64)[None, :])[0]
-                sims[i] = float(self.qs[int(q)] @ vv)
-            df = df.copy()
-            df["sim"] = sims
-            return df
-
-    refined = cand.map_batches(Refine, batch_format="pandas", concurrency=2)
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["sim", id_col], ascending=[False, True]).head(k).copy()
         g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
         return g
 
-    return refined.groupby("query_id").map_groups(final, batch_format="pandas")
+    return cand.groupby("query_id").map_groups(final, batch_format="pandas")
 
 
 def embedding_near_duplicates(ds, threshold: float = 0.95, id_col: str = "vec_id",
                               col: str = "embedding", nbits: int = 12,
-                              ntables: int = 6, batch_size: int = 4096):
-    """Cosine-similarity near-dup pairs via shared LSH buckets."""
-    import ray
+                              ntables: int = 6, batch_size: int = 4096,
+                              num_partitions: int | None = None):
+    """Cosine-similarity near-dup pairs via shared LSH buckets.
 
+    Dataflow (all distributed, nothing on the driver):
+
+    1. bucket rows (table_id, bucket, vec_id) — ids only, one pass;
+    2. bucketed shuffle -> within-bucket candidate (a, b) id pairs;
+    3. two hash-shuffle ``Dataset.join``s attach each side's vector
+       (normalized float64 packed as fixed-width binary — Acero joins
+       don't carry list columns);
+    4. vectorized exact cosine + threshold filter per batch.
+
+    Candidate volume is the LSH collision count (<< all pairs); the
+    vector table is shuffled once per join side at dim*8 bytes/row.
+    """
     first = ds.take_batch(1, batch_format="pandas")
     dim = len(first[col][0])
     planes = _hyperplanes(dim, nbits, ntables, seed=13)
+    import ray
+
     planes_ref = ray.put(planes)
 
     bucket_rows = ds.map_batches(
@@ -264,38 +307,53 @@ def embedding_near_duplicates(ds, threshold: float = 0.95, id_col: str = "vec_id
         fn_constructor_kwargs={"planes_ref": planes_ref, "id_col": id_col, "col": col},
     )
 
-    vec_pdf = ds.to_pandas()
-    vec_mat = _normalize(np.stack(vec_pdf[col].to_numpy()).astype(np.float64))
-    vmap = {int(v): vec_mat[i] for i, v in enumerate(vec_pdf[id_col])}
-    vref = ray.put(vmap)
-
     def pair_stage(g: pd.DataFrame) -> pd.DataFrame:
         # hash-bucketed apply: the fn sees many LSH buckets at once;
-        # per-LSH-bucket pairing runs only where >=2 vectors collide.
-        # The vector map is fetched from the local object store per
-        # task (zero-copy plasma read).
+        # per-LSH-bucket pairing runs only where >=2 vectors collide
         empty = pd.DataFrame({"vec_a": pd.Series(dtype=np.int64),
-                              "vec_b": pd.Series(dtype=np.int64),
-                              "sim": pd.Series(dtype=np.float64)})
+                              "vec_b": pd.Series(dtype=np.int64)})
         g = g.drop_duplicates(["table_id", "bucket", id_col])
         sizes = g.groupby(["table_id", "bucket"], sort=False)[id_col].transform("size")
         g = g[sizes >= 2]
         if len(g) == 0:
             return empty
-        vecs = ray.get(vref)
-        frames = []
+        out_a, out_b = [], []
         for _, grp in g.groupby(["table_id", "bucket"], sort=False):
             ids = np.sort(np.unique(grp[id_col].to_numpy()))
-            m = np.stack([vecs[int(i)] for i in ids])
-            sims = m @ m.T
             ia, ib = np.triu_indices(ids.size, k=1)
-            s = sims[ia, ib]
-            keep = s >= threshold
-            frames.append(pd.DataFrame({"vec_a": ids[ia][keep],
-                                        "vec_b": ids[ib][keep], "sim": s[keep]}))
-        return pd.concat(frames, ignore_index=True) if frames else empty
+            out_a.append(ids[ia])
+            out_b.append(ids[ib])
+        return pd.DataFrame({"vec_a": np.concatenate(out_a).astype(np.int64),
+                             "vec_b": np.concatenate(out_b).astype(np.int64)})
 
-    from ocgis_ray.sources.io import bucketed_group_apply, distinct_rows
+    from ocgis_ray.sources.io import bucketed_group_apply, distinct_rows, join_datasets
 
-    pairs = bucketed_group_apply(bucket_rows, ["table_id", "bucket"], pair_stage)
-    return distinct_rows(pairs, ["vec_a", "vec_b"])
+    cand = bucketed_group_apply(bucket_rows, ["table_id", "bucket"], pair_stage)
+    cand = distinct_rows(cand, ["vec_a", "vec_b"])
+
+    def to_binary(batch: pa.Table) -> pa.Table:
+        m = _normalize(_batch_matrix(batch, col).astype(np.float64))
+        return pa.table({id_col: batch[id_col],
+                         "vec_bin": pack_vectors(m)})
+
+    vec_bin = ds.map_batches(to_binary, batch_format="pyarrow", zero_copy_batch=True)
+
+    joined = join_datasets(cand, vec_bin, on=("vec_a",), right_on=(id_col,),
+                           num_partitions=num_partitions)
+    joined = join_datasets(joined, vec_bin, on=("vec_b",), right_on=(id_col,),
+                           num_partitions=num_partitions,
+                           left_suffix="_a", right_suffix="_b")
+
+    def exact(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"vec_a": pa.array([], pa.int64()),
+                             "vec_b": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        a = unpack_vectors(batch["vec_bin_a"], dim)
+        b = unpack_vectors(batch["vec_bin_b"], dim)
+        sims = np.einsum("ij,ij->i", a, b)
+        keep = sims >= threshold
+        out = batch.select(["vec_a", "vec_b"]).filter(pa.array(keep))
+        return out.append_column("sim", pa.array(sims[keep]))
+
+    return joined.map_batches(exact, batch_format="pyarrow", zero_copy_batch=True)

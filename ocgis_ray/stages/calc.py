@@ -211,8 +211,10 @@ def sessionize(ds, entity_keys, ts_col: str, gap_seconds: float,
                out_col: str = "session_id"):
     """Gap-based sessionization: within each entity (timestamp order),
     a new session starts when the gap to the previous event exceeds
-    ``gap_seconds``.  Session ids are ``<entity-order> * 2^20 + seq``
-    —deterministic and stable under resume.  The engine's session-
+    ``gap_seconds``.  Session ids are a per-entity 0-based sequence —
+    unique only within ``entity_keys`` (group on
+    ``entity_keys + [session_id]``), deterministic and stable under
+    resume.  The engine's session-
     window primitive (ray_guide streaming-shaped workloads; no
     reference analog — the reference is pure batch, SURVEY §2.8).
 

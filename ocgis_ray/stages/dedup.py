@@ -77,6 +77,39 @@ def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
 
 # ------------------------------------------------------------------ minhash
 
+def _pack_sigs(sigs: np.ndarray) -> "pa.Array":
+    """(N, P) uint64 signature matrix -> fixed-width binary column
+    (one buffer copy, no per-row Python)."""
+    sigs = np.ascontiguousarray(sigs, dtype=np.uint64)
+    if sigs.shape[0] == 0:
+        return pa.array([], type=pa.binary())
+    width = sigs.shape[1] * 8
+    offsets = np.arange(0, (sigs.shape[0] + 1) * width, width, dtype=np.int32)
+    return pa.BinaryArray.from_buffers(
+        pa.binary(), sigs.shape[0],
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(sigs.tobytes())],
+    )
+
+
+def _unpack_sigs(col, num_perm: int) -> np.ndarray:
+    """Binary signature column -> (N, P) uint64 (zero-copy view)."""
+    if isinstance(col, pd.Series):
+        if len(col) == 0:
+            return np.empty((0, num_perm), dtype=np.uint64)
+        return np.frombuffer(b"".join(col.to_numpy()), dtype=np.uint64).reshape(
+            len(col), num_perm
+        )
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if len(col) == 0:
+        return np.empty((0, num_perm), dtype=np.uint64)
+    bufs = col.buffers()
+    off = np.frombuffer(bufs[1], dtype=np.int32)[col.offset: col.offset + len(col) + 1]
+    data = np.frombuffer(bufs[2], dtype=np.uint64)
+    start = off[0] // 8
+    return data[start: start + len(col) * num_perm].reshape(len(col), num_perm)
+
+
 class MinHashStage:
     """Actor: text -> 128-perm minhash signature (uint64 wrap hashing).
 
@@ -125,15 +158,20 @@ class MinHashStage:
             b = self.b[None, p0 : p0 + pchunk]
             h = x[:, None] * a + b  # uint64 wrap
             sigs[:, p0 : p0 + pchunk] = np.minimum.reduceat(h, starts, axis=0)
-        return pd.DataFrame(
+        # fixed-width binary signature column: survives Acero hash
+        # joins (list columns don't) and decodes zero-copy
+        return pa.table(
             {
-                "doc_id": df["doc_id"].to_numpy(),
-                "sig": list(sigs.astype(np.int64)),  # arrow-friendly list col
+                "doc_id": pa.array(df["doc_id"].to_numpy(np.int64)),
+                "sig": _pack_sigs(sigs),
             }
         )
 
 
-def minhash_signatures(ds, num_perm: int = 128, k: int = 3, concurrency: int | None = 4):
+def minhash_signatures(ds, num_perm: int = 128, k: int = 3,
+                       concurrency=(1, 4)):
+    # autoscaling pool (min 1 actor) so the signature stage coexists
+    # with downstream join-aggregator reservations on small clusters
     return ds.map_batches(
         MinHashStage,
         batch_format="pandas",
@@ -144,7 +182,7 @@ def minhash_signatures(ds, num_perm: int = 128, k: int = 3, concurrency: int | N
 
 def _band_rows(df: pd.DataFrame, bands: int, rows: int) -> pd.DataFrame:
     """Explode signatures to (band, band_hash, doc_id) LSH rows."""
-    sig = np.stack(df["sig"].to_numpy()).astype(np.uint64)  # (N, P)
+    sig = _unpack_sigs(df["sig"], bands * rows)  # (N, P)
     n = sig.shape[0]
     out_band, out_hash, out_doc = [], [], []
     doc = df["doc_id"].to_numpy()
@@ -204,7 +242,8 @@ def lsh_candidate_pairs(sig_ds, bands: int = 16, rows: int = 8, max_bucket: int 
 
 
 def minhash_near_duplicates(ds, threshold: float = 0.7, num_perm: int = 128,
-                            k: int = 3, bands: int = 16, rows: int = 8):
+                            k: int = 3, bands: int = 16, rows: int = 8,
+                            num_partitions: int | None = None):
     """Full MinHash-LSH near-dup pipeline: signatures -> LSH candidates
     -> signature-estimated Jaccard >= threshold.
 
@@ -212,49 +251,65 @@ def minhash_near_duplicates(ds, threshold: float = 0.7, num_perm: int = 128,
     the standard matching-minima fraction; exact confirmation (for
     tests / borderline pairs) is :func:`ngram_jaccard`.
 
-    Scale note: the signature join back onto candidate pairs is done
-    via a broadcast dict here (signatures are ~1KB/doc); at 10^12 docs
-    it becomes a hash-partitioned join on doc_id — same dataflow, the
-    build side stops being broadcastable."""
-    import ray
+    Dataflow is fully distributed: the signature table (binary-packed,
+    ~1KB/doc) feeds both the banding scan and two hash-shuffle
+    ``Dataset.join``s that attach each candidate side's signature; the
+    estimate then runs as ONE vectorized (N, P) compare per batch.  It
+    is materialized once (a distributed checkpoint in the object
+    store, NOT a driver collect) because two consumers read it — at
+    warehouse scale this is the signatures-to-parquet checkpoint every
+    production minhash pipeline writes anyway."""
+    from ocgis_ray.sources.io import join_datasets
 
-    sig_ds = minhash_signatures(ds, num_perm=num_perm, k=k)
-    sig_pdf = sig_ds.to_pandas()
-    sig_map = {int(d): s for d, s in zip(sig_pdf["doc_id"], sig_pdf["sig"])}
-    sig_ref = ray.put(sig_map)
-    cand = lsh_candidate_pairs(ray.data.from_pandas(sig_pdf), bands=bands, rows=rows)
+    sig_ds = minhash_signatures(ds, num_perm=num_perm, k=k).materialize()
+    cand = lsh_candidate_pairs(sig_ds, bands=bands, rows=rows)
 
-    class Verify:
-        def __init__(self):
-            self.sigs = ray.get(sig_ref)
+    joined = join_datasets(cand, sig_ds, on=("doc_a",), right_on=("doc_id",),
+                           num_partitions=num_partitions)
+    joined = join_datasets(joined, sig_ds, on=("doc_b",), right_on=("doc_id",),
+                           num_partitions=num_partitions,
+                           left_suffix="_a", right_suffix="_b")
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            if len(df) == 0:
-                df["est_jaccard"] = []
-                return df
-            est = np.empty(len(df))
-            for i, (a, b) in enumerate(zip(df["doc_a"], df["doc_b"])):
-                sa, sb = np.asarray(self.sigs[int(a)]), np.asarray(self.sigs[int(b)])
-                est[i] = float(np.mean(sa == sb))
-            df = df.copy()
-            df["est_jaccard"] = est
-            return df
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64()),
+                             "est_jaccard": pa.array([], pa.float64())})
+        sa = _unpack_sigs(batch["sig_a"], num_perm)
+        sb = _unpack_sigs(batch["sig_b"], num_perm)
+        est = (sa == sb).mean(axis=1)
+        keep = est >= threshold
+        out = batch.select(["doc_a", "doc_b"]).filter(pa.array(keep))
+        return out.append_column("est_jaccard", pa.array(est[keep]))
 
-    verified = cand.map_batches(Verify, batch_format="pandas", concurrency=2)
-    return verified.filter(lambda r: r["est_jaccard"] >= threshold)
+    return joined.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def dedup_survivors(ds, pairs_pdf: pd.DataFrame, id_col: str = "doc_id"):
+def dedup_survivors(ds, pairs, id_col: str = "doc_id",
+                    num_partitions: int | None = None):
     """Greedy survivor set: drop any doc that near-matches a smaller
-    id (deterministic, no connected components needed)."""
-    losers = set(pairs_pdf[["doc_a", "doc_b"]].max(axis=1).astype(int).tolist())
+    id (deterministic, no connected components needed).
 
-    def f(t: pa.Table) -> pa.Table:
-        ids = t[id_col].to_numpy(zero_copy_only=False)
-        keep = ~np.isin(ids, list(losers)) if losers else np.ones(len(ids), bool)
-        return t.filter(pa.array(keep))
+    ``pairs`` is a Dataset (or small DataFrame) of (doc_a, doc_b);
+    losers (the max id of each pair) are removed with a hash-shuffle
+    anti-join — no driver-side id set, so the pair table can be
+    arbitrarily large."""
+    import ray.data as rd
 
-    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+    from ocgis_ray.sources.io import distinct_rows, join_datasets
+
+    if isinstance(pairs, pd.DataFrame):
+        pairs = rd.from_pandas(pairs)
+
+    def loser_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "loser_id": np.maximum(df["doc_a"].to_numpy(), df["doc_b"].to_numpy()).astype(np.int64)
+        })
+
+    losers = distinct_rows(pairs.map_batches(loser_rows, batch_format="pandas"),
+                           "loser_id")
+    return join_datasets(ds, losers, on=(id_col,), right_on=("loser_id",),
+                         join_type="left_anti", num_partitions=num_partitions)
 
 
 # ------------------------------------------------------------------ simhash
@@ -287,7 +342,7 @@ class SimHashStage:
         return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(), "simhash": sigs.astype(np.int64)})
 
 
-def simhash_signatures(ds, concurrency: int | None = 4):
+def simhash_signatures(ds, concurrency=(1, 4)):
     return ds.map_batches(SimHashStage, batch_format="pandas", concurrency=concurrency)
 
 

@@ -103,12 +103,15 @@ def idw_interpolate(ds, targets: pd.DataFrame, k: int = 8, power: float = 2.0,
     )
 
     def finalize(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.nsmallest(k, "dist_km")
+        # deterministic tie-break: equal distances order by value (the
+        # knn/ann convention — nsmallest alone keeps arrival order,
+        # which varies run to run with block scheduling)
+        g = g.sort_values(["dist_km", "value"], kind="mergesort").head(k)
         d = g["dist_km"].to_numpy()
         v = g["value"].to_numpy()
         exact = d <= 1e-12
         if exact.any():
-            est = float(v[exact][0])
+            est = float(v[exact].min())
         else:
             w = 1.0 / d ** power
             est = float(np.sum(w * v) / np.sum(w))

@@ -108,12 +108,20 @@ def _match_matrix(
     cells in the batch are never touched."""
     uniq, inverse = np.unique(cell, return_inverse=True)
     n = lon.shape[0]
-    # candidate ugids and, per ugid, which unique-cell slots hit them
+    # candidate ugids and, per ugid, which unique-cell slots hit them.
+    # keep_touches=False demotes full cells to exact-test cells: a cell
+    # classified "full" may still have its closed boundary touching the
+    # polygon boundary (shared edge), and touch exclusion must apply
+    # (spatial/grid.py:627-631 semantics).  The fast path is a
+    # keep_touches=True (default) optimization only.
     full_hits: dict[int, list[int]] = {}
     boundary_hits: dict[int, list[int]] = {}
     for slot, c in enumerate(uniq.tolist()):
         for u in index.cell_full.get(c, ()):  # type: ignore[arg-type]
-            full_hits.setdefault(u, []).append(slot)
+            if keep_touches:
+                full_hits.setdefault(u, []).append(slot)
+            else:
+                boundary_hits.setdefault(u, []).append(slot)
         for u in index.cell_boundary.get(c, ()):  # type: ignore[arg-type]
             boundary_hits.setdefault(u, []).append(slot)
     out: dict[int, np.ndarray] = {}

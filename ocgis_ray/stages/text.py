@@ -143,37 +143,119 @@ def text_stats_sql(col: str = "text") -> dict[str, str]:
     }
 
 
+# ---------------------------------------------------------------- hashing
+
+_FNV = np.uint64(1099511628211)
+
+
+def _mix64(h: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (vectorized) — decorrelates the polynomial
+    hash so min-selection isn't biased toward low-byte windows."""
+    h = np.asarray(h, dtype=np.uint64)
+    h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return h ^ (h >> np.uint64(31))
+
+
+def _horner_hash_bytes(b: bytes, max_len: int = 64) -> np.uint64:
+    """Scalar twin of the vectorized Horner token hash (build side)."""
+    with np.errstate(over="ignore"):  # uint64 wraparound is the point
+        h = np.uint64(0)
+        for c in b[:max_len]:
+            h = h * _FNV + np.uint64(c)
+        return np.uint64(_mix64(np.asarray([h]))[0])
+
+
+_WS_BYTES = b" \t\n\r\x0b\x0c"
+_LOWER_LUT = np.arange(256, dtype=np.uint8)
+_LOWER_LUT[ord("A"): ord("Z") + 1] += 32
+_WS_LUT = np.zeros(256, dtype=bool)
+_WS_LUT[list(_WS_BYTES)] = True
+
+_TOKEN_HASH_MAX_LEN = 64
+
+
+def _tokenize_hash(arr) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Arrow string column -> (token_hashes, token_row, tokens_per_row).
+
+    Fully vectorized over the zero-copy byte view: ASCII-lowercase via
+    LUT, ASCII-whitespace token boundaries (rows always break tokens),
+    Horner polynomial hash per token (loop over CHAR POSITION, not
+    tokens — ~12 vector ops for typical text).  Tokens longer than 64
+    bytes hash their prefix (no stopword is near that long)."""
+    data, off = _string_byte_view(arr)
+    n = len(off) - 1
+    if len(data) == 0:
+        return (np.empty(0, np.uint64), np.empty(0, np.int64),
+                np.zeros(n, np.int64))
+    low = _LOWER_LUT[data]
+    ws = _WS_LUT[low]
+    nonws = ~ws
+    prev = np.empty(len(data), dtype=bool)
+    prev[0] = False
+    prev[1:] = nonws[:-1]
+    row_starts = off[:-1][off[:-1] < len(data)]
+    prev[row_starts] = False  # a row boundary always breaks a token
+    tok_starts = np.nonzero(nonws & ~prev)[0]
+    # token end = first whitespace or row end after the start
+    breaks = np.union1d(np.nonzero(ws)[0], off[1:])
+    tok_ends = breaks[np.searchsorted(breaks, tok_starts, side="right")]
+    tok_lens = tok_ends - tok_starts
+    # Horner over byte position (vectorized across tokens)
+    h = np.zeros(tok_starts.shape, dtype=np.uint64)
+    lmax = int(min(tok_lens.max(), _TOKEN_HASH_MAX_LEN)) if tok_lens.size else 0
+    low64 = low.astype(np.uint64)
+    for u in range(lmax):
+        act = tok_lens > u
+        h[act] = h[act] * _FNV + low64[tok_starts[act] + u]
+    h = _mix64(h)
+    tok_row = np.searchsorted(off[1:], tok_starts, side="right").astype(np.int64)
+    tokens_per_row = np.bincount(tok_row, minlength=n).astype(np.int64)
+    return h, tok_row, tokens_per_row
+
+
 class LangIdStage:
     """Actor-pool language ID: stopword-profile scoring.
 
-    Sets are built once per actor (``__init__``); scoring is a token
-    membership fraction per language, argmax with deterministic 'en'
-    tiebreak.  A heuristic n-gram/stopword identifier per the build
-    brief — NOT a model; the plumbing (actor pool, batch scoring) is
-    what a fasttext-style model would use."""
+    Stopword hash tables are built once per actor (``__init__``);
+    scoring is fully vectorized — one tokenize+hash pass over the
+    batch's zero-copy byte view, sorted-array membership per language,
+    per-row hit fractions via ``bincount``, argmax with deterministic
+    lexicographic tiebreak.  A heuristic stopword identifier per the
+    build brief — NOT a model; the plumbing (actor pool, batch
+    scoring) is what a fasttext-style model would use.
+
+    Tokenization is ASCII-lowercase + ASCII-whitespace split (the
+    vectorizable subset of ``str.lower().split()``; stopword profiles
+    are ASCII or multi-byte CJK, both unaffected)."""
 
     def __init__(self):
-        self.profiles = {lang: frozenset(ws) for lang, ws in STOPWORDS.items()}
-        self.langs = sorted(self.profiles)
+        self.langs = sorted(STOPWORDS)
+        self.tables = [
+            np.sort(np.asarray(
+                [_horner_hash_bytes(w.encode("utf-8")) for w in STOPWORDS[lang]],
+                dtype=np.uint64,
+            ))
+            for lang in self.langs
+        ]
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        preds = []
-        for t in df["text"]:
-            toks = t.lower().split()
-            if not toks:
-                preds.append("und")
-                continue
-            scores = {
-                lang: sum(tok in ws for tok in toks) / len(toks)
-                for lang, ws in self.profiles.items()
-            }
-            best = max(scores.values())
-            if best == 0.0:
-                preds.append("und")
-            else:
-                preds.append(min(l for l, s in scores.items() if s == best))
+        arr = pa.array(df["text"], type=pa.string())
+        h, tok_row, per_row = _tokenize_hash(arr)
+        n = len(df)
+        scores = np.zeros((len(self.langs), n), dtype=np.float64)
+        safe = np.maximum(per_row, 1).astype(np.float64)
+        for i, table in enumerate(self.tables):
+            pos = np.searchsorted(table, h)
+            pos_c = np.minimum(pos, table.size - 1)
+            member = (table[pos_c] == h).astype(np.float64)
+            scores[i] = np.bincount(tok_row, weights=member, minlength=n) / safe
+        best = scores.argmax(axis=0)  # ties -> first = lexicographic min
+        best_score = scores.max(axis=0)
+        langs = np.asarray(self.langs, dtype=object)
+        pred = np.where(best_score > 0.0, langs[best], "und")
         df = df.copy()
-        df["lang_pred"] = preds
+        df["lang_pred"] = pred
         return df
 
 
@@ -182,21 +264,49 @@ def add_lang_pred(ds, concurrency: int | None = 4):
 
 
 def add_fingerprint(ds, col: str = "text", k: int = 8, out: str = "fingerprint"):
-    """Winnowing-style document fingerprint: min rolling char-k-gram
+    """Winnowing-style document fingerprint: min rolling byte-k-gram
     hash (deterministic int64).  Near-identical texts share it; used
-    as a cheap pre-cluster key."""
+    as a cheap pre-cluster key.
 
-    def f(df: pd.DataFrame) -> pd.DataFrame:
-        fps = np.empty(len(df), dtype=np.int64)
-        for i, t in enumerate(df[col]):
-            if len(t) < k:
-                grams = np.asarray([t], dtype=object)
-            else:
-                grams = np.asarray([t[j : j + k] for j in range(len(t) - k + 1)],
-                                   dtype=object)
-            fps[i] = int(pd.util.hash_array(grams).min())
-        df = df.copy()
-        df[out] = fps
-        return df
+    Vectorized: ONE Horner pass builds every window hash over the
+    batch's zero-copy byte view (k vector ops total), row-boundary-
+    crossing windows are excluded with a segment gather, and per-row
+    minima come from ``np.minimum.reduceat`` — no per-doc Python, no
+    k-gram string materialization."""
 
-    return ds.map_batches(f, batch_format="pandas")
+    def f(t: pa.Table) -> pa.Table:
+        text_arr = t[col]
+        if isinstance(text_arr, pa.ChunkedArray):
+            text_arr = text_arr.combine_chunks()
+        data, off = _string_byte_view(text_arr)
+        n = len(off) - 1
+        fps = np.zeros(n, dtype=np.uint64)
+        lens = off[1:] - off[:-1]
+        valid_counts = np.maximum(lens - k + 1, 0)
+        nz = valid_counts > 0
+        if len(data) >= k and nz.any():
+            nwin = len(data) - k + 1
+            h = np.zeros(nwin, dtype=np.uint64)
+            data64 = data.astype(np.uint64)
+            for u in range(k):
+                h = h * _FNV + data64[u: nwin + u]
+            h = _mix64(h)
+            cnts = valid_counts[nz]
+            seg_starts = np.concatenate([[0], np.cumsum(cnts)[:-1]])
+            within = np.arange(int(cnts.sum())) - np.repeat(seg_starts, cnts)
+            vals = h[np.repeat(off[:-1][nz], cnts) + within]
+            fps[nz] = np.minimum.reduceat(vals, seg_starts)
+        short = ~nz
+        if short.any():
+            # rows shorter than k: Horner over the whole row
+            s_off = off[:-1][short]
+            s_len = lens[short]
+            hs = np.zeros(int(short.sum()), dtype=np.uint64)
+            data64 = data.astype(np.uint64)
+            for u in range(int(s_len.max()) if s_len.size else 0):
+                act = s_len > u
+                hs[act] = hs[act] * _FNV + data64[s_off[act] + u]
+            fps[short] = _mix64(hs)
+        return t.append_column(out, pa.array(fps.view(np.int64)))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
