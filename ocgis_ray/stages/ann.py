@@ -126,12 +126,9 @@ def ann_bruteforce(ds, queries: pd.DataFrame, k: int, id_col: str = "vec_id",
                                "id_col": id_col, "col": col},
     )
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["sim", id_col], ascending=[False, True]).head(k).copy()
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
+    from ocgis_ray.sources.io import topk_by_group
 
-    return partial.groupby("query_id").map_groups(final, batch_format="pandas")
+    return topk_by_group(partial, "query_id", ["sim", id_col], [False, True], k)
 
 
 def _hyperplanes(dim: int, nbits: int, ntables: int, seed: int = 11) -> np.ndarray:
@@ -268,12 +265,9 @@ def ann_lsh(ds, queries: pd.DataFrame, k: int, id_col: str = "vec_id",
                           zero_copy_batch=True, batch_size=batch_size,
                           concurrency=2)
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["sim", id_col], ascending=[False, True]).head(k).copy()
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
+    from ocgis_ray.sources.io import topk_by_group
 
-    return cand.groupby("query_id").map_groups(final, batch_format="pandas")
+    return topk_by_group(cand, "query_id", ["sim", id_col], [False, True], k)
 
 
 def embedding_near_duplicates(ds, threshold: float = 0.95, id_col: str = "vec_id",

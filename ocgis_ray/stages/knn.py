@@ -74,20 +74,13 @@ def _empty_knn(id_col: str) -> pa.Table:
     )
 
 
-def _final_topk(k: int, id_col: str):
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["dist_km", id_col]).head(k).copy()
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
-
-    return per_group
-
-
 def knn_bruteforce(ds, queries: pd.DataFrame, k: int, id_col: str = "page_id",
                    concurrency: int | None = 4, batch_size: int = 16384):
     """Exact top-k per query.  ``queries``: DataFrame with columns
     (query_id, lon, lat) — small, broadcast once via ``ray.put``."""
     import ray
+
+    from ocgis_ray.sources.io import topk_by_group
 
     q = {
         "query_id": queries["query_id"].to_numpy(dtype=np.int64),
@@ -103,53 +96,134 @@ def knn_bruteforce(ds, queries: pd.DataFrame, k: int, id_col: str = "page_id",
         batch_size=batch_size,
         fn_constructor_kwargs={"queries_ref": qref, "k": k, "id_col": id_col},
     )
-    return partial.groupby("query_id").map_groups(
-        _final_topk(k, id_col), batch_format="pandas"
-    )
+    return topk_by_group(partial, "query_id", ["dist_km", id_col],
+                         [True, True], k)
 
 
-class _CellRingStage:
-    """Actor: keep only pages whose cell is inside any query's current
-    ring set; tags candidates with the query ids they may serve."""
+class _CellDiskStage:
+    """Actor: emit candidate (query_id, page_id, dist_km) rows where
+    the page's cell lies in that query's disk — vectorized over ALL
+    queries with a single ``searchsorted`` per batch (no per-query
+    ``np.isin`` pass), exact haversine computed in-batch, and a
+    partial per-query top-k so at most Q*k rows per batch reach the
+    final shuffle.
 
-    def __init__(self, cellsets_ref, id_col: str, cell_col: str):
+    Broadcast state: the UNION of every query's disk cells, sorted,
+    with offsets into a flat array of query slots (the inverted-index
+    shape the LSH probe uses), plus the query coordinates."""
+
+    def __init__(self, disks_ref, k: int, id_col: str, cell_col: str):
         import ray
 
-        cs = ray.get(cellsets_ref) if not isinstance(cellsets_ref, dict) else cellsets_ref
-        self.qids = cs["query_id"]
-        self.cells = cs["cells"]  # list of int64 arrays, aligned with qids
+        d = ray.get(disks_ref) if not isinstance(disks_ref, dict) else disks_ref
+        self.cells = d["cells"]        # sorted unique cell ids
+        self.off = d["off"]            # offsets into qslots, len = cells+1
+        self.qslots = d["qslots"]      # flat query ROW indices per cell slot
+        self.qid = d["qid"]
+        self.qlon = d["qlon"]
+        self.qlat = d["qlat"]
+        self.k = k
         self.id_col = id_col
         self.cell_col = cell_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cell = batch[self.cell_col].to_numpy(zero_copy_only=False)
-        outs = []
-        for qid, qcells in zip(self.qids, self.cells):
-            m = np.isin(cell, qcells)
-            if m.any():
-                sub = batch.filter(pa.array(m))
-                outs.append(sub.append_column("query_id", pa.array(
-                    np.full(sub.num_rows, qid, dtype=np.int64))))
-        if not outs:
-            e = batch.slice(0, 0)
-            return e.append_column("query_id", pa.array([], type=pa.int64()))
-        return pa.concat_tables(outs)
+        empty = pa.table({
+            "query_id": pa.array([], pa.int64()),
+            self.id_col: pa.array([], pa.int64()),
+            "dist_km": pa.array([], pa.float64()),
+        })
+        if cell.size == 0 or self.cells.size == 0:
+            return empty
+        pos = np.searchsorted(self.cells, cell)
+        pos_c = np.minimum(pos, self.cells.size - 1)
+        hit = self.cells[pos_c] == cell
+        rows = np.nonzero(hit)[0]
+        if rows.size == 0:
+            return empty
+        p = pos_c[rows]
+        counts = self.off[p + 1] - self.off[p]
+        total = int(counts.sum())
+        within = np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
+        gather = np.repeat(self.off[p], counts) + within
+        qslot = self.qslots[gather]
+        row_rep = np.repeat(rows, counts)
+        lon = batch["lon"].to_numpy(zero_copy_only=False)[row_rep]
+        lat = batch["lat"].to_numpy(zero_copy_only=False)[row_rep]
+        d = haversine_km(lon, lat, self.qlon[qslot], self.qlat[qslot])
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)[row_rep]
+        qids = self.qid[qslot]
+        # partial top-k per query within the batch (lexsort + segment
+        # cumcount — the same Q*k cap the brute-force stage has)
+        order = np.lexsort((ids, d, qids))
+        qs, ds_, is_ = qids[order], d[order], ids[order]
+        new_q = np.empty(qs.shape, dtype=bool)
+        new_q[0] = True
+        new_q[1:] = qs[1:] != qs[:-1]
+        seq = np.arange(qs.size) - np.maximum.accumulate(
+            np.where(new_q, np.arange(qs.size), 0))
+        keep = seq < self.k
+        return pa.table({
+            "query_id": pa.array(qs[keep]),
+            self.id_col: pa.array(is_[keep]),
+            "dist_km": pa.array(ds_[keep]),
+        })
+
+
+def _coverage_km(ring: int, qlat: float, cs: float) -> float:
+    """PROVABLE lower bound on the distance from a query at latitude
+    ``qlat`` to any point OUTSIDE its Chebyshev cell disk of ``ring``.
+
+    A point outside the disk is separated by >= ring*cs degrees in lat
+    or in lon.  Lat case: haversine >= R * dphi.  Lon case: split on
+    the other point's latitude band phi_band = |qlat| + ring*cs — if it
+    is outside the band the lat separation alone gives the meridian
+    bound; inside the band, haversine >= 2 R asin(sqrt(cos(qlat) *
+    cos(phi_band)) * sin(dlon/2)) (the arcsine form — the linearized
+    ``r*cs*111.194*cos(phi)`` bound overshoots by up to ~5%)."""
+    sep = np.radians(ring * cs)
+    meridian = 6371.0088 * sep
+    phi_band = np.radians(min(89.9, abs(qlat) + ring * cs))
+    lon_case = 2.0 * 6371.0088 * np.arcsin(
+        np.sqrt(np.cos(np.radians(qlat)) * max(np.cos(phi_band), 0.0))
+        * np.sin(sep / 2.0)
+    )
+    return float(min(meridian, lon_case))
+
+
+def _disk_upper_km(ring: int, qlat: float, cs: float) -> float:
+    """Upper bound on the distance from the query to ANY point inside
+    its disk of ``ring`` (triangle inequality: meridian leg + parallel
+    leg at the latitude in the disk closest to the equator)."""
+    dlat = np.radians((ring + 1) * cs)
+    dlon = np.radians(min((ring + 1) * cs, 180.0))
+    phi_low = max(0.0, abs(qlat) - (ring + 1) * cs)  # closest-to-equator lat
+    return float(6371.0088 * (dlat + dlon * np.cos(np.radians(phi_low))))
 
 
 def knn_cells(ds, queries: pd.DataFrame, k: int, id_col: str = "page_id",
-              res: int = 7, init_ring: int = 1, max_ring: int = 64,
-              cell_col: str | None = None, batch_size: int = 16384):
-    """Cell-ring-accelerated exact kNN.
+              res: int = 7, cell_col: str | None = None,
+              batch_size: int = 16384, hist: pd.DataFrame | None = None,
+              init_ring: int | None = None, max_ring: int | None = None):
+    """Cell-accelerated exact kNN — ONE candidate scan over ``ds``.
 
-    Gathers candidates within an expanding Chebyshev cell disk per
-    query and refines exactly, doubling the radius until the kth-best
-    exact distance is PROVABLY inside the disk's guaranteed-coverage
-    radius: any point outside a disk of ring ``r`` is separated by at
-    least ``r * cell_size`` degrees in lat or lon, i.e. at least
-    ``r * cs * 111.194 * cos(phi_max)`` km (phi_max = the worst
-    latitude reachable in the lon-separation case).  Exactness is
-    therefore guaranteed, not just likely; tests additionally compare
-    against :func:`knn_bruteforce`."""
+    Instead of repeatedly rescanning with doubled rings, the ring is
+    chosen PROVABLY sufficient up front from a per-cell histogram
+    (bounded by the grid size — 2^res x 2^(res-1) cells — never by the
+    data size; pass a precomputed ``hist`` to reuse one):
+
+    1. histogram pass over the slim cell column (partial-aggregated);
+    2. per query, a 2-D prefix-sum finds the smallest disk r0 holding
+       >= k points, giving the upper bound ``_disk_upper_km(r0)`` on
+       the exact k-th distance;
+    3. the scan ring R is the smallest ring whose guaranteed coverage
+       (``_coverage_km``, arcsine form) exceeds that bound — so no
+       point outside disk(R) can displace the top-k;
+    4. a single vectorized candidate scan + per-query exact refine.
+
+    ``init_ring``/``max_ring`` are accepted for API compatibility;
+    only ``max_ring`` is honored (caps the chosen ring).
+    Matches :func:`knn_bruteforce` exactly (tested)."""
     cell_col = cell_col or f"cell_r{res}"
     import ray
 
@@ -158,51 +232,78 @@ def knn_cells(ds, queries: pd.DataFrame, k: int, id_col: str = "page_id",
     qlat = queries["lat"].to_numpy(dtype=np.float64)
     qcell = grid.encode(qlon, qlat, res)
     cs = grid.cell_size(res)
+    n_ix = 1 << res
+    n_iy = n_ix >> 1
+    ring_cap = max_ring if max_ring is not None else max(n_ix, n_iy)
 
-    def coverage_km(ring: int, lat: float) -> float:
-        phi_max = min(89.9, abs(lat) + (ring + 1) * cs)
-        return ring * cs * 111.194 * np.cos(np.radians(phi_max))
+    # ---- 1. histogram (slim scan, grid-bounded result) -------------
+    if hist is None:
+        from ocgis_ray.stages.tiles import cell_histogram
 
-    def refine(g: pd.DataFrame) -> pd.DataFrame:
-        q = int(g["query_id"].iloc[0])
-        i = int(np.nonzero(qid == q)[0][0])
-        d = haversine_km(g["lon"].to_numpy(), g["lat"].to_numpy(), qlon[i], qlat[i])
-        out = pd.DataFrame(
-            {"query_id": q, id_col: g[id_col].to_numpy(), "dist_km": d}
-        )
-        out = out.sort_values(["dist_km", id_col]).head(k)
-        out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
-        return out
+        hist = cell_histogram(ds, cell_col=cell_col)
+    hx, hy = grid.split(hist[cell_col].to_numpy())
+    counts2d = np.zeros((n_ix, n_iy), dtype=np.int64)
+    counts2d[hx, hy] = hist["n"].to_numpy()
+    # prefix sum with an extra leading row/col of zeros
+    psum = np.zeros((n_ix + 1, n_iy + 1), dtype=np.int64)
+    psum[1:, 1:] = counts2d.cumsum(axis=0).cumsum(axis=1)
+    total_pts = int(counts2d.sum())
 
-    ring = init_ring
-    while True:
-        cellsets = {
-            "query_id": qid,
-            "cells": [grid.disk(int(c), res, ring) for c in qcell],
-        }
-        csref = ray.put(cellsets)
-        cand = ds.map_batches(
-            _CellRingStage,
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-            batch_size=batch_size,
-            concurrency=2,
-            fn_constructor_kwargs={
-                "cellsets_ref": csref,
-                "id_col": id_col,
-                "cell_col": cell_col,
-            },
-        )
-        result = cand.groupby("query_id").map_groups(refine, batch_format="pandas")
-        rp = result.to_pandas()
-        if ring >= max_ring:
-            return result
-        ok = True
-        for i, q in enumerate(qid):
-            mine = rp[rp["query_id"] == int(q)]
-            if len(mine) < k or mine["dist_km"].max() > coverage_km(ring, qlat[i]):
-                ok = False
-                break
-        if ok:
-            return result
-        ring *= 2
+    def disk_count(ix: int, iy: int, r: int) -> int:
+        y0, y1 = max(0, iy - r), min(n_iy - 1, iy + r)
+        x0, x1 = ix - r, ix + r
+        if x1 - x0 + 1 >= n_ix:
+            x0, x1 = 0, n_ix - 1
+        def rect(a0, a1):  # inclusive ix range, no wrap
+            return int(psum[a1 + 1, y1 + 1] - psum[a0, y1 + 1]
+                       - psum[a1 + 1, y0] + psum[a0, y0])
+        if x0 >= 0 and x1 < n_ix:
+            return rect(x0, x1)
+        # longitude wrap: split into two rects
+        return rect(x0 % n_ix, n_ix - 1) + rect(0, x1 % n_ix)
+
+    # ---- 2./3. choose a provably sufficient ring per query ---------
+    disks = []
+    kq = min(k, total_pts) if total_pts else 0
+    for i in range(len(qid)):
+        ix, iy = (int(v) for v in grid.split(np.asarray([qcell[i]])))
+        r0 = 0
+        while disk_count(ix, iy, r0) < kq and r0 < ring_cap:
+            r0 += 1
+        bound = _disk_upper_km(r0, float(qlat[i]), cs)
+        R = r0
+        while R < ring_cap and _coverage_km(R, float(qlat[i]), cs) < bound:
+            R += 1
+        disks.append(grid.disk(int(qcell[i]), res, R))
+
+    # inverted cell -> query-slot index (union of all disks)
+    all_cells = np.concatenate(disks) if disks else np.empty(0, np.int64)
+    owners = np.concatenate(
+        [np.full(len(d), i, dtype=np.int64) for i, d in enumerate(disks)]
+    ) if disks else np.empty(0, np.int64)
+    order = np.argsort(all_cells, kind="stable")
+    sc, so = all_cells[order], owners[order]
+    uniq, starts = np.unique(sc, return_index=True)
+    off = np.concatenate([starts, [len(sc)]]).astype(np.int64)
+    disks_ref = ray.put({"cells": uniq, "off": off, "qslots": so,
+                         "qid": qid, "qlon": qlon, "qlat": qlat})
+
+    # ---- 4. one candidate scan (exact dist + partial top-k in-batch)
+    #         + bucketed final top-k ---------------------------------
+    cand = ds.map_batches(
+        _CellDiskStage,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=2,
+        fn_constructor_kwargs={
+            "disks_ref": disks_ref,
+            "k": k,
+            "id_col": id_col,
+            "cell_col": cell_col,
+        },
+    )
+    from ocgis_ray.sources.io import topk_by_group
+
+    return topk_by_group(cand, "query_id", ["dist_km", id_col],
+                         [True, True], k)

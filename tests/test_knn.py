@@ -64,3 +64,40 @@ def test_bruteforce_matches_numpy_direct(geo_ds):
                      float(QUERIES["lon"][0]), float(QUERIES["lat"][0]))
     order = np.lexsort((pdf["page_id"].to_numpy(), d))[:3]
     assert out["page_id"].tolist() == pdf["page_id"].to_numpy()[order].tolist()
+
+
+def test_cells_thousand_queries(geo_ds):
+    """10^3 queries through the single-scan path: one inverted-index
+    probe per batch, no per-query rescans (the old ring-doubling shape
+    was O(log max_ring) full scans and O(Q) isin passes per batch)."""
+    from ocgis_ray.stages.knn import knn_bruteforce, knn_cells
+
+    rng = np.random.RandomState(3)
+    qs = pd.DataFrame({
+        "query_id": np.arange(1000, dtype=np.int64),
+        "lon": rng.uniform(-179.9, 179.9, 1000),
+        "lat": rng.uniform(-85.0, 85.0, 1000),
+    })
+    cr = knn_cells(geo_ds, qs, k=3).to_pandas()
+    assert cr.groupby("query_id").size().eq(3).all() and len(cr) == 3000
+    # exactness spot-check against brute force on a slice
+    sample = qs.iloc[::97].reset_index(drop=True)
+    bf = knn_bruteforce(geo_ds, sample, k=3).to_pandas()
+    cs = cr[cr["query_id"].isin(sample["query_id"])]
+    for q in sample["query_id"]:
+        a = bf[bf["query_id"] == q].sort_values("rank")["page_id"].tolist()
+        b = cs[cs["query_id"] == q].sort_values("rank")["page_id"].tolist()
+        assert a == b, f"query {q}: {a} vs {b}"
+
+
+def test_cells_polar_query(geo_ds):
+    """near-pole query exercises the latitude clamp in the coverage
+    bound and the disk's longitude wrap."""
+    from ocgis_ray.stages.knn import knn_bruteforce, knn_cells
+
+    qs = pd.DataFrame({"query_id": np.array([0], dtype=np.int64),
+                       "lon": [12.0], "lat": [88.5]})
+    bf = knn_bruteforce(geo_ds, qs, k=4).to_pandas()
+    cr = knn_cells(geo_ds, qs, k=4).to_pandas()
+    assert bf.sort_values("rank")["page_id"].tolist() == \
+        cr.sort_values("rank")["page_id"].tolist()
