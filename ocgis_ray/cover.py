@@ -45,8 +45,15 @@ def cover_polygon(poly: Polygon, res: int) -> Covering:
     A cell whose clipped area equals the cell area (within 1e-9
     relative) is full; misclassifying a full cell as boundary is safe
     (it only adds exact point tests), the reverse is not.
+
+    Antimeridian-crossing polygons cover via their canonical split
+    parts (``Polygon.parts``); clip areas sum across parts and
+    subtract holes (``Polygon.clip_area_rect``), so a raw +-180-
+    crossing ring needs no caller-side pre-splitting.
     """
-    cells = grid.cells_in_bbox(*poly.bbox, res)
+    cells = np.unique(np.concatenate(
+        [grid.cells_in_bbox(*p.bbox, res) for p in poly.parts]
+    ))
     cell_area = grid.cell_size(res) ** 2
     full, bnd, bnd_area = [], [], []
     for c in cells.tolist():

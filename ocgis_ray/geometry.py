@@ -35,35 +35,101 @@ def _is_convex(verts: np.ndarray) -> bool:
     return bool(np.all(cross >= 0) or np.all(cross <= 0))
 
 
+def _unwrap_ring(v: np.ndarray) -> tuple[np.ndarray, bool]:
+    """Make ring longitudes continuous (no >180-degree jumps between
+    consecutive vertices).  Returns (unwrapped verts, crossed) — the
+    analog of the reference's wrap/unwrap subsystem
+    (``/root/reference/src/ocgis/spatial/wrap.py:38-304``)."""
+    lon = v[:, 0].copy()
+    d = np.diff(lon)
+    corr = np.zeros(len(lon))
+    corr[1:] = np.cumsum(np.where(d > 180.0, -360.0, np.where(d < -180.0, 360.0, 0.0)))
+    if not corr.any():
+        return v, False
+    out = v.copy()
+    out[:, 0] = lon + corr
+    return out, True
+
+
 @dataclass
 class Polygon:
-    """A single-ring polygon in lon/lat degrees.
+    """A polygon in lon/lat degrees: one outer ring plus optional
+    interior rings (holes — ``variable/geom.py:333-637`` handles these
+    during polygon->mesh conversion in the reference).
 
     ``verts`` is (n, 2), open ring (no repeated last vertex), stored
-    CCW.  The ``GeometryVariable`` analog for the build side of spatial
-    joins — always a small, driver-resident object broadcast via
-    ``ray.put``, never a Dataset row."""
+    CCW.  ``holes`` is a list of open rings.  A ring crossing the
+    antimeridian (consecutive lon jump > 180) is detected at
+    construction, unwrapped to continuous lons, and split into
+    canonical [-180, 180] parts that every predicate/measure delegates
+    to — callers never pre-split.  The ``GeometryVariable`` analog for
+    the build side of spatial joins — always a small, driver-resident
+    object broadcast via ``ray.put``, never a Dataset row."""
 
     ugid: int
     name: str
     verts: np.ndarray
+    holes: list = field(default_factory=list)
     convex: bool = field(init=False)
     bbox: tuple[float, float, float, float] = field(init=False)
+    crosses_am: bool = field(init=False)
 
     def __post_init__(self) -> None:
         v = np.asarray(self.verts, dtype=np.float64)
         if v.shape[0] >= 3 and np.allclose(v[0], v[-1]):
             v = v[:-1]
+        v, self.crosses_am = _unwrap_ring(v)
         if not _is_ccw(v):
             v = v[::-1].copy()
         self.verts = v
-        self.convex = _is_convex(v)
+        hs = []
+        for h in self.holes:
+            h = np.asarray(h, dtype=np.float64)
+            if h.shape[0] >= 3 and np.allclose(h[0], h[-1]):
+                h = h[:-1]
+            hs.append(h)
+        self.holes = hs
+        self.convex = _is_convex(v) and not self.holes and not self.crosses_am
         self.bbox = (
             float(v[:, 0].min()),
             float(v[:, 1].min()),
             float(v[:, 0].max()),
             float(v[:, 1].max()),
         )
+        # eager antimeridian split into canonical-window parts (the
+        # parts are non-crossing, so no recursion)
+        self._parts: list[Polygon] = []
+        if self.crosses_am:
+            self._parts = self._split_canonical()
+
+    def _split_canonical(self) -> "list[Polygon]":
+        """Clip the unwrapped ring against the canonical lon window and
+        its +-360 neighbors; shift each piece back into [-180, 180]."""
+        if self.holes:
+            raise NotImplementedError(
+                "antimeridian-crossing polygons with holes are not supported"
+            )
+        parts = []
+        for shift in (-360.0, 0.0, 360.0):
+            clipped = clip_poly_rect(
+                self.verts, -180.0 + shift, -90.0, 180.0 + shift, 90.0
+            )
+            if clipped is not None and clipped.shape[0] >= 3 \
+                    and shoelace_area(clipped) > 1e-12:
+                part = clipped.copy()
+                part[:, 0] -= shift
+                parts.append(Polygon(self.ugid, f"{self.name}/am{int(shift)}", part))
+        return parts
+
+    @property
+    def parts(self) -> "list[Polygon]":
+        """Canonical-window parts (self if not antimeridian-crossing)."""
+        return self._parts if self.crosses_am else [self]
+
+    @property
+    def rings(self) -> list:
+        """All rings (outer + holes) — the even-odd edge set."""
+        return [self.verts] + list(self.holes)
 
     # -- predicates -------------------------------------------------
 
@@ -74,14 +140,27 @@ class Polygon:
 
         ``keep_touches`` mirrors the reference's touch-inclusion flag
         (``spatial/grid.py:627-631``): True keeps points on the
-        boundary, False drops them.  Exact only for convex rings;
-        ray-casting (non-convex) has the usual even-odd edge rules.
+        boundary (outer OR hole edges), False drops them.  Convex
+        hole-free rings use the half-plane test (bit-identical to the
+        generated oracle SQL); everything else uses even-odd ray
+        casting over all rings with an explicit on-boundary test, so
+        ``keep_touches`` is honored in BOTH paths.
         """
         px = np.asarray(px, dtype=np.float64)
         py = np.asarray(py, dtype=np.float64)
+        if self.crosses_am:
+            out = np.zeros(px.shape, dtype=bool)
+            for part in self._parts:
+                out |= part.contains(px, py, keep_touches=keep_touches)
+            return out
         if self.convex:
             return _contains_convex(self.verts, px, py, keep_touches)
-        return _contains_raycast(self.verts, px, py)
+        inside = np.zeros(px.shape, dtype=bool)
+        onb = np.zeros(px.shape, dtype=bool)
+        for ring in self.rings:
+            inside ^= _contains_raycast(ring, px, py)
+            onb |= _on_boundary(ring, px, py)
+        return (inside | onb) if keep_touches else (inside & ~onb)
 
     def convex_pip_sql(self, px_expr: str, py_expr: str) -> str:
         """DuckDB predicate equivalent to ``contains`` for convex rings.
@@ -103,20 +182,54 @@ class Polygon:
             )
         return "(" + " AND ".join(terms) + ")"
 
+    def evenodd_pip_sql(self, px_expr: str, py_expr: str,
+                        keep_touches: bool = True) -> str:
+        """DuckDB predicate equivalent to the even-odd ``contains``
+        (non-convex rings and holes — hole edges join the same edge
+        set, which is exactly how even-odd encodes interior rings).
+
+        Generated from the same vertex arrays with identical operation
+        order (``x0 + (py - y0) * (x1 - x0) / (y1 - y0)``), so float
+        crossing decisions match numpy bit-for-bit away from
+        on-boundary points.  ``keep_touches`` is only safe to mirror
+        for points not exactly on an edge; oracle layers choose
+        non-degenerate coordinates."""
+        terms = []
+        for ring in ([self.verts] + list(self.holes)):
+            n = ring.shape[0]
+            for i in range(n):
+                x0, y0 = repr(ring[i, 0]), repr(ring[i, 1])
+                x1, y1 = repr(ring[(i + 1) % n, 0]), repr(ring[(i + 1) % n, 1])
+                terms.append(
+                    f"CASE WHEN (({y0} > ({py_expr})) != ({y1} > ({py_expr})))"
+                    f" AND (({px_expr}) < {x0} + (({py_expr}) - {y0})"
+                    f" * ({x1} - {x0}) / ({y1} - {y0})) THEN 1 ELSE 0 END"
+                )
+        return "((" + " + ".join(terms) + ") % 2 = 1)"
+
     # -- measures ---------------------------------------------------
 
     def area(self) -> float:
-        """Planar shoelace area in square degrees (the reference's
-        area weights are planar too, ``variable/geom.py:229-321``)."""
-        return shoelace_area(self.verts)
+        """Planar shoelace area in square degrees, holes subtracted
+        (the reference's area weights are planar too,
+        ``variable/geom.py:229-321``)."""
+        a = sum(shoelace_area(p.verts) for p in self.parts)
+        return a - sum(shoelace_area(h) for h in self.holes)
 
     def clip_area_rect(self, x0: float, y0: float, x1: float, y1: float) -> float:
         """Area of ``self`` intersected with an axis-aligned rect
-        (e.g. a grid cell) via Sutherland-Hodgman clipping."""
-        clipped = clip_poly_rect(self.verts, x0, y0, x1, y1)
-        if clipped is None or clipped.shape[0] < 3:
-            return 0.0
-        return shoelace_area(clipped)
+        (e.g. a grid cell) via Sutherland-Hodgman clipping; hole
+        overlap is subtracted (holes are convex-clipped the same way)."""
+        a = 0.0
+        for part in self.parts:
+            clipped = clip_poly_rect(part.verts, x0, y0, x1, y1)
+            if clipped is not None and clipped.shape[0] >= 3:
+                a += shoelace_area(clipped)
+        for h in self.holes:
+            clipped = clip_poly_rect(h, x0, y0, x1, y1)
+            if clipped is not None and clipped.shape[0] >= 3:
+                a -= shoelace_area(clipped)
+        return a
 
 
 def _contains_convex(
@@ -130,6 +243,24 @@ def _contains_convex(
         cross = (x1 - x0) * (py - y0) - (y1 - y0) * (px - x0)
         ok &= (cross >= 0.0) if keep_touches else (cross > 0.0)
     return ok
+
+
+def _on_boundary(verts: np.ndarray, px: np.ndarray, py: np.ndarray) -> np.ndarray:
+    """Boolean mask: point exactly on a ring edge (collinear and
+    within the segment's bbox) — gives the raycast path the explicit
+    touch test the convex half-plane path gets for free, so
+    ``keep_touches`` has defined semantics on non-convex rings
+    (reference rule: ``spatial/grid.py:627-631``)."""
+    onb = np.zeros(px.shape, dtype=bool)
+    n = verts.shape[0]
+    for i in range(n):
+        x0, y0 = verts[i]
+        x1, y1 = verts[(i + 1) % n]
+        cross = (x1 - x0) * (py - y0) - (y1 - y0) * (px - x0)
+        inx = (px >= min(x0, x1)) & (px <= max(x0, x1))
+        iny = (py >= min(y0, y1)) & (py <= max(y0, y1))
+        onb |= (cross == 0.0) & inx & iny
+    return onb
 
 
 def _contains_raycast(verts: np.ndarray, px: np.ndarray, py: np.ndarray) -> np.ndarray:

@@ -61,18 +61,50 @@ def _quadrants() -> list[Polygon]:
 
 
 def _hard_cases() -> list[Polygon]:
-    """pytest-only layer: non-convex ring + antimeridian-adjacent box
-    (the reference's wrap/unwrap subsystem, ``spatial/wrap.py``,
-    collapses to canonical lon in this engine; a true crossing polygon
-    is represented as two split parts sharing a ugid)."""
+    """pytest-only layer: non-convex ring + a RAW antimeridian-crossing
+    ring (auto-split at construction into canonical parts — the
+    reference's wrap/unwrap subsystem, ``spatial/wrap.py:38-304``;
+    see ``geometry._unwrap_ring`` / ``Polygon._split_canonical``)."""
     lshape = Polygon(
         101, "lshape",
         np.array([[10.0, 10.0], [20.0, 10.0], [20.0, 14.0], [14.0, 14.0],
                   [14.0, 20.0], [10.0, 20.0]]),
     )
-    west = _rect(102, "fiji_w", 175.0, -20.0, 180.0, -15.0)
-    east = _rect(102, "fiji_e", -180.0, -20.0, -177.0, -15.0)
-    return [lshape, west, east]
+    fiji = Polygon(
+        102, "fiji",
+        np.array([[175.0, -20.0], [-177.0, -20.0], [-177.0, -15.0],
+                  [175.0, -15.0]]),
+    )
+    return [lshape, fiji]
+
+
+def _nonconvex_holes() -> list[Polygon]:
+    """Oracle-checkable layer of NON-CONVEX polygons with interior
+    rings, placed over hot-city regions so joins are non-trivial.
+    Edge coordinates are deliberately non-round so no synthetic page
+    lands exactly on a boundary (the generated even-odd SQL matches
+    the raycast kernel bit-for-bit only off-boundary)."""
+    # the bay hot box is lon [-122.5, -122.3] x lat [37.7, 37.9]; the
+    # notch/hole straddle PART of it so the join splits the cluster
+    u_shape = Polygon(
+        201, "bay_u",
+        np.array([[-123.07, 36.91], [-121.43, 36.91], [-121.43, 38.61],
+                  [-121.87, 38.61], [-121.87, 37.79], [-122.41, 37.79],
+                  [-122.41, 38.61], [-123.07, 38.61]]),
+    )
+    donut = Polygon(
+        202, "nyc_donut",
+        np.array([[-75.13, 39.87], [-72.89, 39.87], [-72.89, 41.63],
+                  [-75.13, 41.63]]),
+        holes=[np.array([[-74.03, 40.63], [-73.57, 40.63], [-73.57, 41.08],
+                         [-74.03, 41.08]])],
+    )
+    arrow = Polygon(
+        203, "london_arrow",
+        np.array([[-1.07, 50.91], [1.09, 50.91], [0.13, 51.57],
+                  [1.09, 52.23], [-1.07, 52.23]]),
+    )
+    return [u_shape, donut, arrow]
 
 
 def _us_states48() -> list[Polygon]:
@@ -100,6 +132,7 @@ _LAYERS = {
     "world_regions": _world_regions,
     "quadrants": _quadrants,
     "hard_cases": _hard_cases,
+    "nonconvex_holes": _nonconvex_holes,
     "us_states48": _us_states48,
 }
 

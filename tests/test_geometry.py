@@ -108,3 +108,73 @@ def test_shoelace_and_clip_poly_rect():
     clipped = clip_poly_rect(tri, -1.0, -1.0, 5.0, 5.0)
     assert shoelace_area(clipped) == pytest.approx(8.0)
     assert clip_poly_rect(tri, 10.0, 10.0, 11.0, 11.0) is None
+
+
+def test_holes_and_keep_touches_nonconvex():
+    """interior rings + boundary-aware keep_touches in the raycast
+    path (reference touch rule: spatial/grid.py:627-631; interior-ring
+    handling: variable/geom.py:333-637)."""
+    from ocgis_ray.geometry import Polygon
+
+    donut = Polygon(
+        1, "donut",
+        np.array([[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0]]),
+        holes=[np.array([[3.0, 3.0], [7.0, 3.0], [7.0, 7.0], [3.0, 7.0]])],
+    )
+    assert not donut.convex
+    px = np.array([5.0, 1.0, 3.0, 0.0, 5.0, 20.0])
+    py = np.array([5.0, 1.0, 5.0, 5.0, 0.0, 5.0])
+    # hole center / interior / on-hole-edge / on-outer-edge / on-outer-edge / outside
+    assert donut.contains(px, py, keep_touches=True).tolist() == \
+        [False, True, True, True, True, False]
+    assert donut.contains(px, py, keep_touches=False).tolist() == \
+        [False, True, False, False, False, False]
+    assert donut.area() == pytest.approx(84.0)
+    assert donut.clip_area_rect(0, 0, 5, 5) == pytest.approx(21.0)
+
+
+def test_evenodd_sql_parity_holes():
+    import duckdb
+
+    from ocgis_ray.geometry import Polygon
+
+    L = Polygon(
+        4, "L",
+        np.array([[10.0, 10.0], [20.0, 10.0], [20.0, 14.0], [14.0, 14.0],
+                  [14.0, 20.0], [10.0, 20.0]]),
+        holes=[np.array([[11.0, 11.0], [13.0, 11.0], [13.0, 13.0], [11.0, 13.0]])],
+    )
+    rng = np.random.RandomState(0)
+    tx = rng.uniform(8, 22, 2000)
+    ty = rng.uniform(8, 22, 2000)
+    mine = L.contains(tx, ty, True)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE pts AS SELECT * FROM (SELECT unnest(?) x, unnest(?) y)",
+                [tx.tolist(), ty.tolist()])
+    theirs = con.execute(
+        f"SELECT {L.evenodd_pip_sql('x', 'y')} FROM pts").df().iloc[:, 0].to_numpy()
+    assert (mine == theirs).all()
+    assert 0 < mine.sum() < len(mine)
+
+
+def test_antimeridian_autosplit():
+    """raw +-180-crossing ring: auto-unwrap + canonical split; covering
+    equals the union of hand-split halves (spatial/wrap.py analog)."""
+    from ocgis_ray.cover import cover_polygon
+    from ocgis_ray.geometry import Polygon
+
+    cross = Polygon(2, "fiji", np.array(
+        [[175.0, -20.0], [-177.0, -20.0], [-177.0, -15.0], [175.0, -15.0]]))
+    assert cross.crosses_am and len(cross.parts) == 2
+    qx = np.array([178.0, -179.0, 170.0, 0.0])
+    qy = np.array([-17.0, -17.0, -17.0, 0.0])
+    assert cross.contains(qx, qy).tolist() == [True, True, False, False]
+    west = Polygon(3, "w", np.array(
+        [[175.0, -20.0], [180.0, -20.0], [180.0, -15.0], [175.0, -15.0]]))
+    east = Polygon(3, "e", np.array(
+        [[-180.0, -20.0], [-177.0, -20.0], [-177.0, -15.0], [-180.0, -15.0]]))
+    cov = cover_polygon(cross, 7)
+    union = np.unique(np.concatenate(
+        [cover_polygon(west, 7).cells, cover_polygon(east, 7).cells]))
+    assert np.array_equal(np.sort(cov.cells), union)
+    assert cross.area() == pytest.approx(west.area() + east.area())
