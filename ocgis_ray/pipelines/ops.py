@@ -135,42 +135,41 @@ class OcgRayOperations:
         """Run the pipeline; return type follows ``output_format``."""
         ds = self._dataset()
         if self.calc:
-            from ocgis_ray.stages import calc as calc_mod
-            from ocgis_ray.stages.tiles import grouped_aggregate
+            # ALL calc entries compile into ONE bucketed group-apply —
+            # one shuffle, one pass, whatever the calc list length (the
+            # reference's engine also runs its calc library per group
+            # in one sweep, ops/engine.py).  Only the group keys and
+            # referenced fields cross the shuffle.
+            import pandas as pd
+
+            from ocgis_ray.parity import sql_round
+            from ocgis_ray.sources.io import bucketed_group_apply
 
             keys = self._group_keys() or ["rep"]  # degenerate: global-ish
-            out = None
-            for spec in self.calc:
-                func = spec["func"]
-                fld = spec["field"]
-                name = spec.get("name", f"{func}_{fld}")
-                if func == "median":
-                    part = calc_mod.quantile_rollup(ds, keys, fld, 0.5, out_col=name)
-                elif func in ("mean", "std"):
-                    stats = calc_mod.stats_rollup(ds, keys, fld)
-                    col = {"mean": "mean_v", "std": "std_v"}[func]
-                    part = stats.map_batches(
-                        lambda df, col=col, name=name: df[keys + [col]].rename(
-                            columns={col: name}
-                        ),
-                        batch_format="pandas",
-                    )
-                else:
-                    kind = {"sum": "sum", "min": "min", "max": "max", "count": "count"}[func]
-                    part = grouped_aggregate(
-                        ds, keys, {name: (fld if kind != "count" else None, kind)}
-                    )
-                if out is None:
-                    out = part
-                else:
-                    # join result columns on the group keys (driver-side;
-                    # results are small rollups)
-                    a = out.to_pandas()
-                    b = part.to_pandas()
-                    import ray.data as rd
+            specs = [
+                (c["func"], c["field"], c.get("name", f"{c['func']}_{c['field']}"))
+                for c in self.calc
+            ]
+            fields = sorted({f for _, f, _ in specs})
+            slim = ds.select_columns(sorted(set(keys) | set(fields)))
 
-                    out = rd.from_pandas(a.merge(b, on=keys))
-            result = out
+            def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+                gb = g.groupby(keys, sort=False)
+                cols = {}
+                for func, fld, name in specs:
+                    if func == "count":
+                        s = gb[fld].size()
+                    elif func == "median":
+                        s = gb[fld].median().map(lambda v: float(sql_round(v, 4)))
+                    elif func in ("mean", "std"):
+                        s = getattr(gb[fld], func)()
+                        s = s.map(lambda v: float(sql_round(v, 4)))
+                    else:
+                        s = getattr(gb[fld], func)()
+                    cols[name] = s
+                return pd.DataFrame(cols).reset_index()
+
+            result = bucketed_group_apply(slim, keys, per_bucket)
         elif self.aggregate and self.geom is not None:
             from ocgis_ray.stages.tiles import grouped_aggregate
 

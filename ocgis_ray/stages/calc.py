@@ -83,22 +83,26 @@ def stats_rollup(ds, keys, value_col: str, round_digits: int = ROUND_DIGITS):
 
 def quantile_rollup(ds, keys, value_col: str, q: float, out_col: str = "q_v",
                     round_digits: int = ROUND_DIGITS):
-    """Exact grouped percentile (``freq_perc``/median analog) via
-    ``map_groups`` — linear interpolation, identical to DuckDB
-    ``quantile_cont``.  Exact quantiles are inherently a full-group
-    operation; groups here are small (key-partitioned); for huge
-    groups a t-digest sketch would replace this."""
+    """Exact grouped percentile (``freq_perc``/median analog) —
+    linear interpolation, identical to DuckDB ``quantile_cont``.
+    Exact quantiles are inherently a full-group operation, so groups
+    co-locate via the hash-bucket shuffle and ALL groups in a bucket
+    compute in one vectorized pandas pass (per-group ``map_groups``
+    runs ~700 groups/s); for huge single groups a t-digest sketch
+    would replace this."""
     keys = [keys] if isinstance(keys, str) else list(keys)
+    from ocgis_ray.sources.io import bucketed_group_apply
 
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.head(1)[keys].copy()
-        out[out_col] = sql_round(
-            np.percentile(g[value_col].to_numpy(dtype=np.float64), q * 100.0),
-            round_digits,
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(keys, sort=False)[value_col].quantile(
+            q, interpolation="linear"
         )
+        out = s.reset_index()
+        out[out_col] = sql_round(out.pop(value_col).to_numpy(np.float64),
+                                 round_digits)
         return out
 
-    return ds.groupby(keys).map_groups(per_group, batch_format="pandas")
+    return bucketed_group_apply(ds, keys, per_bucket)
 
 
 def threshold_rollup(ds, keys, value_col: str, lower=None, upper=None,

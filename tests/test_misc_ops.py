@@ -121,3 +121,39 @@ def test_asof_join(ray_session):
     import numpy as np
 
     assert np.isnan(got[3])  # 'b' has no mark <= 00:30
+
+
+def test_geojson_loader(ray_session, sf_dir):
+    """GeoJSON FeatureCollection -> Polygon layer -> real join
+    (driver/vector.py + geom_cabinet.py analog).  Hand-computed
+    membership: the sydney donut hole excludes part of the hot box."""
+    import os
+
+    import numpy as np
+
+    import ocgis_ray
+    from ocgis_ray.sources.geojson import load_geojson, register_geojson_layer
+    from ocgis_ray.sources.cabinet import layer
+    from ocgis_ray.sources.pages import pages_dataset
+    from ocgis_ray.stages.geocode import geocode
+    from ocgis_ray.stages.spatial_join import spatial_join
+
+    path = os.path.join(os.path.dirname(ocgis_ray.__file__), "data",
+                        "oracle_layer.geojson")
+    polys = load_geojson(path)
+    ugids = sorted({p.ugid for p in polys})
+    assert ugids == [301, 302, 303]
+    donut = [p for p in polys if p.ugid == 302][0]
+    assert len(donut.holes) == 1 and not donut.convex
+    # hand-computed: hole center excluded, ring interior included
+    assert not donut.contains(np.array([151.4]), np.array([-33.8]))[0]
+    assert donut.contains(np.array([150.5]), np.array([-34.0]))[0]
+    multi = [p for p in polys if p.ugid == 303]
+    assert len(multi) == 2  # MultiPolygon parts share the ugid
+
+    register_geojson_layer("geojson_oracle", path)
+    ds = geocode(pages_dataset(sf_dir).drop_columns(["html"]))
+    out = spatial_join(ds, layer("geojson_oracle"), how="inner",
+                       concurrency=2).to_pandas()
+    counts = out.groupby("ugid").size().to_dict()
+    assert set(counts) <= {301, 302, 303} and counts.get(302, 0) > 0
