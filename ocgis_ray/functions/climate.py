@@ -1,0 +1,227 @@
+"""Climate-index library — the ICCLIM-contrib analog at breadth.
+
+The reference ships ~50 ECA&D indices through a registration seam
+(``/root/reference/src/ocgis/contrib/library_icclim.py``,
+``calc/library/register.py:10-43``).  This module provides the same
+shape over the events table: a REGISTRY of per-entity series indices
+(``register_index``) and :func:`climate_indices`, which evaluates every
+requested index in ONE bucketed shuffle — the entity's ordered series
+is materialized exactly once per group, all indices read it.
+
+Index semantics (value plays the daily-variable role, ts the day):
+
+- ``tg`` / ``tx`` / ``tn``      mean / max / min  (ECA&D TG, TX, TN)
+- ``su`` / ``tr``               count value >  threshold  (SU, TR)
+- ``fd`` / ``id_``              count value <  threshold  (FD, ID)
+- ``dtr``                       mean over days of daily max-min (DTR)
+- ``cdd`` / ``cwd``             longest run below/at-or-above wet_thr
+                                in (ts, event_id) order (CDD, CWD)
+- ``prcptot``                   sum of values >= wet_thr  (PRCPTOT)
+- ``r95ptot``                   sum of values > the entity's own 95th
+                                percentile (R95pTOT, whole-series base)
+- ``tx90p``                     count of values > the 90th percentile
+
+Every index has an exact DuckDB twin assembled by
+:func:`climate_indices_sql` (gaps-and-islands for the run lengths,
+``quantile_cont`` for percentile bases); float outputs round via
+``sql_round`` on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+import pandas as pd
+
+from ocgis_ray.parity import sql_round
+
+ROUND = 4
+
+# thresholds tuned to the synthetic events value range (0..490, median ~35)
+DEFAULTS = {"su_thr": 60.0, "fd_thr": 10.0, "tr_thr": 120.0, "id_thr": 5.0,
+            "wet_thr": 30.0}
+
+#: name -> fn(values_sorted, days_sorted, params) -> scalar
+_INDEX_FUNCS: dict[str, Callable] = {}
+
+
+def register_index(name: str, fn: Callable) -> None:
+    """Plugin seam: add a per-entity series index (the
+    ``FunctionRegistry.append`` analog)."""
+    _INDEX_FUNCS[name] = fn
+
+
+def index_names() -> list[str]:
+    return sorted(_INDEX_FUNCS)
+
+
+def _max_run(mask: np.ndarray) -> int:
+    """Longest consecutive True run (vectorized RLE)."""
+    if mask.size == 0 or not mask.any():
+        return 0
+    m = np.concatenate([[False], mask, [False]])
+    edges = np.flatnonzero(m[1:] != m[:-1])
+    return int((edges[1::2] - edges[0::2]).max())
+
+
+def _cents(v: np.ndarray) -> np.ndarray:
+    """Exact integer cents (values are 2-decimal): float sums at scale
+    cross rounding boundaries between numpy and SQL accumulation
+    orders; integer sums are exact on both sides."""
+    return np.floor(v * 100.0 + 0.5).astype(np.int64)
+
+
+def _tg(v: np.ndarray, d: np.ndarray, p: dict) -> float:
+    return float(sql_round((_cents(v).sum() / 100.0) / v.size, ROUND))
+
+
+register_index("tg", _tg)
+register_index("tx", lambda v, d, p: float(v.max()))
+register_index("tn", lambda v, d, p: float(v.min()))
+register_index("su", lambda v, d, p: int((v > p["su_thr"]).sum()))
+register_index("fd", lambda v, d, p: int((v < p["fd_thr"]).sum()))
+register_index("tr", lambda v, d, p: int((v > p["tr_thr"]).sum()))
+register_index("id_", lambda v, d, p: int((v < p["id_thr"]).sum()))
+register_index("cdd", lambda v, d, p: _max_run(v < p["wet_thr"]))
+register_index("cwd", lambda v, d, p: _max_run(v >= p["wet_thr"]))
+register_index(
+    "prcptot",
+    lambda v, d, p: float(sql_round(
+        _cents(v[v >= p["wet_thr"]]).sum() / 100.0, ROUND)),
+)
+
+
+def _dtr(v: np.ndarray, d: np.ndarray, p: dict) -> float:
+    s = pd.Series(v)
+    rng = (s.groupby(d).max() - s.groupby(d).min()).to_numpy()
+    return float(sql_round((_cents(rng).sum() / 100.0) / rng.size, ROUND))
+
+
+def _r95ptot(v: np.ndarray, d: np.ndarray, p: dict) -> float:
+    q = np.percentile(v, 95.0)
+    return float(sql_round(_cents(v[v > q]).sum() / 100.0, ROUND))
+
+
+def _tx90p(v: np.ndarray, d: np.ndarray, p: dict) -> int:
+    return int((v > np.percentile(v, 90.0)).sum())
+
+
+register_index("dtr", _dtr)
+register_index("r95ptot", _r95ptot)
+register_index("tx90p", _tx90p)
+
+
+def climate_indices(ds, entity_col: str = "user_id", ts_col: str = "ts",
+                    value_col: str = "value", indices: list[str] | None = None,
+                    order_tiebreak: str = "event_id", **params):
+    """Evaluate the registered indices per entity in one bucketed pass.
+
+    The shuffle carries only (entity, ts, tiebreak, value); within a
+    bucket, each entity's series is sorted once and every index reads
+    the same arrays."""
+    p = dict(DEFAULTS)
+    p.update(params)
+    names = indices if indices is not None else index_names()
+    missing = [n for n in names if n not in _INDEX_FUNCS]
+    if missing:
+        raise KeyError(f"unregistered indices {missing}; have {index_names()}")
+    from ocgis_ray.sources.io import bucketed_group_apply
+
+    slim = ds.select_columns([entity_col, ts_col, order_tiebreak, value_col])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([entity_col, ts_col, order_tiebreak], kind="mergesort")
+        rows = []
+        for ent, grp in g.groupby(entity_col, sort=False):
+            v = grp[value_col].to_numpy(np.float64)
+            d = grp[ts_col].to_numpy("datetime64[D]")
+            rows.append([ent] + [_INDEX_FUNCS[n](v, d, p) for n in names])
+        return pd.DataFrame(rows, columns=[entity_col] + list(names))
+
+    return bucketed_group_apply(slim, entity_col, per_bucket)
+
+
+def climate_indices_sql(table: str = "events", entity_col: str = "user_id",
+                        ts_col: str = "ts", value_col: str = "value",
+                        indices: list[str] | None = None,
+                        order_tiebreak: str = "event_id", **params) -> str:
+    """DuckDB twin of :func:`climate_indices` (same thresholds, same
+    rounding, gaps-and-islands run lengths in the same order)."""
+    p = dict(DEFAULTS)
+    p.update(params)
+    names = indices if indices is not None else index_names()
+    e, t, v = entity_col, ts_col, value_col
+    sel = []
+    for n in names:
+        if n == "tg":
+            sel.append(f"round((sum(CAST(round({v} * 100.0) AS BIGINT)) / 100.0)"
+                       f" / count(*), {ROUND}) AS tg")
+        elif n == "tx":
+            sel.append(f"max({v}) AS tx")
+        elif n == "tn":
+            sel.append(f"min({v}) AS tn")
+        elif n == "su":
+            sel.append(f"sum(CASE WHEN {v} > {p['su_thr']!r} THEN 1 ELSE 0 END) AS su")
+        elif n == "fd":
+            sel.append(f"sum(CASE WHEN {v} < {p['fd_thr']!r} THEN 1 ELSE 0 END) AS fd")
+        elif n == "tr":
+            sel.append(f"sum(CASE WHEN {v} > {p['tr_thr']!r} THEN 1 ELSE 0 END) AS tr")
+        elif n == "id_":
+            sel.append(f"sum(CASE WHEN {v} < {p['id_thr']!r} THEN 1 ELSE 0 END) AS id_")
+        elif n == "prcptot":
+            sel.append(f"round(sum(CASE WHEN {v} >= {p['wet_thr']!r} THEN"
+                       f" CAST(round({v} * 100.0) AS BIGINT) ELSE 0 END)"
+                       f" / 100.0, {ROUND}) AS prcptot")
+        elif n == "dtr":
+            sel.append(f"round(day_rng_avg, {ROUND}) AS dtr")
+        elif n == "r95ptot":
+            sel.append(f"round(sum(CASE WHEN {v} > q95 THEN"
+                       f" CAST(round({v} * 100.0) AS BIGINT) ELSE 0 END)"
+                       f" / 100.0, {ROUND}) AS r95ptot")
+        elif n == "tx90p":
+            sel.append(f"sum(CASE WHEN {v} > q90 THEN 1 ELSE 0 END) AS tx90p")
+        elif n in ("cdd", "cwd"):
+            sel.append(f"max(run_len_{n}) AS {n}")
+    runs_needed = [n for n in names if n in ("cdd", "cwd")]
+    runs_ctes = ""
+    runs_joins = ""
+    for n in runs_needed:
+        cmp = f"{v} < {p['wet_thr']!r}" if n == "cdd" else f"{v} >= {p['wet_thr']!r}"
+        runs_ctes += f""",
+isl_{n} AS (
+  SELECT {e}, flag,
+         row_number() OVER (PARTITION BY {e} ORDER BY {t}, {order_tiebreak})
+       - row_number() OVER (PARTITION BY {e}, flag ORDER BY {t}, {order_tiebreak}) AS grp
+  FROM (SELECT {e}, {t}, {order_tiebreak}, CASE WHEN {cmp} THEN 1 ELSE 0 END AS flag FROM {table})
+),
+runs_{n} AS (
+  SELECT {e}, coalesce(max(cnt), 0) AS run_len_{n}
+  FROM (SELECT {e}, count(*) AS cnt FROM isl_{n} WHERE flag = 1 GROUP BY {e}, grp)
+  GROUP BY {e}
+)"""
+        runs_joins += f" LEFT JOIN runs_{n} USING ({e})"
+    group_extra = "".join(f", run_len_{n}" for n in runs_needed)
+    if "dtr" in names:
+        group_extra += ", day_rng_avg"
+    base = f"""
+WITH base AS (
+  SELECT {e}, {t}, {order_tiebreak}, {v},
+         CAST({t} AS DATE) AS day,
+         quantile_cont({v}, 0.95) OVER (PARTITION BY {e}) AS q95,
+         quantile_cont({v}, 0.90) OVER (PARTITION BY {e}) AS q90
+  FROM {table}
+),
+days AS (
+  SELECT {e}, day, CAST(round((max({v}) - min({v})) * 100.0) AS BIGINT) AS rng_c
+  FROM base GROUP BY {e}, day
+),
+day_stats AS (
+  SELECT {e}, (sum(rng_c) / 100.0) / count(*) AS day_rng_avg FROM days GROUP BY {e}
+){runs_ctes}
+SELECT b.{e} AS {e}, {", ".join(sel)}
+FROM base b LEFT JOIN day_stats USING ({e}){runs_joins}
+GROUP BY b.{e}{group_extra}
+ORDER BY b.{e}
+"""
+    return base

@@ -136,3 +136,36 @@ def test_multivariate_map(ray_session):
     ).to_pandas()
     assert np.isnan(out["rev"][0])
     assert out["rev"][1] == pytest.approx(90.0)
+
+
+def test_climate_indices_registry_and_values(ray_session, sf_dir):
+    """ICCLIM-analog index library: one bucketed pass computes every
+    registered index per entity; plugin seam registers new ones
+    (contrib/library_icclim.py + calc/library/register.py:10-43)."""
+    import numpy as np
+
+    from ocgis_ray.functions import climate
+    from ocgis_ray.sources.io import read_parquet_sized
+
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet")
+    out = climate.climate_indices(ds).to_pandas().sort_values("user_id")
+    assert len(out) == out["user_id"].nunique()
+    assert set(climate.index_names()) <= set(out.columns)
+    assert (out["tx"] >= out["tg"]).all() and (out["tg"] >= out["tn"]).all()
+    assert (out["cdd"] >= 1).any() and (out["su"] >= 0).all()
+    # plugin seam: a user-registered index shows up in the same pass
+    climate.register_index("above_mean", lambda v, d, p: int((v > v.mean()).sum()))
+    try:
+        out2 = climate.climate_indices(ds, indices=["tg", "above_mean"]).to_pandas()
+        assert set(out2.columns) == {"user_id", "tg", "above_mean"}
+        assert (out2["above_mean"] > 0).all()
+    finally:
+        climate._INDEX_FUNCS.pop("above_mean")
+    # hand-check one entity against plain numpy
+    import duckdb
+    df = duckdb.sql(f"SELECT * FROM '{sf_dir}/events.parquet' WHERE user_id = 1 "
+                    "ORDER BY ts, event_id").df()
+    v = df["value"].to_numpy(np.float64)
+    row = out[out["user_id"] == 1].iloc[0]
+    assert row["tx"] == v.max() and row["tn"] == v.min()
+    assert row["su"] == int((v > 60.0).sum())
