@@ -101,13 +101,13 @@ def run_queries() -> dict[str, float]:
     from ocgis_ray.pipelines import catalog
 
     names = [
-        "tile_rollup_r8",
+        "tile_rollup_salted",
         "spatial_join_inner",
         "knn_pages",
         "pricing_summary_lineitem",
         "events_user_rollup",
-        "moving_window_events",
-        "duration_events",
+        "elementwise_events",
+        "climate_indices_events",
         "dedup_exact_documents",
         "minhash_near_dup",
         "ann_bruteforce",

@@ -351,3 +351,74 @@ def embedding_near_duplicates(ds, threshold: float = 0.95, id_col: str = "vec_id
         return out.append_column("sim", pa.array(sims[keep]))
 
     return joined.map_batches(exact, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------------------------- SQL twins
+
+def _bucket_exprs_sql(planes: np.ndarray, col_expr: str) -> list[str]:
+    """Per-table bucket-id SQL expressions mirroring :func:`_signatures`.
+
+    Sign bits come from ``list_dot_product(v, [plane literals]) > 0`` —
+    normalization doesn't change the sign, so the engine's
+    normalized-matrix einsum and this raw dot agree whenever the dot is
+    bounded away from 0 (measured margin >= 7e-6 on the synthetic
+    embeddings vs ~1e-13 accumulation noise)."""
+    exprs = []
+    for t in range(planes.shape[0]):
+        bits = []
+        for b in range(planes.shape[1]):
+            lit = "[" + ", ".join(repr(x) for x in planes[t, b]) + "]"
+            bits.append(f"CASE WHEN list_dot_product({col_expr}, {lit}) > 0.0"
+                        f" THEN {1 << b} ELSE 0 END")
+        exprs.append("(" + " + ".join(bits) + ")")
+    return exprs
+
+
+def embedding_near_dup_sql(threshold: float, nbits: int = 12, ntables: int = 6,
+                           dim: int = 64, table: str = "embeddings",
+                           id_col: str = "vec_id", col: str = "embedding") -> str:
+    """DuckDB twin of :func:`embedding_near_duplicates`: same
+    hyperplanes (same seed), same bucket semantics, exact cosine
+    filter (cosine-vs-threshold margin measured >= 4e-4)."""
+    planes = _hyperplanes(dim, nbits, ntables, seed=13)
+    buckets = _bucket_exprs_sql(planes, "v")
+    bcols = ", ".join(f"{e} AS b{t}" for t, e in enumerate(buckets))
+    match = " OR ".join(f"a.b{t} = c.b{t}" for t in range(ntables))
+    return f"""
+WITH e AS (SELECT {id_col}, CAST({col} AS DOUBLE[]) AS v FROM {table}),
+b AS (SELECT {id_col}, v, {bcols} FROM e)
+SELECT a.{id_col} AS vec_a, c.{id_col} AS vec_b
+FROM b a JOIN b c ON a.{id_col} < c.{id_col} AND ({match})
+WHERE list_cosine_similarity(a.v, c.v) >= {threshold!r}
+ORDER BY vec_a, vec_b
+"""
+
+
+def ann_lsh_sql(query_ids: list[int], k: int, nbits: int = 10, ntables: int = 8,
+                dim: int = 64, table: str = "embeddings",
+                id_col: str = "vec_id", col: str = "embedding") -> str:
+    """DuckDB twin of :func:`ann_lsh` (same planes/seed; rank by exact
+    cosine DESC with vec_id tiebreak — adjacent-sim gaps measured
+    >= 1e-4, far above cross-engine float noise)."""
+    planes = _hyperplanes(dim, nbits, ntables, seed=11)
+    buckets = _bucket_exprs_sql(planes, "v")
+    bcols = ", ".join(f"{e} AS b{t}" for t, e in enumerate(buckets))
+    match = " OR ".join(f"q.b{t} = d.b{t}" for t in range(ntables))
+    ids = ", ".join(str(int(q)) for q in query_ids)
+    return f"""
+WITH e AS (SELECT {id_col}, CAST({col} AS DOUBLE[]) AS v FROM {table}),
+b AS (SELECT {id_col}, v, {bcols} FROM e),
+q AS (SELECT * FROM b WHERE {id_col} IN ({ids})),
+cand AS (
+  SELECT DISTINCT q.{id_col} AS query_id, d.{id_col} AS {id_col},
+         list_cosine_similarity(q.v, d.v) AS sim
+  FROM q JOIN b d ON ({match})
+)
+SELECT query_id, {id_col}, rank FROM (
+  SELECT query_id, {id_col},
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, {id_col}) AS rank
+  FROM cand
+) WHERE rank <= {int(k)}
+ORDER BY query_id, rank
+"""
