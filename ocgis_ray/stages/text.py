@@ -175,20 +175,21 @@ _WS_LUT[list(_WS_BYTES)] = True
 _TOKEN_HASH_MAX_LEN = 64
 
 
-def _tokenize_hash(arr) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+def _tokenize_hash(arr, lower: bool = True) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Arrow string column -> (token_hashes, token_row, tokens_per_row).
 
     Fully vectorized over the zero-copy byte view: ASCII-lowercase via
-    LUT, ASCII-whitespace token boundaries (rows always break tokens),
-    Horner polynomial hash per token (loop over CHAR POSITION, not
-    tokens — ~12 vector ops for typical text).  Tokens longer than 64
-    bytes hash their prefix (no stopword is near that long)."""
+    LUT (``lower=True``), ASCII-whitespace token boundaries (rows
+    always break tokens), Horner polynomial hash per token (loop over
+    CHAR POSITION, not tokens — ~12 vector ops for typical text).
+    Tokens longer than 64 bytes hash their prefix (no stopword is near
+    that long)."""
     data, off = _string_byte_view(arr)
     n = len(off) - 1
     if len(data) == 0:
         return (np.empty(0, np.uint64), np.empty(0, np.int64),
                 np.zeros(n, np.int64))
-    low = _LOWER_LUT[data]
+    low = _LOWER_LUT[data] if lower else data
     ws = _WS_LUT[low]
     nonws = ~ws
     prev = np.empty(len(data), dtype=bool)

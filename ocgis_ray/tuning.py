@@ -13,6 +13,13 @@ Why each knob:
   8 cpus).  On a big cluster the reservation is per-node-pool and far
   less binding, but the local-mode scaling protocol needs it off to
   measure actual operator cost.
+- ``target_max_block_size = 32 MiB``: map tasks receive input BUNDLES
+  of up to this size; at the default 128 MiB a 1.5 GB / 46-block input
+  collapses to ~19 fat tasks and a 32-core node runs one ragged wave
+  (measured: flagship 5.9s -> 2.9s at 32 cpus with 32 MiB).  This
+  aligns bundle granularity with ``read_parquet_sized``'s 32 MiB read
+  blocks; on a multi-node cluster the same alignment keeps every core
+  fed without inflating shuffle metadata (blocks stay tens of MB).
 - progress bars / verbose off: benchmark output hygiene (bench.py must
   print exactly one JSON line on stdout).
 """
@@ -28,4 +35,5 @@ def tune_data_context() -> None:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.op_resource_reservation_enabled = False
+    ctx.target_max_block_size = 32 * 1024 * 1024
     logging.getLogger("ray.data").setLevel(logging.ERROR)
