@@ -777,32 +777,40 @@ def q_knn_cells(sf_dir: str):
 # =====================================================================
 
 def q_crs_web_mercator(sf_dir: str):
-    """update_crs analog (variable/crs.py): EPSG:4326 -> web mercator."""
-    from ocgis_ray.stages.crs import update_crs
+    """update_crs analog (variable/crs.py): EPSG:4326 -> web mercator
+    AND ellipsoidal Lambert Conformal Conic (EPSG 9802, the regional-
+    model fixture projection) in one oracle-checked query.  Rotated
+    pole and UTM are pytest-verified round-trips (transcendental
+    outputs round coarse — FIXTURES.md)."""
+    from ocgis_ray.stages.crs import lcc_forward, update_crs
 
     ds = update_crs(_geo_pages(sf_dir))
 
     def rnd(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as _pc
-
         x = sql_round(t["x"].to_numpy(zero_copy_only=False), 1)
         y = sql_round(t["y"].to_numpy(zero_copy_only=False), 1)
+        lx, ly = lcc_forward(t["lon"].to_numpy(zero_copy_only=False),
+                             t["lat"].to_numpy(zero_copy_only=False))
         t = t.drop_columns(["x", "y"])
         t = t.append_column("x", pa.array(x))
-        return t.append_column("y", pa.array(y))
+        t = t.append_column("y", pa.array(y))
+        t = t.append_column("lcc_x", pa.array(sql_round(lx, 1)))
+        return t.append_column("lcc_y", pa.array(sql_round(ly, 1)))
 
     return ds.map_batches(rnd, batch_format="pyarrow", zero_copy_batch=True).select_columns(
-        ["page_id", "x", "y"]
+        ["page_id", "x", "y", "lcc_x", "lcc_y"]
     )
 
 
 def sql_crs_web_mercator() -> str:
-    from ocgis_ray.stages.crs import web_mercator_sql
+    from ocgis_ray.stages.crs import lcc_sql, web_mercator_sql
 
     x, y = web_mercator_sql("lon", "lat")
+    lx, ly = lcc_sql("lon", "lat")
     return (
         f"{geo_cte(REPS)}\n"
-        f"SELECT page_id, round({x}, 1) AS x, round({y}, 1) AS y FROM geo"
+        f"SELECT page_id, round({x}, 1) AS x, round({y}, 1) AS y,\n"
+        f"  round({lx}, 1) AS lcc_x, round({ly}, 1) AS lcc_y FROM geo"
     )
 
 

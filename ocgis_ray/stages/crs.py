@@ -100,3 +100,155 @@ def update_crs(ds, name: str = "web_mercator", concurrency: int | None = 2):
         concurrency=concurrency,
         fn_constructor_kwargs={"name": name},
     )
+
+
+# -------------------------------------------------------------- ellipsoidal
+
+WGS84_A = 6378137.0
+WGS84_F = 1.0 / 298.257223563
+WGS84_E2 = WGS84_F * (2.0 - WGS84_F)
+WGS84_E = float(np.sqrt(WGS84_E2))
+
+
+def _lcc_consts(lat1: float, lat2: float, lat0: float):
+    """EPSG 9802 (Lambert Conformal Conic 2SP) projection constants."""
+    e = WGS84_E
+
+    def m(phi):
+        return np.cos(phi) / np.sqrt(1.0 - WGS84_E2 * np.sin(phi) ** 2)
+
+    def t(phi):
+        return np.tan(np.pi / 4.0 - phi / 2.0) / (
+            ((1.0 - e * np.sin(phi)) / (1.0 + e * np.sin(phi))) ** (e / 2.0)
+        )
+
+    p1, p2, p0 = np.radians(lat1), np.radians(lat2), np.radians(lat0)
+    if abs(lat1 - lat2) < 1e-12:
+        n = float(np.sin(p1))
+    else:
+        n = float((np.log(m(p1)) - np.log(m(p2))) / (np.log(t(p1)) - np.log(t(p2))))
+    F = float(m(p1) / (n * t(p1) ** n))
+    rho0 = float(WGS84_A * F * t(p0) ** n)
+    return n, F, rho0
+
+
+def lcc_forward(lon, lat, lon0: float = -96.0, lat0: float = 40.0,
+                lat1: float = 33.0, lat2: float = 45.0,
+                fe: float = 0.0, fn: float = 0.0):
+    """Ellipsoidal Lambert Conformal Conic 2SP forward (EPSG 9802) —
+    the projection of the reference's regional-model fixtures
+    (``variable/crs.py`` CFLambertConformal).  Vectorized numpy; a
+    DuckDB twin with identical operation order is
+    :func:`lcc_sql`."""
+    n, F, rho0 = _lcc_consts(lat1, lat2, lat0)
+    e = WGS84_E
+    p = np.radians(np.asarray(lat, dtype=np.float64))
+    t = np.tan(np.pi / 4.0 - p / 2.0) / (
+        ((1.0 - e * np.sin(p)) / (1.0 + e * np.sin(p))) ** (e / 2.0)
+    )
+    rho = WGS84_A * F * t ** n
+    th = n * (np.radians(np.asarray(lon, dtype=np.float64)) - np.radians(lon0))
+    return fe + rho * np.sin(th), fn + rho0 - rho * np.cos(th)
+
+
+def lcc_inverse(x, y, lon0: float = -96.0, lat0: float = 40.0,
+                lat1: float = 33.0, lat2: float = 45.0,
+                fe: float = 0.0, fn: float = 0.0, iters: int = 8):
+    n, F, rho0 = _lcc_consts(lat1, lat2, lat0)
+    e = WGS84_E
+    xs = np.asarray(x, dtype=np.float64) - fe
+    ys = rho0 - (np.asarray(y, dtype=np.float64) - fn)
+    rho = np.sign(n) * np.hypot(xs, ys)
+    th = np.arctan2(np.sign(n) * xs, np.sign(n) * ys)
+    t = (rho / (WGS84_A * F)) ** (1.0 / n)
+    phi = np.pi / 2.0 - 2.0 * np.arctan(t)
+    for _ in range(iters):  # fixed-point (EPSG 9802 inverse)
+        phi = np.pi / 2.0 - 2.0 * np.arctan(
+            t * ((1.0 - e * np.sin(phi)) / (1.0 + e * np.sin(phi))) ** (e / 2.0)
+        )
+    return np.degrees(th / n + np.radians(lon0)), np.degrees(phi)
+
+
+def lcc_sql(lon_expr: str, lat_expr: str, lon0: float = -96.0, lat0: float = 40.0,
+            lat1: float = 33.0, lat2: float = 45.0) -> tuple[str, str]:
+    """DuckDB twins of :func:`lcc_forward` (constants precomputed with
+    the same numpy ops; per-row expressions in identical order).
+    Constants are CAST AS DOUBLE — DuckDB types long decimal literals
+    as DECIMAL(18) and overflows on multiplication otherwise."""
+    n, F, rho0 = _lcc_consts(lat1, lat2, lat0)
+
+    def d(v: float) -> str:
+        return f"CAST({v!r} AS DOUBLE)"
+
+    e, a = d(WGS84_E), d(WGS84_A)
+    p = f"radians({lat_expr})"
+    t = (f"(tan(pi() / 4.0 - {p} / 2.0) / "
+         f"pow((1.0 - {e} * sin({p})) / (1.0 + {e} * sin({p})), {e} / 2.0))")
+    rho = f"({a} * {d(F)} * pow({t}, {d(n)}))"
+    th = f"({d(n)} * (radians({lon_expr}) - radians({d(lon0)})))"
+    return f"{rho} * sin({th})", f"{d(rho0)} - {rho} * cos({th})"
+
+
+def tm_forward(lon, lat, lon0: float, k0: float = 0.9996,
+               fe: float = 500000.0, fn: float = 0.0):
+    """Ellipsoidal Transverse Mercator forward (Snyder 8-12..8-15,
+    4th-order series — sub-mm inside a UTM zone).  UTM = this with
+    ``lon0 = zone*6 - 183``."""
+    e2 = WGS84_E2
+    ep2 = e2 / (1.0 - e2)
+    p = np.radians(np.asarray(lat, dtype=np.float64))
+    dl = np.radians(np.asarray(lon, dtype=np.float64)) - np.radians(lon0)
+    sin_p, cos_p, tan_p = np.sin(p), np.cos(p), np.tan(p)
+    N = WGS84_A / np.sqrt(1.0 - e2 * sin_p ** 2)
+    T = tan_p ** 2
+    C = ep2 * cos_p ** 2
+    A = cos_p * dl
+    M = WGS84_A * (
+        (1 - e2 / 4 - 3 * e2**2 / 64 - 5 * e2**3 / 256) * p
+        - (3 * e2 / 8 + 3 * e2**2 / 32 + 45 * e2**3 / 1024) * np.sin(2 * p)
+        + (15 * e2**2 / 256 + 45 * e2**3 / 1024) * np.sin(4 * p)
+        - (35 * e2**3 / 3072) * np.sin(6 * p)
+    )
+    x = k0 * N * (A + (1 - T + C) * A**3 / 6
+                  + (5 - 18 * T + T**2 + 72 * C - 58 * ep2) * A**5 / 120)
+    y = k0 * (M + N * tan_p * (A**2 / 2 + (5 - T + 9 * C + 4 * C**2) * A**4 / 24
+              + (61 - 58 * T + T**2 + 600 * C - 330 * ep2) * A**6 / 720))
+    return fe + x, fn + y
+
+
+def utm_forward(lon, lat, zone: int, south: bool = False):
+    return tm_forward(lon, lat, lon0=zone * 6.0 - 183.0,
+                      fn=10000000.0 if south else 0.0)
+
+
+def tm_inverse(x, y, lon0: float, k0: float = 0.9996,
+               fe: float = 500000.0, fn: float = 0.0):
+    """Snyder 8-17..8-25 inverse series."""
+    e2 = WGS84_E2
+    ep2 = e2 / (1.0 - e2)
+    e1 = (1 - np.sqrt(1 - e2)) / (1 + np.sqrt(1 - e2))
+    M = (np.asarray(y, dtype=np.float64) - fn) / k0
+    mu = M / (WGS84_A * (1 - e2 / 4 - 3 * e2**2 / 64 - 5 * e2**3 / 256))
+    p1 = (mu + (3 * e1 / 2 - 27 * e1**3 / 32) * np.sin(2 * mu)
+          + (21 * e1**2 / 16 - 55 * e1**4 / 32) * np.sin(4 * mu)
+          + (151 * e1**3 / 96) * np.sin(6 * mu)
+          + (1097 * e1**4 / 512) * np.sin(8 * mu))
+    sin1, cos1, tan1 = np.sin(p1), np.cos(p1), np.tan(p1)
+    C1 = ep2 * cos1 ** 2
+    T1 = tan1 ** 2
+    N1 = WGS84_A / np.sqrt(1 - e2 * sin1 ** 2)
+    R1 = WGS84_A * (1 - e2) / (1 - e2 * sin1 ** 2) ** 1.5
+    D = (np.asarray(x, dtype=np.float64) - fe) / (N1 * k0)
+    lat = p1 - (N1 * tan1 / R1) * (
+        D**2 / 2 - (5 + 3 * T1 + 10 * C1 - 4 * C1**2 - 9 * ep2) * D**4 / 24
+        + (61 + 90 * T1 + 298 * C1 + 45 * T1**2 - 252 * ep2 - 3 * C1**2) * D**6 / 720
+    )
+    lon = np.radians(lon0) + (
+        D - (1 + 2 * T1 + C1) * D**3 / 6
+        + (5 - 2 * C1 + 28 * T1 - 3 * C1**2 + 8 * ep2 + 24 * T1**2) * D**5 / 120
+    ) / cos1
+    return np.degrees(lon), np.degrees(lat)
+
+
+CrsTransformStage.TRANSFORMS["lcc_conus"] = lambda lon, lat: lcc_forward(lon, lat)
+CrsTransformStage.TRANSFORMS["utm33n"] = lambda lon, lat: utm_forward(lon, lat, 33)

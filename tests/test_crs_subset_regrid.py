@@ -157,3 +157,48 @@ def test_convolve_1d(ray_session):
     assert out.loc[0, "convolved"] == pytest.approx(1.0)
     # user 2 interior: 0.25*10 + 0.5*20 + 0.25*30 = 20.0
     assert out.loc[5, "convolved"] == pytest.approx(20.0)
+
+
+def test_lcc_roundtrip_and_known_points():
+    """Ellipsoidal LCC 2SP (EPSG 9802): forward/inverse closure to
+    1e-9 deg; origin maps to (0, 0)."""
+    from ocgis_ray.stages.crs import lcc_forward, lcc_inverse
+
+    rng = np.random.RandomState(1)
+    lon = rng.uniform(-120, -70, 500)
+    lat = rng.uniform(25, 50, 500)
+    x, y = lcc_forward(lon, lat)
+    lo, la = lcc_inverse(x, y)
+    assert np.abs(lo - lon).max() < 1e-9 and np.abs(la - lat).max() < 1e-9
+    x0, y0 = lcc_forward(np.array([-96.0]), np.array([40.0]))
+    assert abs(x0[0]) < 1e-6 and abs(y0[0]) < 1e-6
+
+
+def test_utm_roundtrip_and_central_meridian():
+    """Snyder-series transverse Mercator: UTM zone 33 central meridian
+    maps to easting 500000 exactly; round-trips to 1e-7 deg."""
+    from ocgis_ray.stages.crs import tm_inverse, utm_forward
+
+    e, n = utm_forward(np.array([15.0]), np.array([0.0]), 33)
+    assert e[0] == 500000.0 and n[0] == 0.0
+    # Vienna-ish known point (16E, 48N, zone 33): E~574595, N~5316784
+    e2, n2 = utm_forward(np.array([16.0]), np.array([48.0]), 33)
+    assert abs(e2[0] - 574595) < 5 and abs(n2[0] - 5316784) < 5
+    rng = np.random.RandomState(2)
+    lon = rng.uniform(12, 18, 500)
+    lat = rng.uniform(-80, 80, 500)
+    x, y = utm_forward(lon, lat, 33)
+    lo, la = tm_inverse(x, y, 15.0)
+    assert np.abs(lo - lon).max() < 1e-7 and np.abs(la - lat).max() < 1e-7
+
+
+def test_update_crs_registry_transforms(ray_session, sf_dir):
+    """the TRANSFORMS registry routes lcc/utm through the same actor
+    stage (general-CRS seam, variable/crs.py analog)."""
+    from ocgis_ray.sources.pages import pages_dataset
+    from ocgis_ray.stages.crs import update_crs
+    from ocgis_ray.stages.geocode import geocode
+
+    ds = geocode(pages_dataset(sf_dir).drop_columns(["html"])).limit(200)
+    out = update_crs(ds, name="lcc_conus").to_pandas()
+    assert {"x", "y"} <= set(out.columns) and np.isfinite(out["x"]).all()
