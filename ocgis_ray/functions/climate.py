@@ -20,6 +20,8 @@ Index semantics (value plays the daily-variable role, ts the day):
 - ``r95ptot``                   sum of values > the entity's own 95th
                                 percentile (R95pTOT, whole-series base)
 - ``tx90p``                     count of values > the 90th percentile
+- ``fzth``                      freeze-thaw cycles: threshold crossings
+                                of the ordered series (freeze_thaw.py)
 
 Every index has an exact DuckDB twin assembled by
 :func:`climate_indices_sql` (gaps-and-islands for the run lengths,
@@ -109,6 +111,17 @@ def _tx90p(v: np.ndarray, d: np.ndarray, p: dict) -> int:
     return int((v > np.percentile(v, 90.0)).sum())
 
 
+def _fzth(v: np.ndarray, d: np.ndarray, p: dict) -> int:
+    """Freeze-thaw cycle count (calc/library/index/freeze_thaw.py):
+    number of threshold crossings of the ordered series — a real
+    vectorized implementation of the state-machine index (the generic
+    plugin surface is ``calc.state_machine``)."""
+    above = v > p["fzth_thr"]
+    return int((above[1:] != above[:-1]).sum())
+
+
+DEFAULTS["fzth_thr"] = 35.0
+register_index("fzth", _fzth)
 register_index("dtr", _dtr)
 register_index("r95ptot", _r95ptot)
 register_index("tx90p", _tx90p)
@@ -183,11 +196,24 @@ def climate_indices_sql(table: str = "events", entity_col: str = "user_id",
                        f" / 100.0, {ROUND}) AS r95ptot")
         elif n == "tx90p":
             sel.append(f"sum(CASE WHEN {v} > q90 THEN 1 ELSE 0 END) AS tx90p")
+        elif n == "fzth":
+            sel.append("max(fzth_cnt) AS fzth")
         elif n in ("cdd", "cwd"):
             sel.append(f"max(run_len_{n}) AS {n}")
     runs_needed = [n for n in names if n in ("cdd", "cwd")]
     runs_ctes = ""
     runs_joins = ""
+    if "fzth" in names:
+        flag = f"CASE WHEN {v} > {p['fzth_thr']!r} THEN 1 ELSE 0 END"
+        runs_ctes += f""",
+fz AS (
+  SELECT {e}, sum(CASE WHEN prev IS NOT NULL AND flag != prev THEN 1 ELSE 0 END) AS fzth_cnt
+  FROM (SELECT {e}, {flag} AS flag,
+               lag({flag}) OVER (PARTITION BY {e} ORDER BY {t}, {order_tiebreak}) AS prev
+        FROM {table})
+  GROUP BY {e}
+)"""
+        runs_joins += f" LEFT JOIN fz USING ({e})"
     for n in runs_needed:
         cmp = f"{v} < {p['wet_thr']!r}" if n == "cdd" else f"{v} >= {p['wet_thr']!r}"
         runs_ctes += f""",
@@ -204,6 +230,8 @@ runs_{n} AS (
 )"""
         runs_joins += f" LEFT JOIN runs_{n} USING ({e})"
     group_extra = "".join(f", run_len_{n}" for n in runs_needed)
+    if "fzth" in names:
+        group_extra += ", fzth_cnt"
     if "dtr" in names:
         group_extra += ", day_rng_avg"
     base = f"""

@@ -328,6 +328,110 @@ def clip_poly_rect(
     return np.asarray(poly, dtype=np.float64)
 
 
+def clip_poly_convex(subject: np.ndarray, clip_verts: np.ndarray) -> np.ndarray | None:
+    """Sutherland-Hodgman against an ARBITRARY convex clip ring (CCW)
+    — generalizes :func:`clip_poly_rect` beyond axis-aligned rects
+    (the ``geom.intersection`` analog for convex selection geometries,
+    ``variable/geom.py:718-764``).  The subject may be non-convex."""
+    cv = np.asarray(clip_verts, dtype=np.float64)
+    if not _is_ccw(cv):
+        cv = cv[::-1]
+    poly = [tuple(pt) for pt in np.asarray(subject, dtype=np.float64)]
+    n = cv.shape[0]
+    for i in range(n):
+        if not poly:
+            return None
+        x0, y0 = cv[i]
+        x1, y1 = cv[(i + 1) % n]
+        ex, ey = x1 - x0, y1 - y0
+
+        def inside(pt):
+            return ex * (pt[1] - y0) - ey * (pt[0] - x0) >= 0.0
+
+        def intersect(p, q):
+            dx, dy = q[0] - p[0], q[1] - p[1]
+            denom = ex * dy - ey * dx
+            t = (ey * (p[0] - x0) - ex * (p[1] - y0)) / denom
+            return (p[0] + t * dx, p[1] + t * dy)
+
+        out = []
+        m = len(poly)
+        for j in range(m):
+            cur, prv = poly[j], poly[j - 1]
+            cin, pin = inside(cur), inside(prv)
+            if cin:
+                if not pin:
+                    out.append(intersect(prv, cur))
+                out.append(cur)
+            elif pin:
+                out.append(intersect(prv, cur))
+        poly = out
+    if len(poly) < 3:
+        return None
+    return np.asarray(poly, dtype=np.float64)
+
+
+def intersection_area(a: "Polygon", b: "Polygon") -> float:
+    """Area of ``a INTERSECT b`` where ``b`` is convex (hole-free):
+    clip every part of ``a`` by ``b`` and subtract ``a``'s hole overlap
+    (holes clipped by the same ring).  The convex-selection case is
+    exactly what the reference's clip operation runs per selection
+    geometry (``ops/engine.py:287-385``)."""
+    if b.holes or not b.convex:
+        raise NotImplementedError("intersection_area requires a convex, "
+                                  "hole-free second polygon")
+    area = 0.0
+    for part in a.parts:
+        c = clip_poly_convex(part.verts, b.verts)
+        if c is not None:
+            area += shoelace_area(c)
+    for h in a.holes:
+        c = clip_poly_convex(h, b.verts)
+        if c is not None:
+            area -= shoelace_area(c)
+    return area
+
+
+def union_area(polys: list) -> float:
+    """Exact union area by inclusion-exclusion for up to 3 convex
+    polygons, additive for disjoint inputs (the ``cascaded_union``
+    measure analog, ``variable/geom.py:941``).
+
+    NOTE on dissolve semantics: the engine never needs a geometric
+    union for joins — "dissolved" selection geometries are multipart
+    ``Polygon`` lists sharing a ugid, and point-in-union is point-in-
+    any-part.  Union AREA is only needed for weights/reporting."""
+    n = len(polys)
+    total = sum(p.area() for p in polys)
+    if n == 1:
+        return total
+    import itertools
+
+    pair_overlap = {}
+    for a, b in itertools.combinations(range(n), 2):
+        ia = intersection_area(polys[a], polys[b])
+        if ia > 0.0:
+            pair_overlap[(a, b)] = ia
+        total -= ia
+    overlapping = sorted({i for ab in pair_overlap for i in ab})
+    if len(overlapping) > 3:
+        raise NotImplementedError("union_area supports at most 3 mutually "
+                                  "overlapping polygons (disjoint inputs: "
+                                  "any count)")
+    for a, b, c in itertools.combinations(overlapping, 3):
+        bc, cc = polys[b], polys[c]
+        if cc.holes or not cc.convex or bc.holes or not bc.convex:
+            raise NotImplementedError("triple overlap correction needs "
+                                      "convex inputs")
+        for part in polys[a].parts:
+            ring = clip_poly_convex(part.verts, bc.verts)
+            if ring is not None:
+                ring2 = clip_poly_convex(ring, cc.verts)
+                if ring2 is not None:
+                    total += shoelace_area(ring2)
+    return total
+
+
 def rect_clip_area_sqlparity(
     rx0: np.ndarray,
     ry0: np.ndarray,

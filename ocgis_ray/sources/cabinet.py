@@ -157,3 +157,20 @@ def register_layer(name: str, factory) -> None:
     """User-extension seam (the converter/driver-registry analog,
     ``conv/base.py:263-291``)."""
     _LAYERS[name] = factory
+
+
+def dissolve(polys: list[Polygon], ugid: int, name: str | None = None) -> list[Polygon]:
+    """Merge selection geometries into ONE logical selection — the
+    ``cascaded_union`` / aggregate-geometry analog
+    (``/root/reference/src/ocgis/variable/geom.py:941``).
+
+    The engine never needs a geometric union for joins: a point is in
+    the union iff it is in ANY part, and ``SpatialJoinIndex`` already
+    merges same-ugid parts (full-cell wins, coverings concatenate), so
+    dissolve is a relabeling.  Exact union AREA (weights/reporting)
+    is ``geometry.union_area``."""
+    name = name or f"dissolved_{ugid}"
+    return [
+        Polygon(ugid, f"{name}/{i}", p.verts, holes=list(p.holes))
+        for i, p in enumerate(polys)
+    ]

@@ -178,3 +178,55 @@ def test_antimeridian_autosplit():
         [cover_polygon(west, 7).cells, cover_polygon(east, 7).cells]))
     assert np.array_equal(np.sort(cov.cells), union)
     assert cross.area() == pytest.approx(west.area() + east.area())
+
+
+def test_clip_poly_convex_general():
+    """SH against an arbitrary convex clip ring: triangle x diamond
+    with an analytically known intersection area."""
+    from ocgis_ray.geometry import clip_poly_convex, shoelace_area
+
+    # unit square clipped by the diamond |x-0.5|+|y-0.5| <= 0.5:
+    # intersection IS the diamond, area 0.5
+    square = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]])
+    diamond = np.array([[0.5, 0.0], [1.0, 0.5], [0.5, 1.0], [0.0, 0.5]])
+    c = clip_poly_convex(square, diamond)
+    assert shoelace_area(c) == pytest.approx(0.5)
+    # rect twin: general kernel equals the rect kernel on rects
+    from ocgis_ray.geometry import clip_poly_rect
+
+    tri = np.array([[0.0, 0.0], [4.0, 0.0], [0.0, 4.0]])
+    rect = np.array([[1.0, 1.0], [3.0, 1.0], [3.0, 3.0], [1.0, 3.0]])
+    a1 = shoelace_area(clip_poly_convex(tri, rect))
+    a2 = shoelace_area(clip_poly_rect(tri, 1.0, 1.0, 3.0, 3.0))
+    assert a1 == pytest.approx(a2)
+    # disjoint -> None
+    assert clip_poly_convex(tri, rect + 100.0) is None
+
+
+def test_intersection_and_union_area():
+    from ocgis_ray.geometry import Polygon, intersection_area, union_area
+
+    a = Polygon(1, "a", np.array([[0.0, 0.0], [2.0, 0.0], [2.0, 2.0], [0.0, 2.0]]))
+    b = Polygon(2, "b", np.array([[1.0, 1.0], [3.0, 1.0], [3.0, 3.0], [1.0, 3.0]]))
+    c = Polygon(3, "c", np.array([[10.0, 10.0], [11.0, 10.0], [11.0, 11.0], [10.0, 11.0]]))
+    assert intersection_area(a, b) == pytest.approx(1.0)
+    # inclusion-exclusion: 4 + 4 - 1 = 7, plus disjoint unit square
+    assert union_area([a, b, c]) == pytest.approx(8.0)
+    # holes subtract from the clip
+    donut = Polygon(4, "d", np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0]]),
+                    holes=[np.array([[1.0, 1.0], [2.0, 1.0], [2.0, 2.0], [1.0, 2.0]])])
+    clipb = Polygon(5, "cb", np.array([[0.0, 0.0], [2.0, 0.0], [2.0, 2.0], [0.0, 2.0]]))
+    assert intersection_area(donut, clipb) == pytest.approx(4.0 - 1.0)
+
+
+def test_dissolve_multipart_semantics():
+    """dissolved selections join as one ugid (point-in-union == point-
+    in-any-part; no geometric union needed)."""
+    from ocgis_ray.sources.cabinet import dissolve, layer
+
+    polys = dissolve(layer("quadrants"), ugid=99)
+    assert {p.ugid for p in polys} == {99}
+    from ocgis_ray.geometry import union_area
+
+    # quadrants are disjoint 2x2-degree rects: union = sum = 16
+    assert union_area(polys) == pytest.approx(16.0)
