@@ -1,4 +1,5 @@
-"""GeoJSON vector-layer loader (pure stdlib json — no Fiona/GDAL).
+"""Vector-file layer loaders: GeoJSON, GeoPackage, ESRI Shapefile —
+all pure stdlib (json / sqlite3 / struct), no Fiona/GDAL.
 
 The analog of the reference's vector driver + GeomCabinet file loading
 (``/root/reference/src/ocgis/driver/vector.py``,
@@ -84,3 +85,206 @@ def register_geojson_layer(name: str, path: str) -> None:
     from ocgis_ray.sources import cabinet
 
     cabinet.register_layer(name, lambda: load_geojson(path))
+
+
+# ------------------------------------------------------------- GeoPackage
+
+def _parse_wkb_polygons(buf: bytes) -> list[tuple[np.ndarray, list[np.ndarray]]]:
+    """Minimal WKB parser for Polygon / MultiPolygon (2-D) -> list of
+    (outer_ring, holes).  Handles both byte orders; Z/M variants and
+    other geometry types raise."""
+    import struct
+
+    def parse_geom(mv: memoryview, pos: int):
+        little = mv[pos] == 1
+        fmt = "<" if little else ">"
+        (gtype,) = struct.unpack_from(fmt + "I", mv, pos + 1)
+        pos += 5
+        base = gtype & 0xFF
+        if gtype & 0x80000000 or (gtype // 1000) in (1, 2, 3):  # Z/M/ZM
+            raise ValueError("only 2-D WKB supported")
+        if base == 3:  # Polygon
+            (nrings,) = struct.unpack_from(fmt + "I", mv, pos)
+            pos += 4
+            rings = []
+            for _ in range(nrings):
+                (npts,) = struct.unpack_from(fmt + "I", mv, pos)
+                pos += 4
+                ring = np.frombuffer(
+                    mv, dtype=("<f8" if little else ">f8"),
+                    count=npts * 2, offset=pos,
+                ).reshape(npts, 2).astype(np.float64)
+                pos += npts * 16
+                rings.append(ring)
+            return [(rings[0], rings[1:])], pos
+        if base == 6:  # MultiPolygon
+            (nparts,) = struct.unpack_from(fmt + "I", mv, pos)
+            pos += 4
+            out = []
+            for _ in range(nparts):
+                polys, pos = parse_geom(mv, pos)
+                out.extend(polys)
+            return out, pos
+        raise ValueError(f"unsupported WKB geometry type {base}")
+
+    polys, _ = parse_geom(memoryview(buf), 0)
+    return polys
+
+
+def load_geopackage(path: str, table: str | None = None) -> list[Polygon]:
+    """GeoPackage (OGC 12-128r15) polygon layer -> Polygon list —
+    pure stdlib ``sqlite3`` + the minimal WKB parser (no GDAL/Fiona),
+    the second vector driver (``driver/vector.py`` analog).
+
+    The GPKG geometry BLOB is the 'GP' header (magic, flags, srs_id,
+    optional envelope) followed by standard WKB; the envelope length
+    is derived from the flags byte."""
+    import sqlite3
+
+    con = sqlite3.connect(path)
+    try:
+        if table is None:
+            row = con.execute(
+                "SELECT table_name FROM gpkg_contents WHERE data_type='features' LIMIT 1"
+            ).fetchone()
+            if row is None:
+                raise ValueError(f"no feature tables in {path}")
+            table = row[0]
+        (geom_col,) = con.execute(
+            "SELECT column_name FROM gpkg_geometry_columns WHERE table_name=?",
+            (table,),
+        ).fetchone()
+        cols = [r[1] for r in con.execute(f"PRAGMA table_info({table})")]
+        name_col = next((c for c in cols if c.lower() in ("name", "title")), None)
+        ugid_col = next((c for c in cols if c.upper() in ("UGID", "ID", "FID")), None)
+        sel = [geom_col, ugid_col or "rowid", name_col or "rowid"]
+        polys: list[Polygon] = []
+        for i, (blob, ugid, name) in enumerate(
+            con.execute(f"SELECT {', '.join(sel)} FROM {table}")
+        ):
+            if blob[:2] != b"GP":
+                raise ValueError("not a GeoPackage geometry blob")
+            flags = blob[3]
+            env_code = (flags >> 1) & 0x07
+            env_len = {0: 0, 1: 32, 2: 48, 3: 48, 4: 64}[env_code]
+            wkb = blob[8 + env_len:]
+            for j, (outer, holes) in enumerate(_parse_wkb_polygons(wkb)):
+                polys.append(Polygon(int(ugid), f"{name}/{j}" if j else str(name),
+                                     outer, holes=holes))
+        if not polys:
+            raise ValueError(f"no polygons in {path}:{table}")
+        return polys
+    finally:
+        con.close()
+
+
+# ------------------------------------------------------------- Shapefile
+
+def _ring_is_cw(ring: np.ndarray) -> bool:
+    x, y = ring[:, 0], ring[:, 1]
+    return float(np.sum((np.roll(x, -1) - x) * (np.roll(y, -1) + y))) > 0.0
+
+
+def _point_in_ring(ring: np.ndarray, px: float, py: float) -> bool:
+    from ocgis_ray.geometry import _contains_raycast
+
+    return bool(_contains_raycast(ring[:-1] if np.allclose(ring[0], ring[-1])
+                                  else ring, np.asarray([px]), np.asarray([py]))[0])
+
+
+def _read_dbf(path: str) -> list[dict]:
+    """Minimal dBASE III reader (attribute table of a shapefile)."""
+    import struct
+
+    with open(path, "rb") as f:
+        buf = f.read()
+    nrec = struct.unpack_from("<I", buf, 4)[0]
+    hdr_size = struct.unpack_from("<H", buf, 8)[0]
+    rec_size = struct.unpack_from("<H", buf, 10)[0]
+    fields = []
+    pos = 32
+    while buf[pos] != 0x0D:
+        name = buf[pos:pos + 11].split(b"\x00")[0].decode("ascii")
+        ftype = chr(buf[pos + 11])
+        flen = buf[pos + 16]
+        fields.append((name, ftype, flen))
+        pos += 32
+    out = []
+    for i in range(nrec):
+        rpos = hdr_size + i * rec_size
+        if buf[rpos] == 0x2A:  # deleted
+            continue
+        rec, fpos = {}, rpos + 1
+        for name, ftype, flen in fields:
+            raw = buf[fpos:fpos + flen].decode("ascii", "replace").strip()
+            fpos += flen
+            if ftype == "N" and raw:
+                rec[name] = float(raw) if "." in raw else int(raw)
+            else:
+                rec[name] = raw
+        out.append(rec)
+    return out
+
+
+def load_shapefile(path: str) -> list[Polygon]:
+    """ESRI Shapefile polygon layer -> Polygon list (pure ``struct``;
+    .dbf attributes read when present) — the reference's native
+    GeomCabinet format (``spatial/geom_cabinet.py``,
+    ``test/bin/shp/state_boundaries``).
+
+    Ring semantics per the ESRI spec: clockwise rings are exteriors,
+    counter-clockwise rings are holes, assigned to the exterior that
+    contains their first vertex."""
+    import os
+    import struct
+
+    with open(path, "rb") as f:
+        buf = f.read()
+    if struct.unpack_from(">i", buf, 0)[0] != 9994:
+        raise ValueError(f"{path} is not a shapefile")
+    shp_type = struct.unpack_from("<i", buf, 32)[0]
+    if shp_type not in (5, 15, 25):  # Polygon, PolygonZ, PolygonM
+        raise ValueError(f"shapefile type {shp_type} is not a polygon layer")
+    dbf_path = os.path.splitext(path)[0] + ".dbf"
+    attrs = _read_dbf(dbf_path) if os.path.exists(dbf_path) else []
+
+    polys: list[Polygon] = []
+    pos, idx = 100, 0
+    while pos < len(buf):
+        content_len = struct.unpack_from(">i", buf, pos + 4)[0] * 2
+        rpos = pos + 8
+        pos = rpos + content_len
+        rtype = struct.unpack_from("<i", buf, rpos)[0]
+        if rtype == 0:  # null shape
+            idx += 1
+            continue
+        nparts = struct.unpack_from("<i", buf, rpos + 36)[0]
+        npoints = struct.unpack_from("<i", buf, rpos + 40)[0]
+        parts = np.frombuffer(buf, "<i4", nparts, rpos + 44)
+        pts = np.frombuffer(buf, "<f8", npoints * 2, rpos + 44 + 4 * nparts)
+        pts = pts.reshape(npoints, 2).astype(np.float64)
+        bounds = np.concatenate([parts, [npoints]])
+        rings = [pts[bounds[i]:bounds[i + 1]] for i in range(nparts)]
+        outers = [(r, []) for r in rings if _ring_is_cw(r)]
+        if not outers:  # degenerate: treat all rings as exteriors
+            outers = [(r, []) for r in rings]
+        else:
+            for r in rings:
+                if _ring_is_cw(r):
+                    continue
+                px, py = float(r[0, 0]), float(r[0, 1])
+                host = next((o for o in outers if _point_in_ring(o[0], px, py)),
+                            outers[0])
+                host[1].append(r)
+        rec = attrs[idx] if idx < len(attrs) else {}
+        ugid = next((int(rec[k]) for k in ("UGID", "ID", "FID") if k in rec
+                     and rec[k] != ""), idx + 1)
+        name = str(next((rec[k] for k in ("NAME", "STATE_NAME", "name")
+                         if k in rec and rec[k] != ""), f"feature_{ugid}"))
+        for j, (outer, holes) in enumerate(outers):
+            polys.append(Polygon(ugid, f"{name}/{j}" if j else name,
+                                 outer, holes=holes))
+        idx += 1
+    if not polys:
+        raise ValueError(f"no polygons in {path}")
+    return polys

@@ -157,3 +157,79 @@ def test_geojson_loader(ray_session, sf_dir):
                        concurrency=2).to_pandas()
     counts = out.groupby("ugid").size().to_dict()
     assert set(counts) <= {301, 302, 303} and counts.get(302, 0) > 0
+
+
+def test_geopackage_loader(tmp_path):
+    """GeoPackage via stdlib sqlite3 + minimal WKB (driver/vector.py
+    analog #2): polygon with hole + MultiPolygon parts."""
+    import sqlite3
+    import struct
+
+    import numpy as np
+
+    from ocgis_ray.sources.geojson import load_geopackage
+
+    path = str(tmp_path / "layer.gpkg")
+    con = sqlite3.connect(path)
+    con.execute("CREATE TABLE gpkg_contents (table_name TEXT, data_type TEXT)")
+    con.execute("INSERT INTO gpkg_contents VALUES ('states', 'features')")
+    con.execute("CREATE TABLE gpkg_geometry_columns (table_name TEXT, column_name TEXT)")
+    con.execute("INSERT INTO gpkg_geometry_columns VALUES ('states', 'geom')")
+    con.execute("CREATE TABLE states (UGID INTEGER, name TEXT, geom BLOB)")
+
+    def wkb_polygon(rings):
+        out = struct.pack("<BI", 1, 3) + struct.pack("<I", len(rings))
+        for r in rings:
+            out += struct.pack("<I", len(r)) + np.asarray(r, "<f8").tobytes()
+        return out
+
+    ring = [[-123.0, 37.0], [-121.5, 37.0], [-121.5, 38.5], [-123.0, 38.5],
+            [-123.0, 37.0]]
+    hole = [[-122.6, 37.4], [-122.2, 37.4], [-122.2, 37.8], [-122.6, 37.8],
+            [-122.6, 37.4]]
+    blob = b"GP" + bytes([0, 0]) + struct.pack("<i", 4326) + wkb_polygon([ring, hole])
+    con.execute("INSERT INTO states VALUES (7, 'bay', ?)", (blob,))
+    con.commit()
+    con.close()
+    polys = load_geopackage(path)
+    assert polys[0].ugid == 7 and len(polys[0].holes) == 1
+    import numpy as np
+
+    assert not polys[0].contains(np.array([-122.4]), np.array([37.6]))[0]
+    assert polys[0].contains(np.array([-122.9]), np.array([37.1]))[0]
+
+
+def test_reference_state_boundaries_shapefile(ray_session, sf_dir):
+    """Load the reference's ACTUAL GeomCabinet fixture
+    (test/bin/shp/state_boundaries: 51 states, 134 parts, mostly
+    non-convex) with the pure-stdlib shapefile reader and run a real
+    join — known memberships: Denver in Colorado, NYC hot pages in
+    New York."""
+    import os
+
+    import numpy as np
+
+    from ocgis_ray.sources.geojson import load_shapefile
+    from ocgis_ray.sources.pages import pages_dataset
+    from ocgis_ray.stages.geocode import geocode
+    from ocgis_ray.stages.spatial_join import spatial_join
+
+    shp = ("/root/reference/src/ocgis/test/bin/shp/state_boundaries/"
+           "state_boundaries.shp")
+    if not os.path.exists(shp):
+        import pytest
+
+        pytest.skip("reference fixture not present")
+    polys = load_shapefile(shp)
+    assert len({p.ugid for p in polys}) == 51
+    names = {p.ugid: p.name.split("/")[0] for p in polys}
+    denver = [p.ugid for p in polys
+              if p.contains(np.array([-104.99]), np.array([39.74]))[0]]
+    assert [names[u] for u in denver] == ["Colorado"]
+    ds = geocode(pages_dataset(sf_dir).drop_columns(["html"]))
+    out = spatial_join(ds, polys, how="inner", concurrency=2,
+                       batch_size=4096).to_pandas()
+    by_state = out.groupby("ugid").size()
+    top = names[by_state.idxmax()]
+    # the NYC hot city dominates the US pages
+    assert top == "New York", (top, by_state.sort_values().tail())
