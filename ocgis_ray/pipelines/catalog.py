@@ -195,32 +195,38 @@ def sql_polygon_aggregate() -> str:
 
 def q_clip_rect_areas(sf_dir: str):
     """Clip analog over tiles: distinct page cells x rectangular
-    selection polygons -> intersection areas (sq deg).  Engine uses
-    the SQL-parity rect kernel; general-polygon clip is pytest-covered
-    (Sutherland-Hodgman vs analytic)."""
-    cells_pdf = (
-        grouped_aggregate(_geo_pages(sf_dir), ["cell_r7"], {"n": (None, "count")})
-        .to_pandas()
-    )
-    cell = cells_pdf["cell_r7"].to_numpy(np.int64)
-    x0, y0, x1, y1 = grid.bounds(cell, 7)
-    rows = []
-    for p in cabinet.layer(WORLD):
-        bx0, by0, bx1, by1 = p.bbox
-        if not _is_rect(p):
-            continue
-        a = rect_clip_area_sqlparity(x0, y0, x1, y1, bx0, by0, bx1, by1)
-        m = a > 0.0
-        rows.append(
-            pd.DataFrame(
-                {
-                    "ugid": np.full(int(m.sum()), p.ugid, dtype=np.int64),
-                    "cell_r7": cell[m],
-                    "clip_area": sql_round(a[m], 6),
-                }
-            )
-        )
-    return pd.concat(rows, ignore_index=True)
+    selection polygons -> intersection areas (sq deg), computed as a
+    DISTRIBUTED map stage over the distinct-cell Dataset (the clip
+    kernel runs where the cells are, broadcast layer — round-1 did
+    this driver-side).  Engine uses the SQL-parity rect kernel;
+    general-polygon clip (Sutherland-Hodgman, holes, convex clip
+    rings) is pytest-covered against analytic areas."""
+    import ray
+
+    rects = ray.put([(p.ugid, *p.bbox) for p in cabinet.layer(WORLD)
+                     if _is_rect(p)])
+    cells = grouped_aggregate(_geo_pages(sf_dir), ["cell_r7"],
+                              {"n": (None, "count")})
+
+    def clip_batch(t: pa.Table) -> pa.Table:
+        layer_rects = ray.get(rects)
+        cell = t["cell_r7"].to_numpy(zero_copy_only=False)
+        x0, y0, x1, y1 = grid.bounds(cell, 7)
+        out_u, out_c, out_a = [], [], []
+        for ugid, bx0, by0, bx1, by1 in layer_rects:
+            a = rect_clip_area_sqlparity(x0, y0, x1, y1, bx0, by0, bx1, by1)
+            m = a > 0.0
+            out_u.append(np.full(int(m.sum()), ugid, dtype=np.int64))
+            out_c.append(cell[m])
+            out_a.append(sql_round(a[m], 6))
+        return pa.table({
+            "ugid": pa.array(np.concatenate(out_u)),
+            "cell_r7": pa.array(np.concatenate(out_c)),
+            "clip_area": pa.array(np.concatenate(out_a)),
+        })
+
+    return cells.map_batches(clip_batch, batch_format="pyarrow",
+                             zero_copy_batch=True)
 
 
 def _is_rect(p) -> bool:
