@@ -34,18 +34,37 @@ MEDIA_SCHEMA = pa.schema(
 )
 
 
+def _binary_view(arr) -> tuple[np.ndarray, np.ndarray]:
+    """Arrow binary column -> (data bytes, int64 offsets) zero-copy."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    bufs = arr.buffers()
+    if bufs[2] is None:
+        return np.empty(0, np.uint8), np.zeros(len(arr) + 1, np.int64)
+    off_dtype = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+    off = np.frombuffer(bufs[1], dtype=off_dtype)[arr.offset: arr.offset + len(arr) + 1]
+    return np.frombuffer(bufs[2], dtype=np.uint8), off.astype(np.int64)
+
+
 def synth_media_batch(batch: pa.Table, kind: str = "image") -> pa.Table:
     """Deterministic fake media derived from documents (payload bytes =
-    repeated utf-8 text) — plumbing fixture, not content."""
+    text repeated 4x, utf-8) — plumbing fixture, not content.
+    Vectorized: Arrow element-wise join builds the payloads, no Python
+    per-row string work."""
+    import pyarrow.compute as pc
+
     doc_id = batch["doc_id"].to_numpy(zero_copy_only=False)
-    texts = batch["text"].to_pylist()
-    payloads = [(t * 4).encode("utf-8") for t in texts]
+    t = batch["text"]
+    if isinstance(t, pa.ChunkedArray):
+        t = t.combine_chunks()
+    rep = pc.binary_join_element_wise(t, t, t, t, "")
+    payload = rep.cast(pa.binary())
     return pa.table(
         {
             "media_id": pa.array(doc_id),
-            "kind": pa.array([kind] * len(doc_id)),
-            "payload": pa.array(payloads, type=pa.binary()),
-            "n_bytes": pa.array([len(p) for p in payloads], type=pa.int64()),
+            "kind": pa.array(np.full(len(doc_id), kind, dtype=object)),
+            "payload": payload,
+            "n_bytes": pc.binary_length(payload).cast(pa.int64()),
             "meta_w": pa.array(64 + (doc_id % 64)),
             "meta_h": pa.array(48 + (doc_id % 48)),
         }
@@ -80,19 +99,31 @@ class MediaDecoder:
         self.fake = fake
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        feats = np.zeros((batch.num_rows, self.FEATURE_DIM), dtype=np.float32)
-        payloads = batch["payload"].to_pylist()
-        for i, p in enumerate(payloads):
-            arr = np.frombuffer(p, dtype=np.uint8)
-            if arr.size == 0:
-                continue
-            chunks = np.array_split(arr[: 4096], self.FEATURE_DIM)
-            feats[i] = [float(c.mean()) if c.size else 0.0 for c in chunks]
+        # vectorized fake decode: per-row chunk means over the payload
+        # buffer via one byte-cumsum + np.array_split-equivalent edge
+        # math (no per-row Python, no payload copies)
+        data, off = _binary_view(batch["payload"])
+        n = batch.num_rows
+        feats = np.zeros((n, self.FEATURE_DIM), dtype=np.float64)
+        if len(data) and n:
+            cums = np.zeros(len(data) + 1, dtype=np.int64)
+            np.cumsum(data, out=cums[1:])
+            L = np.minimum(off[1:] - off[:-1], 4096)  # first 4096 bytes
+            d = self.FEATURE_DIM
+            i = np.arange(d + 1)
+            # np.array_split edges: first L%d chunks get ceil(L/d)
+            edges = (i[None, :] * (L // d)[:, None]
+                     + np.minimum(i[None, :], (L % d)[:, None]))
+            abs_edges = off[:-1][:, None] + edges
+            sums = cums[abs_edges[:, 1:]] - cums[abs_edges[:, :-1]]
+            lens = edges[:, 1:] - edges[:, :-1]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                feats = np.where(lens > 0, sums / np.maximum(lens, 1), 0.0)
         out = batch.drop_columns(["payload"])  # fat column dies here
         return out.append_column(
             "features",
             pa.FixedSizeListArray.from_arrays(
-                pa.array(feats.ravel()), self.FEATURE_DIM
+                pa.array(feats.astype(np.float32).ravel()), self.FEATURE_DIM
             ),
         )
 
@@ -124,18 +155,37 @@ class FrameSampler:
         return payload[i * step : i * step + min(step, 256)]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        mids, fidx, frames = [], [], []
+        # vectorized flat fan-out: frame byte ranges computed as arrays,
+        # output binary column assembled with one gather (segment-
+        # arange) — no per-row Python, no payload round-trips
+        data, off = _binary_view(batch["payload"])
         ids = batch["media_id"].to_numpy(zero_copy_only=False)
-        payloads = batch["payload"].to_pylist()
-        for mid, p in zip(ids, payloads):
-            for i in range(self.n_frames):
-                mids.append(mid)
-                fidx.append(i)
-                frames.append(self._slice(p, i))
+        n = batch.num_rows
+        nf = self.n_frames
+        L = (off[1:] - off[:-1]).astype(np.int64)
+        step = np.maximum(1, L // nf)
+        fi = np.tile(np.arange(nf, dtype=np.int64), n)
+        mid = np.repeat(ids, nf)
+        starts = np.repeat(off[:-1], nf) + np.repeat(step, nf) * fi
+        lens = np.minimum(np.repeat(step, nf), 256)
+        # clamp to the row's payload end (empty payloads -> 0 bytes)
+        row_end = np.repeat(off[1:], nf)
+        lens = np.maximum(np.minimum(row_end - starts, lens), 0)
+        total = int(lens.sum())
+        within = np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
+        gathered = data[np.repeat(starts, lens) + within] if total else \
+            np.empty(0, np.uint8)
+        out_off = np.zeros(len(lens) + 1, dtype=np.int32)
+        np.cumsum(lens, out=out_off[1:])
+        frame_arr = pa.BinaryArray.from_buffers(
+            pa.binary(), len(lens),
+            [None, pa.py_buffer(out_off.tobytes()),
+             pa.py_buffer(gathered.tobytes())],
+        )
         return pa.table({
-            "media_id": pa.array(mids, pa.int64()),
-            "frame_idx": pa.array(fidx, pa.int64()),
-            "frame": pa.array(frames, pa.binary()),
+            "media_id": pa.array(mid),
+            "frame_idx": pa.array(fi),
+            "frame": frame_arr,
         })
 
 
