@@ -68,6 +68,9 @@ class OcgRayOperations:
     prefix: str = "ocgis_ray_output"
     output_dir: str = "/tmp/ocgis_ray"
     reps: int = 4
+    #: progress hook ``fn(fraction, message)`` — the reference's
+    #: callback parameter (``ops/parms/definition.py:103-117``)
+    callback: Any = None
 
     def __post_init__(self) -> None:
         if self.spatial_operation not in _SPATIAL_OPS:
@@ -131,9 +134,15 @@ class OcgRayOperations:
         keys.extend(self.calc_grouping)
         return keys
 
+    def _progress(self, frac: float, msg: str) -> None:
+        if self.callback is not None:
+            self.callback(frac, msg)
+
     def execute(self):
         """Run the pipeline; return type follows ``output_format``."""
+        self._progress(0.0, "assembling pipeline")
         ds = self._dataset()
+        self._progress(0.3, "dataset assembled")
         if self.calc:
             # ALL calc entries compile into ONE bucketed group-apply —
             # one shuffle, one pass, whatever the calc list length (the
@@ -179,7 +188,10 @@ class OcgRayOperations:
             )
         else:
             result = ds
-        return self._convert(result)
+        self._progress(0.7, "pipeline composed; converting output")
+        out = self._convert(result)
+        self._progress(1.0, "complete")
+        return out
 
     def _convert(self, result):
         import os

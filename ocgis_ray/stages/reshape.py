@@ -56,3 +56,35 @@ def request_size(ds) -> dict:
         "bytes": ds.size_bytes(),
         "columns": [f.name for f in ds.schema().base_schema],
     }
+
+
+def sample_by_key(ds, key_col: str, rate: float, salt: int = 0):
+    """Deterministic hash sampling: keep a row iff
+    ``(key * 2654435761 + salt) % 2^32 < rate * 2^32`` — stable under
+    resume/retry (pure function of the key), cheap (no shuffle), and
+    SQL-mirrorable (the multiplicative hash is exact integer math).
+    The training-data-pipeline sampling operator (the reference has
+    none — its data is grid-complete by construction, SURVEY §2.6)."""
+    import numpy as np
+    import pyarrow as pa
+
+    threshold = np.uint64(int(rate * (1 << 32)))
+    mult = np.uint64(2654435761)
+    mod = np.uint64(1 << 32)
+    salt_u = np.uint64(salt)
+
+    def f(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (k * mult + salt_u) % mod
+        return t.filter(pa.array(h < threshold))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sample_by_key_sql_pred(key_expr: str, rate: float, salt: int = 0) -> str:
+    """DuckDB predicate twin of :func:`sample_by_key` (exact integer
+    math, bit-identical decisions)."""
+    threshold = int(rate * (1 << 32))
+    return (f"((CAST({key_expr} AS UBIGINT) * 2654435761 + {salt})"
+            f" % 4294967296) < {threshold}")

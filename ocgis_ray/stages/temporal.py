@@ -17,6 +17,7 @@ the oracle gate.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -111,3 +112,99 @@ def add_season(ds, col: str, out: str = "season"):
 
 def season_sql(ts_expr: str) -> str:
     return f"(month({ts_expr}) % 12) // 3"
+
+
+# ------------------------------------------------------------ CF calendars
+
+_CF_UNITS = {"days": 86400.0, "hours": 3600.0, "minutes": 60.0, "seconds": 1.0}
+
+#: month lengths for the fixed-length CF calendars
+_NOLEAP_MONTHS = np.array([31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31])
+_ALLLEAP_MONTHS = np.array([31, 29, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31])
+
+
+def _parse_cf_units(units: str) -> tuple[float, tuple[int, int, int, int, int, int]]:
+    """'days since 2000-01-15 06:00:00' -> (seconds per unit, epoch)."""
+    import re
+
+    m = re.match(
+        r"\s*(\w+)\s+since\s+(\d+)-(\d+)-(\d+)"
+        r"(?:[T ](\d+):(\d+)(?::(\d+(?:\.\d*)?))?)?",
+        units,
+    )
+    if not m or m.group(1).lower() not in _CF_UNITS:
+        raise ValueError(f"unsupported CF units {units!r}")
+    g = m.groups()
+    epoch = (int(g[1]), int(g[2]), int(g[3]),
+             int(g[4] or 0), int(g[5] or 0), int(float(g[6] or 0)))
+    return _CF_UNITS[g[0].lower()], epoch
+
+
+def cf_time_decode(values: np.ndarray, units: str,
+                   calendar: str = "standard") -> dict[str, np.ndarray]:
+    """CF numeric time -> calendar field arrays (year/month/day/hour/
+    minute/second) under the CF calendars the reference decodes
+    (``/root/reference/src/ocgis/variable/temporal.py:768-980``):
+    ``standard``/``gregorian``/``proleptic_gregorian`` (real datetimes),
+    ``360_day``, ``365_day``/``noleap``, ``366_day``/``all_leap``.
+
+    Fixed-length calendars don't map onto real datetimes, so the
+    decode returns integer field columns (the reference's
+    ``get_datetime`` returns netcdftime objects for the same reason).
+    Fully vectorized."""
+    per_unit, epoch = _parse_cf_units(units)
+    vals = np.asarray(values, dtype=np.float64)
+    secs = vals * per_unit
+    cal = calendar.lower()
+    if cal in ("standard", "gregorian", "proleptic_gregorian"):
+        base = np.datetime64(
+            f"{epoch[0]:04d}-{epoch[1]:02d}-{epoch[2]:02d}"
+            f"T{epoch[3]:02d}:{epoch[4]:02d}:{epoch[5]:02d}", "us")
+        ts = base + (secs * 1e6).astype("timedelta64[us]")
+        Y = ts.astype("datetime64[Y]").astype(np.int64) + 1970
+        M = ts.astype("datetime64[M]").astype(np.int64) % 12 + 1
+        D = (ts.astype("datetime64[D]") - ts.astype("datetime64[M]")).astype(np.int64) + 1
+        rem = (ts - ts.astype("datetime64[D]")).astype("timedelta64[s]").astype(np.int64)
+        return {"year": Y, "month": M.astype(np.int64), "day": D,
+                "hour": rem // 3600, "minute": rem % 3600 // 60,
+                "second": rem % 60, "timestamp": ts}
+    if cal == "360_day":
+        month_len = np.full(12, 30)
+    elif cal in ("365_day", "noleap"):
+        month_len = _NOLEAP_MONTHS
+    elif cal in ("366_day", "all_leap"):
+        month_len = _ALLLEAP_MONTHS
+    else:
+        raise ValueError(f"unsupported CF calendar {calendar!r}")
+    year_len = int(month_len.sum())
+    cum = np.concatenate([[0], np.cumsum(month_len)])
+    # epoch -> absolute day number within the fixed-length calendar
+    e_day = (epoch[0] * year_len + cum[epoch[1] - 1] + (epoch[2] - 1))
+    e_sec = e_day * 86400.0 + epoch[3] * 3600 + epoch[4] * 60 + epoch[5]
+    tot = e_sec + secs
+    day_abs = np.floor(tot / 86400.0).astype(np.int64)
+    rem = (tot - day_abs * 86400.0).astype(np.int64)
+    year = day_abs // year_len
+    doy = day_abs % year_len  # 0-based day of year
+    month = np.searchsorted(cum, doy, side="right")  # 1..12
+    day = doy - cum[month - 1] + 1
+    return {"year": year, "month": month.astype(np.int64), "day": day,
+            "hour": rem // 3600, "minute": rem % 3600 // 60, "second": rem % 60}
+
+
+def add_cf_time_parts(ds, col: str, units: str, calendar: str = "standard",
+                      parts=("year", "month", "day")):
+    """Decode a CF numeric time column into calendar-part columns
+    (vectorized map stage) — the RequestDataset time-decode analog for
+    non-standard calendars."""
+
+    def f(t):
+        import pyarrow as pa
+
+        vals = t[col].to_numpy(zero_copy_only=False)
+        fields = cf_time_decode(vals, units, calendar)
+        for p in parts:
+            t = t.append_column(p, pa.array(fields[p]))
+        return t
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

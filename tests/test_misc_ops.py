@@ -233,3 +233,62 @@ def test_reference_state_boundaries_shapefile(ray_session, sf_dir):
     top = names[by_state.idxmax()]
     # the NYC hot city dominates the US pages
     assert top == "New York", (top, by_state.sort_values().tail())
+
+
+def test_cf_calendar_decode():
+    """CF calendar decode (variable/temporal.py:768-980 analog):
+    standard, 360_day, noleap — hand-computed expectations."""
+    import numpy as np
+
+    from ocgis_ray.stages.temporal import cf_time_decode
+
+    f = cf_time_decode(np.array([10.25]), "days since 2000-01-15 06:00:00")
+    assert (int(f["year"][0]), int(f["month"][0]), int(f["day"][0]),
+            int(f["hour"][0])) == (2000, 1, 25, 12)
+    f2 = cf_time_decode(np.array([35.0, 360.0]), "days since 2000-01-01",
+                        "360_day")
+    assert f2["month"].tolist() == [2, 1] and f2["day"].tolist() == [6, 1]
+    assert f2["year"].tolist() == [2000, 2001]
+    f3 = cf_time_decode(np.array([59.0]), "days since 2001-01-01", "noleap")
+    assert (int(f3["month"][0]), int(f3["day"][0])) == (3, 1)
+    f4 = cf_time_decode(np.array([25.5]), "hours since 2000-12-30 00:00:00",
+                        "360_day")
+    # Dec 30 is the LAST day of a 360-day year -> rolls into the new year
+    assert (int(f4["year"][0]), int(f4["month"][0]), int(f4["day"][0]),
+            int(f4["hour"][0]), int(f4["minute"][0])) == (2001, 1, 1, 1, 30)
+
+
+def test_add_cf_time_parts(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from ocgis_ray.stages.temporal import add_cf_time_parts
+
+    df = pd.DataFrame({"t": [0.0, 30.0, 359.0]})
+    out = add_cf_time_parts(rd.from_pandas(df), "t",
+                            "days since 1850-01-01", "360_day").to_pandas()
+    assert out["month"].tolist() == [1, 2, 12]
+    assert out["day"].tolist() == [1, 1, 30]
+
+
+def test_sample_by_key_deterministic(ray_session, sf_dir):
+    """hash sampling: stable across runs, rate approximately honored,
+    and bit-identical to the SQL predicate twin."""
+    import duckdb
+    import numpy as np
+
+    from ocgis_ray.sources.io import read_parquet_sized
+    from ocgis_ray.stages.reshape import sample_by_key, sample_by_key_sql_pred
+
+    docs = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    a = sample_by_key(docs, "doc_id", 0.25).to_pandas()["doc_id"].sort_values()
+    b = sample_by_key(docs, "doc_id", 0.25).to_pandas()["doc_id"].sort_values()
+    assert a.tolist() == b.tolist()
+    n = docs.count()
+    assert 0.15 * n < len(a) < 0.35 * n
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'")
+    pred = sample_by_key_sql_pred("doc_id", 0.25)
+    sql = con.execute(
+        f"SELECT doc_id FROM documents WHERE {pred} ORDER BY doc_id").df()
+    assert sql["doc_id"].tolist() == a.tolist()

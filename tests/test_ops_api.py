@@ -70,3 +70,16 @@ def test_time_range_and_parquet_output(ray_session, sf_dir, tmp_path):
     assert files
     t = pq.read_table(files[0])
     assert "n_pages" in t.column_names
+
+
+def test_callback_hook(ray_session, sf_dir):
+    """progress callback parity (ops/parms/definition.py:103-117)."""
+    from ocgis_ray.pipelines.ops import OcgRayOperations
+
+    seen = []
+    OcgRayOperations(
+        sf_dir, geom="world_regions", select_ugid=[1], aggregate=True,
+        output_format="pandas", callback=lambda f, m: seen.append((f, m)),
+    ).execute()
+    fracs = [f for f, _ in seen]
+    assert fracs == sorted(fracs) and fracs[0] == 0.0 and fracs[-1] == 1.0
