@@ -27,10 +27,21 @@ if _HERE not in sys.path:
     sys.path.insert(0, _HERE)
 
 
+def _tune() -> None:
+    # DataContext knobs only (never ray.init — the caller owns the
+    # session): reservation off so small sessions don't throttle the
+    # busy operator, 32MiB bundles so map tasks match read blocks;
+    # idempotent (see ocgis_ray/tuning.py)
+    from ocgis_ray.tuning import tune_data_context
+
+    tune_data_context()
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001: pages synthesis ->
     html extraction (byte-identity asserted) -> geocode -> broadcast
     spatial join -> per-(ugid, tile) rollup -> sort."""
+    _tune()
     from ocgis_ray.pipelines.flagship import flagship
 
     # conservative pool sizes: entry() must run under ANY session size
@@ -40,7 +51,9 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2."""
+    """One entry per implemented operator/pipeline from SURVEY.md §2
+    (exactly 50 — the driver records at most 50 rows)."""
+    _tune()
     from ocgis_ray.pipelines.catalog import QUERIES
 
     return dict(QUERIES)
@@ -49,8 +62,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB twins for every SQL-expressible query (generated from the
     same constants/vertex arrays the engine uses).  Rows-only queries
-    (LSH dedup, langid, fingerprints, LSH ANN, multimodal stubs,
-    knn_cells) intentionally have no entry."""
+    (minhash/simhash LSH dedup, langid, fingerprints) intentionally
+    have no entry."""
+    _tune()
     from ocgis_ray.pipelines.catalog import ORACLES
 
     return {name: fn() for name, fn in ORACLES.items()}
