@@ -44,8 +44,8 @@ def flagship(
     reps: int = 4,
     layer_name: str = "world_regions",
     rollup_cell: str = "cell_r8",
-    extract_concurrency: int | None = 4,
-    probe_concurrency: int | None = 4,
+    extract_concurrency=(1, 4),
+    probe_concurrency=(1, 4),
     verify_extraction: bool = True,
     extract_batch_size: int = 16384,
     probe_batch_size: int = 32768,
@@ -160,8 +160,8 @@ def flagship_from_parquet(
     pages_path: str,
     layer_name: str = "world_regions",
     rollup_cell: str = "cell_r8",
-    extract_concurrency: int | None = 4,
-    probe_concurrency: int | None = 4,
+    extract_concurrency=(1, 4),
+    probe_concurrency=(1, 4),
     verify_extraction: bool = True,
     extract_batch_size: int = 16384,
     probe_batch_size: int = 32768,

@@ -111,7 +111,7 @@ class _CosineTopK:
 
 
 def ann_bruteforce(ds, queries: pd.DataFrame, k: int, id_col: str = "vec_id",
-                   col: str = "embedding", concurrency: int | None = 4,
+                   col: str = "embedding", concurrency=(1, 4),
                    batch_size: int = 4096):
     """Exact cosine top-k per query vector."""
     import ray
@@ -263,7 +263,7 @@ def ann_lsh(ds, queries: pd.DataFrame, k: int, id_col: str = "vec_id",
 
     cand = ds.map_batches(CandidateStage, batch_format="pyarrow",
                           zero_copy_batch=True, batch_size=batch_size,
-                          concurrency=2)
+                          concurrency=(1, 2))
 
     from ocgis_ray.sources.io import topk_by_group
 
@@ -297,7 +297,7 @@ def embedding_near_duplicates(ds, threshold: float = 0.95, id_col: str = "vec_id
 
     bucket_rows = ds.map_batches(
         _LshBucketStage, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=batch_size, concurrency=2,
+        batch_size=batch_size, concurrency=(1, 2),
         fn_constructor_kwargs={"planes_ref": planes_ref, "id_col": id_col, "col": col},
     )
 

@@ -66,7 +66,7 @@ class AsofStage:
 
 
 def asof_join(ds, series: pd.DataFrame, on: str = "ts", by: str | None = None,
-              value_cols: list[str] | None = None, concurrency: int | None = 2):
+              value_cols: list[str] | None = None, concurrency=(1, 2)):
     """Broadcast as-of join of ``ds`` against a small sorted series.
 
     ``series`` columns: ``[by?, on, *value_cols]`` (numeric values).

@@ -92,7 +92,7 @@ class CrsTransformStage:
         return t.append_column(self.out_y, pa.array(y))
 
 
-def update_crs(ds, name: str = "web_mercator", concurrency: int | None = 2):
+def update_crs(ds, name: str = "web_mercator", concurrency=(1, 2)):
     return ds.map_batches(
         CrsTransformStage,
         batch_format="pyarrow",

@@ -50,7 +50,7 @@ class HtmlExtractor:
         return batch.append_column("text_extracted", extracted)
 
 
-def extract(ds, concurrency: int = 4, batch_size: int = 2048):
+def extract(ds, concurrency=(1, 4), batch_size: int = 2048):
     """Attach the extraction actor pool to a pages Dataset."""
     return ds.map_batches(
         HtmlExtractor,

@@ -75,7 +75,7 @@ def _empty_knn(id_col: str) -> pa.Table:
 
 
 def knn_bruteforce(ds, queries: pd.DataFrame, k: int, id_col: str = "page_id",
-                   concurrency: int | None = 4, batch_size: int = 16384):
+                   concurrency=(1, 4), batch_size: int = 16384):
     """Exact top-k per query.  ``queries``: DataFrame with columns
     (query_id, lon, lat) — small, broadcast once via ``ray.put``."""
     import ray
@@ -295,7 +295,7 @@ def knn_cells(ds, queries: pd.DataFrame, k: int, id_col: str = "page_id",
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
-        concurrency=2,
+        concurrency=(1, 2),
         fn_constructor_kwargs={
             "disks_ref": disks_ref,
             "k": k,

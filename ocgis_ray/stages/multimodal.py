@@ -128,7 +128,7 @@ class MediaDecoder:
         )
 
 
-def decode_features(ds, concurrency: int | None = 2, batch_size: int = 512,
+def decode_features(ds, concurrency=(1, 2), batch_size: int = 512,
                     fake: bool = True):
     return ds.map_batches(
         MediaDecoder, batch_format="pyarrow", zero_copy_batch=True,
@@ -189,7 +189,7 @@ class FrameSampler:
         })
 
 
-def sample_frames(ds, n_frames: int = 4, concurrency: int | None = 2,
+def sample_frames(ds, n_frames: int = 4, concurrency=(1, 2),
                   batch_size: int = 256):
     return ds.map_batches(
         FrameSampler, batch_format="pyarrow", zero_copy_batch=True,

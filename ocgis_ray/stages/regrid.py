@@ -98,7 +98,7 @@ def idw_interpolate(ds, targets: pd.DataFrame, k: int = 8, power: float = 2.0,
     })
     partial = ds.map_batches(
         _IdwGather, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=batch_size, concurrency=2,
+        batch_size=batch_size, concurrency=(1, 2),
         fn_constructor_kwargs={"targets_ref": tref, "k": k, "value_col": value_col},
     )
 

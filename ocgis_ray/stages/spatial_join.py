@@ -205,7 +205,7 @@ def spatial_join(
     how: str = "inner",
     keep_touches: bool = True,
     res: int = 7,
-    concurrency: int | None = 4,
+    concurrency=(1, 4),
     batch_size: int = 8192,
 ):
     """pages Dataset (geocoded) -> joined Dataset.

@@ -260,7 +260,7 @@ class LangIdStage:
         return df
 
 
-def add_lang_pred(ds, concurrency: int | None = 4):
+def add_lang_pred(ds, concurrency=(1, 4)):
     return ds.map_batches(LangIdStage, batch_format="pandas", concurrency=concurrency)
 
 

@@ -176,7 +176,7 @@ def add_salt(ds, plan: dict[int, int], cell_col: str = "cell_r7"):
         SaltStage,
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=2,
+        concurrency=(1, 2),
         fn_constructor_kwargs={"plan_ref": plan_ref, "cell_col": cell_col},
     )
 

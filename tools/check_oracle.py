@@ -6,6 +6,7 @@ Usage: python tools/check_oracle.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import os
 import sys
 
 import duckdb
@@ -65,7 +66,9 @@ def main() -> None:
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=8, include_dashboard=False,
+        ray.init(address="local",
+                 num_cpus=int(os.environ.get("CHECK_CPUS", "8")),
+                 include_dashboard=False,
                  logging_level="ERROR")
     sys.path.insert(0, ".")
     from ocgis_ray.tuning import tune_data_context
