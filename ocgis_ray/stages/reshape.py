@@ -84,7 +84,9 @@ def sample_by_key(ds, key_col: str, rate: float, salt: int = 0):
 
 def sample_by_key_sql_pred(key_expr: str, rate: float, salt: int = 0) -> str:
     """DuckDB predicate twin of :func:`sample_by_key` (exact integer
-    math, bit-identical decisions)."""
+    math, bit-identical decisions).  The key reduces mod 2^32 BEFORE
+    the multiply — (k*M) mod 2^32 depends only on k mod 2^32, and
+    DuckDB (unlike numpy) raises on uint64 overflow."""
     threshold = int(rate * (1 << 32))
-    return (f"((CAST({key_expr} AS UBIGINT) * 2654435761 + {salt})"
-            f" % 4294967296) < {threshold}")
+    return (f"(((CAST({key_expr} AS UBIGINT) % 4294967296) * 2654435761"
+            f" + {salt}) % 4294967296) < {threshold}")

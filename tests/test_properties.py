@@ -127,3 +127,105 @@ def test_covering_conserves_area(poly):
     cell_area = grid.cell_size(res) ** 2
     total = len(cov.full) * cell_area + cov.boundary_clip_area.sum()
     assert abs(total - shoelace_area(poly.verts)) < 1e-6 * max(1.0, shoelace_area(poly.verts))
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(st.tuples(st.floats(-50, 50), st.floats(-50, 50)),
+             min_size=3, max_size=8),
+    st.floats(-40, 30), st.floats(-40, 30),
+    st.floats(1.0, 30.0), st.floats(1.0, 30.0),
+)
+def test_clip_convex_bounded_and_rect_consistent(pts, cx, cy, cw, ch):
+    """clip area is bounded by both inputs, and the general convex
+    kernel agrees with the axis-rect kernel on rectangles."""
+    import numpy as np
+
+    from ocgis_ray.geometry import (_is_convex, clip_poly_convex,
+                                    clip_poly_rect, shoelace_area)
+
+    hull = _convex_hull(np.asarray(pts, dtype=np.float64))
+    if hull is None or shoelace_area(hull) < 1e-6:
+        return
+    rect = np.array([[cx, cy], [cx + cw, cy], [cx + cw, cy + ch], [cx, cy + ch]])
+    c1 = clip_poly_convex(hull, rect)
+    c2 = clip_poly_rect(hull, cx, cy, cx + cw, cy + ch)
+    a1 = shoelace_area(c1) if c1 is not None and c1.shape[0] >= 3 else 0.0
+    a2 = shoelace_area(c2) if c2 is not None and c2.shape[0] >= 3 else 0.0
+    assert abs(a1 - a2) < 1e-6 * max(1.0, a2)
+    assert a1 <= shoelace_area(hull) + 1e-9
+    assert a1 <= cw * ch + 1e-9
+
+
+def _convex_hull(pts):
+    """tiny Andrew monotone chain (test helper)."""
+    pts = pts[np.lexsort((pts[:, 1], pts[:, 0]))]
+    pts = np.unique(pts, axis=0)
+    if len(pts) < 3:
+        return None
+
+    def half(points):
+        out = []
+        for p in points:
+            while len(out) >= 2 and np.cross(out[-1] - out[-2], p - out[-2]) <= 0:
+                out.pop()
+            out.append(p)
+        return out
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    hull = np.asarray(lower[:-1] + upper[:-1])
+    return hull if len(hull) >= 3 else None
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.floats(-170, 170), st.floats(5, 40), st.floats(-60, 60),
+       st.floats(2, 20))
+def test_antimeridian_split_preserves_containment(lon0, width, lat0, h):
+    """for any box (possibly crossing ±180 after wrapping), the
+    auto-split polygon classifies points identically to direct
+    longitude-interval membership."""
+    import numpy as np
+
+    from ocgis_ray.geometry import Polygon
+
+    lo = lon0
+    hi = lon0 + width
+    # express the ring in wrapped coordinates (crossing representation)
+    def wrap(x):
+        return (x + 180.0) % 360.0 - 180.0
+
+    ring = np.array([[wrap(lo), lat0], [wrap(hi), lat0],
+                     [wrap(hi), lat0 + h], [wrap(lo), lat0 + h]])
+    try:
+        p = Polygon(1, "t", ring)
+    except NotImplementedError:
+        return
+    rng = np.random.RandomState(0)
+    qx = rng.uniform(-180, 180, 200)
+    qy = rng.uniform(lat0 - 2, lat0 + h + 2, 200)
+    got = p.contains(qx, qy)
+    # truth: lon in [lo, hi] modulo 360, lat in [lat0, lat0+h]
+    rel = (qx - lo) % 360.0
+    want = (rel <= width) & (qy >= lat0) & (qy <= lat0 + h)
+    # exclude points within 1e-6 deg of any boundary (float edge rules)
+    safe = (np.abs(rel) > 1e-6) & (np.abs(rel - width) > 1e-6) & \
+        (np.abs(qy - lat0) > 1e-6) & (np.abs(qy - (lat0 + h)) > 1e-6)
+    assert (got[safe] == want[safe]).all()
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(0, 2**40), st.floats(0.05, 0.95))
+def test_sample_by_key_sql_parity_property(key, rate):
+    import duckdb
+    import numpy as np
+
+    from ocgis_ray.stages.reshape import sample_by_key_sql_pred
+
+    threshold = np.uint64(int(rate * (1 << 32)))
+    with np.errstate(over="ignore"):
+        h = (np.uint64(key) * np.uint64(2654435761)) % np.uint64(1 << 32)
+    mine = bool(h < threshold)
+    sql = duckdb.sql(
+        f"SELECT {sample_by_key_sql_pred(str(key), rate)}").fetchone()[0]
+    assert mine == sql
