@@ -708,11 +708,17 @@ def sql_ann_bruteforce() -> str:
 # ---- rows-only (non-SQL-expressible) --------------------------------
 
 def q_minhash_near_dup(sf_dir: str):
-    from ocgis_ray.sources.io import read_parquet_sized
+    import ray
 
+    from ocgis_ray.sources.io import read_parquet_sized
     from ocgis_ray.stages.dedup import minhash_near_duplicates
 
     docs = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    # the documents fixture is ONE parquet row group -> one read block;
+    # split it so the (expensive) 128-perm signature scan fans out —
+    # a real corpus arrives in thousands of row groups and skips this
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    docs = docs.repartition(max(2, min(16, cpus // 2)))
     return minhash_near_duplicates(docs, threshold=0.5)
 
 

@@ -44,8 +44,8 @@ def flagship(
     reps: int = 4,
     layer_name: str = "world_regions",
     rollup_cell: str = "cell_r8",
-    extract_concurrency=(1, 4),
-    probe_concurrency=(1, 4),
+    extract_concurrency=None,
+    probe_concurrency=None,
     verify_extraction: bool = True,
     extract_batch_size: int = 16384,
     probe_batch_size: int = 32768,
@@ -59,6 +59,10 @@ def flagship(
     ~10-20MB of synthetic html; REAL Common-Crawl html (~100KB/row)
     needs extract_batch_size ~256-1024 to keep batches in the same
     byte range — size by bytes, not rows."""
+    from ocgis_ray.tuning import auto_pool
+
+    extract_concurrency = auto_pool() if extract_concurrency is None else extract_concurrency
+    probe_concurrency = auto_pool() if probe_concurrency is None else probe_concurrency
     ds = pages_dataset(sf_dir, reps=reps)
     ds = ds.map_batches(
         HtmlExtractor,
@@ -160,8 +164,8 @@ def flagship_from_parquet(
     pages_path: str,
     layer_name: str = "world_regions",
     rollup_cell: str = "cell_r8",
-    extract_concurrency=(1, 4),
-    probe_concurrency=(1, 4),
+    extract_concurrency=None,
+    probe_concurrency=None,
     verify_extraction: bool = True,
     extract_batch_size: int = 16384,
     probe_batch_size: int = 32768,
@@ -179,6 +183,9 @@ def flagship_from_parquet(
     from ocgis_ray.sources.io import read_parquet_sized
     from ocgis_ray.stages.spatial_join import build_index
 
+    from ocgis_ray.tuning import auto_pool
+
+    extract_concurrency = auto_pool() if extract_concurrency is None else extract_concurrency
     ds = read_parquet_sized(
         pages_path,
         columns=["page_id", "url", "warc_ts", "html", "text", "lang", "n_chars"],

@@ -38,10 +38,17 @@ def read_parquet_sized(
     columns: list[str] | None = None,
     filter=None,
     target_block_bytes: int = DEFAULT_BLOCK_BYTES,
-    min_blocks: int = 1,
+    min_blocks: int | None = None,
     max_blocks: int = 512,
 ):
-    """``ray.data.read_parquet`` with size-derived block count."""
+    """``ray.data.read_parquet`` with size-derived block count.
+
+    ``min_blocks`` defaults to ``min(cpus, uncompressed_size // 1 MiB)``
+    so a small-but-expensive input (one 14 MB documents file feeding a
+    minhash scan) still fans out across the node — a single-block read
+    pins every downstream map stage to ONE task (measured: signature
+    scan 3.8s -> 1.5s).  Tiny files stay at 1-2 blocks so the per-block
+    exchange cost of later groupbys stays negligible."""
     import ray.data as rd
 
     def uncompressed(fp: str) -> int:
@@ -65,6 +72,12 @@ def read_parquet_sized(
         size = None
     kwargs = {}
     if size is not None:
+        if min_blocks is None:
+            import ray
+
+            cpus = int(ray.cluster_resources().get("CPU", 8)) if \
+                ray.is_initialized() else 8
+            min_blocks = max(1, min(cpus, size // (1024 * 1024)))
         nb = int(np.clip((size + target_block_bytes - 1) // target_block_bytes,
                          min_blocks, max_blocks))
         kwargs["override_num_blocks"] = nb
@@ -119,9 +132,15 @@ def bucketed_group_apply(ds, keys: list[str] | str, fn, num_buckets: int = 32,
     keys = [keys] if isinstance(keys, str) else list(keys)
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # assign through numpy, NOT a pandas Series: when Ray fuses
+        # this stage with an upstream pandas UDF, the incoming frame
+        # keeps that UDF's (possibly sliced, non-Range) index, and a
+        # Series assignment would ALIGN on it — scrambling bucket ids
+        # (bug found via pairs landing in two buckets after a fused
+        # map_groups; Arrow-roundtripped blocks masked it elsewhere)
         h = pd.util.hash_pandas_object(df[keys].reset_index(drop=True), index=False)
         df = df.copy()
-        df["_bucket"] = (h % np.uint64(num_buckets)).astype(np.int64)
+        df["_bucket"] = (h % np.uint64(num_buckets)).astype(np.int64).to_numpy()
         return df
 
     def apply(g: pd.DataFrame) -> pd.DataFrame:
@@ -167,3 +186,72 @@ def distinct_rows(ds, keys: list[str] | str, order_col: str | None = None,
         return g.drop_duplicates(keys, keep="first")
 
     return bucketed_group_apply(ds, keys, keep_first, num_buckets=num_buckets)
+
+
+def bucketed_pair_attach(pairs, lookup, left_key: str, right_key: str,
+                         id_col: str, value_col: str,
+                         num_buckets: int = 32):
+    """Attach ``lookup[value_col]`` to BOTH sides of a pair Dataset —
+    the task-based twin of two hash-shuffle ``Dataset.join``s.
+
+    Returns (left_key, right_key, <value_col>_a, <value_col>_b).
+
+    Why this exists alongside :func:`join_datasets`: each native join
+    spawns a pool of long-lived aggregator actors whose startup is
+    pure fixed cost (~2s/join on this host) — at small scale two
+    bucketed TASK shuffles (union -> per-key attach -> per-pair
+    combine) are ~3x cheaper, while at warehouse scale the actor
+    joins amortize and stream better.  Both shapes are provided;
+    callers pick by scale."""
+    import ray.data as rd
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[left_key].to_numpy(np.int64)
+        b = df[right_key].to_numpy(np.int64)
+        return pd.DataFrame({
+            "_k": np.concatenate([a, b]),
+            "_a": np.concatenate([a, a]),
+            "_b": np.concatenate([b, b]),
+            "_side": np.concatenate([np.zeros(len(a), np.int8),
+                                     np.ones(len(b), np.int8)]),
+            "_val": np.full(2 * len(a), b"", dtype=object),
+        })
+
+    def tag_lookup(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "_k": df[id_col].to_numpy(np.int64),
+            "_a": np.full(len(df), -1, np.int64),
+            "_b": np.full(len(df), -1, np.int64),
+            "_side": np.full(len(df), -1, np.int8),
+            "_val": df[value_col].to_numpy(object),
+        })
+
+    unioned = pairs.map_batches(explode, batch_format="pandas").union(
+        lookup.map_batches(tag_lookup, batch_format="pandas")
+    )
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        vals = g[g["_side"] == -1].set_index("_k")["_val"]
+        sides = g[g["_side"] >= 0]
+        out = sides[["_a", "_b", "_side"]].copy()
+        out["_val"] = vals.reindex(sides["_k"].to_numpy()).to_numpy()
+        return out
+
+    attached = bucketed_group_apply(unioned, "_k", attach,
+                                    num_buckets=num_buckets)
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("_side", kind="mergesort")
+        ga = g[g["_side"] == 0]
+        gb = g[g["_side"] == 1].set_index(["_a", "_b"])["_val"]
+        out = pd.DataFrame({
+            left_key: ga["_a"].to_numpy(np.int64),
+            right_key: ga["_b"].to_numpy(np.int64),
+            f"{value_col}_a": ga["_val"].to_numpy(object),
+        })
+        idx = list(zip(out[left_key], out[right_key]))
+        out[f"{value_col}_b"] = gb.reindex(idx).to_numpy()
+        return out
+
+    return bucketed_group_apply(attached, ["_a", "_b"], combine,
+                                num_buckets=num_buckets)

@@ -32,6 +32,12 @@ import pandas as pd
 import pyarrow as pa
 
 
+def _ap() -> int:
+    from ocgis_ray.tuning import auto_pool
+
+    return auto_pool()
+
+
 def _normalize(m: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(m, axis=1, keepdims=True)
     return m / np.maximum(n, 1e-12)
@@ -111,11 +117,14 @@ class _CosineTopK:
 
 
 def ann_bruteforce(ds, queries: pd.DataFrame, k: int, id_col: str = "vec_id",
-                   col: str = "embedding", concurrency=(1, 4),
+                   col: str = "embedding", concurrency=None,
                    batch_size: int = 4096):
     """Exact cosine top-k per query vector."""
     import ray
 
+    from ocgis_ray.tuning import auto_pool
+
+    concurrency = auto_pool() if concurrency is None else concurrency
     q = {"query_id": queries["query_id"].to_numpy(np.int64),
          "mat": np.stack(queries["embedding"].to_numpy())}
     qref = ray.put(q)
@@ -263,7 +272,7 @@ def ann_lsh(ds, queries: pd.DataFrame, k: int, id_col: str = "vec_id",
 
     cand = ds.map_batches(CandidateStage, batch_format="pyarrow",
                           zero_copy_batch=True, batch_size=batch_size,
-                          concurrency=(1, 2))
+                          concurrency=_ap())
 
     from ocgis_ray.sources.io import topk_by_group
 
@@ -297,7 +306,7 @@ def embedding_near_duplicates(ds, threshold: float = 0.95, id_col: str = "vec_id
 
     bucket_rows = ds.map_batches(
         _LshBucketStage, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=batch_size, concurrency=(1, 2),
+        batch_size=batch_size, concurrency=_ap(),
         fn_constructor_kwargs={"planes_ref": planes_ref, "id_col": id_col, "col": col},
     )
 

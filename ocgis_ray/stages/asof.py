@@ -66,12 +66,15 @@ class AsofStage:
 
 
 def asof_join(ds, series: pd.DataFrame, on: str = "ts", by: str | None = None,
-              value_cols: list[str] | None = None, concurrency=(1, 2)):
+              value_cols: list[str] | None = None, concurrency=None):
     """Broadcast as-of join of ``ds`` against a small sorted series.
 
     ``series`` columns: ``[by?, on, *value_cols]`` (numeric values).
     Rows with no series point at-or-before get null values (filter for
     SQL-ASOF-inner parity)."""
+    from ocgis_ray.tuning import auto_pool
+
+    concurrency = auto_pool() if concurrency is None else concurrency
     import ray
 
     value_cols = value_cols or [c for c in series.columns if c not in (on, by)]

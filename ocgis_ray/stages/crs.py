@@ -92,7 +92,10 @@ class CrsTransformStage:
         return t.append_column(self.out_y, pa.array(y))
 
 
-def update_crs(ds, name: str = "web_mercator", concurrency=(1, 2)):
+def update_crs(ds, name: str = "web_mercator", concurrency=None):
+    from ocgis_ray.tuning import auto_pool
+
+    concurrency = auto_pool() if concurrency is None else concurrency
     return ds.map_batches(
         CrsTransformStage,
         batch_format="pyarrow",

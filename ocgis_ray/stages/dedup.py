@@ -187,9 +187,10 @@ class MinHashStage:
 
 
 def minhash_signatures(ds, num_perm: int = 128, k: int = 3,
-                       concurrency=(1, 4)):
-    # autoscaling pool (min 1 actor) so the signature stage coexists
-    # with downstream join-aggregator reservations on small clusters
+                       concurrency=None):
+    from ocgis_ray.tuning import auto_pool
+
+    concurrency = auto_pool() if concurrency is None else concurrency
     return ds.map_batches(
         MinHashStage,
         batch_format="pandas",
@@ -294,18 +295,19 @@ def minhash_near_duplicates(ds, threshold: float = 0.7, num_perm: int = 128,
     store, NOT a driver collect) because two consumers read it — at
     warehouse scale this is the signatures-to-parquet checkpoint every
     production minhash pipeline writes anyway."""
-    from ocgis_ray.sources.io import join_datasets
+    from ocgis_ray.sources.io import bucketed_pair_attach
 
     if bands is None or rows is None:
         bands, rows = pick_lsh_bands(num_perm, threshold)
     sig_ds = minhash_signatures(ds, num_perm=num_perm, k=k).materialize()
     cand = lsh_candidate_pairs(sig_ds, bands=bands, rows=rows)
 
-    joined = join_datasets(cand, sig_ds, on=("doc_a",), right_on=("doc_id",),
-                           num_partitions=num_partitions)
-    joined = join_datasets(joined, sig_ds, on=("doc_b",), right_on=("doc_id",),
-                           num_partitions=num_partitions,
-                           left_suffix="_a", right_suffix="_b")
+    # task-based bucketed attach (io.bucketed_pair_attach): ~3x cheaper
+    # than two native Dataset.joins at small scale (no aggregator-actor
+    # spawn); io.join_datasets is the drop-in for warehouse scale
+    joined = bucketed_pair_attach(cand, sig_ds, "doc_a", "doc_b",
+                                  "doc_id", "sig",
+                                  num_buckets=num_partitions or 32)
 
     def verify(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -379,7 +381,10 @@ class SimHashStage:
         return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(), "simhash": sigs.astype(np.int64)})
 
 
-def simhash_signatures(ds, concurrency=(1, 4)):
+def simhash_signatures(ds, concurrency=None):
+    from ocgis_ray.tuning import auto_pool
+
+    concurrency = auto_pool() if concurrency is None else concurrency
     return ds.map_batches(SimHashStage, batch_format="pandas", concurrency=concurrency)
 
 

@@ -50,7 +50,10 @@ class HtmlExtractor:
         return batch.append_column("text_extracted", extracted)
 
 
-def extract(ds, concurrency=(1, 4), batch_size: int = 2048):
+def extract(ds, concurrency=None, batch_size: int = 2048):
+    from ocgis_ray.tuning import auto_pool
+
+    concurrency = auto_pool() if concurrency is None else concurrency
     """Attach the extraction actor pool to a pages Dataset."""
     return ds.map_batches(
         HtmlExtractor,

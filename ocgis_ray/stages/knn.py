@@ -19,6 +19,12 @@ Ranking is by (distance, page_id) so ties are deterministic.
 
 from __future__ import annotations
 
+
+def _ap() -> int:
+    from ocgis_ray.tuning import auto_pool
+
+    return auto_pool()
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -75,13 +81,14 @@ def _empty_knn(id_col: str) -> pa.Table:
 
 
 def knn_bruteforce(ds, queries: pd.DataFrame, k: int, id_col: str = "page_id",
-                   concurrency=(1, 4), batch_size: int = 16384):
+                   concurrency=None, batch_size: int = 16384):
     """Exact top-k per query.  ``queries``: DataFrame with columns
     (query_id, lon, lat) — small, broadcast once via ``ray.put``."""
     import ray
 
     from ocgis_ray.sources.io import topk_by_group
 
+    concurrency = _ap() if concurrency is None else concurrency
     q = {
         "query_id": queries["query_id"].to_numpy(dtype=np.int64),
         "lon": queries["lon"].to_numpy(dtype=np.float64),
@@ -295,7 +302,7 @@ def knn_cells(ds, queries: pd.DataFrame, k: int, id_col: str = "page_id",
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
-        concurrency=(1, 2),
+        concurrency=_ap(),
         fn_constructor_kwargs={
             "disks_ref": disks_ref,
             "k": k,

@@ -128,8 +128,11 @@ class MediaDecoder:
         )
 
 
-def decode_features(ds, concurrency=(1, 2), batch_size: int = 512,
+def decode_features(ds, concurrency=None, batch_size: int = 512,
                     fake: bool = True):
+    from ocgis_ray.tuning import auto_pool
+
+    concurrency = auto_pool() if concurrency is None else concurrency
     return ds.map_batches(
         MediaDecoder, batch_format="pyarrow", zero_copy_batch=True,
         concurrency=concurrency, batch_size=batch_size,
@@ -189,8 +192,11 @@ class FrameSampler:
         })
 
 
-def sample_frames(ds, n_frames: int = 4, concurrency=(1, 2),
+def sample_frames(ds, n_frames: int = 4, concurrency=None,
                   batch_size: int = 256):
+    from ocgis_ray.tuning import auto_pool
+
+    concurrency = auto_pool() if concurrency is None else concurrency
     return ds.map_batches(
         FrameSampler, batch_format="pyarrow", zero_copy_batch=True,
         concurrency=concurrency, batch_size=batch_size,

@@ -21,6 +21,12 @@ Here (per the north star) regridding becomes:
 
 from __future__ import annotations
 
+
+def _ap() -> int:
+    from ocgis_ray.tuning import auto_pool
+
+    return auto_pool()
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -98,7 +104,7 @@ def idw_interpolate(ds, targets: pd.DataFrame, k: int = 8, power: float = 2.0,
     })
     partial = ds.map_batches(
         _IdwGather, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=batch_size, concurrency=(1, 2),
+        batch_size=batch_size, concurrency=_ap(),
         fn_constructor_kwargs={"targets_ref": tref, "k": k, "value_col": value_col},
     )
 

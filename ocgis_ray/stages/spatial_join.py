@@ -205,7 +205,7 @@ def spatial_join(
     how: str = "inner",
     keep_touches: bool = True,
     res: int = 7,
-    concurrency=(1, 4),
+    concurrency=None,
     batch_size: int = 8192,
 ):
     """pages Dataset (geocoded) -> joined Dataset.
@@ -216,6 +216,9 @@ def spatial_join(
     """
     import ray
 
+    from ocgis_ray.tuning import auto_pool
+
+    concurrency = auto_pool() if concurrency is None else concurrency
     index_ref = ray.put(build_index(polys, res=res))
     return ds.map_batches(
         SpatialJoinProbe,

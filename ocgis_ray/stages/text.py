@@ -260,7 +260,10 @@ class LangIdStage:
         return df
 
 
-def add_lang_pred(ds, concurrency=(1, 4)):
+def add_lang_pred(ds, concurrency=None):
+    from ocgis_ray.tuning import auto_pool
+
+    concurrency = auto_pool() if concurrency is None else concurrency
     return ds.map_batches(LangIdStage, batch_format="pandas", concurrency=concurrency)
 
 

@@ -24,6 +24,12 @@ Scale design:
 
 from __future__ import annotations
 
+
+def _ap() -> int:
+    from ocgis_ray.tuning import auto_pool
+
+    return auto_pool()
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -176,7 +182,7 @@ def add_salt(ds, plan: dict[int, int], cell_col: str = "cell_r7"):
         SaltStage,
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 2),
+        concurrency=_ap(),
         fn_constructor_kwargs={"plan_ref": plan_ref, "cell_col": cell_col},
     )
 

@@ -37,3 +37,23 @@ def tune_data_context() -> None:
     ctx.op_resource_reservation_enabled = False
     ctx.target_max_block_size = 32 * 1024 * 1024
     logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+
+def auto_pool(n_max: int | None = None) -> int:
+    """Fixed actor-pool size from the live cluster.
+
+    Two measured failure modes this resolves: a FIXED pool of N >=
+    session CPUs reserves every core and deadlocks the read (4-cpu
+    sessions); an AUTOSCALING (1, N) pool ramps too slowly for short
+    stages (signature scan 6.2s vs 1.5s fixed).  So: fixed size,
+    cpus/4 capped at 8 by default (actor SPAWN cost dominates short
+    stages — a 16-actor pool on a 2s scan spends more time forking
+    workers than scanning), always leaving >= 2 CPUs for the
+    read/shuffle stages.  Long heavy scans should pass an explicit
+    larger ``concurrency``."""
+    import ray
+
+    total = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    cap = max(1, total - 2)
+    want = n_max if n_max is not None else min(8, max(1, total // 4))
+    return max(1, min(want, cap))
