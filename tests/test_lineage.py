@@ -124,3 +124,26 @@ def test_empty_partition_completes(ray_session, tmp_path):
     assert recs[0]["rows"] == 0
     recs2 = lineage.run_partitioned(make_ds, out, ["p0"])
     assert recs2 == [] and calls == ["p0"]
+
+
+def test_chunked_rwg_weights_and_resume(ray_session, tmp_path):
+    """chunked regrid-weight generation (ocli chunked-rwg analog,
+    ocli.py:39-305 + grid_chunker.py write_chunks/merge): exact
+    conservative fractions on the nested quadgrid, per-tile chunks
+    with lineage resume."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import ray.data as rd
+
+    from chunked_rwg import weights_for_tile
+    from ocgis_ray.state import lineage
+
+    w = weights_for_tile(0, src_res=7, dst_res=5, n_tiles_x=8)
+    # every dst cell's child weights sum to exactly 1 (conservative)
+    sums = w.groupby("dst")["w"].sum()
+    assert (sums == 1.0).all()
+    assert (w.groupby("dst").size() == 16).all()  # 4^(7-5)=16 children
+    out = str(tmp_path / "rwg")
+    lineage.write_partition(rd.from_pandas(w), out, "tile_000", meta={"tile": 0})
+    assert lineage.completed_partitions(out) == {"tile_000"}
