@@ -113,13 +113,17 @@ def run_queries() -> dict[str, float]:
         "ann_bruteforce",
         "text_stats_documents",
     ]
-    out: dict[str, float] = {}
-    for name in names:
+    def run(name: str) -> float:
         t0 = time.perf_counter()
         res = catalog.QUERIES[name](SF_DIR)
         if hasattr(res, "to_pandas"):
             res.to_pandas()
-        out[name] = round(time.perf_counter() - t0, 3)
+        return round(time.perf_counter() - t0, 3)
+
+    out: dict[str, float] = {}
+    for name in names:
+        run(name)          # untimed warmup: actor pools / worker spawn
+        out[name] = run(name)
     return out
 
 
