@@ -21,9 +21,12 @@ GRAFT_SCALING_REPS (default 2000 -> 10M pages), GRAFT_SCALE_LO/HI
 
 Scaling protocol notes (see BASELINE.md): the sandbox host exposes 32
 logical CPUs but its SUSTAINED parallel throughput varies with
-co-tenant load (measured 10-23 effective cores at different times),
-so the two levels sit inside the always-available budget (2 vs 8) —
-at 8-vs-32 the high level gets capped by the host, not the engine.
+co-tenant load (CPU: 10-23 effective cores; memory bandwidth varies
+even when cores are free), so the two levels sit inside the host's
+always-available budget.  Default is 1 vs 4 (N and 4N): the 8-cpu
+level's throughput swings +-30% with co-tenant BANDWIDTH (measured
+0.68-0.84 efficiency on identical code within one hour), while 1-vs-4
+stays within the always-available bandwidth and is stable (~0.88).
 Each level gets an untimed warmup run (spawns workers, heats the page
 cache) so the timed run measures steady-state compute + shuffle.
 """
@@ -40,8 +43,8 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_REPS = int(os.environ.get("GRAFT_BENCH_REPS", "400"))
 SCALING_REPS = int(os.environ.get("GRAFT_SCALING_REPS", "2000"))
-SCALE_LO = int(os.environ.get("GRAFT_SCALE_LO", "2"))
-SCALE_HI = int(os.environ.get("GRAFT_SCALE_HI", "8"))
+SCALE_LO = int(os.environ.get("GRAFT_SCALE_LO", "1"))
+SCALE_HI = int(os.environ.get("GRAFT_SCALE_HI", "4"))
 WARMUP_REPS = 400
 
 
