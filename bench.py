@@ -11,13 +11,14 @@ separately as ``synth_sec``.
 Usage:
     python bench.py                  # headline + query timings at $RAY_GRAFT_CPUS
     python bench.py --flagship-only  # headline only (used by --scaling children)
-    python bench.py --scaling        # same job at 2 vs 8 cpus in fresh
-                                     # processes; prints throughputs + efficiency
+    python bench.py --scaling        # same job at N vs 4N cpus (default
+                                     # 1 vs 4) in fresh processes; prints
+                                     # throughputs + scaling efficiency
 
 Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS
 (default 32), GRAFT_BENCH_REPS (default 400 -> 2M pages at sf0.1),
 GRAFT_SCALING_REPS (default 2000 -> 10M pages), GRAFT_SCALE_LO/HI
-(default 2/8).
+(default 1/4).
 
 Scaling protocol notes (see BASELINE.md): the sandbox host exposes 32
 logical CPUs but its SUSTAINED parallel throughput varies with
