@@ -10,11 +10,12 @@ standard family as first-class Ray Data operators:
 - **exact**: content hash -> hash-partitioned ``groupby`` -> keep the
   first (min id) per group.  The shuffle key is the hash, so identical
   docs co-locate; partial per-batch dedup keeps the shuffle small.
-- **MinHash + LSH**: word-shingle -> 128-perm minhash signature ->
-  banded LSH bucket rows -> ``groupby(band, band_hash)`` -> candidate
-  pairs -> signature-estimated Jaccard filter -> greedy keep-smallest
-  survivor set.  All hashing is vectorized (``pd.util.hash_array`` —
-  64-bit, deterministic, process-independent).
+- **MinHash + LSH**: token-Horner word shingles (zero-copy byte
+  view, no shingle strings) -> 128-perm minhash signature (binary-
+  packed) -> threshold-tuned banded LSH bucket rows -> candidate
+  pairs -> per-side signature attach (task-based bucketed join) ->
+  vectorized estimated-Jaccard filter -> distributed anti-join
+  survivor set.  Every hash is deterministic and process-independent.
 - **SimHash**: 64-bit token-weighted signature; Hamming-<=h pairs via
   4-band pigeonhole + popcount-LUT verification.
 - **n-gram Jaccard**: exact pairwise verifier (tests + small-scale

@@ -8,11 +8,13 @@ Generalizes the reference's 1-NN ``select_nearest``/``get_nearest``
   per-batch vectorized haversine (Q x B), **partial top-k per batch**
   (each batch emits at most Q*k candidate rows), tiny final combine.
   The shuffle moves k rows per (query, batch), never pages.
-- :func:`knn_cells` — the scale path: expanding cell-ring gather
-  (``grid.disk``, the ``h3.grid_disk`` analog) prefilters pages to
-  cells near each query before the exact refine; falls back to wider
-  rings until k candidates exist.  Same results as brute force
-  (verified in tests) at a fraction of the distance evaluations.
+- :func:`knn_cells` — the scale path: a grid-bounded cell histogram
+  picks a PROVABLY sufficient disk per query up front (arcsine
+  coverage bound), then ONE candidate scan (``grid.disk`` cells, the
+  ``h3.grid_disk`` analog) computes exact distances in-batch with a
+  partial per-query top-k.  Same results as brute force (verified in
+  tests) at a fraction of the distance evaluations and exactly one
+  pass over the data.
 
 Ranking is by (distance, page_id) so ties are deterministic.
 """
