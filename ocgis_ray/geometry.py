@@ -378,8 +378,9 @@ def intersection_area(a: "Polygon", b: "Polygon") -> float:
     exactly what the reference's clip operation runs per selection
     geometry (``ops/engine.py:287-385``)."""
     if b.holes or not b.convex:
-        raise NotImplementedError("intersection_area requires a convex, "
-                                  "hole-free second polygon")
+        # arbitrary simple polygons: triangulate b's rings and sum
+        # convex clips (exact; see intersection_area_general)
+        return intersection_area_general(a, b)
     area = 0.0
     for part in a.parts:
         c = clip_poly_convex(part.verts, b.verts)
@@ -419,16 +420,23 @@ def union_area(polys: list) -> float:
                                   "overlapping polygons (disjoint inputs: "
                                   "any count)")
     for a, b, c in itertools.combinations(overlapping, 3):
-        bc, cc = polys[b], polys[c]
-        if cc.holes or not cc.convex or bc.holes or not bc.convex:
-            raise NotImplementedError("triple overlap correction needs "
-                                      "convex inputs")
+        # triple term area(a ∩ b ∩ c): clip a's parts by every
+        # (triangle of b) x (triangle of c) — exact for arbitrary
+        # hole-free simple polygons
+        if polys[a].holes or polys[b].holes or polys[c].holes:
+            raise NotImplementedError("triple overlap correction does not "
+                                      "support holes")
         for part in polys[a].parts:
-            ring = clip_poly_convex(part.verts, bc.verts)
-            if ring is not None:
-                ring2 = clip_poly_convex(ring, cc.verts)
-                if ring2 is not None:
-                    total += shoelace_area(ring2)
+            for bp in polys[b].parts:
+                for tb in triangulate_ring(bp.verts):
+                    ring = clip_poly_convex(part.verts, tb)
+                    if ring is None:
+                        continue
+                    for cp in polys[c].parts:
+                        for tc in triangulate_ring(cp.verts):
+                            ring2 = clip_poly_convex(ring, tc)
+                            if ring2 is not None:
+                                total += shoelace_area(ring2)
     return total
 
 
@@ -469,3 +477,73 @@ def buffer_bbox(
     radius searches and chunk pairing."""
     x0, y0, x1, y1 = bbox
     return (x0 - dist_deg, y0 - dist_deg, x1 + dist_deg, y1 + dist_deg)
+
+
+def triangulate_ring(verts: np.ndarray) -> list[np.ndarray]:
+    """Ear-clipping triangulation of a simple (possibly non-convex)
+    ring -> list of (3, 2) triangles.  O(n^2) — build-side geometry
+    only (selection layers are small); the piece that upgrades
+    :func:`intersection_area` / :func:`union_area` from convex-only to
+    ARBITRARY simple polygons (triangles are convex, so every pairwise
+    term reduces to Sutherland-Hodgman against a convex clip)."""
+    v = np.asarray(verts, dtype=np.float64)
+    if v.shape[0] >= 3 and np.allclose(v[0], v[-1]):
+        v = v[:-1]
+    if not _is_ccw(v):
+        v = v[::-1].copy()
+    idx = list(range(v.shape[0]))
+    tris: list[np.ndarray] = []
+    guard = 0
+    while len(idx) > 3 and guard < 10000:
+        guard += 1
+        n = len(idx)
+        ear_found = False
+        for i in range(n):
+            a, b, c = idx[(i - 1) % n], idx[i], idx[(i + 1) % n]
+            pa_, pb, pc = v[a], v[b], v[c]
+            cross = (pb[0] - pa_[0]) * (pc[1] - pa_[1]) - \
+                (pb[1] - pa_[1]) * (pc[0] - pa_[0])
+            if cross <= 1e-15:  # reflex or degenerate corner
+                continue
+            tri = np.array([pa_, pb, pc])
+            others = [j for j in idx if j not in (a, b, c)]
+            if others:
+                ox = v[others, 0]
+                oy = v[others, 1]
+                inside = _contains_convex(tri, ox, oy, keep_touches=False)
+                if inside.any():
+                    continue
+            tris.append(tri)
+            idx.pop(i)
+            ear_found = True
+            break
+        if not ear_found:  # numerically stuck (collinear runs): drop a flat corner
+            flat = min(range(len(idx)), key=lambda i: abs(
+                (v[idx[i]][0] - v[idx[i - 1]][0]) * (v[idx[(i + 1) % len(idx)]][1] - v[idx[i - 1]][1])
+                - (v[idx[i]][1] - v[idx[i - 1]][1]) * (v[idx[(i + 1) % len(idx)]][0] - v[idx[i - 1]][0])))
+            idx.pop(flat)
+    if len(idx) == 3:
+        tris.append(v[idx])
+    return tris
+
+
+def intersection_area_general(a: "Polygon", b: "Polygon") -> float:
+    """Area of ``a INTERSECT b`` for ARBITRARY simple polygons (holes
+    and antimeridian parts on both sides): triangulate every ring of
+    ``b`` and sum convex clips, with hole rings entering negatively on
+    both sides (area is additive over the triangulation and
+    inclusion-exclusion over rings)."""
+    total = 0.0
+    for bpart in b.parts:
+        rings_b = [(bpart.verts, 1.0)] + [(h, -1.0) for h in bpart.holes]
+        for ring_b, sign_b in rings_b:
+            for tri in triangulate_ring(ring_b):
+                for apart in a.parts:
+                    c = clip_poly_convex(apart.verts, tri)
+                    if c is not None:
+                        total += sign_b * shoelace_area(c)
+                    for h in apart.holes:
+                        ch = clip_poly_convex(h, tri)
+                        if ch is not None:
+                            total -= sign_b * shoelace_area(ch)
+    return total

@@ -230,3 +230,43 @@ def test_dissolve_multipart_semantics():
 
     # quadrants are disjoint 2x2-degree rects: union = sum = 16
     assert union_area(polys) == pytest.approx(16.0)
+
+
+def test_general_polygon_intersection_area():
+    """arbitrary simple-polygon intersection via ear-clipping
+    triangulation + convex clips (closes the reference's
+    geom.intersection generality gap, variable/geom.py:718-764)."""
+    from ocgis_ray.geometry import (Polygon, intersection_area,
+                                    shoelace_area, triangulate_ring)
+
+    L = np.array([[10.0, 10.0], [20.0, 10.0], [20.0, 14.0], [14.0, 14.0],
+                  [14.0, 20.0], [10.0, 20.0]])
+    tris = triangulate_ring(L)
+    assert sum(shoelace_area(t) for t in tris) == pytest.approx(shoelace_area(L))
+    A = Polygon(1, "a", L)
+    B = Polygon(2, "b", L + np.array([2.0, 2.0]))
+    # analytic: overlap of the two L-shapes = 28 sq deg
+    assert intersection_area(A, B) == pytest.approx(28.0)
+    # holes on BOTH sides: 8x8 core minus two fully-contained 2x2 holes
+    D1 = Polygon(5, "d1", np.array([[0.0, 0], [10, 0], [10, 10], [0, 10]]),
+                 holes=[np.array([[2.0, 2], [4, 2], [4, 4], [2, 4]])])
+    D2 = Polygon(6, "d2", np.array([[1.0, 1], [9, 1], [9, 9], [1, 9]]),
+                 holes=[np.array([[5.0, 5], [7, 5], [7, 7], [5, 7]])])
+    assert intersection_area(D1, D2) == pytest.approx(56.0)
+
+
+def test_union_area_nonconvex_triple():
+    from ocgis_ray.geometry import Polygon, union_area
+
+    L = np.array([[0.0, 0], [4, 0], [4, 2], [2, 2], [2, 4], [0, 4]])
+    a = Polygon(1, "a", L)                      # area 12
+    b = Polygon(2, "b", L + np.array([1.0, 0]))  # overlapping L
+    c = Polygon(3, "c", L + np.array([50.0, 0]))  # disjoint
+    u = union_area([a, b, c])
+    # grid-truth for a∪b plus the disjoint 12
+    xs = np.linspace(-1, 6, 351)
+    ys = np.linspace(-1, 5, 301)
+    X, Y = np.meshgrid(xs, ys)
+    m = a.contains(X.ravel(), Y.ravel()) | b.contains(X.ravel(), Y.ravel())
+    approx = m.mean() * 7 * 6 + 12.0
+    assert abs(u - approx) < 0.2
