@@ -494,10 +494,9 @@ def triangulate_ring(verts: np.ndarray) -> list[np.ndarray]:
     idx = list(range(v.shape[0]))
     tris: list[np.ndarray] = []
     guard = 0
-    while len(idx) > 3 and guard < 10000:
-        guard += 1
+
+    def find_ear(keep_touches: bool) -> int | None:
         n = len(idx)
-        ear_found = False
         for i in range(n):
             a, b, c = idx[(i - 1) % n], idx[i], idx[(i + 1) % n]
             pa_, pb, pc = v[a], v[b], v[c]
@@ -510,20 +509,42 @@ def triangulate_ring(verts: np.ndarray) -> list[np.ndarray]:
             if others:
                 ox = v[others, 0]
                 oy = v[others, 1]
-                inside = _contains_convex(tri, ox, oy, keep_touches=False)
-                if inside.any():
+                # keep_touches=True: a vertex ON the candidate ear's
+                # boundary must REJECT the ear — accepting it produces
+                # triangles that overlap later ones (found via a
+                # sum-of-areas mismatch on an L-shape whose reflex
+                # vertex was collinear with an ear edge)
+                if _contains_convex(tri, ox, oy, keep_touches=keep_touches).any():
                     continue
-            tris.append(tri)
+            return i
+        return None
+
+    while len(idx) > 3 and guard < 10000:
+        guard += 1
+        i = find_ear(keep_touches=True)
+        if i is None:
+            # all strict ears blocked by boundary-touching vertices
+            # (collinear chains): fall back to the lenient test
+            i = find_ear(keep_touches=False)
+        if i is None:
+            # numerically stuck: drop the flattest corner
+            i = min(range(len(idx)), key=lambda j: abs(
+                (v[idx[j]][0] - v[idx[j - 1]][0]) * (v[idx[(j + 1) % len(idx)]][1] - v[idx[j - 1]][1])
+                - (v[idx[j]][1] - v[idx[j - 1]][1]) * (v[idx[(j + 1) % len(idx)]][0] - v[idx[j - 1]][0])))
             idx.pop(i)
-            ear_found = True
-            break
-        if not ear_found:  # numerically stuck (collinear runs): drop a flat corner
-            flat = min(range(len(idx)), key=lambda i: abs(
-                (v[idx[i]][0] - v[idx[i - 1]][0]) * (v[idx[(i + 1) % len(idx)]][1] - v[idx[i - 1]][1])
-                - (v[idx[i]][1] - v[idx[i - 1]][1]) * (v[idx[(i + 1) % len(idx)]][0] - v[idx[i - 1]][0])))
-            idx.pop(flat)
+            continue
+        n = len(idx)
+        tris.append(np.array([v[idx[(i - 1) % n]], v[idx[i]], v[idx[(i + 1) % n]]]))
+        idx.pop(i)
     if len(idx) == 3:
         tris.append(v[idx])
+    total = sum(shoelace_area(t) for t in tris)
+    ring_area = shoelace_area(v)
+    if abs(total - ring_area) > 1e-9 * max(1.0, ring_area):
+        raise ValueError(
+            f"triangulation does not conserve area ({total} vs {ring_area}) — "
+            "ring may be self-intersecting"
+        )
     return tris
 
 
