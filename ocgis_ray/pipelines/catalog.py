@@ -1244,12 +1244,21 @@ def sql_geojson_layer_join() -> str:
 def q_polygon_aggregate_area_weighted(sf_dir: str):
     """Area-fraction weighted spatial mean (variable/geom.py:307-321:
     weights = clipped cell area) — the containment-fraction path of
-    the regrid replacement, over the rectangular world_regions."""
+    the regrid replacement, over the rectangular world_regions.  Also
+    emits the DISSOLVED row (ugid 0): the reference's
+    ``agg_selection=True`` (union all selection geometries — rows in
+    any rect counted once, weights = area(cell INTERSECT union) via
+    exact inclusion-exclusion; the union measure is cross-checked
+    against the ``coverage_areas`` sweep in tests)."""
     from ocgis_ray.stages.regrid import _axis_rect, area_weighted_aggregate
+    from ocgis_ray.stages.reshape import union_all
 
     polys = [p for p in cabinet.layer(WORLD) if _axis_rect(p)]
-    return area_weighted_aggregate(_geo_pages(sf_dir), polys,
-                                   value_col="n_chars", res=7)
+    per = area_weighted_aggregate(_geo_pages(sf_dir), polys,
+                                  value_col="n_chars", res=7)
+    dis = area_weighted_aggregate(_geo_pages(sf_dir), polys,
+                                  value_col="n_chars", res=7, dissolve=True)
+    return union_all(per, dis)
 
 
 def sql_polygon_aggregate_area_weighted() -> str:
@@ -1268,6 +1277,20 @@ def sql_polygon_aggregate_area_weighted() -> str:
         wexprs.append(
             f"WHEN {p.ugid} THEN greatest(0.0, least(cx1, {x1!r}) - greatest(cx0, {x0!r}))"
             f" * greatest(0.0, least(cy1, {y1!r}) - greatest(cy0, {y0!r}))"
+        )
+    # dissolved (agg_selection=True) twin: membership = OR of the same
+    # pip predicates; weights = inclusion-exclusion terms in the exact
+    # accumulation order of the engine (rect_union_terms docstring)
+    from ocgis_ray.stages.regrid import rect_union_terms
+
+    dpreds = [f"({p.convex_pip_sql('lon', 'lat')})" for p in polys]
+    union_w = "0.0"
+    for sign, x0, y0, x1, y1 in rect_union_terms(
+            [_axis_rect(p) for p in polys]):
+        op = "+" if sign > 0 else "-"
+        union_w += (
+            f" {op} (greatest(0.0, least(cx1, {x1!r}) - greatest(cx0, {x0!r}))"
+            f" * greatest(0.0, least(cy1, {y1!r}) - greatest(cy0, {y0!r})))"
         )
     return f"""{geo_cte(REPS)},
 pc AS (SELECT page_id, lon, lat, n_chars, {grid.encode_sql('lon', 'lat', 7)} AS cell FROM geo),
@@ -1288,10 +1311,31 @@ ww AS (
   SELECT ugid, cell, n, sum_v,
          CASE ugid {" ".join(wexprs)} END AS w
   FROM wcell
-)
-SELECT ugid, CAST(count(*) AS BIGINT) AS n_cells, CAST(sum(n) AS BIGINT) AS n_rows,
-       round(sum(w * (sum_v / n)) / sum(w), 6) AS awm
-FROM ww GROUP BY ugid"""
+),
+jd AS (SELECT page_id, cell, n_chars FROM pc WHERE {" OR ".join(dpreds)}),
+percelld AS (
+  SELECT cell, count(*) AS n, CAST(sum(n_chars) AS DOUBLE) AS sum_v
+  FROM jd GROUP BY cell
+),
+wcelld AS (
+  SELECT cell, n, sum_v,
+         CAST(cell // 4294967296 AS DOUBLE) * {cs} - 180.0 AS cx0,
+         CAST(cell % 4294967296 AS DOUBLE) * {cs} - 90.0 AS cy0,
+         CAST(cell // 4294967296 AS DOUBLE) * {cs} - 180.0 + {cs} AS cx1,
+         CAST(cell % 4294967296 AS DOUBLE) * {cs} - 90.0 + {cs} AS cy1
+  FROM percelld
+),
+wwd AS (SELECT cell, n, sum_v, {union_w} AS w FROM wcelld)
+SELECT ugid, n_cells, n_rows, awm FROM (
+  SELECT ugid, CAST(count(*) AS BIGINT) AS n_cells, CAST(sum(n) AS BIGINT) AS n_rows,
+         round(sum(w * (sum_v / n)) / sum(w), 6) AS awm
+  FROM ww GROUP BY ugid
+  UNION ALL
+  SELECT CAST(0 AS BIGINT) AS ugid, CAST(count(*) AS BIGINT) AS n_cells,
+         CAST(sum(n) AS BIGINT) AS n_rows,
+         round(sum(w * (sum_v / n)) / sum(w), 6) AS awm
+  FROM wwd
+)"""
 
 
 def q_climate_indices_events(sf_dir: str):

@@ -183,8 +183,42 @@ def _axis_rect(poly) -> tuple[float, float, float, float] | None:
     return None
 
 
+def rect_union_terms(rects: list) -> list[tuple[float, ...]]:
+    """Inclusion-exclusion terms for ``area(X INTERSECT union of axis
+    rects)``: ``(sign, x0, y0, x1, y1)`` for every subset of the rects
+    with a non-empty common intersection, in a DETERMINISTIC order
+    (subset size ascending, then lexicographic) — the engine
+    accumulates ``w += sign * clip_area(term)`` in this order and the
+    SQL generator emits the terms in the same order, so both sides run
+    the identical float op sequence.  Exponential in the number of
+    MUTUALLY overlapping rects — fine for selection layers (<= ~16
+    rects); use :func:`ocgis_ray.geometry.coverage_areas` for large
+    collections."""
+    import itertools
+
+    terms: list[tuple[float, ...]] = []
+    n = len(rects)
+    if n > 20:
+        raise ValueError("rect_union_terms is for small selection layers")
+    for size in range(1, n + 1):
+        found = False
+        for combo in itertools.combinations(range(n), size):
+            x0 = max(rects[i][0] for i in combo)
+            y0 = max(rects[i][1] for i in combo)
+            x1 = min(rects[i][2] for i in combo)
+            y1 = min(rects[i][3] for i in combo)
+            if x1 > x0 and y1 > y0:
+                sign = 1.0 if size % 2 else -1.0
+                terms.append((sign, x0, y0, x1, y1))
+                found = True
+        if not found:
+            break  # no k-subset intersects => no (k+1)-subset does
+    return terms
+
+
 def area_weighted_aggregate(ds, polys, value_col: str = "n_chars", res: int = 7,
-                            out_col: str = "awm", round_digits: int = 6):
+                            out_col: str = "awm", round_digits: int = 6,
+                            dissolve: bool = False, dissolve_ugid: int = 0):
     """Area-fraction weighted spatial mean — the true analog of the
     reference's area-weighted aggregation (``variable/geom.py:307-321``,
     weights = clipped cell area), finishing the containment-fraction
@@ -199,6 +233,16 @@ def area_weighted_aggregate(ds, polys, value_col: str = "n_chars", res: int = 7,
 
     Dataflow: broadcast join -> per-(ugid, cell) partial aggregate
     (the only big shuffle) -> tiny per-ugid weighted combine.
+
+    ``dissolve=True`` is the reference's ``agg_selection=True``
+    (``ops/engine.py``: union all selection geometries into ONE):
+    rows in ANY polygon counted once (semi join), one output row
+    ``ugid=dissolve_ugid``, and per-cell weights =
+    ``area(cell INTERSECT union)`` via :func:`rect_union_terms`
+    inclusion-exclusion (axis-rect layers only — the terms are shared
+    with the SQL oracle generator for bit-identical weights; the
+    exact union measure itself is validated against
+    :func:`ocgis_ray.geometry.coverage_areas` in tests).
     """
     import ray
 
@@ -211,13 +255,40 @@ def area_weighted_aggregate(ds, polys, value_col: str = "n_chars", res: int = 7,
     from ocgis_ray.stages.tiles import grouped_aggregate
 
     cell_col = f"cell_r{res}"
-    j = spatial_join(ds, polys, how="inner", res=res)
+    if dissolve:
+        rects = [_axis_rect(p) for p in polys]
+        if any(r is None for r in rects):
+            raise ValueError("dissolve=True requires an axis-rect layer")
+        sj = spatial_join(ds, polys, how="semi", res=res)
+
+        def tag(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "ugid", pa.array(np.full(t.num_rows, dissolve_ugid, np.int64)))
+
+        j = sj.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    else:
+        j = spatial_join(ds, polys, how="inner", res=res)
     per_cell = grouped_aggregate(
         j, ["ugid", cell_col],
         {"n": (None, "count"), "sum_v": (value_col, "sum")},
     )
 
     wmap: dict[tuple[int, int], float] = {}
+    if dissolve:
+        terms = rect_union_terms(rects)
+        cells = np.unique(np.concatenate(
+            [np.concatenate([c.full, c.boundary])
+             for c in (cover_polygon(p, res) for p in polys)]))
+        x0, y0, x1, y1 = _grid.bounds(cells, res)
+        w = np.zeros(cells.shape[0])
+        for sign, rx0, ry0, rx1, ry1 in terms:
+            w += sign * rect_clip_area_sqlparity(x0, y0, x1, y1,
+                                                 rx0, ry0, rx1, ry1)
+        for c, a in zip(cells.tolist(), w.tolist()):
+            wmap[(dissolve_ugid, c)] = a
+        _finish = _make_awm_finalizer(ray.put(wmap), cell_col, out_col,
+                                      round_digits)
+        return bucketed_group_apply(per_cell, "ugid", _finish)
     for p in polys:
         rect = _axis_rect(p)
         cov = cover_polygon(p, res)
@@ -232,9 +303,21 @@ def area_weighted_aggregate(ds, polys, value_col: str = "n_chars", res: int = 7,
             ])
         for c, a in zip(cells.tolist(), areas.tolist()):
             wmap[(p.ugid, c)] = wmap.get((p.ugid, c), 0.0) + a
-    wref = ray.put(wmap)
+    per_bucket = _make_awm_finalizer(ray.put(wmap), cell_col, out_col,
+                                     round_digits)
+    return bucketed_group_apply(per_cell, "ugid", per_bucket)
+
+
+def _make_awm_finalizer(wref, cell_col: str, out_col: str,
+                        round_digits: int):
+    """Per-ugid weighted combine: cells sorted, weights looked up from
+    the broadcast (ugid, cell) -> clip-area map."""
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        import ray
+
+        from ocgis_ray.parity import sql_round
+
         wm = ray.get(wref)
         df = df.sort_values(["ugid", cell_col], kind="mergesort")
         w = np.asarray([wm[(int(u), int(c))]
@@ -252,4 +335,4 @@ def area_weighted_aggregate(ds, polys, value_col: str = "n_chars", res: int = 7,
         })
         return out
 
-    return bucketed_group_apply(per_cell, "ugid", per_bucket)
+    return per_bucket

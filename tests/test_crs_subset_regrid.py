@@ -202,3 +202,57 @@ def test_update_crs_registry_transforms(ray_session, sf_dir):
     ds = geocode(pages_dataset(sf_dir).drop_columns(["html"])).limit(200)
     out = update_crs(ds, name="lcc_conus").to_pandas()
     assert {"x", "y"} <= set(out.columns) and np.isfinite(out["x"]).all()
+
+
+def test_rect_union_terms_vs_sweep():
+    """inclusion-exclusion union measure == coverage sweep, and the
+    dissolved per-cell weight mass integrates to the union area."""
+    from ocgis_ray import grid
+    from ocgis_ray.cover import cover_polygon
+    from ocgis_ray.geometry import (Polygon, rect_clip_area_sqlparity,
+                                    union_area_n)
+    from ocgis_ray.sources import cabinet
+    from ocgis_ray.stages.regrid import _axis_rect, rect_union_terms
+
+    polys = [p for p in cabinet.layer("world_regions") if _axis_rect(p)]
+    rects = [_axis_rect(p) for p in polys]
+    terms = rect_union_terms(rects)
+    # a) terms measure == exact sweep (bay_area sits inside bay_wide,
+    #    so the pair correction actually fires)
+    big = max(r[2] for r in rects) + 1
+    lo = min(r[0] for r in rects) - 1
+    total = sum(s * (x1 - x0) * (y1 - y0) for s, x0, y0, x1, y1 in terms)
+    assert total == pytest.approx(union_area_n(polys), rel=1e-12)
+    assert len(terms) > len(rects)  # at least one overlap correction
+    # b) per-cell dissolved weights integrate to the union area
+    res = 7
+    cells = np.unique(np.concatenate(
+        [np.concatenate([c.full, c.boundary])
+         for c in (cover_polygon(p, res) for p in polys)]))
+    x0, y0, x1, y1 = grid.bounds(cells, res)
+    w = np.zeros(cells.shape[0])
+    for s, rx0, ry0, rx1, ry1 in terms:
+        w += s * rect_clip_area_sqlparity(x0, y0, x1, y1, rx0, ry0, rx1, ry1)
+    assert (w >= -1e-12).all()
+    assert w.sum() == pytest.approx(union_area_n(polys), rel=1e-9)
+
+
+def test_area_weighted_dissolve(ray_session, sf_dir):
+    """dissolve=True == the reference's agg_selection=True: one row,
+    rows in any rect counted once, weights = clip vs the union."""
+    from ocgis_ray.sources import cabinet
+    from ocgis_ray.sources.pages import pages_dataset
+    from ocgis_ray.stages.geocode import geocode
+    from ocgis_ray.stages.regrid import _axis_rect, area_weighted_aggregate
+
+    polys = [p for p in cabinet.layer("world_regions") if _axis_rect(p)]
+    ds = geocode(pages_dataset(sf_dir).drop_columns(["html"]))
+    out = area_weighted_aggregate(ds, polys, value_col="n_chars", res=7,
+                                  dissolve=True).to_pandas()
+    assert len(out) == 1 and int(out["ugid"].iloc[0]) == 0
+    per = area_weighted_aggregate(ds, polys, value_col="n_chars",
+                                  res=7).to_pandas()
+    # bay_area (1) overlaps bay_wide (9): dissolved row count is the
+    # DISTINCT page count, strictly less than the per-ugid sum
+    assert int(out["n_rows"].iloc[0]) < int(per["n_rows"].sum())
+    assert int(out["n_rows"].iloc[0]) > 0

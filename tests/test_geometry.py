@@ -270,3 +270,75 @@ def test_union_area_nonconvex_triple():
     m = a.contains(X.ravel(), Y.ravel()) | b.contains(X.ravel(), Y.ravel())
     approx = m.mean() * 7 * 6 + 12.0
     assert abs(u - approx) < 0.2
+
+
+def test_coverage_sweep_exact_depths():
+    """coverage_areas: exact per-depth measure for 4 mutually
+    overlapping rects (beyond the inclusion-exclusion fast path)."""
+    from ocgis_ray.geometry import (Polygon, coverage_areas,
+                                    intersection_area_n, union_area,
+                                    union_area_n)
+
+    def rect(u, x0, y0, x1, y1, holes=()):
+        return Polygon(u, f"r{u}", np.array(
+            [[x0, y0], [x1, y0], [x1, y1], [x0, y1]], float),
+            holes=list(holes))
+
+    a = rect(1, 0, 0, 2, 2)
+    b = rect(2, 1, 1, 3, 3)
+    c = rect(3, 0.5, 0.5, 2.5, 2.5)
+    d = rect(4, 1.5, -0.5, 3.5, 1.8)
+    cov = coverage_areas([a, b, c, d])
+    # dyadic coordinates: every strip trapezoid is exact in float64
+    assert cov.tolist() == [5.75, 2.75, 1.25, 0.4]
+    assert union_area_n([a, b, c, d]) == pytest.approx(10.15)
+    # union_area now routes >3-overlap inputs through the sweep
+    assert union_area([a, b, c, d]) == pytest.approx(10.15)
+    assert intersection_area_n([a, b, c]) == pytest.approx(1.0)  # [1,2]^2
+    # holes flip parity like outer rings
+    h = rect(5, 0, 0, 4, 4,
+             holes=[np.array([[1.0, 1], [3, 1], [3, 3], [1, 3]])])
+    assert union_area_n([h]) == pytest.approx(12.0)
+    # a rect inside the hole fills part of it back in
+    assert union_area_n([h, rect(6, 1.5, 1.5, 2.5, 2.5)]) == pytest.approx(13.0)
+
+
+def test_coverage_sweep_conservation_random():
+    """integral of depth == sum of areas (each polygon counted once per
+    covering depth) for random triangle soups — the sweep's built-in
+    self-check, plus pairwise agreement with the clip kernel."""
+    from ocgis_ray.geometry import (Polygon, coverage_areas,
+                                    intersection_area, union_area_n)
+
+    rng = np.random.default_rng(7)
+    for trial in range(5):
+        polys = []
+        for i in range(6):
+            v = rng.uniform(0, 10, (3, 2))
+            while abs(np.cross(v[1] - v[0], v[2] - v[0])) < 1e-2:
+                v = rng.uniform(0, 10, (3, 2))
+            polys.append(Polygon(i, "t", v))
+        cov = coverage_areas(polys)
+        total = sum(p.area() for p in polys)
+        assert sum((i + 1) * v for i, v in enumerate(cov)) == pytest.approx(
+            total, rel=1e-9)
+        # pairwise: |a|+|b| - |a union b| == |a intersect b| (clip kernel)
+        a, b = polys[0], polys[1]
+        assert a.area() + b.area() - union_area_n([a, b]) == pytest.approx(
+            intersection_area(a, b), abs=1e-9)
+
+
+def test_coverage_sweep_antimeridian():
+    """an antimeridian-crossing ring enters the sweep as its canonical
+    parts; union with a disjoint rect is additive."""
+    from ocgis_ray.geometry import Polygon, union_area_n
+
+    am = Polygon(1, "am", np.array(
+        [[170.0, -5], [-170.0, -5], [-170.0, 5], [170.0, 5]]))
+    assert am.crosses_am and len(am.parts) == 2
+    r = Polygon(2, "r", np.array([[0.0, 0], [10, 0], [10, 10], [0, 10]]))
+    assert union_area_n([am, r]) == pytest.approx(20 * 10 + 100.0)
+    # overlapping the eastern part: union loses the overlap once
+    r2 = Polygon(3, "r2", np.array(
+        [[175.0, 0], [180.0, 0], [180.0, 10], [175.0, 10]]))
+    assert union_area_n([am, r2]) == pytest.approx(200.0 + 50.0 - 5 * 5)
