@@ -19,9 +19,20 @@ Index semantics (value plays the daily-variable role, ts the day):
 - ``prcptot``                   sum of values >= wet_thr  (PRCPTOT)
 - ``r95ptot``                   sum of values > the entity's own 95th
                                 percentile (R95pTOT, whole-series base)
-- ``tx90p``                     count of values > the 90th percentile
+- ``tx90p`` / ``tg10p``         count above q90 / below q10 (own base)
 - ``fzth``                      freeze-thaw cycles: threshold crossings
                                 of the ordered series (freeze_thaw.py)
+- ``etr``                       max - min (ETR, intra-period range)
+- ``hd17`` / ``gd4``            heating / growing degree sums:
+                                sum max(0, thr-v) / max(0, v-thr)
+- ``rr1``                       wet-entry count (value >= wet_thr)
+- ``sdii``                      mean value over wet entries (SDII)
+- ``csu`` / ``cfd``             longest run above su_thr / below fd_thr
+- ``vdtr``                      mean |day-to-day change| of the daily
+                                range (vDTR)
+- ``wsdi`` / ``csdi``           total entries in runs of >= spell_min
+                                consecutive values above q90 / below
+                                q10 (warm/cold spell duration)
 
 Every index has an exact DuckDB twin assembled by
 :func:`climate_indices_sql` (gaps-and-islands for the run lengths,
@@ -111,6 +122,43 @@ def _tx90p(v: np.ndarray, d: np.ndarray, p: dict) -> int:
     return int((v > np.percentile(v, 90.0)).sum())
 
 
+def _spell_total(mask: np.ndarray, min_len: int) -> int:
+    """Total entries inside runs of >= min_len consecutive True —
+    the WSDI/CSDI spell measure (ECA&D: spells of 6+ days)."""
+    if mask.size == 0 or not mask.any():
+        return 0
+    m = np.concatenate([[False], mask, [False]])
+    edges = np.flatnonzero(m[1:] != m[:-1])
+    lens = edges[1::2] - edges[0::2]
+    return int(lens[lens >= min_len].sum())
+
+
+def _day_ranges_cents(v: np.ndarray, d: np.ndarray) -> np.ndarray:
+    """Per-day (max-min) in exact integer cents; d arrives ts-sorted
+    so day segments are contiguous (see _dtr)."""
+    starts = np.flatnonzero(np.concatenate([[True], d[1:] != d[:-1]]))
+    rng = np.maximum.reduceat(v, starts) - np.minimum.reduceat(v, starts)
+    return _cents(rng)
+
+
+def _vdtr(v: np.ndarray, d: np.ndarray, p: dict) -> float:
+    """Mean absolute day-to-day difference of the daily range (vDTR)."""
+    rc = _day_ranges_cents(v, d)
+    if rc.size < 2:
+        return 0.0
+    diffs = np.abs(np.diff(rc))
+    return float(sql_round((diffs.sum() / 100.0) / diffs.size, ROUND))
+
+
+def _sdii(v: np.ndarray, d: np.ndarray, p: dict) -> float:
+    """Simple daily intensity: mean value over wet entries (SDII)."""
+    wet = v >= p["wet_thr"]
+    n = int(wet.sum())
+    if n == 0:
+        return 0.0
+    return float(sql_round((_cents(v[wet]).sum() / 100.0) / n, ROUND))
+
+
 def _fzth(v: np.ndarray, d: np.ndarray, p: dict) -> int:
     """Freeze-thaw cycle count (calc/library/index/freeze_thaw.py):
     number of threshold crossings of the ordered series — a real
@@ -121,10 +169,31 @@ def _fzth(v: np.ndarray, d: np.ndarray, p: dict) -> int:
 
 
 DEFAULTS["fzth_thr"] = 35.0
+DEFAULTS["hd_thr"] = 35.0   # heating-degree base (HD17 analog)
+DEFAULTS["gd_thr"] = 20.0   # growing-degree base (GD4 analog)
+DEFAULTS["spell_min"] = 6   # WSDI/CSDI minimum spell length
 register_index("fzth", _fzth)
 register_index("dtr", _dtr)
 register_index("r95ptot", _r95ptot)
 register_index("tx90p", _tx90p)
+# second ECA&D tranche (contrib/library_icclim.py parity at breadth)
+register_index("etr", lambda v, d, p: float(v.max() - v.min()))
+register_index("hd17", lambda v, d, p: float(sql_round(
+    np.maximum(0, int(round(p["hd_thr"] * 100.0)) - _cents(v)).sum()
+    / 100.0, ROUND)))
+register_index("gd4", lambda v, d, p: float(sql_round(
+    np.maximum(0, _cents(v) - int(round(p["gd_thr"] * 100.0))).sum()
+    / 100.0, ROUND)))
+register_index("rr1", lambda v, d, p: int((v >= p["wet_thr"]).sum()))
+register_index("sdii", _sdii)
+register_index("csu", lambda v, d, p: _max_run(v > p["su_thr"]))
+register_index("cfd", lambda v, d, p: _max_run(v < p["fd_thr"]))
+register_index("vdtr", _vdtr)
+register_index("tg10p", lambda v, d, p: int((v < np.percentile(v, 10.0)).sum()))
+register_index("wsdi", lambda v, d, p: _spell_total(
+    v > np.percentile(v, 90.0), p["spell_min"]))
+register_index("csdi", lambda v, d, p: _spell_total(
+    v < np.percentile(v, 10.0), p["spell_min"]))
 
 
 def climate_indices(ds, entity_col: str = "user_id", ts_col: str = "ts",
@@ -198,9 +267,39 @@ def climate_indices_sql(table: str = "events", entity_col: str = "user_id",
             sel.append(f"sum(CASE WHEN {v} > q90 THEN 1 ELSE 0 END) AS tx90p")
         elif n == "fzth":
             sel.append("max(fzth_cnt) AS fzth")
-        elif n in ("cdd", "cwd"):
+        elif n in ("cdd", "cwd", "csu", "cfd"):
             sel.append(f"max(run_len_{n}) AS {n}")
-    runs_needed = [n for n in names if n in ("cdd", "cwd")]
+        elif n == "etr":
+            sel.append(f"max({v}) - min({v}) AS etr")
+        elif n == "hd17":
+            hc = int(round(p["hd_thr"] * 100.0))
+            sel.append(f"round(sum(greatest(0, {hc} - CAST(round({v} * 100.0)"
+                       f" AS BIGINT))) / 100.0, {ROUND}) AS hd17")
+        elif n == "gd4":
+            gc = int(round(p["gd_thr"] * 100.0))
+            sel.append(f"round(sum(greatest(0, CAST(round({v} * 100.0)"
+                       f" AS BIGINT) - {gc})) / 100.0, {ROUND}) AS gd4")
+        elif n == "rr1":
+            sel.append(f"sum(CASE WHEN {v} >= {p['wet_thr']!r} THEN 1 ELSE 0 END) AS rr1")
+        elif n == "sdii":
+            sel.append(
+                f"coalesce(round((sum(CASE WHEN {v} >= {p['wet_thr']!r} THEN"
+                f" CAST(round({v} * 100.0) AS BIGINT) ELSE 0 END) / 100.0)"
+                f" / nullif(sum(CASE WHEN {v} >= {p['wet_thr']!r} THEN 1"
+                f" ELSE 0 END), 0), {ROUND}), 0.0) AS sdii")
+        elif n == "vdtr":
+            sel.append("max(vdtr_val) AS vdtr")
+        elif n == "tg10p":
+            sel.append(f"sum(CASE WHEN {v} < q10 THEN 1 ELSE 0 END) AS tg10p")
+        elif n in ("wsdi", "csdi"):
+            sel.append(f"coalesce(max(spell_{n}_tot), 0) AS {n}")
+    run_cmp = {
+        "cdd": f"{v} < {p['wet_thr']!r}",
+        "cwd": f"{v} >= {p['wet_thr']!r}",
+        "csu": f"{v} > {p['su_thr']!r}",
+        "cfd": f"{v} < {p['fd_thr']!r}",
+    }
+    runs_needed = [n for n in names if n in run_cmp]
     runs_ctes = ""
     runs_joins = ""
     if "fzth" in names:
@@ -215,7 +314,7 @@ fz AS (
 )"""
         runs_joins += f" LEFT JOIN fz USING ({e})"
     for n in runs_needed:
-        cmp = f"{v} < {p['wet_thr']!r}" if n == "cdd" else f"{v} >= {p['wet_thr']!r}"
+        cmp = run_cmp[n]
         runs_ctes += f""",
 isl_{n} AS (
   SELECT {e}, flag,
@@ -229,17 +328,49 @@ runs_{n} AS (
   GROUP BY {e}
 )"""
         runs_joins += f" LEFT JOIN runs_{n} USING ({e})"
+    spell_cmp = {"wsdi": f"{v} > q90", "csdi": f"{v} < q10"}
+    for n in (x for x in names if x in spell_cmp):
+        runs_ctes += f""",
+isl_{n} AS (
+  SELECT {e}, flag,
+         row_number() OVER (PARTITION BY {e} ORDER BY {t}, {order_tiebreak})
+       - row_number() OVER (PARTITION BY {e}, flag ORDER BY {t}, {order_tiebreak}) AS grp
+  FROM (SELECT {e}, {t}, {order_tiebreak},
+               CASE WHEN {spell_cmp[n]} THEN 1 ELSE 0 END AS flag FROM base)
+),
+spell_{n} AS (
+  SELECT {e}, sum(CASE WHEN cnt >= {p['spell_min']} THEN cnt ELSE 0 END) AS spell_{n}_tot
+  FROM (SELECT {e}, count(*) AS cnt FROM isl_{n} WHERE flag = 1 GROUP BY {e}, grp)
+  GROUP BY {e}
+)"""
+        runs_joins += f" LEFT JOIN spell_{n} USING ({e})"
+    if "vdtr" in names:
+        runs_ctes += f""",
+vd AS (
+  SELECT {e},
+         coalesce(round((sum(abs(rng_c - prev)) / 100.0)
+                        / nullif(count(prev), 0), {ROUND}), 0.0) AS vdtr_val
+  FROM (SELECT {e}, rng_c,
+               lag(rng_c) OVER (PARTITION BY {e} ORDER BY day) AS prev
+        FROM days)
+  GROUP BY {e}
+)"""
+        runs_joins += f" LEFT JOIN vd USING ({e})"
     group_extra = "".join(f", run_len_{n}" for n in runs_needed)
+    group_extra += "".join(f", spell_{n}_tot" for n in names if n in spell_cmp)
     if "fzth" in names:
         group_extra += ", fzth_cnt"
     if "dtr" in names:
         group_extra += ", day_rng_avg"
+    if "vdtr" in names:
+        group_extra += ", vdtr_val"
     base = f"""
 WITH base AS (
   SELECT {e}, {t}, {order_tiebreak}, {v},
          CAST({t} AS DATE) AS day,
          quantile_cont({v}, 0.95) OVER (PARTITION BY {e}) AS q95,
-         quantile_cont({v}, 0.90) OVER (PARTITION BY {e}) AS q90
+         quantile_cont({v}, 0.90) OVER (PARTITION BY {e}) AS q90,
+         quantile_cont({v}, 0.10) OVER (PARTITION BY {e}) AS q10
   FROM {table}
 ),
 days AS (

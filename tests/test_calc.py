@@ -169,3 +169,40 @@ def test_climate_indices_registry_and_values(ray_session, sf_dir):
     row = out[out["user_id"] == 1].iloc[0]
     assert row["tx"] == v.max() and row["tn"] == v.min()
     assert row["su"] == int((v > 60.0).sum())
+
+
+def test_climate_second_tranche_numpy_parity(ray_session, sf_dir):
+    """hand-check the round-2 index tranche (etr/hd17/gd4/rr1/sdii/
+    csu/cfd/vdtr/tg10p/wsdi/csdi) for one entity against plain numpy."""
+    import duckdb
+    import numpy as np
+
+    from ocgis_ray.functions import climate
+    from ocgis_ray.functions.climate import (DEFAULTS, _max_run,
+                                             _spell_total)
+    from ocgis_ray.sources.io import read_parquet_sized
+
+    names = ["etr", "hd17", "gd4", "rr1", "sdii", "csu", "cfd", "vdtr",
+             "tg10p", "wsdi", "csdi"]
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet")
+    out = climate.climate_indices(ds, indices=names).to_pandas()
+    row = out[out["user_id"] == 1].iloc[0]
+    df = duckdb.sql(f"SELECT * FROM '{sf_dir}/events.parquet' WHERE user_id = 1 "
+                    "ORDER BY ts, event_id").df()
+    v = df["value"].to_numpy(np.float64)
+    assert row["etr"] == v.max() - v.min()
+    c = np.floor(v * 100.0 + 0.5).astype(np.int64)
+    assert row["hd17"] == pytest.approx(np.maximum(0, 3500 - c).sum() / 100.0)
+    assert row["gd4"] == pytest.approx(np.maximum(0, c - 2000).sum() / 100.0)
+    wet = v >= DEFAULTS["wet_thr"]
+    assert row["rr1"] == int(wet.sum())
+    assert row["sdii"] == pytest.approx(v[wet].mean(), abs=2e-4)
+    assert row["csu"] == _max_run(v > DEFAULTS["su_thr"])
+    assert row["cfd"] == _max_run(v < DEFAULTS["fd_thr"])
+    assert row["tg10p"] == int((v < np.percentile(v, 10.0)).sum())
+    assert row["wsdi"] == _spell_total(v > np.percentile(v, 90.0), 6)
+    assert row["csdi"] == _spell_total(v < np.percentile(v, 10.0), 6)
+    # _spell_total itself against a literal case
+    m = np.array([1, 1, 1, 1, 1, 1, 0, 1, 1, 1, 1, 1, 0, 1], bool)
+    assert _spell_total(m, 6) == 6  # only the first run reaches 6
+    assert _spell_total(m, 5) == 11
