@@ -48,6 +48,10 @@ class OcgRayOperations:
     - ``aggregate``: True -> one rollup row per selection geometry
       (spatial aggregation analog); False -> per-(ugid, tile) rollup
       when ``calc`` given, else the joined rows
+    - ``agg_selection``: True -> dissolve ALL selection geometries
+      into one (the reference's ``agg_selection``,
+      ``ops/parms/definition.py``): rows matching ANY geometry are
+      kept ONCE (semi join, no per-ugid duplication) under ugid 0
     - ``time_range`` / ``time_region``: temporal subsets
     - ``calc``: list of {'func', 'field', 'name'} (calculation library)
     - ``calc_grouping``: temporal group keys ('year','month',...,'season')
@@ -60,6 +64,7 @@ class OcgRayOperations:
     select_ugid: list[int] | None = None
     spatial_operation: str = "intersects"
     aggregate: bool = False
+    agg_selection: bool = False
     time_range: tuple[str, str] | None = None
     time_region: dict[str, list[int]] | None = None
     calc: list[dict[str, Any]] | None = None
@@ -116,7 +121,22 @@ class OcgRayOperations:
                 if not polys:
                     raise ValueError("select_ugid matched no geometries")
             # for point data, clip == intersects (SURVEY §2.2)
-            ds = spatial_join(ds, polys, how="inner", concurrency=2)
+            if self.agg_selection:
+                # dissolved selection: membership in ANY polygon,
+                # each row once, single synthetic ugid
+                import numpy as np
+                import pyarrow as pa
+
+                ds = spatial_join(ds, polys, how="semi", concurrency=2)
+
+                def tag(t: pa.Table) -> pa.Table:
+                    return t.append_column(
+                        "ugid", pa.array(np.zeros(t.num_rows, np.int64)))
+
+                ds = ds.map_batches(tag, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+            else:
+                ds = spatial_join(ds, polys, how="inner", concurrency=2)
         if self.calc_grouping:
             parts = tuple(g for g in self.calc_grouping if g != "season")
             if parts:

@@ -83,3 +83,29 @@ def test_callback_hook(ray_session, sf_dir):
     ).execute()
     fracs = [f for f, _ in seen]
     assert fracs == sorted(fracs) and fracs[0] == 0.0 and fracs[-1] == 1.0
+
+
+def test_agg_selection_dissolves(ray_session, sf_dir):
+    """agg_selection=True: one dissolved selection geometry (ugid 0),
+    rows in ANY polygon counted once — strictly fewer rows than the
+    per-ugid inner join when polygons overlap (bay_area in bay_wide)."""
+    from ocgis_ray.pipelines.ops import OcgRayOperations
+
+    dis = OcgRayOperations(
+        sf_dir, geom="world_regions", aggregate=True, agg_selection=True,
+        output_format="pandas",
+    ).execute()
+    assert list(dis["ugid"]) == [0]
+    per = OcgRayOperations(
+        sf_dir, geom="world_regions", aggregate=True,
+        output_format="pandas",
+    ).execute()
+    assert int(dis["n_pages"].iloc[0]) < int(per["n_pages"].sum())
+    assert int(dis["n_pages"].iloc[0]) > 0
+    # calc path composes with the dissolved join too
+    calc = OcgRayOperations(
+        sf_dir, geom="world_regions", agg_selection=True, aggregate=True,
+        calc=[{"func": "mean", "field": "n_chars", "name": "mc"}],
+        output_format="pandas",
+    ).execute()
+    assert list(calc["ugid"]) == [0] and "mc" in calc.columns
