@@ -238,11 +238,12 @@ def area_weighted_aggregate(ds, polys, value_col: str = "n_chars", res: int = 7,
     (``ops/engine.py``: union all selection geometries into ONE):
     rows in ANY polygon counted once (semi join), one output row
     ``ugid=dissolve_ugid``, and per-cell weights =
-    ``area(cell INTERSECT union)`` via :func:`rect_union_terms`
-    inclusion-exclusion (axis-rect layers only — the terms are shared
-    with the SQL oracle generator for bit-identical weights; the
-    exact union measure itself is validated against
-    :func:`ocgis_ray.geometry.coverage_areas` in tests).
+    ``area(cell INTERSECT union)``.  Axis-rect layers use
+    :func:`rect_union_terms` inclusion-exclusion (terms shared with
+    the SQL oracle generator for bit-identical weights); general
+    layers reuse each polygon's clip area for singly-covered cells and
+    run an exact per-cell coverage sweep over the clipped pieces where
+    covers overlap (see :func:`_dissolved_cell_weights`).
     """
     import ray
 
@@ -256,9 +257,6 @@ def area_weighted_aggregate(ds, polys, value_col: str = "n_chars", res: int = 7,
 
     cell_col = f"cell_r{res}"
     if dissolve:
-        rects = [_axis_rect(p) for p in polys]
-        if any(r is None for r in rects):
-            raise ValueError("dissolve=True requires an axis-rect layer")
         sj = spatial_join(ds, polys, how="semi", res=res)
 
         def tag(t: pa.Table) -> pa.Table:
@@ -275,17 +273,7 @@ def area_weighted_aggregate(ds, polys, value_col: str = "n_chars", res: int = 7,
 
     wmap: dict[tuple[int, int], float] = {}
     if dissolve:
-        terms = rect_union_terms(rects)
-        cells = np.unique(np.concatenate(
-            [np.concatenate([c.full, c.boundary])
-             for c in (cover_polygon(p, res) for p in polys)]))
-        x0, y0, x1, y1 = _grid.bounds(cells, res)
-        w = np.zeros(cells.shape[0])
-        for sign, rx0, ry0, rx1, ry1 in terms:
-            w += sign * rect_clip_area_sqlparity(x0, y0, x1, y1,
-                                                 rx0, ry0, rx1, ry1)
-        for c, a in zip(cells.tolist(), w.tolist()):
-            wmap[(dissolve_ugid, c)] = a
+        wmap = _dissolved_cell_weights(polys, res, dissolve_ugid)
         _finish = _make_awm_finalizer(ray.put(wmap), cell_col, out_col,
                                       round_digits)
         return bucketed_group_apply(per_cell, "ugid", _finish)
@@ -306,6 +294,74 @@ def area_weighted_aggregate(ds, polys, value_col: str = "n_chars", res: int = 7,
     per_bucket = _make_awm_finalizer(ray.put(wmap), cell_col, out_col,
                                      round_digits)
     return bucketed_group_apply(per_cell, "ugid", per_bucket)
+
+
+def _dissolved_cell_weights(polys, res: int,
+                            ugid_out: int) -> dict[tuple[int, int], float]:
+    """``(ugid_out, cell) -> area(cell INTERSECT union of polys)``.
+
+    Axis-rect layers: vectorized :func:`rect_union_terms`
+    inclusion-exclusion (bit-identical to the generated oracle SQL).
+    General layers: cells covered by exactly one polygon reuse that
+    polygon's clip area (same kernel as the per-ugid path); cells
+    under two or more covers clip every overlapping polygon (outer
+    ring AND holes) to the cell and measure the union of the pieces
+    with an exact :func:`ocgis_ray.geometry.coverage_areas` sweep —
+    overlap cells are the rare case, so the per-cell sweeps stay a
+    driver-side layer cost, never per-batch work."""
+    from collections import defaultdict
+
+    from ocgis_ray import grid as _grid
+    from ocgis_ray.cover import cover_polygon
+    from ocgis_ray.geometry import (Polygon, clip_poly_rect,
+                                    coverage_areas,
+                                    rect_clip_area_sqlparity)
+
+    rects = [_axis_rect(p) for p in polys]
+    covers = [cover_polygon(p, res) for p in polys]
+    cs = _grid.cell_size(res)
+    if all(r is not None for r in rects):
+        terms = rect_union_terms(rects)
+        cells = np.unique(np.concatenate(
+            [np.concatenate([c.full, c.boundary]) for c in covers]))
+        x0, y0, x1, y1 = _grid.bounds(cells, res)
+        w = np.zeros(cells.shape[0])
+        for sign, rx0, ry0, rx1, ry1 in terms:
+            w += sign * rect_clip_area_sqlparity(x0, y0, x1, y1,
+                                                 rx0, ry0, rx1, ry1)
+        return {(ugid_out, c): a for c, a in zip(cells.tolist(), w.tolist())}
+    contrib: dict[int, list[tuple[int, float]]] = defaultdict(list)
+    for idx, cov in enumerate(covers):
+        cells = np.concatenate([cov.full, cov.boundary])
+        areas = np.concatenate([np.full(cov.full.shape, cs * cs),
+                                cov.boundary_clip_area])
+        for c, a in zip(cells.tolist(), areas.tolist()):
+            contrib[c].append((idx, a))
+    out: dict[tuple[int, int], float] = {}
+    multi = [c for c, lst in contrib.items() if len(lst) > 1]
+    for c, lst in contrib.items():
+        if len(lst) == 1:
+            out[(ugid_out, c)] = lst[0][1]
+    if multi:
+        cx0, cy0, cx1, cy1 = _grid.bounds(np.asarray(multi, np.int64), res)
+        for k, c in enumerate(multi):
+            pieces = []
+            for idx, _a in contrib[c]:
+                for part in polys[idx].parts:
+                    ring = clip_poly_rect(part.verts, cx0[k], cy0[k],
+                                          cx1[k], cy1[k])
+                    if ring is None or ring.shape[0] < 3:
+                        continue
+                    holes = []
+                    for h in part.holes:
+                        hc = clip_poly_rect(h, cx0[k], cy0[k],
+                                            cx1[k], cy1[k])
+                        if hc is not None and hc.shape[0] >= 3:
+                            holes.append(hc)
+                    pieces.append(Polygon(idx, "piece", ring, holes=holes))
+            out[(ugid_out, c)] = (
+                float(coverage_areas(pieces).sum()) if pieces else 0.0)
+    return out
 
 
 def _make_awm_finalizer(wref, cell_col: str, out_col: str,

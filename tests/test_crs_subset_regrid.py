@@ -256,3 +256,45 @@ def test_area_weighted_dissolve(ray_session, sf_dir):
     # DISTINCT page count, strictly less than the per-ugid sum
     assert int(out["n_rows"].iloc[0]) < int(per["n_rows"].sum())
     assert int(out["n_rows"].iloc[0]) > 0
+
+
+def test_dissolved_weights_general_layer():
+    """general (non-rect) dissolve path: per-cell weight mass
+    integrates to the exact union area (coverage sweep conservation),
+    with genuinely overlapping non-convex members."""
+    from ocgis_ray.geometry import Polygon, union_area_n
+    from ocgis_ray.stages.regrid import _dissolved_cell_weights
+
+    diamond = Polygon(1, "d", np.array(
+        [[-122.6, 37.7], [-122.0, 37.1], [-121.4, 37.7], [-122.0, 38.3]]))
+    rect = Polygon(2, "r", np.array(
+        [[-122.4, 37.5], [-121.6, 37.5], [-121.6, 38.1], [-122.4, 38.1]]))
+    lshape = Polygon(3, "l", np.array(
+        [[-121.5, 37.0], [-120.5, 37.0], [-120.5, 37.4],
+         [-121.1, 37.4], [-121.1, 38.0], [-121.5, 38.0]]))
+    polys = [diamond, rect, lshape]
+    w = _dissolved_cell_weights(polys, res=7, ugid_out=0)
+    total = sum(w.values())
+    # cover boundary clips are approximate only through the same
+    # kernels the per-ugid path uses; the union mass must match the
+    # exact sweep measure
+    assert total == pytest.approx(union_area_n(polys), rel=1e-6)
+    # overlap cells exist and none went negative
+    assert all(v >= -1e-12 for v in w.values())
+
+
+def test_area_weighted_dissolve_general(ray_session, sf_dir):
+    """dissolve=True over the FULL world_regions layer (includes the
+    non-rect diamond + triangle): single row, positive mass."""
+    from ocgis_ray.sources import cabinet
+    from ocgis_ray.sources.pages import pages_dataset
+    from ocgis_ray.stages.geocode import geocode
+    from ocgis_ray.stages.regrid import area_weighted_aggregate
+
+    polys = cabinet.layer("world_regions")
+    ds = geocode(pages_dataset(sf_dir).drop_columns(["html"]))
+    out = area_weighted_aggregate(ds, polys, value_col="n_chars", res=7,
+                                  dissolve=True).to_pandas()
+    assert len(out) == 1 and int(out["ugid"].iloc[0]) == 0
+    assert int(out["n_rows"].iloc[0]) > 0
+    assert np.isfinite(out["awm"].iloc[0]) and out["awm"].iloc[0] > 0
