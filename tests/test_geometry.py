@@ -342,3 +342,49 @@ def test_coverage_sweep_antimeridian():
     r2 = Polygon(3, "r2", np.array(
         [[175.0, 0], [180.0, 0], [180.0, 10], [175.0, 10]]))
     assert union_area_n([am, r2]) == pytest.approx(200.0 + 50.0 - 5 * 5)
+
+
+def test_union_faces_geometry():
+    """union as GEOMETRY (vertical-decomposition faces): exact area,
+    exact membership, zero face overlap, valid WKT."""
+    from ocgis_ray.geometry import (Polygon, coverage_areas,
+                                    shoelace_area, union_area_n,
+                                    union_faces, union_geometry_wkt)
+
+    def rect(u, x0, y0, x1, y1, holes=()):
+        return Polygon(u, f"r{u}", np.array(
+            [[x0, y0], [x1, y0], [x1, y1], [x0, y1]], float),
+            holes=list(holes))
+
+    a, b = rect(1, 0, 0, 2, 2), rect(2, 1, 1, 3, 3)
+    fs = union_faces([a, b])
+    assert sum(shoelace_area(f) for f in fs) == pytest.approx(7.0)
+    assert union_geometry_wkt([a, b]).startswith("MULTIPOLYGON ((")
+    # hole survives as an uncovered gap; a plug fills part of it
+    h = rect(5, 0, 0, 4, 4,
+             holes=[np.array([[1.0, 1], [3, 1], [3, 3], [1, 3]])])
+    fs = union_faces([h, rect(6, 1.5, 1.5, 2.5, 2.5)])
+    assert sum(shoelace_area(f) for f in fs) == pytest.approx(13.0)
+    # triangle soup: faces tile the union exactly and never overlap
+    rng = np.random.default_rng(3)
+    polys = []
+    for i in range(7):
+        v = rng.uniform(0, 10, (3, 2))
+        while abs(np.cross(v[1] - v[0], v[2] - v[0])) < 1e-2:
+            v = rng.uniform(0, 10, (3, 2))
+        polys.append(Polygon(i, "t", v))
+    fs = union_faces(polys)
+    assert sum(shoelace_area(f) for f in fs) == pytest.approx(
+        union_area_n(polys), rel=1e-12)
+    face_polys = [Polygon(100 + i, "f", f) for i, f in enumerate(fs)]
+    assert coverage_areas(face_polys)[1:].sum() < 1e-12  # disjoint
+    pts = rng.uniform(-1, 11, (2000, 2))
+    in_union = np.zeros(len(pts), bool)
+    for p in polys:
+        in_union |= p.contains(pts[:, 0], pts[:, 1])
+    in_faces = np.zeros(len(pts), bool)
+    for p in face_polys:
+        in_faces |= p.contains(pts[:, 0], pts[:, 1])
+    assert (in_union == in_faces).all()
+    assert union_faces([]) == [] and union_geometry_wkt([]) == \
+        "MULTIPOLYGON EMPTY"
