@@ -599,7 +599,7 @@ def coverage_areas(polys: list) -> np.ndarray:
     areas = np.zeros(max(n_polys, 1))
     if sw is None:
         return areas
-    st, xa, xb, ya, yb, depth, _edge = sw
+    st, xa, xb, ya, yb, depth, _edge, _mask = sw
     gap = (ya[1:] - ya[:-1]) + (yb[1:] - yb[:-1])
     hit = (st[1:] == st[:-1]) & (depth[:-1] > 0) & (gap > 0.0)
     if hit.any():
@@ -704,7 +704,16 @@ def _coverage_sweep(polys: list):
     seg = np.r_[0, np.flatnonzero(np.diff(st)) + 1]  # strip starts
     base = np.repeat(csum[seg] - contrib[seg], np.diff(np.r_[seg, T]))
     depth = csum - base
-    return st, xa[ords], xb[ords], ya, yb, depth, edge[ords]
+    # per-gap membership bitmask (bit p set <=> inside polygon p):
+    # segmented XOR-accumulate of 1<<pid — enables arbitrary boolean
+    # overlays (difference/xor), not just depth counts
+    mask = None
+    if n_polys <= 63:
+        bits = (np.uint64(1) << pid.astype(np.uint64))
+        acc = np.bitwise_xor.accumulate(bits)
+        prefix_before = acc[seg] ^ bits[seg]
+        mask = acc ^ np.repeat(prefix_before, np.diff(np.r_[seg, T]))
+    return st, xa[ords], xb[ords], ya, yb, depth, edge[ords], mask
 
 
 def union_area_n(polys: list) -> float:
@@ -734,10 +743,25 @@ def union_faces(polys: list) -> list[np.ndarray]:
     Exactness: the faces' shoelace areas sum to ``union_area_n`` (no
     approximation anywhere), holes come out as the uncovered gaps
     between faces, and faces never overlap."""
+    return boolean_faces(polys, lambda mask: mask != 0)
+
+
+def boolean_faces(polys: list, pred) -> list[np.ndarray]:
+    """General boolean overlay as geometry: faces tiling the region
+    where ``pred(membership_bitmask)`` holds (bit p set <=> inside
+    ``polys[p]``, even-odd incl. holes).  ``pred`` receives a uint64
+    array and returns a boolean array — e.g. ``mask != 0`` (union),
+    ``mask == (1 << N) - 1`` (intersection), ``(mask & 1) != 0 &
+    (mask & 2) == 0`` (difference a - b), popcount odd (symmetric
+    difference).  Same face merging/exactness as :func:`union_faces`.
+    Supports up to 63 polygons (bitmask width)."""
     sw = _coverage_sweep(polys)
     if sw is None:
         return []
-    st, xa, xb, ya, yb, depth, edge = sw
+    st, xa, xb, ya, yb, depth, edge, mask = sw
+    if mask is None:
+        raise ValueError("boolean_faces supports at most 63 polygons")
+    inside = np.asarray(pred(mask), dtype=bool)
     T = len(st)
     faces: list[np.ndarray] = []
     # open faces keyed by (bot_edge, top_edge): [x_start, ybot_start,
@@ -749,14 +773,14 @@ def union_faces(polys: list) -> list[np.ndarray]:
         end = j
         while end < T and st[end] == k:
             end += 1
-        # covered intervals of strip k: maximal runs of depth > 0
+        # selected intervals of strip k: maximal runs of pred-true gaps
         nxt: dict[tuple[int, int], list[float]] = {}
         i = j
         while i < end - 1:
-            if depth[i] > 0:
+            if inside[i]:
                 lo = i
                 hi = i
-                while hi < end - 1 and depth[hi] > 0:
+                while hi < end - 1 and inside[hi]:
                     hi += 1
                 key = (int(edge[lo]), int(edge[hi]))
                 prev = open_faces.pop(key, None)
@@ -805,3 +829,32 @@ def union_geometry_wkt(polys: list, digits: int = 10) -> str:
         parts.append(f"(({pts}, {first}))")
     return "MULTIPOLYGON (" + ", ".join(parts) + ")" if parts \
         else "MULTIPOLYGON EMPTY"
+
+
+def boolean_area(polys: list, pred) -> float:
+    """Exact area of the region where ``pred(membership_bitmask)``
+    holds (see :func:`boolean_faces`) — no face construction, just the
+    sweep's trapezoid sums."""
+    sw = _coverage_sweep(polys)
+    if sw is None:
+        return 0.0
+    st, xa, xb, ya, yb, _depth, _edge, mask = sw
+    if mask is None:
+        raise ValueError("boolean_area supports at most 63 polygons")
+    inside = np.asarray(pred(mask), dtype=bool)
+    gap = (ya[1:] - ya[:-1]) + (yb[1:] - yb[:-1])
+    hit = (st[1:] == st[:-1]) & inside[:-1] & (gap > 0.0)
+    return float((0.5 * (xb - xa)[:-1][hit] * gap[hit]).sum())
+
+
+def difference_faces(a: "Polygon", b: "Polygon") -> list[np.ndarray]:
+    """Faces of ``a MINUS b`` (the clip complement — reference
+    ``geom.difference`` analog)."""
+    one, two = np.uint64(1), np.uint64(2)
+    return boolean_faces(
+        [a, b], lambda m: ((m & one) != 0) & ((m & two) == 0))
+
+
+def symmetric_difference_area(a: "Polygon", b: "Polygon") -> float:
+    """Exact area of ``a XOR b``."""
+    return boolean_area([a, b], lambda m: (m == 1) | (m == 2))

@@ -388,3 +388,39 @@ def test_union_faces_geometry():
     assert (in_union == in_faces).all()
     assert union_faces([]) == [] and union_geometry_wkt([]) == \
         "MULTIPOLYGON EMPTY"
+
+
+def test_boolean_overlay_faces_and_areas():
+    """full boolean overlay via membership bitmasks: difference, xor,
+    intersection — exact areas cross-checked against the clip kernel,
+    difference faces match pointwise membership."""
+    from ocgis_ray.geometry import (Polygon, boolean_area,
+                                    difference_faces, intersection_area,
+                                    shoelace_area,
+                                    symmetric_difference_area)
+
+    def rect(u, x0, y0, x1, y1):
+        return Polygon(u, f"r{u}", np.array(
+            [[x0, y0], [x1, y0], [x1, y1], [x0, y1]], float))
+
+    a, b = rect(1, 0, 0, 2, 2), rect(2, 1, 1, 3, 3)
+    assert sum(shoelace_area(f) for f in difference_faces(a, b)) == \
+        pytest.approx(3.0)
+    assert symmetric_difference_area(a, b) == pytest.approx(6.0)
+    assert boolean_area([a, b], lambda m: m == 3) == pytest.approx(1.0)
+    # non-convex subject against the general kernel
+    L = Polygon(3, "L", np.array(
+        [[0.0, 0], [4, 0], [4, 1], [1, 1], [1, 3], [0, 3]]))
+    r = rect(4, 0.5, 0.5, 2, 2)
+    assert boolean_area([L, r], lambda m: m == 3) == pytest.approx(
+        intersection_area(L, r))
+    fs = difference_faces(L, r)
+    assert sum(shoelace_area(f) for f in fs) == pytest.approx(
+        L.area() - intersection_area(L, r))
+    pts = np.random.default_rng(1).uniform(-0.5, 4.5, (1500, 2))
+    in_diff = np.zeros(len(pts), bool)
+    for i, f in enumerate(fs):
+        in_diff |= Polygon(100 + i, "f", f).contains(pts[:, 0], pts[:, 1])
+    truth = L.contains(pts[:, 0], pts[:, 1]) & \
+        ~r.contains(pts[:, 0], pts[:, 1])
+    assert (in_diff == truth).all()
