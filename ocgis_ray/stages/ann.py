@@ -279,6 +279,105 @@ def ann_lsh(ds, queries: pd.DataFrame, k: int, id_col: str = "vec_id",
     return topk_by_group(cand, "query_id", ["sim", id_col], [False, True], k)
 
 
+def _kmeans_spherical(mat: np.ndarray, nlist: int, iters: int = 12,
+                      seed: int = 23) -> np.ndarray:
+    """Deterministic spherical k-means (Lloyd's on normalized vectors,
+    cosine assignment) for the IVF coarse quantizer.  Runs on a small
+    driver-side SAMPLE, never the dataset."""
+    rng = np.random.default_rng(seed)
+    m = _normalize(mat.astype(np.float64))
+    n = m.shape[0]
+    cent = m[rng.choice(n, size=min(nlist, n), replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(m @ cent.T, axis=1)
+        for c in range(cent.shape[0]):
+            rows = assign == c
+            if rows.any():
+                cent[c] = m[rows].mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+def ann_ivf(ds, queries: pd.DataFrame, k: int, id_col: str = "vec_id",
+            col: str = "embedding", nlist: int = 16, nprobe: int = 6,
+            train_n: int = 4096, batch_size: int = 4096):
+    """IVF approximate cosine top-k — the inverted-file scale path
+    next to :func:`ann_lsh` (coarse quantizer + probe-list recall,
+    the FAISS-IVF shape re-expressed as one Ray Data pass).
+
+    Train: spherical k-means on a bounded sample (``ds.limit(train_n)``
+    — driver holds <= train_n rows, never the dataset).  Probe: each
+    query precomputes its ``nprobe`` nearest centroids; the broadcast
+    bundle inverts that into per-centroid query lists.  One map pass
+    assigns every vector to its nearest centroid (one matmul) and
+    emits the EXACT cosine for (query, vector) pairs whose probe list
+    contains that centroid — same single-pass no-refine dataflow as
+    ``ann_lsh``, so only candidate rows reach the tiny final top-k."""
+    import ray
+
+    sample = np.stack(
+        ds.limit(train_n).to_pandas()[col].to_numpy())
+    cent = _kmeans_spherical(sample, nlist)
+    qmat = _normalize(np.stack(queries["embedding"].to_numpy()).astype(np.float64))
+    qid = queries["query_id"].to_numpy(np.int64)
+    # per-query probe lists -> per-centroid sorted query rows
+    order = np.argsort(-(qmat @ cent.T), axis=1, kind="stable")
+    probes = order[:, :nprobe]                      # (Q, nprobe)
+    cent_of = probes.ravel()
+    qrow_of = np.repeat(np.arange(qmat.shape[0]), probes.shape[1])
+    srt = np.argsort(cent_of, kind="stable")
+    cent_sorted, qrows = cent_of[srt], qrow_of[srt]
+    uniq, starts = np.unique(cent_sorted, return_index=True)
+    off = np.concatenate([starts, [len(cent_sorted)]])
+    bundle_ref = ray.put({"cent": cent, "qmat": qmat, "qid": qid,
+                          "buckets": uniq, "qoff": off, "qrows": qrows})
+
+    class IvfProbe:
+        def __init__(self):
+            b = ray.get(bundle_ref)
+            self.cent = b["cent"]
+            self.qmat = b["qmat"]
+            self.qid = b["qid"]
+            self.buckets = b["buckets"]
+            self.qoff = b["qoff"]
+            self.qrows = b["qrows"]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            empty = pa.table({"query_id": pa.array([], pa.int64()),
+                              id_col: pa.array([], pa.int64()),
+                              "sim": pa.array([], pa.float64())})
+            if batch.num_rows == 0:
+                return empty
+            m = _normalize(_batch_matrix(batch, col).astype(np.float64))
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            assign = np.argmax(m @ self.cent.T, axis=1)
+            pos = np.searchsorted(self.buckets, assign)
+            pos_c = np.minimum(pos, self.buckets.size - 1)
+            hit = self.buckets[pos_c] == assign
+            rows = np.nonzero(hit)[0]
+            if rows.size == 0:
+                return empty
+            p = pos_c[rows]
+            counts = self.qoff[p + 1] - self.qoff[p]
+            vrow = np.repeat(rows, counts)
+            total = int(counts.sum())
+            within = np.arange(total) - np.repeat(
+                np.cumsum(counts) - counts, counts)
+            qrow = self.qrows[np.repeat(self.qoff[p], counts) + within]
+            sims = np.einsum("ij,ij->i", self.qmat[qrow], m[vrow])
+            return pa.table({"query_id": pa.array(self.qid[qrow]),
+                             id_col: pa.array(ids[vrow]),
+                             "sim": pa.array(sims)})
+
+    cand = ds.map_batches(IvfProbe, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=batch_size,
+                          concurrency=_ap())
+
+    from ocgis_ray.sources.io import topk_by_group
+
+    return topk_by_group(cand, "query_id", ["sim", id_col], [False, True], k)
+
+
 def embedding_near_duplicates(ds, threshold: float = 0.95, id_col: str = "vec_id",
                               col: str = "embedding", nbits: int = 12,
                               ntables: int = 6, batch_size: int = 4096,

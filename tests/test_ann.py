@@ -70,3 +70,37 @@ def test_embedding_near_dup_symmetric(emb):
     # pairs are canonical (a < b) and unique
     assert (pairs["vec_a"] < pairs["vec_b"]).all()
     assert not pairs.duplicated(["vec_a", "vec_b"]).any()
+
+
+def test_ivf_recall_and_exact_sims(emb, queries):
+    """IVF coarse-quantizer path: bounded-sample k-means training,
+    per-centroid probe lists, exact sims in-pass.  With nprobe == nlist
+    every centroid is probed -> IVF degenerates to exact brute force;
+    with a partial probe list recall stays high while pruning."""
+    from ocgis_ray.stages.ann import ann_bruteforce, ann_ivf
+
+    bf = ann_bruteforce(emb, queries, k=10).to_pandas()
+    # full probe: must equal brute force exactly (same tie-break sort)
+    full = ann_ivf(emb, queries, k=10, nlist=8, nprobe=8).to_pandas()
+    for q in queries["query_id"]:
+        want = bf[bf["query_id"] == q].sort_values("rank")["vec_id"].tolist()
+        got = full[full["query_id"] == q].sort_values("rank")["vec_id"].tolist()
+        assert got == want
+    # partial probe: prune but keep recall
+    ivf = ann_ivf(emb, queries, k=10, nlist=16, nprobe=8).to_pandas()
+    recalls = []
+    for q in queries["query_id"]:
+        truth = set(bf[bf["query_id"] == q]["vec_id"])
+        got = set(ivf[ivf["query_id"] == q]["vec_id"])
+        recalls.append(len(truth & got) / len(truth))
+    assert np.mean(recalls) >= 0.5, recalls
+    # sims reported are the exact cosine (spot check one row)
+    row = ivf.iloc[0]
+    pdf = emb.to_pandas()
+    from ocgis_ray.stages.ann import _normalize
+    mat = _normalize(np.stack(pdf["embedding"].to_numpy()).astype(np.float64))
+    ids = pdf["vec_id"].to_numpy()
+    qrow = queries[queries["query_id"] == row["query_id"]].iloc[0]
+    qv = _normalize(np.asarray(qrow["embedding"], float)[None, :])[0]
+    assert row["sim"] == pytest.approx(
+        float(mat[ids == row["vec_id"]][0] @ qv), abs=1e-12)
