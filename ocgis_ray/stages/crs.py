@@ -255,3 +255,69 @@ def tm_inverse(x, y, lon0: float, k0: float = 0.9996,
 
 CrsTransformStage.TRANSFORMS["lcc_conus"] = lambda lon, lat: lcc_forward(lon, lat)
 CrsTransformStage.TRANSFORMS["utm33n"] = lambda lon, lat: utm_forward(lon, lat, 33)
+
+
+def utm_inverse(x, y, zone: int, south: bool = False):
+    return tm_inverse(x, y, lon0=zone * 6.0 - 183.0,
+                      fn=10000000.0 if south else 0.0)
+
+
+def _ident(a, b):
+    return np.asarray(a, np.float64), np.asarray(b, np.float64)
+
+
+#: name -> (forward: lonlat -> crs, inverse: crs -> lonlat) — the
+#: ``CoordinateReferenceSystem`` family analog (reference
+#: ``variable/crs.py``; pyproj-free, the supported projections are the
+#: ones the reference's test fixtures exercise).
+CRS_PAIRS: dict = {
+    "lonlat": (_ident, _ident),
+    "web_mercator": (to_web_mercator, from_web_mercator),
+    "lcc_conus": (lambda lon, lat: lcc_forward(lon, lat),
+                  lambda x, y: lcc_inverse(x, y)),
+    "utm33n": (lambda lon, lat: utm_forward(lon, lat, 33),
+               lambda x, y: utm_inverse(x, y, 33)),
+    "rotated_pole_na": (
+        lambda lon, lat: rotated_pole_transform(lon, lat, -97.0, 42.5),
+        lambda rl, rp: rotated_pole_transform(rl, rp, -97.0, 42.5,
+                                              inverse=True)),
+}
+
+
+def compose_transform(src: str, dst: str):
+    """Generic CRS-to-CRS transform: ``inverse(src) -> lon/lat ->
+    forward(dst)`` — the ``update_crs(other_crs)`` generality the
+    reference gets from proj4 (``variable/crs.py:CoordinateReference
+    System.transform``), composed from the registered analytic pairs.
+    Unknown names raise with the available registry."""
+    try:
+        src_pair, dst_pair = CRS_PAIRS[src], CRS_PAIRS[dst]
+    except KeyError as e:
+        raise KeyError(f"unknown CRS {e.args[0]!r}; have "
+                       f"{sorted(CRS_PAIRS)}") from None
+    src_inv, dst_fwd = src_pair[1], dst_pair[0]
+
+    def fn(x, y):
+        lon, lat = src_inv(x, y)
+        return dst_fwd(lon, lat)
+
+    return fn
+
+
+def update_crs_between(ds, src: str, dst: str, in_x: str = "lon",
+                       in_y: str = "lat", out_x: str = "x",
+                       out_y: str = "y"):
+    """Distributed generic CRS transform over (in_x, in_y) columns —
+    elastic stateless tasks (the kernel is pure trig, no per-worker
+    state worth an actor pool)."""
+    import pyarrow as _pa
+
+    fn = compose_transform(src, dst)
+
+    def xf(t: _pa.Table) -> _pa.Table:
+        x, y = fn(t[in_x].to_numpy(zero_copy_only=False),
+                  t[in_y].to_numpy(zero_copy_only=False))
+        return t.append_column(out_x, _pa.array(x)).append_column(
+            out_y, _pa.array(y))
+
+    return ds.map_batches(xf, batch_format="pyarrow", zero_copy_batch=True)

@@ -206,3 +206,32 @@ def test_climate_second_tranche_numpy_parity(ray_session, sf_dir):
     m = np.array([1, 1, 1, 1, 1, 1, 0, 1, 1, 1, 1, 1, 0, 1], bool)
     assert _spell_total(m, 6) == 6  # only the first run reaches 6
     assert _spell_total(m, 5) == 11
+
+
+def test_units_registry_and_conform(ray_session, sf_dir):
+    """conform_units_to analog (variable/base.py:909 via
+    util/units.py): affine registry, family guard, distributed form."""
+    from ocgis_ray.functions.units import (conversion, convert_values,
+                                           conform_units, register_unit)
+    from ocgis_ray.sources.io import read_parquet_sized
+
+    v = np.array([0.0, 100.0, -40.0])
+    assert np.allclose(convert_values(v, "degC", "K"), v + 273.15)
+    assert np.allclose(convert_values(v, "degC", "degF"), v * 9 / 5 + 32)
+    assert np.allclose(convert_values(np.array([-40.0]), "degF", "degC"),
+                       [-40.0])
+    assert np.allclose(convert_values(np.array([1.0]), "km", "mi"),
+                       [0.621371192], atol=1e-8)
+    assert np.allclose(convert_values(np.array([86400.0]), "mm/day",
+                                      "kg m-2 s-1") * 86400, [86400.0])
+    with pytest.raises(ValueError):
+        conversion("degC", "km")
+    with pytest.raises(KeyError):
+        conversion("furlong", "m")
+    register_unit("halfK", "temperature", 0.5)
+    assert np.allclose(convert_values(np.array([2.0]), "halfK", "K"), [1.0])
+    # distributed form over events.value
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet")
+    out = conform_units(ds.limit(100), "value", "degC", "K",
+                        out_col="value_k").to_pandas()
+    assert np.allclose(out["value_k"], out["value"] + 273.15)

@@ -298,3 +298,55 @@ def test_area_weighted_dissolve_general(ray_session, sf_dir):
     assert len(out) == 1 and int(out["ugid"].iloc[0]) == 0
     assert int(out["n_rows"].iloc[0]) > 0
     assert np.isfinite(out["awm"].iloc[0]) and out["awm"].iloc[0] > 0
+
+
+def test_compose_transform_roundtrips():
+    """generic CRS-to-CRS compose (inverse(src) -> lonlat ->
+    forward(dst)): roundtrips through every registered pair."""
+    from ocgis_ray.stages.crs import CRS_PAIRS, compose_transform
+
+    na = (np.array([-122.0, -96.0, -80.0, -110.0]),
+          np.array([37.5, 40.0, 45.0, 33.0]))
+    eu = (np.array([9.0, 12.0, 15.1, 20.5]),  # inside UTM zone 33
+          np.array([44.0, 48.0, 52.0, 58.0]))
+    pts = {"utm33n": eu}
+    for name, (fwd, inv) in CRS_PAIRS.items():
+        lon, lat = pts.get(name, na)
+        x, y = fwd(lon, lat)
+        back = compose_transform(name, "lonlat")(x, y)
+        assert np.allclose(back[0], lon, atol=1e-6), name
+        assert np.allclose(back[1], lat, atol=1e-6), name
+        # compose src->dst == inverse then forward, for a second CRS
+        x2, y2 = compose_transform(name, "web_mercator")(x, y)
+        from ocgis_ray.stages.crs import to_web_mercator
+        ex, ey = to_web_mercator(*inv(x, y))
+        assert np.allclose(x2, ex) and np.allclose(y2, ey), name
+    with pytest.raises(KeyError):
+        compose_transform("lonlat", "nope")
+
+
+def test_update_crs_between(ray_session, sf_dir):
+    """distributed generic transform: lcc_conus -> web_mercator over a
+    pages sample equals the driver-side compose."""
+    from ocgis_ray.sources.pages import pages_dataset
+    from ocgis_ray.stages.crs import (compose_transform, lcc_forward,
+                                      update_crs_between)
+    from ocgis_ray.stages.geocode import geocode
+
+    ds = geocode(pages_dataset(sf_dir).drop_columns(["html"])).limit(500)
+    # make LCC coords first, then transform them to web mercator
+    import pyarrow as pa
+
+    def to_lcc(t):
+        x, y = lcc_forward(t["lon"].to_numpy(zero_copy_only=False),
+                           t["lat"].to_numpy(zero_copy_only=False))
+        return t.append_column("lx", pa.array(x)).append_column(
+            "ly", pa.array(y))
+
+    lcc = ds.map_batches(to_lcc, batch_format="pyarrow", zero_copy_batch=True)
+    out = update_crs_between(lcc, "lcc_conus", "web_mercator",
+                             in_x="lx", in_y="ly").to_pandas()
+    fn = compose_transform("lcc_conus", "web_mercator")
+    ex, ey = fn(out["lx"].to_numpy(), out["ly"].to_numpy())
+    assert np.allclose(out["x"].to_numpy(), ex)
+    assert np.allclose(out["y"].to_numpy(), ey)
