@@ -1,0 +1,200 @@
+"""Bounded-memory streaming summaries: hopping windows, heavy hitters,
+approximate distinct.
+
+The reference has no sketch library (its scale ceiling was one MPI
+node); these are the operators a 10^12-row pages/events table needs
+where an exact groupby would shuffle the full key set.  All three are
+mergeable partial summaries — each batch emits a SMALL fixed-size
+partial, the combine is associative, and nothing driver-side ever sees
+raw rows:
+
+- :func:`hopping_window_rollup` — overlapping time windows via a
+  vectorized per-batch expansion (each row lands in ``size/hop``
+  windows) feeding the standard partial+final grouped aggregate.
+- :func:`heavy_hitters` — Misra-Gries: per-batch exact counts
+  truncated to ``capacity`` entries MG-style, summed by key (bounded
+  cardinality: <= capacity live keys per partial), final MG trim.
+  Guarantee: every value with frequency > N/capacity survives, and
+  estimates undercount by at most N/capacity (tested against exact).
+- :func:`approx_distinct` — HyperLogLog with 2^p registers: per-batch
+  register maxima, one register-vector row per batch, elementwise-max
+  merge, standard bias-corrected estimate (+-~1.04/sqrt(2^p)).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+# ---------------------------------------------------------- hopping windows
+
+def hopping_window_rollup(ds, ts_col: str, size_s: int, hop_s: int,
+                          keys: list[str] | None = None,
+                          value_col: str | None = None):
+    """Overlapping (hopping) time-window aggregate: window ``w`` covers
+    ``[w, w + size_s)`` and windows start every ``hop_s`` seconds
+    (``size_s`` must be a multiple of ``hop_s``; ``size == hop`` is a
+    tumbling window, already covered by the temporal rollups).
+
+    Each row is expanded to its ``size_s // hop_s`` member windows
+    with one vectorized repeat (the expansion factor is the only
+    amplification — partial aggregation collapses it before the
+    shuffle).  Returns per-(keys..., window_start) ``n`` and
+    ``sum_v``/``value_col`` sums with ``window_start`` as epoch
+    seconds."""
+    if size_s % hop_s != 0:
+        raise ValueError("size_s must be a multiple of hop_s")
+    fanout = size_s // hop_s
+    keys = list(keys or [])
+
+    def expand(t: pa.Table) -> pa.Table:
+        ts = t[ts_col].to_numpy(zero_copy_only=False)
+        epoch = ts.astype("datetime64[s]").astype(np.int64)
+        # last window start covering the row, then step back
+        w0 = (epoch // hop_s) * hop_s
+        starts = w0[:, None] - hop_s * np.arange(fanout)[None, :]
+        starts = starts.ravel()
+        idx = np.repeat(np.arange(len(epoch)), fanout)
+        keep = starts + size_s > np.repeat(epoch, fanout)
+        cols = {"window_start": starts[keep]}
+        for k in keys:
+            cols[k] = t[k].to_numpy(zero_copy_only=False)[idx[keep]]
+        if value_col is not None:
+            cols["_v"] = t[value_col].to_numpy(
+                zero_copy_only=False)[idx[keep]]
+        return pa.table(cols)
+
+    from ocgis_ray.stages.tiles import grouped_aggregate
+
+    expanded = ds.map_batches(expand, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    spec = {"n": (None, "count")}
+    if value_col is not None:
+        spec["sum_v"] = ("_v", "sum")
+    return grouped_aggregate(expanded, keys + ["window_start"], spec)
+
+
+# ------------------------------------------------------------ heavy hitters
+
+def _mg_trim(values: np.ndarray, counts: np.ndarray,
+             capacity: int) -> tuple[np.ndarray, np.ndarray]:
+    """Misra-Gries truncation: keep the top ``capacity`` entries after
+    subtracting the (capacity+1)-th count (the classic decrement step,
+    vectorized)."""
+    if len(values) <= capacity:
+        return values, counts
+    order = np.argsort(-counts, kind="stable")
+    dec = counts[order[capacity]]
+    keep = order[:capacity]
+    kept = counts[keep] - dec
+    pos = kept > 0
+    return values[keep][pos], kept[pos]
+
+
+def heavy_hitters(ds, col: str, k: int, capacity: int | None = None,
+                  batch_size: int = 65536):
+    """Approximate top-k frequent values (Misra-Gries, mergeable).
+
+    ``capacity`` (default ``8 * k``) bounds every partial summary; the
+    error of any estimate is at most N/capacity (undercount only), so
+    any value with true frequency > N/capacity is guaranteed present.
+    Dataflow: per-batch exact counts -> MG trim -> bucketed sum by
+    value (cardinality <= capacity x batches, tiny rows) -> final MG
+    trim + top-k on the driver-side small result."""
+    capacity = 8 * k if capacity is None else capacity
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        vc = pc.value_counts(t[col])
+        v, c = _mg_trim(vc.field("values").to_numpy(zero_copy_only=False),
+                        vc.field("counts").to_numpy(zero_copy_only=False),
+                        capacity)
+        return pa.table({"value": pa.array(v),
+                         "est": pa.array(c.astype(np.int64))})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=batch_size)
+
+    from ocgis_ray.stages.tiles import grouped_aggregate
+
+    summed = grouped_aggregate(partials, ["value"],
+                               {"est": ("est", "sum")})
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        v, c = _mg_trim(df["value"].to_numpy(),
+                        df["est"].to_numpy(np.int64), capacity)
+        out = pd.DataFrame({"value": v, "est": c})
+        out = out.sort_values(["est", "value"],
+                              ascending=[False, True]).head(k)
+        return out.reset_index(drop=True)
+
+    return summed.repartition(1).map_batches(finalize,
+                                             batch_format="pandas")
+
+
+# ------------------------------------------------------- approx distinct
+
+_HLL_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
+
+
+def _hll_registers(hashes: np.ndarray, p: int) -> np.ndarray:
+    """Register maxima for one batch of 64-bit hashes."""
+    m = 1 << p
+    idx = (hashes >> np.uint64(64 - p)).astype(np.int64)
+    rest = (hashes << np.uint64(p)) | (np.uint64(1) << np.uint64(p - 1))
+    # rank = leading zeros of the remaining 64-p bits + 1; the OR above
+    # plants a stop bit so rank is capped at 64-p+1 without branches
+    fl = np.full(len(hashes), 64, dtype=np.int64)
+    nz = rest != 0
+    # bit_length via float log2 is unsafe >= 2^53; use a 4-step binary
+    # count of leading zeros instead
+    x = rest.copy()
+    lz = np.zeros(len(hashes), dtype=np.int64)
+    for shift in (32, 16, 8, 4, 2, 1):
+        mask = x < (np.uint64(1) << np.uint64(64 - shift))
+        lz[mask] += shift
+        x[mask] = x[mask] << np.uint64(shift)
+    fl[nz] = lz[nz]
+    rank = fl + 1
+    regs = np.zeros(m, dtype=np.int64)
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def _hash64(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    import pandas.util as pu
+
+    return pu.hash_array(
+        arr.to_numpy(zero_copy_only=False)).astype(np.uint64)
+
+
+def approx_distinct(ds, col: str, p: int = 12,
+                    batch_size: int = 65536) -> int:
+    """HyperLogLog distinct count: one register row (2^p int8-ish
+    values) per batch, elementwise-max merge, bias-corrected estimate.
+    Standard error ~1.04/sqrt(2^p) (~1.6% at p=12); small-range
+    correction uses linear counting.  Returns an int."""
+    m = 1 << p
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            regs = np.zeros(m, dtype=np.int64)
+        else:
+            regs = _hll_registers(_hash64(t[col]), p)
+        return pa.table({"regs": pa.array([regs])})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True,
+                          batch_size=batch_size).take_all()
+    regs = np.zeros(m, dtype=np.int64)
+    for r in rows:
+        regs = np.maximum(regs, np.asarray(r["regs"]))
+    alpha = _HLL_ALPHA.get(m, 0.7213 / (1.0 + 1.079 / m))
+    est = alpha * m * m / np.sum(np.power(2.0, -regs))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)  # linear counting
+    return int(round(est))

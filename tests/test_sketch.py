@@ -1,0 +1,84 @@
+"""Bounded-memory streaming summaries: hopping windows, Misra-Gries
+heavy hitters, HyperLogLog distinct — exactness / error-bound checks
+against DuckDB ground truth."""
+
+import duckdb
+import numpy as np
+import pytest
+
+
+def test_hopping_window_rollup(ray_session, sf_dir):
+    """size=2h hop=1h windows over events: engine == the SQL twin
+    (UNNEST window-offset expansion)."""
+    from ocgis_ray.sources.io import read_parquet_sized
+    from ocgis_ray.stages.sketch import hopping_window_rollup
+
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet")
+    out = hopping_window_rollup(ds, "ts", size_s=7200, hop_s=3600,
+                                keys=["event_type"], value_col="value") \
+        .to_pandas().sort_values(["event_type", "window_start"]) \
+        .reset_index(drop=True)
+    sql = f"""
+SELECT event_type,
+       (floor(epoch(ts))::BIGINT // 3600) * 3600 - i.i * 3600 AS window_start,
+       count(*) AS n, sum(value) AS sum_v
+FROM '{sf_dir}/events.parquet', (SELECT unnest([0, 1]) AS i) i
+WHERE (floor(epoch(ts))::BIGINT // 3600) * 3600 - i.i * 3600 + 7200 > floor(epoch(ts))::BIGINT
+GROUP BY 1, 2 ORDER BY 1, 2"""
+    truth = duckdb.sql(sql).df()
+    assert len(out) == len(truth)
+    assert (out["event_type"].to_numpy() ==
+            truth["event_type"].to_numpy()).all()
+    assert (out["window_start"].to_numpy() ==
+            truth["window_start"].to_numpy()).all()
+    assert (out["n"].to_numpy() == truth["n"].to_numpy()).all()
+    assert np.allclose(out["sum_v"].to_numpy(), truth["sum_v"].to_numpy())
+    # every row appears in exactly size/hop = 2 windows
+    n_rows = duckdb.sql(
+        f"SELECT count(*) FROM '{sf_dir}/events.parquet'").fetchone()[0]
+    assert int(out["n"].sum()) == 2 * n_rows
+
+
+def test_heavy_hitters_mg_guarantees(ray_session, sf_dir):
+    """Misra-Gries: every value with freq > N/capacity is found;
+    estimates undercount by at most N/capacity; top ranks match the
+    exact ordering on clearly-separated heads."""
+    from ocgis_ray.sources.io import read_parquet_sized
+    from ocgis_ray.stages.sketch import heavy_hitters
+
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet")
+    out = heavy_hitters(ds, "event_type", k=5, capacity=40,
+                        batch_size=4096).to_pandas()
+    truth = duckdb.sql(
+        f"SELECT event_type AS value, count(*) AS c FROM "
+        f"'{sf_dir}/events.parquet' GROUP BY 1 ORDER BY c DESC").df()
+    n = int(truth["c"].sum())
+    bound = n / 40
+    tmap = dict(zip(truth["value"], truth["c"]))
+    got = dict(zip(out["value"], out["est"]))
+    for v, c in tmap.items():
+        if c > bound:
+            assert v in got, (v, c, bound)
+    for v, est in got.items():
+        assert est <= tmap[v]
+        assert est >= tmap[v] - bound
+    # head of the ranking matches where the gap exceeds the error bound
+    head = truth.head(3)
+    if (head["c"].diff().abs().dropna() > 2 * bound).all():
+        assert out["value"].head(3).tolist() == head["value"].tolist()
+
+
+def test_approx_distinct_hll(ray_session, sf_dir):
+    """HLL at p=12: within 5% of the exact distinct count for three
+    cardinality regimes (small uses linear counting)."""
+    from ocgis_ray.sources.io import read_parquet_sized
+    from ocgis_ray.stages.sketch import approx_distinct
+
+    for col, table in [("event_type", "events"), ("user_id", "events"),
+                       ("event_id", "events")]:
+        ds = read_parquet_sized(f"{sf_dir}/{table}.parquet")
+        est = approx_distinct(ds, col, p=12)
+        exact = duckdb.sql(
+            f"SELECT count(DISTINCT {col}) FROM "
+            f"'{sf_dir}/{table}.parquet'").fetchone()[0]
+        assert abs(est - exact) <= max(2, 0.05 * exact), (col, est, exact)
