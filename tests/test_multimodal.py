@@ -63,3 +63,41 @@ def test_pipeline_end_to_end(ray_session, sf_dir):
     assert len(pdf) == media.count()
     frames = sample_frames(synth_media(sf_dir), n_frames=2, concurrency=2)
     assert frames.count() == 2 * len(pdf)
+
+
+def test_ppm_real_decode_roundtrip(ray_session, sf_dir):
+    """REAL pixel decode (P6 PPM, pure numpy): channel means from the
+    distributed decode equal a direct numpy render of the same
+    deterministic gradient."""
+    import numpy as np
+
+    from ocgis_ray.stages.multimodal import decode_ppm, synth_ppm_media
+
+    out = decode_ppm(synth_ppm_media(sf_dir, w=32, h=24)).to_pandas()
+    assert len(out) > 0 and "payload" not in out.columns
+    # re-render one image driver-side and compare exactly
+    row = out.sort_values("media_id").iloc[0]
+    did = int(row["media_id"])
+    yy = np.arange(24)[:, None]
+    xx = np.arange(32)[None, :]
+    r = (did * 31 + xx * 8) % 256 + np.zeros_like(yy)
+    g = (did * 17 + yy * 11) % 256 + np.zeros_like(xx)
+    b = (did * 7 + xx * 3 + yy * 5) % 256
+    assert row["mean_r"] == pytest.approx(np.broadcast_to(r, (24, 32)).mean())
+    assert row["mean_g"] == pytest.approx(np.broadcast_to(g, (24, 32)).mean())
+    assert row["mean_b"] == pytest.approx(b.mean())
+    assert row["luma"] == pytest.approx(
+        0.299 * row["mean_r"] + 0.587 * row["mean_g"] + 0.114 * row["mean_b"])
+    assert (out["contrast"] >= 0).all()
+
+
+def test_ppm_decode_rejects_non_ppm(ray_session, sf_dir):
+    """the real decoder validates the magic instead of silently
+    producing garbage from non-PPM payloads."""
+    import pytest as _pytest
+
+    from ocgis_ray.stages.multimodal import decode_ppm, synth_media
+
+    bad = synth_media(sf_dir)  # text payloads, no P6 magic
+    with _pytest.raises(Exception):
+        decode_ppm(bad).to_pandas()
