@@ -769,10 +769,14 @@ def q_embedding_near_dup(sf_dir: str):
 
 
 def q_media_features(sf_dir: str):
-    from ocgis_ray.stages.multimodal import decode_features, synth_media
+    """REAL image decode: P6/PPM payloads decoded with pure numpy
+    (channel means over actual pixels — see stages/multimodal.py);
+    the byte-stat fake path stays covered by tests."""
+    from ocgis_ray.stages.multimodal import decode_ppm, synth_ppm_media
 
-    media = synth_media(sf_dir)
-    return decode_features(media).select_columns(["media_id", "kind", "n_bytes"])
+    media = synth_ppm_media(sf_dir)
+    return decode_ppm(media).select_columns(
+        ["media_id", "kind", "n_bytes", "mean_r", "luma"])
 
 
 def q_knn_cells(sf_dir: str):
@@ -1387,9 +1391,28 @@ FROM k GROUP BY target_id"""
 
 
 def sql_media_features() -> str:
-    # synth media payload is (text * 4) utf-8 => n_bytes = 4 * strlen
-    return ("SELECT doc_id AS media_id, 'image' AS kind,"
-            " CAST(4 * strlen(text) AS BIGINT) AS n_bytes FROM documents")
+    # PPM twin: re-derive the deterministic 32x24 gradient pixels in
+    # SQL (range cross joins) and average them — integer-valued float
+    # sums are exact, so the means match the engine's real pixel
+    # decode bit-for-bit.  n_bytes = len("P6\n32 24\n255\n") + 32*24*3.
+    return """
+WITH px AS (
+  SELECT d.doc_id,
+         CAST((d.doc_id * 31 + tx.x * 8) % 256 AS DOUBLE) AS r,
+         CAST((d.doc_id * 17 + ty.y * 11) % 256 AS DOUBLE) AS g,
+         CAST((d.doc_id * 7 + tx.x * 3 + ty.y * 5) % 256 AS DOUBLE) AS b
+  FROM documents d
+  CROSS JOIN (SELECT unnest(range(0, 32)) AS x) tx
+  CROSS JOIN (SELECT unnest(range(0, 24)) AS y) ty
+),
+m AS (
+  SELECT doc_id, avg(r) AS mean_r, avg(g) AS mean_g, avg(b) AS mean_b
+  FROM px GROUP BY doc_id
+)
+SELECT doc_id AS media_id, 'image' AS kind,
+       CAST(13 + 32 * 24 * 3 AS BIGINT) AS n_bytes, mean_r,
+       0.299 * mean_r + 0.587 * mean_g + 0.114 * mean_b AS luma
+FROM m"""
 
 
 def sql_ann_lsh() -> str:
