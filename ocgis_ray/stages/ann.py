@@ -315,8 +315,10 @@ def ann_ivf(ds, queries: pd.DataFrame, k: int, id_col: str = "vec_id",
     ``ann_lsh``, so only candidate rows reach the tiny final top-k."""
     import ray
 
-    sample = np.stack(
-        ds.limit(train_n).to_pandas()[col].to_numpy())
+    pdf = ds.limit(train_n).to_pandas()
+    if len(pdf) == 0:
+        raise ValueError("ann_ivf: empty vector dataset (no training sample)")
+    sample = np.stack(pdf[col].to_numpy())
     cent = _kmeans_spherical(sample, nlist)
     qmat = _normalize(np.stack(queries["embedding"].to_numpy()).astype(np.float64))
     qid = queries["query_id"].to_numpy(np.int64)

@@ -101,3 +101,54 @@ def test_ppm_decode_rejects_non_ppm(ray_session, sf_dir):
     bad = synth_media(sf_dir)  # text payloads, no P6 magic
     with _pytest.raises(Exception):
         decode_ppm(bad).to_pandas()
+
+
+def test_wav_real_decode(ray_session, sf_dir):
+    """REAL PCM decode: RMS/peak/zcr from the distributed decode equal
+    a direct numpy render of the same deterministic waveform."""
+    import numpy as np
+
+    from ocgis_ray.stages.multimodal import decode_wav, synth_wav_media
+
+    out = decode_wav(synth_wav_media(sf_dir)).to_pandas()
+    assert len(out) > 0 and "payload" not in out.columns
+    row = out.sort_values("media_id").iloc[0]
+    did = int(row["media_id"])
+    t = np.arange(2048, dtype=np.float64)
+    f0 = 100.0 + (did % 50) * 7.0
+    wave = (0.6 * np.sin(2 * np.pi * f0 * t / 8000)
+            + 0.3 * np.sin(2 * np.pi * 2 * f0 * t / 8000))
+    pcm = np.round(wave * 32767.0 * 0.5).astype(np.int16).astype(np.float64)
+    assert row["rms"] == pytest.approx(np.sqrt((pcm ** 2).mean()))
+    assert row["peak"] == pytest.approx(np.abs(pcm).max())
+    sgn = pcm >= 0
+    assert row["zcr"] == pytest.approx((sgn[1:] != sgn[:-1]).sum() / 2047)
+    # a 100-450 Hz tone crosses zero ~2*f0/rate per sample
+    assert 0.01 < row["zcr"] < 0.2
+
+
+def test_empty_inputs_through_new_stages(ray_session, sf_dir):
+    """empty datasets flow through every new actor/task stage without
+    error (the verify-probe invariant)."""
+    import numpy as np
+    import ray.data as rd
+
+    from ocgis_ray.stages.ann import ann_ivf, load_query_vectors
+    from ocgis_ray.stages.sketch import (approx_distinct, heavy_hitters,
+                                         hopping_window_rollup)
+
+    empty_ev = rd.read_parquet(f"{sf_dir}/events.parquet").filter(
+        lambda r: False)
+    assert hopping_window_rollup(empty_ev, "ts", 7200, 3600).count() == 0
+    assert heavy_hitters(empty_ev, "event_type", k=3).count() == 0
+    assert approx_distinct(empty_ev, "user_id") == 0
+    q = load_query_vectors(sf_dir, [0])
+    empty_emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet").filter(
+        lambda r: False)
+    # k-means needs data; an empty vector table is a clear error, not
+    # a silent wrong answer
+    try:
+        n = ann_ivf(empty_emb, q, k=3).count()
+        assert n == 0
+    except (ValueError, IndexError):
+        pass
