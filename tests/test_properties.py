@@ -229,3 +229,53 @@ def test_sample_by_key_sql_parity_property(key, rate):
     sql = duckdb.sql(
         f"SELECT {sample_by_key_sql_pred(str(key), rate)}").fetchone()[0]
     assert mine == sql
+
+
+def _hull(pts: np.ndarray) -> np.ndarray:
+    """tiny Andrew-monotone convex hull (no scipy in container)."""
+    pts = pts[np.lexsort((pts[:, 1], pts[:, 0]))]
+    def half(seq):
+        out = []
+        for p in seq:
+            while len(out) >= 2 and np.cross(out[-1] - out[-2],
+                                             p - out[-2]) <= 0:
+                out.pop()
+            out.append(p)
+        return out[:-1]
+    lower = half(list(pts))
+    upper = half(list(pts[::-1]))
+    return np.asarray(lower + upper, dtype=np.float64)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(min_value=1, max_value=6),
+       st.integers(min_value=0, max_value=10**6))
+def test_coverage_sweep_properties(n_polys, seed):
+    """invariants of the exact coverage sweep on random convex soups:
+    (a) conservation: sum(d * area_d) == sum of polygon areas;
+    (b) inclusion-exclusion for pairs: |A|+|B| == |A∪B|+|A∩B|;
+    (c) union faces tile the union measure exactly."""
+    from ocgis_ray.geometry import (coverage_areas, intersection_area,
+                                    shoelace_area, union_area_n,
+                                    union_faces)
+
+    rng = np.random.default_rng(seed)
+    polys = []
+    for i in range(n_polys):
+        pts = rng.uniform(0, 10, (8, 2))
+        hull = _hull(pts)
+        if hull.shape[0] < 3 or shoelace_area(hull) < 1e-6:
+            return  # degenerate draw — vacuous case
+        polys.append(Polygon(i, "h", hull))
+    cov = coverage_areas(polys)
+    total = sum(p.area() for p in polys)
+    assert abs(sum((i + 1) * v for i, v in enumerate(cov)) - total) \
+        <= 1e-9 * max(1.0, total)
+    if len(polys) >= 2:
+        a, b = polys[0], polys[1]
+        lhs = a.area() + b.area()
+        rhs = union_area_n([a, b]) + intersection_area(a, b)
+        assert abs(lhs - rhs) <= 1e-9 * max(1.0, lhs)
+    faces = union_faces(polys)
+    assert abs(sum(shoelace_area(f) for f in faces) - cov.sum()) \
+        <= 1e-9 * max(1.0, cov.sum())
