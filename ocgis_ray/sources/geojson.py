@@ -288,3 +288,102 @@ def load_shapefile(path: str) -> list[Polygon]:
     if not polys:
         raise ValueError(f"no polygons in {path}")
     return polys
+
+
+# ------------------------------------------------------------- writers
+
+def _closed(ring: np.ndarray) -> list[list[float]]:
+    out = [[float(x), float(y)] for x, y in ring]
+    out.append(out[0])
+    return out
+
+
+def write_geojson(polys: list[Polygon], path: str) -> str:
+    """Polygon list -> GeoJSON FeatureCollection file — the
+    ``GeoJsonConverter`` analog (reference ``conv/fiona_.py`` via
+    Fiona; here pure json).  Exterior CCW + holes as written by the
+    engine's normalized rings; round-trips through
+    :func:`load_geojson`."""
+    feats = []
+    for p in polys:
+        rings = [_closed(p.verts)] + [_closed(h) for h in p.holes]
+        feats.append({
+            "type": "Feature",
+            "properties": {"UGID": int(p.ugid), "name": p.name},
+            "geometry": {"type": "Polygon", "coordinates": rings},
+        })
+    with open(path, "w") as f:
+        json.dump({"type": "FeatureCollection", "features": feats}, f)
+    return path
+
+
+def write_shapefile(polys: list[Polygon], path: str) -> str:
+    """Polygon list -> ESRI Shapefile trio (.shp/.shx/.dbf) — the
+    ``ShpConverter`` analog (reference ``conv/fiona_.py:ShpConverter``),
+    pure ``struct``.  Ring orientation per the ESRI spec (exterior CW,
+    holes CCW); attributes UGID (N) and NAME (C); round-trips through
+    :func:`load_shapefile` including hole assignment."""
+    import os
+    import struct
+
+    base = os.path.splitext(path)[0]
+    records = []
+    gxmin = gymin = np.inf
+    gxmax = gymax = -np.inf
+    for p in polys:
+        rings = [p.verts[::-1]] + [h if not _ring_is_cw(h) else h[::-1]
+                                   for h in p.holes]
+        # exterior reversed to CW; holes forced CCW
+        parts = np.cumsum([0] + [len(r) + 1 for r in rings[:-1]])
+        # each ring written CLOSED (first vertex repeated)
+        closed = [np.concatenate([r, r[:1]]) for r in rings]
+        pts = np.concatenate(closed)
+        xmin, ymin = pts.min(axis=0)
+        xmax, ymax = pts.max(axis=0)
+        gxmin, gymin = min(gxmin, xmin), min(gymin, ymin)
+        gxmax, gymax = max(gxmax, xmax), max(gymax, ymax)
+        content = struct.pack("<i4d", 5, xmin, ymin, xmax, ymax)
+        content += struct.pack("<2i", len(closed), len(pts))
+        content += struct.pack(f"<{len(parts)}i", *parts.tolist())
+        content += pts.astype("<f8").tobytes()
+        records.append(content)
+
+    shp = bytearray(100)
+    shx = bytearray(100)
+    offset_words = 50
+    body = bytearray()
+    shx_body = bytearray()
+    for i, content in enumerate(records):
+        clen_words = len(content) // 2
+        body += struct.pack(">2i", i + 1, clen_words) + content
+        shx_body += struct.pack(">2i", offset_words, clen_words)
+        offset_words += 4 + clen_words
+    for header, total_words in ((shp, 50 + len(body) // 2),
+                                (shx, 50 + len(shx_body) // 2)):
+        struct.pack_into(">i", header, 0, 9994)
+        struct.pack_into(">i", header, 24, total_words)
+        struct.pack_into("<2i", header, 28, 1000, 5)
+        struct.pack_into("<4d", header, 36, gxmin, gymin, gxmax, gymax)
+    with open(base + ".shp", "wb") as f:
+        f.write(bytes(shp) + bytes(body))
+    with open(base + ".shx", "wb") as f:
+        f.write(bytes(shx) + bytes(shx_body))
+
+    # minimal dBASE III: UGID numeric + NAME character
+    n = len(polys)
+    fields = [(b"UGID", b"N", 10), (b"NAME", b"C", 40)]
+    rec_len = 1 + sum(w for _, _, w in fields)
+    hdr_len = 32 + 32 * len(fields) + 1
+    dbf = bytearray()
+    dbf += struct.pack("<B3BIHH20x", 0x03, 26, 8, 17, n, hdr_len, rec_len)
+    for fname, ftype, width in fields:
+        dbf += struct.pack("<11sc4xBB14x", fname, ftype, width, 0)
+    dbf += b"\x0d"
+    for p in polys:
+        dbf += b" "
+        dbf += str(int(p.ugid)).rjust(10).encode()[:10]
+        dbf += p.name[:40].ljust(40).encode("ascii", "replace")[:40]
+    dbf += b"\x1a"
+    with open(base + ".dbf", "wb") as f:
+        f.write(bytes(dbf))
+    return base + ".shp"

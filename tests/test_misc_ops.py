@@ -1,6 +1,7 @@
 """CSV round-trip, time-subset-by-function, extension registry."""
 
 import numpy as np
+import pytest
 import pandas as pd
 import pyarrow as pa
 
@@ -292,3 +293,40 @@ def test_sample_by_key_deterministic(ray_session, sf_dir):
     sql = con.execute(
         f"SELECT doc_id FROM documents WHERE {pred} ORDER BY doc_id").df()
     assert sql["doc_id"].tolist() == a.tolist()
+
+
+def test_vector_writers_roundtrip(tmp_path):
+    """GeoJSON + Shapefile WRITERS (ShpConverter/GeoJsonConverter
+    analogs): write -> reload -> identical ugids, areas and hole
+    structure; the real 51-state reference layer survives a shapefile
+    round-trip bit-for-area."""
+    import numpy as np
+
+    from ocgis_ray.geometry import Polygon
+    from ocgis_ray.sources.geojson import (load_geojson, load_shapefile,
+                                           write_geojson, write_shapefile)
+
+    donut = Polygon(7, "donut",
+                    np.array([[0.0, 0], [10, 0], [10, 10], [0, 10]]),
+                    holes=[np.array([[3.0, 3], [7, 3], [7, 7], [3, 7]])])
+    tri = Polygon(9, "tri", np.array([[20.0, 0], [24, 0], [22, 3]]))
+    for writer, loader, fname in [
+            (write_geojson, load_geojson, "layer.geojson"),
+            (write_shapefile, load_shapefile, "layer.shp")]:
+        path = writer([donut, tri], str(tmp_path / fname))
+        back = loader(path)
+        assert [p.ugid for p in back] == [7, 9]
+        assert back[0].name.strip() == "donut"
+        assert len(back[0].holes) == 1 and not back[1].holes
+        assert back[0].area() == pytest.approx(84.0)
+        assert back[1].area() == pytest.approx(6.0)
+    # real-geometry round-trip: reference states through OUR writer
+    src = load_shapefile(
+        "/root/reference/src/ocgis/test/bin/shp/state_boundaries/"
+        "state_boundaries.shp")
+    out = write_shapefile(src, str(tmp_path / "states.shp"))
+    back = load_shapefile(out)
+    assert len(back) == len(src)
+    for a, b in zip(src, back):
+        assert a.ugid == b.ugid
+        assert b.area() == pytest.approx(a.area(), rel=1e-12)
