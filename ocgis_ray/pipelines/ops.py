@@ -87,7 +87,15 @@ class OcgRayOperations:
                 raise ValueError(f"unknown calc_grouping {g!r}; have {_GROUPINGS}")
         for c in self.calc or []:
             if c.get("func") not in _CALC_FUNCS:
-                raise ValueError(f"unknown calc func {c.get('func')!r}")
+                # registered series indices (the library_icclim-through-
+                # calc path of the reference) are valid calc funcs too
+                from ocgis_ray.functions.climate import index_names
+
+                if c.get("func") not in index_names():
+                    raise ValueError(
+                        f"unknown calc func {c.get('func')!r} (not a "
+                        f"builtin {sorted(_CALC_FUNCS)} or registered "
+                        f"index {index_names()})")
             if "field" not in c:
                 raise ValueError("calc entries need a 'field'")
         if self.geom is not None:
@@ -169,6 +177,7 @@ class OcgRayOperations:
             # reference's engine also runs its calc library per group
             # in one sweep, ops/engine.py).  Only the group keys and
             # referenced fields cross the shuffle.
+            import numpy as np
             import pandas as pd
 
             from ocgis_ray.parity import sql_round
@@ -180,13 +189,32 @@ class OcgRayOperations:
                 for c in self.calc
             ]
             fields = sorted({f for _, f, _ in specs})
-            slim = ds.select_columns(sorted(set(keys) | set(fields)))
+            from ocgis_ray.functions.climate import (DEFAULTS as _IDX_DEFAULTS,
+                                                     _INDEX_FUNCS)
+
+            has_index = any(f in _INDEX_FUNCS for f, _, _ in specs)
+            need = set(keys) | set(fields)
+            if has_index:
+                need |= {"warc_ts", "page_id"}  # ordered-series indices
+            slim = ds.select_columns(sorted(need))
 
             def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
                 gb = g.groupby(keys, sort=False)
+                gb_ordered = None
+                if has_index:
+                    g2 = g.sort_values(keys + ["warc_ts", "page_id"],
+                                       kind="mergesort")
+                    gb_ordered = g2.groupby(keys, sort=False)
                 cols = {}
                 for func, fld, name in specs:
-                    if func == "count":
+                    if func in _INDEX_FUNCS:
+                        fn = _INDEX_FUNCS[func]
+                        s = gb_ordered.apply(
+                            lambda grp: fn(
+                                grp[fld].to_numpy(np.float64),
+                                grp["warc_ts"].to_numpy("datetime64[D]"),
+                                _IDX_DEFAULTS))
+                    elif func == "count":
                         s = gb[fld].size()
                     elif func == "median":
                         s = gb[fld].median().map(lambda v: float(sql_round(v, 4)))

@@ -109,3 +109,24 @@ def test_agg_selection_dissolves(ray_session, sf_dir):
         output_format="pandas",
     ).execute()
     assert list(calc["ugid"]) == [0] and "mc" in calc.columns
+
+
+def test_calc_accepts_registry_indices(ray_session, sf_dir):
+    """the library_icclim-through-calc path: registered climate indices
+    are valid calc funcs, computed over the ts-ordered series per
+    group and mixed freely with builtin aggregations."""
+    from ocgis_ray.functions.climate import DEFAULTS  # noqa: F401
+    from ocgis_ray.pipelines.ops import OcgRayOperations
+
+    out = OcgRayOperations(
+        sf_dir, geom="world_regions", select_ugid=[1, 9], aggregate=True,
+        calc=[{"func": "su", "field": "n_chars", "name": "su_chars"},
+              {"func": "csu", "field": "n_chars", "name": "csu_chars"},
+              {"func": "mean", "field": "n_chars", "name": "mc"}],
+        output_format="pandas",
+    ).execute().sort_values("ugid").reset_index(drop=True)
+    assert set(out.columns) == {"ugid", "su_chars", "csu_chars", "mc"}
+    row = out[out["ugid"] == 1].iloc[0]
+    assert row["su_chars"] >= 0 and row["csu_chars"] <= row["su_chars"] + 1
+    with pytest.raises(ValueError):
+        OcgRayOperations(sf_dir, calc=[{"func": "nope", "field": "x"}])
