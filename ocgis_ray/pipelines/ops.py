@@ -130,19 +130,9 @@ class OcgRayOperations:
                     raise ValueError("select_ugid matched no geometries")
             # for point data, clip == intersects (SURVEY §2.2)
             if self.agg_selection:
-                # dissolved selection: membership in ANY polygon,
-                # each row once, single synthetic ugid
-                import numpy as np
-                import pyarrow as pa
+                from ocgis_ray.stages.spatial_join import semi_join_tagged
 
-                ds = spatial_join(ds, polys, how="semi", concurrency=2)
-
-                def tag(t: pa.Table) -> pa.Table:
-                    return t.append_column(
-                        "ugid", pa.array(np.zeros(t.num_rows, np.int64)))
-
-                ds = ds.map_batches(tag, batch_format="pyarrow",
-                                    zero_copy_batch=True)
+                ds = semi_join_tagged(ds, polys, ugid_out=0, concurrency=2)
             else:
                 ds = spatial_join(ds, polys, how="inner", concurrency=2)
         if self.calc_grouping:

@@ -169,13 +169,13 @@ def decode_ppm_stats(batch: pa.Table) -> pa.Table:
 
 
 def decode_ppm(ds, concurrency=None, batch_size: int = 512):
-    """Distributed real-image decode (P6) — same pool shape as
-    :func:`decode_features`, but the pixel math is real."""
-    from ocgis_ray.tuning import auto_pool
-
-    concurrency = auto_pool() if concurrency is None else concurrency
+    """Distributed real-image decode (P6): stateless elastic tasks by
+    default; pass ``concurrency`` to cap parallel decode tasks (fat
+    payload batches x concurrency must fit the worker heap)."""
+    kwargs = {} if concurrency is None else {"concurrency": concurrency}
     return ds.map_batches(decode_ppm_stats, batch_format="pyarrow",
-                          zero_copy_batch=True, batch_size=batch_size)
+                          zero_copy_batch=True, batch_size=batch_size,
+                          **kwargs)
 
 
 def synth_wav_media(sf_dir: str, n_samples: int = 2048,
@@ -266,12 +266,12 @@ def decode_wav_stats(batch: pa.Table) -> pa.Table:
 
 
 def decode_wav(ds, concurrency=None, batch_size: int = 512):
-    """Distributed real-audio decode (PCM WAV)."""
-    from ocgis_ray.tuning import auto_pool
-
-    concurrency = auto_pool() if concurrency is None else concurrency
+    """Distributed real-audio decode (PCM WAV); ``concurrency`` caps
+    parallel decode tasks (see :func:`decode_ppm`)."""
+    kwargs = {} if concurrency is None else {"concurrency": concurrency}
     return ds.map_batches(decode_wav_stats, batch_format="pyarrow",
-                          zero_copy_batch=True, batch_size=batch_size)
+                          zero_copy_batch=True, batch_size=batch_size,
+                          **kwargs)
 
 
 class MediaDecoder:

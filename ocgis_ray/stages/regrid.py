@@ -257,13 +257,9 @@ def area_weighted_aggregate(ds, polys, value_col: str = "n_chars", res: int = 7,
 
     cell_col = f"cell_r{res}"
     if dissolve:
-        sj = spatial_join(ds, polys, how="semi", res=res)
+        from ocgis_ray.stages.spatial_join import semi_join_tagged
 
-        def tag(t: pa.Table) -> pa.Table:
-            return t.append_column(
-                "ugid", pa.array(np.full(t.num_rows, dissolve_ugid, np.int64)))
-
-        j = sj.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        j = semi_join_tagged(ds, polys, ugid_out=dissolve_ugid, res=res)
     else:
         j = spatial_join(ds, polys, how="inner", res=res)
     per_cell = grouped_aggregate(

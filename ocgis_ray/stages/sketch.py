@@ -17,8 +17,9 @@ raw rows:
   Guarantee: every value with frequency > N/capacity survives, and
   estimates undercount by at most N/capacity (tested against exact).
 - :func:`approx_distinct` — HyperLogLog with 2^p registers: per-batch
-  register maxima, one register-vector row per batch, elementwise-max
-  merge, standard bias-corrected estimate (+-~1.04/sqrt(2^p)).
+  sparse (register, rank) rows, distributed elementwise-max merge
+  through the partial+final grouped aggregate (driver sees <= 2^p
+  rows), standard bias-corrected estimate (+-~1.04/sqrt(2^p)).
 """
 
 from __future__ import annotations
@@ -54,16 +55,16 @@ def hopping_window_rollup(ds, ts_col: str, size_s: int, hop_s: int,
         epoch = ts.astype("datetime64[s]").astype(np.int64)
         # last window start covering the row, then step back
         w0 = (epoch // hop_s) * hop_s
-        starts = w0[:, None] - hop_s * np.arange(fanout)[None, :]
-        starts = starts.ravel()
+        # every generated window covers the row by construction:
+        # the smallest start is w0 - (fanout-1)*hop and
+        # start + size = w0 + hop > epoch — no filter needed
+        starts = (w0[:, None] - hop_s * np.arange(fanout)[None, :]).ravel()
         idx = np.repeat(np.arange(len(epoch)), fanout)
-        keep = starts + size_s > np.repeat(epoch, fanout)
-        cols = {"window_start": starts[keep]}
+        cols = {"window_start": starts}
         for k in keys:
-            cols[k] = t[k].to_numpy(zero_copy_only=False)[idx[keep]]
+            cols[k] = t[k].to_numpy(zero_copy_only=False)[idx]
         if value_col is not None:
-            cols["_v"] = t[value_col].to_numpy(
-                zero_copy_only=False)[idx[keep]]
+            cols["_v"] = t[value_col].to_numpy(zero_copy_only=False)[idx]
         return pa.table(cols)
 
     from ocgis_ray.stages.tiles import grouped_aggregate
@@ -173,25 +174,37 @@ def _hash64(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
 
 def approx_distinct(ds, col: str, p: int = 12,
                     batch_size: int = 65536) -> int:
-    """HyperLogLog distinct count: one register row (2^p int8-ish
-    values) per batch, elementwise-max merge, bias-corrected estimate.
+    """HyperLogLog distinct count: per-batch sparse (register, rank)
+    rows, distributed max-merge (grouped aggregate — the driver sees
+    <= 2^p rows regardless of input size), bias-corrected estimate.
     Standard error ~1.04/sqrt(2^p) (~1.6% at p=12); small-range
     correction uses linear counting.  Returns an int."""
     m = 1 << p
 
     def partial(t: pa.Table) -> pa.Table:
+        # one (reg, rank) ROW PAIR set per batch; zero registers are
+        # omitted so sparse batches stay sparse
         if t.num_rows == 0:
-            regs = np.zeros(m, dtype=np.int64)
-        else:
-            regs = _hll_registers(_hash64(t[col]), p)
-        return pa.table({"regs": pa.array([regs])})
+            return pa.table({"reg": pa.array([], pa.int64()),
+                             "rank": pa.array([], pa.int64())})
+        regs = _hll_registers(_hash64(t[col]), p)
+        nz = np.flatnonzero(regs)
+        return pa.table({"reg": pa.array(nz),
+                         "rank": pa.array(regs[nz])})
 
-    rows = ds.map_batches(partial, batch_format="pyarrow",
-                          zero_copy_batch=True,
-                          batch_size=batch_size).take_all()
+    from ocgis_ray.stages.tiles import grouped_aggregate
+
+    # distributed elementwise-max merge: per-block partial maxima
+    # combine inside grouped_aggregate, so the driver only ever sees
+    # <= 2^p final rows — batches scale to 10^12 rows without the
+    # driver accumulating one register vector per batch
+    merged = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=batch_size),
+        ["reg"], {"rank": ("rank", "max")}).take_all()
     regs = np.zeros(m, dtype=np.int64)
-    for r in rows:
-        regs = np.maximum(regs, np.asarray(r["regs"]))
+    for r in merged:
+        regs[int(r["reg"])] = int(r["rank"])
     alpha = _HLL_ALPHA.get(m, 0.7213 / (1.0 + 1.079 / m))
     est = alpha * m * m / np.sum(np.power(2.0, -regs))
     zeros = int((regs == 0).sum())

@@ -232,3 +232,21 @@ def spatial_join(
             "keep_touches": keep_touches,
         },
     )
+
+
+def semi_join_tagged(ds, polys: list[Polygon], ugid_out: int = 0,
+                     **join_kwargs):
+    """Dissolved-selection membership: rows matching ANY polygon kept
+    exactly once (semi join) and tagged with the constant synthetic
+    ``ugid_out`` — the shared core of ``agg_selection=True``
+    (``pipelines/ops.py``) and ``area_weighted_aggregate(dissolve=
+    True)``."""
+    import numpy as np
+
+    sj = spatial_join(ds, polys, how="semi", **join_kwargs)
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "ugid", pa.array(np.full(t.num_rows, ugid_out, np.int64)))
+
+    return sj.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
