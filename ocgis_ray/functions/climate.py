@@ -268,7 +268,9 @@ def climate_indices_sql(table: str = "events", entity_col: str = "user_id",
         elif n == "fzth":
             sel.append("max(fzth_cnt) AS fzth")
         elif n in ("cdd", "cwd", "csu", "cfd"):
-            sel.append(f"max(run_len_{n}) AS {n}")
+            # an entity with NO qualifying run is absent from the runs
+            # CTE -> LEFT JOIN NULL; the engine's _max_run returns 0
+            sel.append(f"coalesce(max(run_len_{n}), 0) AS {n}")
         elif n == "etr":
             sel.append(f"max({v}) - min({v}) AS etr")
         elif n == "hd17":

@@ -408,19 +408,32 @@ def union_area(polys: list) -> float:
         return total
     import itertools
 
+    # bbox prefilter BEFORE any expensive exact intersection: pairs
+    # whose boxes are disjoint cannot overlap.  Antimeridian-crossing
+    # polygons keep unwrapped bboxes, so they stay candidates against
+    # everything rather than risking a false 'disjoint'.
+    def _bbox_hits(a: int, b: int) -> bool:
+        if polys[a].crosses_am or polys[b].crosses_am:
+            return True
+        ba, bb = polys[a].bbox, polys[b].bbox
+        return (ba[0] < bb[2] and bb[0] < ba[2]
+                and ba[1] < bb[3] and bb[1] < ba[3])
+
+    cand = [ab for ab in itertools.combinations(range(n), 2)
+            if _bbox_hits(*ab)]
+    involved = sorted({i for ab in cand for i in ab})
+    if len(involved) > 3 or any(polys[i].holes for i in involved):
+        # candidate-overlap set too entangled (or holes) for
+        # inclusion-exclusion: dispatch straight to the exact sweep —
+        # BEFORE paying the O(n^2) triangulated intersections
+        return float(coverage_areas(polys).sum())
     pair_overlap = {}
-    for a, b in itertools.combinations(range(n), 2):
+    for a, b in cand:
         ia = intersection_area(polys[a], polys[b])
         if ia > 0.0:
             pair_overlap[(a, b)] = ia
         total -= ia
     overlapping = sorted({i for ab in pair_overlap for i in ab})
-    if len(overlapping) > 3 or (
-        overlapping and any(polys[i].holes for i in overlapping)
-    ):
-        # >3 mutually overlapping, or holes in the overlap set:
-        # inclusion-exclusion stops paying — one exact coverage sweep
-        return float(coverage_areas(polys).sum())
     for a, b, c in itertools.combinations(overlapping, 3):
         # triple term area(a ∩ b ∩ c): clip a's parts by every
         # (triangle of b) x (triangle of c) — exact for arbitrary
@@ -610,11 +623,13 @@ def coverage_areas(polys: list) -> np.ndarray:
 
 def _coverage_sweep(polys: list):
     """Shared sweep core for :func:`coverage_areas` /
-    :func:`union_faces`: returns ``(st, xa, xb, ya, yb, depth, edge)``
-    — one row per (strip, active edge), sorted by (strip, y), where
-    ``depth[j]`` is the coverage depth of the region between row j and
-    row j+1 of the same strip and ``edge[j]`` the global edge id.
-    ``None`` when the layer has no area."""
+    :func:`boolean_faces`: returns ``(st, xa, xb, ya, yb, depth, edge,
+    mask)`` — one row per (strip, active edge), sorted by (strip, y),
+    where ``depth[j]`` is the coverage depth of the region between row
+    j and row j+1 of the same strip, ``edge[j]`` the global edge id,
+    and ``mask[j]`` the per-polygon membership bitmask of that region
+    (``None`` beyond 63 polygons).  ``None`` when the layer has no
+    area."""
     n_polys = len(polys)
     ex0, ey0, ex1, ey1, epid = [], [], [], [], []
     vxs = []
@@ -751,9 +766,11 @@ def boolean_faces(polys: list, pred) -> list[np.ndarray]:
     where ``pred(membership_bitmask)`` holds (bit p set <=> inside
     ``polys[p]``, even-odd incl. holes).  ``pred`` receives a uint64
     array and returns a boolean array — e.g. ``mask != 0`` (union),
-    ``mask == (1 << N) - 1`` (intersection), ``(mask & 1) != 0 &
-    (mask & 2) == 0`` (difference a - b), popcount odd (symmetric
-    difference).  Same face merging/exactness as :func:`union_faces`.
+    ``mask == (1 << N) - 1`` (intersection),
+    ``((mask & 1) != 0) & ((mask & 2) == 0)`` (difference a - b —
+    note the parentheses: ``&`` binds tighter than ``!=``), popcount
+    odd (symmetric difference).  Same face merging/exactness as
+    :func:`union_faces`.
     Supports up to 63 polygons (bitmask width)."""
     sw = _coverage_sweep(polys)
     if sw is None:

@@ -317,6 +317,9 @@ def update_crs_between(ds, src: str, dst: str, in_x: str = "lon",
     def xf(t: _pa.Table) -> _pa.Table:
         x, y = fn(t[in_x].to_numpy(zero_copy_only=False),
                   t[in_y].to_numpy(zero_copy_only=False))
+        drop = [c for c in (out_x, out_y) if c in t.column_names]
+        if drop:
+            t = t.drop_columns(drop)
         return t.append_column(out_x, _pa.array(x)).append_column(
             out_y, _pa.array(y))
 

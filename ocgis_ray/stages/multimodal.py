@@ -238,6 +238,9 @@ def decode_wav_stats(batch: pa.Table) -> pa.Table:
     nbytes = ns * 2
     if n and len(data):
         s0 = off[:-1]
+        L = off[1:] - off[:-1]
+        if (L < nbytes + 44).any():  # 44 = minimal RIFF/fmt/data header
+            raise ValueError("payload shorter than meta_h PCM16 samples")
         if not ((data[s0] == ord("R")) & (data[s0 + 1] == ord("I"))
                 & (data[s0 + 8] == ord("W")) & (data[s0 + 9] == ord("A"))).all():
             raise ValueError("not a RIFF/WAVE payload")

@@ -235,3 +235,27 @@ def test_units_registry_and_conform(ray_session, sf_dir):
     out = conform_units(ds.limit(100), "value", "degC", "K",
                         out_col="value_k").to_pandas()
     assert np.allclose(out["value_k"], out["value"] + 273.15)
+
+
+def test_run_indices_null_vs_zero_parity(ray_session, sf_dir):
+    """an entity with NO qualifying run: SQL twin must coalesce to the
+    engine's 0, not NULL (csu with an unreachable threshold)."""
+    import duckdb
+
+    from ocgis_ray.functions import climate
+    from ocgis_ray.sources.io import read_parquet_sized
+
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet")
+    out = climate.climate_indices(ds, indices=["csu", "cfd"],
+                                  su_thr=1e9, fd_thr=-1e9).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    assert (out["csu"] == 0).all() and (out["cfd"] == 0).all()
+    sql = climate.climate_indices_sql(indices=["csu", "cfd"],
+                                      su_thr=1e9, fd_thr=-1e9)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{sf_dir}/events.parquet'")
+    truth = con.execute(sql).df().sort_values("user_id") \
+        .reset_index(drop=True)
+    assert (truth["csu"] == 0).all() and (truth["cfd"] == 0).all()
+    assert (out["csu"].to_numpy() == truth["csu"].to_numpy()).all()
