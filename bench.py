@@ -116,13 +116,38 @@ def run_queries() -> dict[str, float]:
         "minhash_near_dup",
         "ann_bruteforce",
         "text_stats_documents",
+        "polygon_aggregate_area_weighted",
+        "media_features",
     ]
+
+    def extra_heavy_hitters():
+        from ocgis_ray.sources.io import read_parquet_sized
+        from ocgis_ray.stages.sketch import heavy_hitters
+
+        return heavy_hitters(
+            read_parquet_sized(f"{SF_DIR}/events.parquet"),
+            "event_type", k=5)
+
+    def extra_hopping_window():
+        from ocgis_ray.sources.io import read_parquet_sized
+        from ocgis_ray.stages.sketch import hopping_window_rollup
+
+        return hopping_window_rollup(
+            read_parquet_sized(f"{SF_DIR}/events.parquet"),
+            "ts", 7200, 3600, keys=["event_type"], value_col="value")
+
+    extras = {"heavy_hitters_events": extra_heavy_hitters,
+              "hopping_window_events": extra_hopping_window}
+
     def run(name: str) -> float:
+        fn = extras.get(name) or (lambda: catalog.QUERIES[name](SF_DIR))
         t0 = time.perf_counter()
-        res = catalog.QUERIES[name](SF_DIR)
+        res = fn()
         if hasattr(res, "to_pandas"):
             res.to_pandas()
         return round(time.perf_counter() - t0, 3)
+
+    names = names + list(extras)
 
     out: dict[str, float] = {}
     for name in names:
