@@ -63,11 +63,17 @@ def read_parquet_sized(
     if os.path.isfile(path):
         size = uncompressed(path)
     elif os.path.isdir(path):
+        # recurse: hive/partitioned layouts (e.g. lineage's part=*/
+        # dirs) keep their files in subdirectories — a top-level-only
+        # scan would report size 0 and pin the read to ONE block
         size = sum(
-            uncompressed(os.path.join(path, f))
-            for f in os.listdir(path)
+            uncompressed(os.path.join(root, f))
+            for root, _dirs, files in os.walk(path)
+            for f in files
             if f.endswith(".parquet")
         )
+        if size == 0:
+            size = None  # no files found: fall back to Ray's heuristic
     else:
         size = None
     kwargs = {}
@@ -231,7 +237,9 @@ def bucketed_pair_attach(pairs, lookup, left_key: str, right_key: str,
     )
 
     def attach(g: pd.DataFrame) -> pd.DataFrame:
-        vals = g[g["_side"] == -1].set_index("_k")["_val"]
+        # keep-first on duplicate lookup ids: reindex on a duplicated
+        # index raises mid-pipeline; first-wins matches join semantics
+        vals = g[g["_side"] == -1].drop_duplicates("_k").set_index("_k")["_val"]
         sides = g[g["_side"] >= 0]
         out = sides[["_a", "_b", "_side"]].copy()
         out["_val"] = vals.reindex(sides["_k"].to_numpy()).to_numpy()
@@ -242,8 +250,9 @@ def bucketed_pair_attach(pairs, lookup, left_key: str, right_key: str,
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("_side", kind="mergesort")
-        ga = g[g["_side"] == 0]
-        gb = g[g["_side"] == 1].set_index(["_a", "_b"])["_val"]
+        ga = g[g["_side"] == 0].drop_duplicates(["_a", "_b"])
+        gb = g[g["_side"] == 1].drop_duplicates(["_a", "_b"]) \
+            .set_index(["_a", "_b"])["_val"]
         out = pd.DataFrame({
             left_key: ga["_a"].to_numpy(np.int64),
             right_key: ga["_b"].to_numpy(np.int64),

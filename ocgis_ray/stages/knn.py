@@ -53,30 +53,41 @@ class _BruteForceStage:
         lat = batch["lat"].to_numpy(zero_copy_only=False)
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
         if len(lon) == 0:
-            return _empty_knn(self.id_col)
+            return _empty_knn(self.id_col, batch[self.id_col].type)
         # (Q, B) distance matrix — vectorized numpy broadcast
         d = haversine_km(
             self.qlon[:, None], self.qlat[:, None], lon[None, :], lat[None, :]
         )
         k = min(self.k, d.shape[1])
+        # deterministic (dist, id) tie-break even at the k-th slot:
+        # argpartition alone cuts ties arbitrarily, so points tied at
+        # the boundary could drop the smaller id depending on batch
+        # layout.  Partition, then re-admit EVERY point tied with the
+        # k-th distance and lexsort that (small) candidate set.
         part = np.argpartition(d, k - 1, axis=1)[:, :k]
-        rows_q = np.repeat(self.qid, k)
-        rows_id = ids[part.ravel()]
-        rows_d = np.take_along_axis(d, part, axis=1).ravel()
+        kthd = np.take_along_axis(d, part, axis=1).max(axis=1)
+        out_q, out_i, out_d = [], [], []
+        for qi in range(d.shape[0]):
+            cand = np.flatnonzero(d[qi] <= kthd[qi])
+            srt = np.lexsort((ids[cand], d[qi][cand]))[:k]
+            sel = cand[srt]
+            out_q.append(np.full(len(sel), self.qid[qi], dtype=np.int64))
+            out_i.append(ids[sel])
+            out_d.append(d[qi][sel])
         return pa.table(
             {
-                "query_id": pa.array(rows_q, type=pa.int64()),
-                self.id_col: pa.array(rows_id),
-                "dist_km": pa.array(rows_d),
+                "query_id": pa.array(np.concatenate(out_q)),
+                self.id_col: pa.array(np.concatenate(out_i)),
+                "dist_km": pa.array(np.concatenate(out_d)),
             }
         )
 
 
-def _empty_knn(id_col: str) -> pa.Table:
+def _empty_knn(id_col: str, id_type=None) -> pa.Table:
     return pa.table(
         {
             "query_id": pa.array([], type=pa.int64()),
-            id_col: pa.array([], type=pa.int64()),
+            id_col: pa.array([], type=id_type or pa.int64()),
             "dist_km": pa.array([], type=pa.float64()),
         }
     )
@@ -134,16 +145,21 @@ class _CellDiskStage:
         self.k = k
         self.id_col = id_col
         self.cell_col = cell_col
+        self.res = int(d["res"])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cell = batch[self.cell_col].to_numpy(zero_copy_only=False)
-        empty = pa.table({
-            "query_id": pa.array([], pa.int64()),
-            self.id_col: pa.array([], pa.int64()),
-            "dist_km": pa.array([], pa.float64()),
-        })
+        empty = _empty_knn(self.id_col, batch[self.id_col].type)
         if cell.size == 0 or self.cells.size == 0:
             return empty
+        # fold exact-boundary cells (lat=90 / lon=180 encode one past
+        # the grid, mirroring the SQL twin) onto the last interior
+        # row/col — geometrically exact: the boundary coordinate lies
+        # on that cell's closure, and the refine uses true coordinates
+        ix, iy = grid.split(cell)
+        n_ix = 1 << self.res
+        cell = (np.minimum(ix, n_ix - 1) * 4294967296
+                + np.minimum(iy, (n_ix >> 1) - 1))
         pos = np.searchsorted(self.cells, cell)
         pos_c = np.minimum(pos, self.cells.size - 1)
         hit = self.cells[pos_c] == cell
@@ -240,6 +256,11 @@ def knn_cells(ds, queries: pd.DataFrame, k: int, id_col: str = "page_id",
     qlon = queries["lon"].to_numpy(dtype=np.float64)
     qlat = queries["lat"].to_numpy(dtype=np.float64)
     qcell = grid.encode(qlon, qlat, res)
+    # fold exact-boundary queries (lat=90 / lon=180) onto the last
+    # interior cell — same geometric-exactness argument as the probe
+    qix, qiy = grid.split(qcell)
+    qcell = (np.minimum(qix, (1 << res) - 1) * 4294967296
+             + np.minimum(qiy, (1 << (res - 1)) - 1))
     cs = grid.cell_size(res)
     n_ix = 1 << res
     n_iy = n_ix >> 1
@@ -251,8 +272,14 @@ def knn_cells(ds, queries: pd.DataFrame, k: int, id_col: str = "page_id",
 
         hist = cell_histogram(ds, cell_col=cell_col)
     hx, hy = grid.split(hist[cell_col].to_numpy())
+    # +1 on both axes: grid.encode maps the exact lon=180 / lat=90
+    # boundary to ix=n_ix / iy=n_iy (mirroring the SQL twin), so a
+    # point at the pole or the antimeridian edge is a valid cell one
+    # past the nominal grid — fold it into the last interior row/col
+    # for the histogram (the exact refine uses true coordinates)
     counts2d = np.zeros((n_ix, n_iy), dtype=np.int64)
-    counts2d[hx, hy] = hist["n"].to_numpy()
+    np.add.at(counts2d, (np.minimum(hx, n_ix - 1), np.minimum(hy, n_iy - 1)),
+              hist["n"].to_numpy())
     # prefix sum with an extra leading row/col of zeros
     psum = np.zeros((n_ix + 1, n_iy + 1), dtype=np.int64)
     psum[1:, 1:] = counts2d.cumsum(axis=0).cumsum(axis=1)
@@ -295,7 +322,8 @@ def knn_cells(ds, queries: pd.DataFrame, k: int, id_col: str = "page_id",
     uniq, starts = np.unique(sc, return_index=True)
     off = np.concatenate([starts, [len(sc)]]).astype(np.int64)
     disks_ref = ray.put({"cells": uniq, "off": off, "qslots": so,
-                         "qid": qid, "qlon": qlon, "qlat": qlat})
+                         "qid": qid, "qlon": qlon, "qlat": qlat,
+                         "res": res})
 
     # ---- 4. one candidate scan (exact dist + partial top-k in-batch)
     #         + bucketed final top-k ---------------------------------

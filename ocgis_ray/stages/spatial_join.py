@@ -56,7 +56,6 @@ class SpatialJoinIndex:
     parts: dict[int, list[Polygon]]        # ugid -> polygon parts
     full: dict[int, np.ndarray]            # ugid -> cells fully inside
     boundary: dict[int, np.ndarray]        # ugid -> cells needing exact test
-    bbox: dict[int, tuple[float, float, float, float]]
     cell_full: dict[int, list[int]]        # cell -> ugids fully covering it
     cell_boundary: dict[int, list[int]]    # cell -> ugids needing exact test
 
@@ -71,7 +70,6 @@ def build_index(polys: list[Polygon], res: int = 7) -> SpatialJoinIndex:
         parts.setdefault(p.ugid, []).append(p)
     full: dict[int, np.ndarray] = {}
     boundary: dict[int, np.ndarray] = {}
-    bbox: dict[int, tuple[float, float, float, float]] = {}
     cell_full: dict[int, list[int]] = {}
     cell_boundary: dict[int, list[int]] = {}
     for ugid, plist in parts.items():
@@ -81,14 +79,12 @@ def build_index(polys: list[Polygon], res: int = 7) -> SpatialJoinIndex:
         # a cell full in one part may be boundary in another; full wins
         boundary[ugid] = np.setdiff1d(b, f)
         full[ugid] = f
-        xs0, ys0, xs1, ys1 = zip(*(p.bbox for p in plist))
-        bbox[ugid] = (min(xs0), min(ys0), max(xs1), max(ys1))
         for c in full[ugid].tolist():
             cell_full.setdefault(c, []).append(ugid)
         for c in boundary[ugid].tolist():
             cell_boundary.setdefault(c, []).append(ugid)
     return SpatialJoinIndex(
-        res=res, parts=parts, full=full, boundary=boundary, bbox=bbox,
+        res=res, parts=parts, full=full, boundary=boundary,
         cell_full=cell_full, cell_boundary=cell_boundary,
     )
 

@@ -35,9 +35,6 @@ import pandas as pd
 import pyarrow as pa
 
 #: aggregation spec: out_col -> (in_col, kind); kinds below
-PARTIAL_KINDS = ("count", "sum", "min", "max", "sumsq")
-
-
 def _partial_batch(df: pd.DataFrame, keys: list[str], spec: dict) -> pd.DataFrame:
     """One batch -> per-key partial aggregate rows (vectorized pandas)."""
     agg_cols = {}
@@ -164,10 +161,10 @@ class SaltStage:
         page_id = batch["page_id"].to_numpy(zero_copy_only=False)
         salt = np.zeros(batch.num_rows, dtype=np.int64)
         if self.plan:
-            nsalts = np.asarray(
-                [self.plan.get(int(c), 1) for c in np.unique(cell)], dtype=np.int64
-            )
             uniq = np.unique(cell)
+            nsalts = np.asarray(
+                [self.plan.get(int(c), 1) for c in uniq], dtype=np.int64
+            )
             per_row = nsalts[np.searchsorted(uniq, cell)]
             mixed = (page_id * 2654435761) % 9576890767
             salt = np.where(per_row > 1, mixed % per_row, 0)

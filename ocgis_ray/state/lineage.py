@@ -37,26 +37,39 @@ def manifest_path(out_dir: str) -> str:
 
 
 def completed_partitions(out_dir: str) -> set[str]:
-    """Partition ids recorded complete in the manifest."""
+    """Partition ids recorded complete in the manifest AND still
+    present on disk.
+
+    Two crash windows this tolerates instead of breaking resume:
+    a torn trailing manifest line (killed mid-append) is skipped, and
+    a manifest-complete partition whose directory has since vanished
+    (crash between a re-write's rmtree and rename) is treated as NOT
+    done so the next run reproduces it."""
     done: set[str] = set()
     mp = manifest_path(out_dir)
     if os.path.exists(mp):
         with open(mp) as f:
             for line in f:
-                rec = json.loads(line)
+                try:
+                    rec = json.loads(line)
+                except ValueError:
+                    continue  # torn tail from a mid-append crash
                 if rec.get("status") == "complete":
                     done.add(rec["partition"])
-    return done
+    return {p for p in done
+            if os.path.isdir(os.path.join(out_dir, f"part={p}"))}
 
 
 def write_partition(ds, out_dir: str, partition: str, meta: dict | None = None) -> dict:
     """Write one partition atomically + append its lineage record.
 
     ``ds`` must already be filtered to the partition.  Returns the
-    record.  Atomicity: write to ``_tmp_<partition>``, fsync-rename to
-    ``part=<partition>``, THEN append the manifest line — a crash
-    between rename and append re-does one partition idempotently
-    (the rename target is replaced wholesale)."""
+    record.  Atomicity: write to ``_tmp_<partition>``, rename to
+    ``part=<partition>``, THEN append (and fsync) the manifest line —
+    a crash between rename and append re-does one partition
+    idempotently (the rename target is replaced wholesale), and
+    ``completed_partitions`` double-checks the directory exists so a
+    crash inside a re-write's rmtree/rename window is re-done too."""
     final = os.path.join(out_dir, f"part={partition}")
     tmp = os.path.join(out_dir, f"_tmp_{partition}")
     os.makedirs(out_dir, exist_ok=True)
@@ -93,6 +106,8 @@ def write_partition(ds, out_dir: str, partition: str, meta: dict | None = None) 
     }
     with open(manifest_path(out_dir), "a") as f:
         f.write(json.dumps(rec) + "\n")
+        f.flush()
+        os.fsync(f.fileno())
     return rec
 
 

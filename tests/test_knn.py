@@ -101,3 +101,52 @@ def test_cells_polar_query(geo_ds):
     cr = knn_cells(geo_ds, qs, k=4).to_pandas()
     assert bf.sort_values("rank")["page_id"].tolist() == \
         cr.sort_values("rank")["page_id"].tolist()
+
+
+def test_bruteforce_tiebreak_across_batches(ray_session):
+    """points tied at the k-th distance: the partial top-k must keep
+    the SMALLEST ids deterministically, whatever the batch layout
+    (argpartition alone cuts ties arbitrarily)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ocgis_ray.stages.knn import knn_bruteforce
+
+    # 30 points at the identical location, ids shuffled across blocks
+    ids = np.array([17, 3, 25, 8, 1, 29, 12, 5, 21, 9, 2, 28, 14, 6,
+                    22, 11, 4, 26, 16, 7, 23, 13, 0, 27, 15, 10, 24,
+                    19, 18, 20], dtype=np.int64)
+    df = pd.DataFrame({"page_id": ids,
+                       "lon": np.zeros(len(ids)),
+                       "lat": np.zeros(len(ids))})
+    ds = rd.from_pandas(df).repartition(5)
+    q = pd.DataFrame({"query_id": [0], "lon": [0.0], "lat": [0.0]})
+    out = knn_bruteforce(ds, q, k=5, batch_size=4).to_pandas()
+    assert out.sort_values("rank")["page_id"].tolist() == [0, 1, 2, 3, 4]
+
+
+def test_knn_cells_pole_and_antimeridian_points(ray_session):
+    """data at exactly lat=90 / lon=180 (grid.encode maps one past the
+    grid): knn_cells folds them onto the boundary cell instead of
+    crashing, and still agrees with brute force."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ocgis_ray import grid
+    from ocgis_ray.stages.knn import knn_bruteforce, knn_cells
+
+    rng = np.random.default_rng(5)
+    lon = np.concatenate([rng.uniform(-10, 10, 40), [180.0, 0.0]])
+    lat = np.concatenate([rng.uniform(40, 50, 40), [45.0, 90.0]])
+    ids = np.arange(len(lon), dtype=np.int64)
+    df = pd.DataFrame({"page_id": ids, "lon": lon, "lat": lat})
+    df["cell_r7"] = grid.encode(lon, lat, 7)
+    ds = rd.from_pandas(df).repartition(3)
+    q = pd.DataFrame({"query_id": [0, 1], "lon": [0.0, 179.0],
+                      "lat": [45.0, 46.0]})
+    bf = knn_bruteforce(ds, q, k=3).to_pandas()
+    kc = knn_cells(ds, q, k=3).to_pandas()
+    for qi in (0, 1):
+        b = bf[bf["query_id"] == qi].sort_values("rank")["page_id"].tolist()
+        c = kc[kc["query_id"] == qi].sort_values("rank")["page_id"].tolist()
+        assert b == c, (qi, b, c)
