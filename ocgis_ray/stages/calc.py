@@ -192,7 +192,10 @@ def moving_window(ds, entity_keys, ts_col: str, value_col: str, window: int,
             df[entity_keys].reset_index(drop=True), index=False
         )
         df = df.copy()
-        df["_bucket"] = (h % np.uint64(num_buckets)).astype(np.int64)
+        # .to_numpy(): assigning the Series would ALIGN on df's index
+        # and scramble buckets under pandas-UDF fusion (the exact bug
+        # bucketed_group_apply documents at io.py:140-149)
+        df["_bucket"] = (h % np.uint64(num_buckets)).astype(np.int64).to_numpy()
         return df
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -308,6 +311,12 @@ def convolve_1d(ds, entity_keys, ts_col: str, value_col: str, kernel,
         for _, grp in g.groupby(entity_keys, sort=False):
             v = grp[value_col].to_numpy(dtype=np.float64)
             c = np.convolve(v, kernel, mode="same")
+            if len(c) > len(v):
+                # numpy 'same' returns max(len(v), len(kernel)) — for
+                # an entity shorter than the kernel, keep the centered
+                # len(v) slice instead of crashing the assignment
+                o = (len(c) - len(v)) // 2
+                c = c[o:o + len(v)]
             if mode == "valid":
                 half = (len(kernel) - 1) // 2
                 c[:half] = np.nan
@@ -375,6 +384,7 @@ def compile_expression(expr: str):
             env[n] = cols[n]
         return eval(code, {"__builtins__": {}}, env)  # noqa: S307 — AST-validated
 
+    kernel.names = frozenset(names)  # referenced columns, for projection
     return out_name, kernel
 
 
@@ -383,7 +393,10 @@ def eval_function(ds, expr: str, round_digits: int | None = ROUND_DIGITS):
     out_name, kernel = compile_expression(expr)
 
     def f(t: pa.Table) -> pa.Table:
-        cols = {name: t[name].to_numpy(zero_copy_only=False) for name in t.column_names}
+        # convert ONLY the referenced columns — the batch may carry
+        # fat unrelated columns that must not pay a numpy round-trip
+        cols = {name: t[name].to_numpy(zero_copy_only=False)
+                for name in t.column_names if name in kernel.names}
         v = np.asarray(kernel(cols), dtype=np.float64)
         if round_digits is not None:
             v = sql_round(v, round_digits)

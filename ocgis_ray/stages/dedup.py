@@ -70,6 +70,8 @@ def _shingle_hashes_batch(arr, k: int = 3) -> tuple[np.ndarray, np.ndarray]:
 
     tok_h, tok_row, per_row = _tokenize_hash(arr, lower=False)
     n = per_row.shape[0]
+    if n == 0:  # empty batch: np.repeat/reduceat reject the (0,) shapes
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
     counts = np.maximum(per_row - k + 1, 1)  # short/empty rows -> 1 shingle
     total = int(counts.sum())
     # window start index (into the flat token array) for every shingle
@@ -166,6 +168,11 @@ class MinHashStage:
         x, counts = _shingle_hashes_batch(
             pa.array(df["text"], pa.string()), self.k
         )
+        if len(df) == 0:  # reduceat rejects empty starts
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "sig": pa.array([], pa.binary()),
+            })
         starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
         sigs = np.empty((len(df), self.num_perm), dtype=np.uint64)
         # shingle-major (S, P_chunk) layout: reduceat along axis 0 runs
@@ -261,11 +268,20 @@ def lsh_candidate_pairs(sig_ds, bands: int = 16, rows: int = 8, max_bucket: int 
         sizes = g.groupby(["band", "band_hash"], sort=False)["doc_id"].transform("size")
         g = g[sizes >= 2]
         out_a, out_b = [], []
+        n_dropped = 0
         for _, grp in g.groupby(["band", "band_hash"], sort=False):
-            ids = np.sort(grp["doc_id"].to_numpy())[:max_bucket]
+            all_ids = np.sort(grp["doc_id"].to_numpy())
+            ids = all_ids[:max_bucket]
+            n_dropped += all_ids.size - ids.size
             ia, ib = np.triu_indices(ids.size, k=1)
             out_a.append(ids[ia])
             out_b.append(ids[ib])
+        if n_dropped:
+            # no-silent-caps: a degenerate boilerplate bucket past
+            # max_bucket loses pairings — say so in the worker log
+            print(f"lsh_candidate_pairs: truncated {n_dropped} docs "
+                  f"past max_bucket={max_bucket} in oversized buckets",
+                  flush=True)
         if not out_a:
             return pd.DataFrame({"doc_a": pd.Series(dtype=np.int64),
                                  "doc_b": pd.Series(dtype=np.int64)})
@@ -298,8 +314,12 @@ def minhash_near_duplicates(ds, threshold: float = 0.7, num_perm: int = 128,
     production minhash pipeline writes anyway."""
     from ocgis_ray.sources.io import bucketed_pair_attach
 
-    if bands is None or rows is None:
+    if bands is None and rows is None:
         bands, rows = pick_lsh_bands(num_perm, threshold)
+    elif bands is None:
+        bands = num_perm // rows
+    elif rows is None:
+        rows = num_perm // bands
     sig_ds = minhash_signatures(ds, num_perm=num_perm, k=k).materialize()
     cand = lsh_candidate_pairs(sig_ds, bands=bands, rows=rows)
 
@@ -390,14 +410,24 @@ def simhash_signatures(ds, concurrency=None):
 
 
 def simhash_near_duplicates(sig_ds, max_hamming: int = 3):
-    """Pairs within Hamming distance via 4-band pigeonhole: any pair
-    with <=3 differing bits shares at least one identical 16-bit band."""
+    """Pairs within Hamming distance via pigeonhole banding: the 64
+    bits split into ``max_hamming + 1`` bands, so any pair with
+    ``<= max_hamming`` differing bits must share at least one
+    identical band (a fixed 4-band split would silently MISS pairs
+    whenever ``max_hamming > 3``)."""
+    nbands = max_hamming + 1
+    if nbands > 64:
+        raise ValueError("max_hamming must be < 64")
+    w0, rem = divmod(64, nbands)
+    widths = [w0 + (1 if b < rem else 0) for b in range(nbands)]
+    offsets = np.concatenate([[0], np.cumsum(widths)[:-1]]).astype(np.uint64)
 
     def band_rows(df: pd.DataFrame) -> pd.DataFrame:
         sig = df["simhash"].to_numpy().astype(np.uint64)
         out = []
-        for b in range(4):
-            part = ((sig >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
+        for b in range(nbands):
+            mask = np.uint64((1 << widths[b]) - 1)
+            part = ((sig >> offsets[b]) & mask).astype(np.int64)
             out.append(pd.DataFrame({
                 "band": np.full(len(df), b, dtype=np.int64),
                 "band_val": part,

