@@ -73,8 +73,10 @@ def flagship(
     )
     if verify_extraction:
         def check(t):
-            bad = pc.sum(
-                pc.cast(pc.invert(pc.equal(t["text_extracted"], t["text"])), "int64")
+            # fill_null(True): a null on either side IS a violation —
+            # pc.sum would silently skip the nulls pc.equal emits
+            bad = pc.sum(pc.cast(pc.fill_null(pc.invert(
+                pc.equal(t["text_extracted"], t["text"])), True), "int64")
             ).as_py()
             if bad:
                 raise ValueError(f"extraction byte-identity violated on {bad} rows")
@@ -138,8 +140,10 @@ class FusedPageWorker:
 
         t = self.extractor(t)
         if self.verify:
-            bad = pc.sum(
-                pc.cast(pc.invert(pc.equal(t["text_extracted"], t["text"])), "int64")
+            # fill_null(True): a null on either side IS a violation —
+            # pc.sum would silently skip the nulls pc.equal emits
+            bad = pc.sum(pc.cast(pc.fill_null(pc.invert(
+                pc.equal(t["text_extracted"], t["text"])), True), "int64")
             ).as_py()
             if bad:
                 raise ValueError(f"extraction byte-identity violated on {bad} rows")
@@ -150,8 +154,13 @@ class FusedPageWorker:
             # scoring is Python-loop-bound and belongs off the hot path
             # until a vectorized model replaces it)
             stats = text_stats_arrays(t["text_extracted"])
-            t = t.append_column("token_count", pa.array(stats["token_count"]))
-            t = t.append_column("quality", pa.array(stats["quality_score"]))
+            isnull = stats.pop("_null_mask", None)
+            t = t.append_column("token_count", pa.array(
+                stats["token_count"], mask=isnull)
+                if isnull is not None else pa.array(stats["token_count"]))
+            t = t.append_column("quality", pa.array(
+                stats["quality_score"], mask=isnull)
+                if isnull is not None else pa.array(stats["quality_score"]))
         t = t.drop_columns([c for c in ("html", "text", "text_extracted") if c in t.column_names])
         t = geocode_batch(t)
         return self.probe(t)
@@ -165,13 +174,14 @@ def flagship_from_parquet(
     layer_name: str = "world_regions",
     rollup_cell: str = "cell_r8",
     extract_concurrency=None,
-    probe_concurrency=None,
     verify_extraction: bool = True,
     extract_batch_size: int = 16384,
-    probe_batch_size: int = 32768,
     use_actors: bool = False,
     analyze: bool = True,
 ):
+    # NOTE: no probe_* knobs — the probe runs INSIDE the fused worker
+    # (FusedPageWorker), so extract_concurrency/extract_batch_size
+    # govern the whole fused stage
     """Flagship over a MATERIALIZED pages parquet table — the bench /
     production shape (the real deployment reads pages from storage;
     see ``ocgis_ray.sources.pages.materialize_pages_parquet``).  Block
@@ -248,12 +258,17 @@ def flagship_partitioned(
     out_dir: str,
     n_partitions: int = 8,
     resume: bool = True,
-    **kwargs,
+    reps: int = 4,
+    layer_name: str = "world_regions",
 ):
-    """Resumable variant: doc_id-range partitions, each written
-    atomically with a lineage record (``ocgis_ray.state.lineage``).
-    Ranges push down to parquet row groups, so resumed runs skip
-    completed partitions without reading their input."""
+    """Resumable variant: doc_id-range partitions of the JOINED rows
+    (not the rollup — the partition outputs are the resumable
+    intermediate a tiled computation re-reads), each written atomically
+    with a lineage record (``ocgis_ray.state.lineage``).  Ranges push
+    down to parquet row groups, so resumed runs skip completed
+    partitions without reading their input.  Slim columns only: html
+    AND text are dropped before the join so no fat column reaches the
+    shuffle or the partition files."""
     import pyarrow.dataset as pads
     import pyarrow.parquet as pq
 
@@ -276,14 +291,14 @@ def flagship_partitioned(
             filter=(pads.field("doc_id") >= lo) & (pads.field("doc_id") < hi),
         )
         ds = docs.map_batches(
-            lambda b: synthesize_pages_batch(b, reps=kwargs.get("reps", 4)),
+            lambda b: synthesize_pages_batch(b, reps=reps),
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
-        ds = ds.drop_columns(["html"])
+        ds = ds.drop_columns(["html", "text"])
         ds = geocode(ds)
         return spatial_join(
-            ds, load_layer(kwargs.get("layer_name", "world_regions")),
+            ds, load_layer(layer_name),
             how="inner", res=7, concurrency=2, batch_size=8192,
         )
 

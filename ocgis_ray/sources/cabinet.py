@@ -170,7 +170,13 @@ def dissolve(polys: list[Polygon], ugid: int, name: str | None = None) -> list[P
     dissolve is a relabeling.  Exact union AREA (weights/reporting)
     is ``geometry.union_area``."""
     name = name or f"dissolved_{ugid}"
-    return [
-        Polygon(ugid, f"{name}/{i}", p.verts, holes=list(p.holes))
-        for i, p in enumerate(polys)
-    ]
+    out = []
+    for i, p in enumerate(polys):
+        # p.verts is post-unwrap (an antimeridian ring holds continuous
+        # lons like 175..183 with no >180 jump) — re-wrap into the
+        # canonical window so the rebuilt Polygon re-detects crossing
+        # and re-splits; a non-crossing ring is unchanged by the wrap
+        v = p.verts.copy()
+        v[:, 0] = ((v[:, 0] + 180.0) % 360.0) - 180.0
+        out.append(Polygon(ugid, f"{name}/{i}", v, holes=list(p.holes)))
+    return out

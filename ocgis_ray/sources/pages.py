@@ -113,9 +113,11 @@ class PagesSynthesizer:
         docs: pa.Table = ray.get(docs_ref) if not isinstance(docs_ref, pa.Table) else docs_ref
         self.docs = docs.combine_chunks()
         self.reps = reps
-        # doc_id must be dense 0..n-1 for positional lookup
+        # doc_id must be dense 0..n-1 for positional lookup; the full
+        # O(n) check (not just endpoints) catches interior gaps/dupes
+        # that would silently mis-synthesize pages
         did = self.docs["doc_id"].to_numpy()
-        if not (did[0] == 0 and did[-1] == len(did) - 1):
+        if not np.array_equal(did, np.arange(len(did), dtype=did.dtype)):
             raise ValueError("documents doc_id must be dense 0..n-1 (sorted)")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -216,7 +218,7 @@ def coords_from_page_id(page_id: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 def lon_sql(pid: str = "page_id") -> str:
     centers = " ".join(
-        f"WHEN {i} THEN {HOT_CENTERS_LON[i]!r}" for i in range(5)
+        f"WHEN {i} THEN {float(HOT_CENTERS_LON[i])!r}" for i in range(5)
     )
     return (
         f"CASE WHEN ({pid} % 10) < {HOT_FRACTION_MOD} THEN "
@@ -228,7 +230,7 @@ def lon_sql(pid: str = "page_id") -> str:
 
 def lat_sql(pid: str = "page_id") -> str:
     centers = " ".join(
-        f"WHEN {i} THEN {HOT_CENTERS_LAT[i]!r}" for i in range(5)
+        f"WHEN {i} THEN {float(HOT_CENTERS_LAT[i])!r}" for i in range(5)
     )
     return (
         f"CASE WHEN ({pid} % 10) < {HOT_FRACTION_MOD} THEN "

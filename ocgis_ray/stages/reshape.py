@@ -21,16 +21,21 @@ def melt(ds, id_cols: list[str], value_cols: list[str],
          var_name: str = "variable", value_name: str = "value"):
     """Wide -> long: one output row per (row, value column)."""
 
+    if not value_cols:
+        raise ValueError("melt needs at least one value column")
+
     def f(t: pa.Table) -> pa.Table:
         n = t.num_rows
         out: dict[str, pa.Array] = {}
         idx = pa.array(np.tile(np.arange(n, dtype=np.int64), len(value_cols)))
         for c in id_cols:
             out[c] = t[c].take(idx)
-        names = []
-        for c in value_cols:
-            names.extend([c] * n)
-        out[var_name] = pa.array(names, pa.string())
+        # dictionary-encoded variable column: len(value_cols) strings +
+        # an int8/int index instead of n*len(value_cols) Python strings
+        codes = np.repeat(np.arange(len(value_cols), dtype=np.int32), n)
+        out[var_name] = pa.DictionaryArray.from_arrays(
+            pa.array(codes), pa.array(value_cols, pa.string())
+        ).cast(pa.string())
         vals = [pa.chunked_array([t[c]]).cast(pa.float64()) for c in value_cols]
         out[value_name] = pa.concat_arrays(
             [v.combine_chunks() for v in vals]
@@ -74,7 +79,14 @@ def sample_by_key(ds, key_col: str, rate: float, salt: int = 0):
     salt_u = np.uint64(salt)
 
     def f(t: pa.Table) -> pa.Table:
-        k = t[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        raw = t[key_col].to_numpy(zero_copy_only=False)
+        if np.issubdtype(raw.dtype, np.signedinteger) and raw.size \
+                and raw.min() < 0:
+            # the SQL twin's CAST(key AS UBIGINT) raises on negatives
+            # while numpy would silently wrap — fail identically
+            raise ValueError("sample_by_key requires non-negative keys "
+                             "(the SQL twin cannot wrap)")
+        k = raw.astype(np.uint64)
         with np.errstate(over="ignore"):
             h = (k * mult + salt_u) % mod
         return t.filter(pa.array(h < threshold))

@@ -46,14 +46,23 @@ def radius_filter(ds, center_lon: float, center_lat: float, radius_km: float,
     dlat = radius_km / 110.574 * 1.05
     coslat = max(0.01, float(np.cos(np.radians(center_lat))))
     dlon = radius_km / (111.320 * coslat) * 1.05
+    # near a pole the cos-lat clamp under-buffers, and near +-180 the
+    # window must wrap: in both regimes drop the lon prefilter (lat
+    # alone still prunes; the exact haversine decides)
+    lon_window = dlon < 180.0 and abs(center_lat) + dlat < 89.0
+    wraps = lon_window and (center_lon - dlon < -180.0
+                            or center_lon + dlon > 180.0)
 
     def f(t: pa.Table) -> pa.Table:
         lon = t[lon_col].to_numpy(zero_copy_only=False)
         lat = t[lat_col].to_numpy(zero_copy_only=False)
-        hint = (
-            (lon >= center_lon - dlon) & (lon <= center_lon + dlon)
-            & (lat >= center_lat - dlat) & (lat <= center_lat + dlat)
-        )
+        hint = (lat >= center_lat - dlat) & (lat <= center_lat + dlat)
+        if lon_window and not wraps:
+            hint &= (lon >= center_lon - dlon) & (lon <= center_lon + dlon)
+        elif wraps:
+            lo = (center_lon - dlon + 540.0) % 360.0 - 180.0
+            hi = (center_lon + dlon + 540.0) % 360.0 - 180.0
+            hint &= (lon >= lo) | (lon <= hi)
         if not hint.any():
             return t.slice(0, 0) if out_dist is None else t.slice(0, 0).append_column(
                 out_dist, pa.array([], pa.float64()))

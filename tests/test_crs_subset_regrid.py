@@ -350,3 +350,20 @@ def test_update_crs_between(ray_session, sf_dir):
     ex, ey = fn(out["lx"].to_numpy(), out["ly"].to_numpy())
     assert np.allclose(out["x"].to_numpy(), ex)
     assert np.allclose(out["y"].to_numpy(), ey)
+
+
+def test_radius_filter_antimeridian_wrap(ray_session):
+    """a radius window straddling +-180 must keep in-radius points on
+    the far side (the unwrapped prefilter dropped them)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ocgis_ray.stages.subset import radius_filter
+
+    df = pd.DataFrame({
+        "page_id": [1, 2, 3],
+        "lon": [179.9, -179.9, 170.0],
+        "lat": [0.0, 0.0, 0.0],
+    })
+    out = radius_filter(rd.from_pandas(df), 179.9, 0.0, 50.0).to_pandas()
+    assert sorted(out["page_id"].tolist()) == [1, 2]

@@ -173,3 +173,22 @@ def test_shared_boundary_matches_both():
     assert sorted(out["ugid"].to_pylist()) == [1, 2]
     out2 = run_probe(layer("us_states48"), batch, how="inner", keep_touches=False)
     assert out2.num_rows == 0
+
+
+def test_dissolve_preserves_antimeridian(ray_session):
+    """dissolve() must re-wrap unwrapped verts so a crossing polygon
+    keeps its canonical parts — the far-side half was silently lost."""
+    import numpy as np
+
+    from ocgis_ray.sources import cabinet
+
+    polys = [p for p in cabinet.layer("hard_cases") if p.crosses_am]
+    assert polys, "hard_cases should contain a crossing polygon"
+    merged = cabinet.dissolve(polys, ugid=99)
+    src = polys[0]
+    d = next(m for m, s in zip(merged, polys) if s is src)
+    assert d.crosses_am and len(d.parts) == 2
+    # far-side membership preserved
+    qx = np.array([(src.parts[1].verts[:, 0].mean())])
+    qy = np.array([(src.parts[1].verts[:, 1].mean())])
+    assert d.contains(qx, qy)[0] == src.contains(qx, qy)[0] == True  # noqa: E712
