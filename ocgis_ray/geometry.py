@@ -23,6 +23,14 @@ import numpy as np
 EARTH_RADIUS_KM = 6371.0088
 
 
+def _dlit(v: float) -> str:
+    """Float literal for generated SQL, forced to DOUBLE — DuckDB
+    types bare decimal literals as DECIMAL, whose exact arithmetic
+    diverges from (and at full precision overflows on) the engine's
+    float64 ops."""
+    return f"CAST({float(v)!r} AS DOUBLE)"
+
+
 def _is_ccw(verts: np.ndarray) -> bool:
     x, y = verts[:, 0], verts[:, 1]
     return float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y)) > 0.0
@@ -44,10 +52,21 @@ def _unwrap_ring(v: np.ndarray) -> tuple[np.ndarray, bool]:
     d = np.diff(lon)
     corr = np.zeros(len(lon))
     corr[1:] = np.cumsum(np.where(d > 180.0, -360.0, np.where(d < -180.0, 360.0, 0.0)))
-    if not corr.any():
-        return v, False
     out = v.copy()
     out[:, 0] = lon + corr
+    # closure check: after unwrapping, the last->first edge must also
+    # take the short way.  A residual >180 closure jump means the ring
+    # has NET winding around the globe (a pole-encircling cap) — a
+    # different topology this planar representation cannot express;
+    # refuse loudly rather than produce a silently wrong 340-degree
+    # planar ring.
+    if abs(out[-1, 0] - out[0, 0]) > 180.0:
+        raise NotImplementedError(
+            "ring winds around the globe (pole-encircling cap); "
+            "split it at a meridian before constructing the Polygon"
+        )
+    if not corr.any():
+        return v, False
     return out, True
 
 
@@ -149,9 +168,19 @@ class Polygon:
         px = np.asarray(px, dtype=np.float64)
         py = np.asarray(py, dtype=np.float64)
         if self.crosses_am:
+            # union of parts WITH touches, else the artificial +-180
+            # cut line (each part's boundary, but the polygon's
+            # interior) would wrongly exclude strictly interior
+            # points; the TRUE boundary is then removed explicitly
+            # against the unwrapped ring (+-360 lon aliases)
             out = np.zeros(px.shape, dtype=bool)
             for part in self._parts:
-                out |= part.contains(px, py, keep_touches=keep_touches)
+                out |= part.contains(px, py, keep_touches=True)
+            if not keep_touches:
+                onb = np.zeros(px.shape, dtype=bool)
+                for shift in (-360.0, 0.0, 360.0):
+                    onb |= _on_boundary(self.verts, px + shift, py)
+                out &= ~onb
             return out
         if self.convex:
             return _contains_convex(self.verts, px, py, keep_touches)
@@ -174,8 +203,12 @@ class Polygon:
         v = self.verts
         n = v.shape[0]
         for i in range(n):
-            x0, y0 = repr(v[i, 0]), repr(v[i, 1])
-            x1, y1 = repr(v[(i + 1) % n, 0]), repr(v[(i + 1) % n, 1])
+            # CAST AS DOUBLE: bare repr() literals parse as DECIMAL in
+            # DuckDB — full-precision coords overflow DECIMAL(18) on
+            # literal-literal subtraction, and DECIMAL-exact (x1-x0)
+            # differs from the engine's float64 subtraction by 1 ulp
+            x0, y0 = _dlit(v[i, 0]), _dlit(v[i, 1])
+            x1, y1 = _dlit(v[(i + 1) % n, 0]), _dlit(v[(i + 1) % n, 1])
             terms.append(
                 f"(({x1} - {x0}) * (({py_expr}) - {y0}) - "
                 f"({y1} - {y0}) * (({px_expr}) - {x0})) >= 0.0"
@@ -191,15 +224,19 @@ class Polygon:
         Generated from the same vertex arrays with identical operation
         order (``x0 + (py - y0) * (x1 - x0) / (y1 - y0)``), so float
         crossing decisions match numpy bit-for-bit away from
-        on-boundary points.  ``keep_touches`` is only safe to mirror
-        for points not exactly on an edge; oracle layers choose
-        non-degenerate coordinates."""
+        on-boundary points.  Only ``keep_touches=True`` semantics are
+        expressible this way (pure even-odd parity); requesting False
+        raises instead of silently emitting the same SQL."""
+        if not keep_touches:
+            raise NotImplementedError(
+                "evenodd_pip_sql cannot express keep_touches=False "
+                "(the parity SQL has no boundary term)")
         terms = []
         for ring in ([self.verts] + list(self.holes)):
             n = ring.shape[0]
             for i in range(n):
-                x0, y0 = repr(ring[i, 0]), repr(ring[i, 1])
-                x1, y1 = repr(ring[(i + 1) % n, 0]), repr(ring[(i + 1) % n, 1])
+                x0, y0 = _dlit(ring[i, 0]), _dlit(ring[i, 1])
+                x1, y1 = _dlit(ring[(i + 1) % n, 0]), _dlit(ring[(i + 1) % n, 1])
                 terms.append(
                     f"CASE WHEN (({y0} > ({py_expr})) != ({y1} > ({py_expr})))"
                     f" AND (({px_expr}) < {x0} + (({py_expr}) - {y0})"

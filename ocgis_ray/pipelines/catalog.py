@@ -96,11 +96,10 @@ def sql_geocode_cells() -> str:
 
 def _join_preds() -> dict[int, str]:
     """ugid -> SQL point-in-polygon predicate (generated from the same
-    vertex arrays the engine probes — multipart ORed)."""
-    preds: dict[int, list[str]] = {}
-    for p in cabinet.layer(WORLD):
-        preds.setdefault(p.ugid, []).append(p.convex_pip_sql("lon", "lat"))
-    return {u: "(" + " OR ".join(ps) + ")" for u, ps in preds.items()}
+    vertex arrays the engine probes — multipart ORed).  Delegates to
+    the general ``_layer_preds`` so non-convex / holed / antimeridian
+    members of the layer keep working."""
+    return _layer_preds(cabinet.layer(WORLD))
 
 
 def q_spatial_join_inner(sf_dir: str):
@@ -230,12 +229,11 @@ def q_clip_rect_areas(sf_dir: str):
 
 
 def _is_rect(p) -> bool:
-    v = p.verts
-    return (
-        v.shape[0] == 4
-        and len(np.unique(v[:, 0])) == 2
-        and len(np.unique(v[:, 1])) == 2
-    )
+    # delegate to the stricter shared check (guards holes/crossing/
+    # bowties, not just the unique-coordinate count)
+    from ocgis_ray.stages.regrid import _axis_rect
+
+    return _axis_rect(p) is not None
 
 
 def sql_clip_rect_areas() -> str:
@@ -1151,6 +1149,15 @@ def q_asof_join_events(sf_dir: str):
         "rate": np.arange(len(marks), dtype=np.float64),
     })
     out = asof_join(_events(sf_dir, ["event_id", "ts"]), series, on="ts")
+    # SQL ASOF (inner) drops rows with no mark at-or-before; the
+    # engine keeps them with a null rate — filter for parity (the
+    # asof_join docstring's documented contract; latent until an event
+    # predates the first mark)
+    import pyarrow.compute as _pc
+
+    out = out.map_batches(
+        lambda t: t.filter(_pc.is_valid(t["rate"])),
+        batch_format="pyarrow", zero_copy_batch=True)
     return out.select_columns(["event_id", "rate"])
 
 

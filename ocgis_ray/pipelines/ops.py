@@ -173,7 +173,12 @@ class OcgRayOperations:
             from ocgis_ray.parity import sql_round
             from ocgis_ray.sources.io import bucketed_group_apply
 
-            keys = self._group_keys() or ["rep"]  # degenerate: global-ish
+            keys = self._group_keys()
+            # no geom, no grouping: ONE global rollup row (a constant
+            # group key — not per-rep rows, which nobody asked for)
+            global_rollup = not keys
+            if global_rollup:
+                keys = ["_all"]
             specs = [
                 (c["func"], c["field"], c.get("name", f"{c['func']}_{c['field']}"))
                 for c in self.calc
@@ -183,10 +188,17 @@ class OcgRayOperations:
                                                      _INDEX_FUNCS)
 
             has_index = any(f in _INDEX_FUNCS for f, _, _ in specs)
-            need = set(keys) | set(fields)
+            need = {k for k in keys if k != "_all"} | set(fields)
             if has_index:
                 need |= {"warc_ts", "page_id"}  # ordered-series indices
             slim = ds.select_columns(sorted(need))
+            if global_rollup:
+                import pyarrow as _pa
+
+                slim = slim.map_batches(
+                    lambda t: t.append_column(
+                        "_all", _pa.array(np.zeros(t.num_rows, np.int8))),
+                    batch_format="pyarrow", zero_copy_batch=True)
 
             def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
                 gb = g.groupby(keys, sort=False)
@@ -205,7 +217,9 @@ class OcgRayOperations:
                                 grp["warc_ts"].to_numpy("datetime64[D]"),
                                 _IDX_DEFAULTS))
                     elif func == "count":
-                        s = gb[fld].size()
+                        # count(field): non-null count, matching the
+                        # oracle/grouped_aggregate 'count' semantics
+                        s = gb[fld].count()
                     elif func == "median":
                         s = gb[fld].median().map(lambda v: float(sql_round(v, 4)))
                     elif func in ("mean", "std"):
@@ -217,6 +231,8 @@ class OcgRayOperations:
                 return pd.DataFrame(cols).reset_index()
 
             result = bucketed_group_apply(slim, keys, per_bucket)
+            if global_rollup:
+                result = result.drop_columns(["_all"])
         elif self.aggregate and self.geom is not None:
             from ocgis_ray.stages.tiles import grouped_aggregate
 
@@ -224,6 +240,11 @@ class OcgRayOperations:
                 ds, ["ugid"],
                 {"n_pages": (None, "count"), "sum_chars": ("n_chars", "sum")},
             )
+        elif self.aggregate:
+            raise ValueError(
+                "aggregate=True needs a geom (spatial rollup) or a "
+                "calc list (what to aggregate) — plain rows would be "
+                "returned unaggregated otherwise")
         else:
             result = ds
         self._progress(0.7, "pipeline composed; converting output")

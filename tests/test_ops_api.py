@@ -130,3 +130,22 @@ def test_calc_accepts_registry_indices(ray_session, sf_dir):
     assert row["su_chars"] >= 0 and row["csu_chars"] <= row["su_chars"] + 1
     with pytest.raises(ValueError):
         OcgRayOperations(sf_dir, calc=[{"func": "nope", "field": "x"}])
+
+
+def test_global_rollup_and_count_semantics(ray_session, sf_dir):
+    """no geom + no grouping + calc => ONE global row (not per-rep);
+    aggregate without geom or calc raises instead of returning raw
+    rows."""
+    from ocgis_ray.pipelines.ops import OcgRayOperations
+
+    out = OcgRayOperations(
+        sf_dir, aggregate=True,
+        calc=[{"func": "mean", "field": "n_chars", "name": "mc"},
+              {"func": "count", "field": "n_chars", "name": "n"}],
+        output_format="pandas",
+    ).execute()
+    assert len(out) == 1 and "_all" not in out.columns
+    assert out["n"].iloc[0] > 0
+    with pytest.raises(ValueError):
+        OcgRayOperations(sf_dir, aggregate=True,
+                         output_format="pandas").execute()
