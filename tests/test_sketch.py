@@ -82,3 +82,62 @@ def test_approx_distinct_hll(ray_session, sf_dir):
             f"SELECT count(DISTINCT {col}) FROM "
             f"'{sf_dir}/{table}.parquet'").fetchone()[0]
         assert abs(est - exact) <= max(2, 0.05 * exact), (col, est, exact)
+
+
+def test_bloom_filter_membership(ray_session, sf_dir):
+    """no false negatives ever; FPR near the design point; anti-join
+    shape keeps every true non-member."""
+    import ray.data as rd
+
+    from ocgis_ray.sources.io import read_parquet_sized
+    from ocgis_ray.stages.sketch import (BloomFilter, _hash64,
+                                         bloom_filter_rows, build_bloom)
+
+    docs = read_parquet_sized(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    bloom = build_bloom(docs, "doc_id", expected_n=n)
+    # every member hits (no false negatives)
+    kept = bloom_filter_rows(docs, "doc_id", bloom, keep_hits=True)
+    assert kept.count() == n
+    # disjoint ids: few false positives (10 bits/elem, k=4 => ~1%)
+    import pandas as pd
+
+    probe = pd.DataFrame({"doc_id": np.arange(10**6, 10**6 + 5000,
+                                              dtype=np.int64)})
+    fp = bloom_filter_rows(rd.from_pandas(probe), "doc_id", bloom,
+                           keep_hits=True).count()
+    assert fp / 5000 < 0.05, fp
+    # anti shape: true non-members all survive
+    anti = bloom_filter_rows(rd.from_pandas(probe), "doc_id", bloom,
+                             keep_hits=False).count()
+    assert anti == 5000 - fp
+    # merge = OR
+    a = BloomFilter(1 << 12)
+    b = BloomFilter(1 << 12)
+    ha = _hash64(__import__("pyarrow").array(np.arange(10, dtype=np.int64)))
+    hb = _hash64(__import__("pyarrow").array(np.arange(10, 20, dtype=np.int64)))
+    a.add_hashes(ha)
+    b.add_hashes(hb)
+    a.merge(b)
+    assert a.contains_hashes(ha).all() and a.contains_hashes(hb).all()
+
+
+def test_quantile_reservoir_accuracy(ray_session, sf_dir):
+    """rank-stratified reservoir quantiles land within ~1% rank error
+    of the exact quantiles."""
+    import duckdb
+
+    from ocgis_ray.sources.io import read_parquet_sized
+    from ocgis_ray.stages.sketch import quantile_reservoir
+
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet")
+    qs = [0.1, 0.5, 0.9, 0.99]
+    approx = quantile_reservoir(ds, "value", qs)
+    vals = duckdb.sql(
+        f"SELECT value FROM '{sf_dir}/events.parquet'").df()["value"] \
+        .to_numpy()
+    vals.sort()
+    for q in qs:
+        # rank error: where does the approx value sit in the true CDF?
+        rank = np.searchsorted(vals, approx[q]) / len(vals)
+        assert abs(rank - q) < 0.02, (q, approx[q], rank)
