@@ -180,3 +180,18 @@ def dissolve(polys: list[Polygon], ugid: int, name: str | None = None) -> list[P
         v[:, 0] = ((v[:, 0] + 180.0) % 360.0) - 180.0
         out.append(Polygon(ugid, f"{name}/{i}", v, holes=list(p.holes)))
     return out
+
+
+def dissolve_geometry(polys: list[Polygon], ugid: int,
+                      name: str | None = None) -> list[Polygon]:
+    """TRUE geometric union as a layer: the exact disjoint face
+    decomposition of the union (``geometry.union_faces``) relabeled as
+    multipart members of one ugid.  Unlike :func:`dissolve` (a pure
+    relabeling, where overlapping members would double-count in
+    weights), the faces are disjoint — membership, covering cells and
+    clip areas all behave as the single unioned geometry."""
+    from ocgis_ray.geometry import union_faces
+
+    name = name or f"dissolved_{ugid}"
+    return [Polygon(ugid, f"{name}/face{i}", f)
+            for i, f in enumerate(union_faces(polys))]

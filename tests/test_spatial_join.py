@@ -192,3 +192,23 @@ def test_dissolve_preserves_antimeridian(ray_session):
     qx = np.array([(src.parts[1].verts[:, 0].mean())])
     qy = np.array([(src.parts[1].verts[:, 1].mean())])
     assert d.contains(qx, qy)[0] == src.contains(qx, qy)[0] == True  # noqa: E712
+
+
+def test_dissolve_geometry_join_equals_semi(ray_session, sf_dir):
+    """joining against the TRUE dissolved geometry (union faces) keeps
+    exactly the rows a semi join against the member polygons keeps —
+    overlap regions counted once."""
+    from ocgis_ray.sources import cabinet
+    from ocgis_ray.sources.pages import pages_dataset
+    from ocgis_ray.stages.geocode import geocode
+    from ocgis_ray.stages.spatial_join import spatial_join
+    from ocgis_ray.stages.regrid import _axis_rect
+
+    polys = [p for p in cabinet.layer("world_regions") if _axis_rect(p)]
+    faces = cabinet.dissolve_geometry(polys, ugid=77)
+    assert len({f.ugid for f in faces}) == 1
+    ds = geocode(pages_dataset(sf_dir).drop_columns(["html"]))
+    via_faces = spatial_join(ds, faces, how="inner",
+                             concurrency=2).count()
+    via_semi = spatial_join(ds, polys, how="semi", concurrency=2).count()
+    assert via_faces == via_semi
