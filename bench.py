@@ -186,11 +186,17 @@ def scaling_run() -> dict:
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_BENCH_REPS=str(SCALING_REPS),
         )
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--flagship-only"],
-            env=env, capture_output=True, text=True, check=True,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        ).stdout
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--flagship-only"],
+                env=env, capture_output=True, text=True, check=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            ).stdout
+        except subprocess.CalledProcessError as e:
+            # surface the child's real traceback instead of an opaque
+            # non-zero-exit error
+            sys.stderr.write(e.stderr or "")
+            raise
         return json.loads(out.strip().splitlines()[-1])
 
     r_lo, r_hi = run(SCALE_LO), run(SCALE_HI)

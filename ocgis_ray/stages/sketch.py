@@ -57,6 +57,12 @@ def hopping_window_rollup(ds, ts_col: str, size_s: int, hop_s: int,
     keys = list(keys or [])
 
     def expand(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if t[ts_col].null_count:
+            # exclude null timestamps (a NaT would otherwise cast to
+            # INT64_MIN and land in garbage windows)
+            t = t.filter(pc.is_valid(t[ts_col]))
         ts = t[ts_col].to_numpy(zero_copy_only=False)
         epoch = ts.astype("datetime64[s]").astype(np.int64)
         # last window start covering the row, then step back
@@ -172,10 +178,28 @@ def _hll_registers(hashes: np.ndarray, p: int) -> np.ndarray:
 
 
 def _hash64(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """64-bit hashes of the NON-NULL values, in a dtype-stable domain.
+
+    Nulls are EXCLUDED (SQL count(distinct)/membership semantics) and
+    must be dropped BEFORE the numpy conversion: a null in an int64
+    batch otherwise flips the whole batch to float64, and
+    hash_array(5.0) != hash_array(5) — one null row would silently
+    change every value's hash domain for that batch (a measured
+    986/1000 false-negative Bloom failure)."""
     import pandas.util as pu
 
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.null_count:
+        arr = arr.drop_null()
     return pu.hash_array(
         arr.to_numpy(zero_copy_only=False)).astype(np.uint64)
+
+
+def _valid_mask(arr) -> np.ndarray:
+    import pyarrow.compute as pc
+
+    return pc.is_valid(arr).to_numpy(zero_copy_only=False)
 
 
 def approx_distinct(ds, col: str, p: int = 12,
@@ -265,9 +289,16 @@ def build_bloom(ds, col: str, nbits: int | None = None, k: int = 4,
                 expected_n: int | None = None,
                 batch_size: int = 65536) -> BloomFilter:
     """Build a Bloom filter over ``col`` distributedly: each batch
-    emits its OR-mergeable bit array (one fixed-size row), merged with
-    a driver-side OR over <= n_batches small rows.  Size defaults to
-    ~10 bits/expected element (~1% FPR at k=4)."""
+    emits its SPARSE set-bit indices (<= k * batch_size int64 rows —
+    bounded per batch whatever ``nbits`` is; a dense per-batch bit
+    array would scale O(n^2) in total partial bytes), deduplicated by
+    a distributed distinct so the driver materializes at most the
+    number of DISTINCT set bits.  Size defaults to ~10 bits/expected
+    element (~1% FPR at k=4).  Nulls are not members.  NOTE: when
+    neither ``nbits`` nor ``expected_n`` is given, sizing runs
+    ``ds.count()`` — one extra (metadata-cheap for parquet reads, but
+    full for computed pipelines) pass; pass ``expected_n`` to skip
+    it."""
     if nbits is None:
         n = expected_n if expected_n is not None else ds.count()
         nbits = max(1024, 10 * int(n))
@@ -275,14 +306,23 @@ def build_bloom(ds, col: str, nbits: int | None = None, k: int = 4,
     def partial(t: pa.Table) -> pa.Table:
         bf = BloomFilter(nbits, k)
         if t.num_rows:
-            bf.add_hashes(_hash64(t[col]))
-        return pa.table({"bits": pa.array([bf.bits])})
+            h = _hash64(t[col])
+            bits = np.unique(bf._probes(h).ravel()) if len(h) else \
+                np.empty(0, np.uint64)
+        else:
+            bits = np.empty(0, np.uint64)
+        return pa.table({"bit": pa.array(bits.astype(np.int64))})
 
+    from ocgis_ray.sources.io import distinct_rows
+
+    sparse = distinct_rows(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=batch_size),
+        ["bit"])
     out = BloomFilter(nbits, k)
-    for row in ds.map_batches(partial, batch_format="pyarrow",
-                              zero_copy_batch=True,
-                              batch_size=batch_size).take_all():
-        out.bits |= np.asarray(row["bits"], dtype=np.uint64)
+    for row in sparse.take_all():
+        b = np.uint64(row["bit"])
+        out.bits[int(b >> np.uint64(6))] |= np.uint64(1) << (b & np.uint64(63))
     return out
 
 
@@ -302,8 +342,13 @@ def bloom_filter_rows(ds, col: str, bloom: BloomFilter,
         b = ray.get(bref)
         bf = BloomFilter(b["nbits"], b["k"])
         bf.bits = b["bits"]
-        hit = bf.contains_hashes(_hash64(t[col])) if t.num_rows else \
-            np.zeros(0, bool)
+        hit = np.zeros(t.num_rows, dtype=bool)
+        if t.num_rows:
+            valid = _valid_mask(t[col])
+            if valid.any():
+                # _hash64 drops nulls, so its output aligns with the
+                # valid rows in order; null rows are never members
+                hit[valid] = bf.contains_hashes(_hash64(t[col]))
         return t.filter(pa.array(hit if keep_hits else ~hit))
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

@@ -141,3 +141,30 @@ def test_quantile_reservoir_accuracy(ray_session, sf_dir):
         # rank error: where does the approx value sit in the true CDF?
         rank = np.searchsorted(vals, approx[q]) / len(vals)
         assert abs(rank - q) < 0.02, (q, approx[q], rank)
+
+
+def test_bloom_and_hll_null_stability(ray_session):
+    """a null in a batch must not flip the hash domain of the other
+    values (int64 -> float64 conversion): members still hit, HLL stays
+    consistent, null rows are non-members."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocgis_ray.stages.sketch import (approx_distinct,
+                                         bloom_filter_rows, build_bloom)
+
+    ids = np.arange(1000, dtype=np.int64)
+    clean = rd.from_arrow(pa.table({"doc_id": ids}))
+    bloom = build_bloom(clean, "doc_id", expected_n=1000)
+    dirty = rd.from_arrow(pa.table({
+        "doc_id": pa.array(ids.tolist() + [None], pa.int64())}))
+    kept = bloom_filter_rows(dirty, "doc_id", bloom,
+                             keep_hits=True).to_pandas()
+    assert len(kept) == 1000  # every true member survives; null doesn't
+    anti = bloom_filter_rows(dirty, "doc_id", bloom,
+                             keep_hits=False).to_pandas()
+    assert len(anti) == 1 and pd.isna(anti["doc_id"].iloc[0])
+    # HLL: same estimate with and without a null row
+    assert abs(approx_distinct(dirty, "doc_id") -
+               approx_distinct(clean, "doc_id")) <= 1

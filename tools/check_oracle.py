@@ -51,6 +51,9 @@ def compare(name: str, mine: pd.DataFrame, oracle: pd.DataFrame) -> str:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
         if pd.api.types.is_float_dtype(a[c]):
             ok = (av == bv) | (np.isnan(av.astype(float)) & np.isnan(bv.astype(float)))
+        elif pd.api.types.is_datetime64_any_dtype(a[c]):
+            # NaT == NaT is False; matched nulls must compare equal
+            ok = (av == bv) | (pd.isna(av) & pd.isna(bv))
         else:
             ok = av == bv
         if not np.all(ok):
@@ -79,6 +82,12 @@ def main() -> None:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd name silently matching nothing would print
+        # 'all green' for a query that was never checked
+        print(f"unknown query names: {sorted(unknown)}")
+        sys.exit(2)
 
     con = duckdb.connect()
     for t in TABLES:
