@@ -81,8 +81,11 @@ def _max_run(mask: np.ndarray) -> int:
 def _cents(v: np.ndarray) -> np.ndarray:
     """Exact integer cents (values are 2-decimal): float sums at scale
     cross rounding boundaries between numpy and SQL accumulation
-    orders; integer sums are exact on both sides."""
-    return np.floor(v * 100.0 + 0.5).astype(np.int64)
+    orders; integer sums are exact on both sides.  Half-away-from-zero
+    (copysign) to match DuckDB's ``round()`` for NEGATIVE half-cent
+    values too — ``floor(v*100+0.5)`` would round -12.5 cents to -12
+    while SQL rounds to -13."""
+    return np.copysign(np.floor(np.abs(v) * 100.0 + 0.5), v).astype(np.int64)
 
 
 def _tg(v: np.ndarray, d: np.ndarray, p: dict) -> float:
@@ -235,6 +238,11 @@ def climate_indices_sql(table: str = "events", entity_col: str = "user_id",
     p = dict(DEFAULTS)
     p.update(params)
     names = indices if indices is not None else index_names()
+    unknown = [n for n in names if n not in _INDEX_FUNCS]
+    if unknown:
+        # mirror climate_indices: a typo'd name must not silently
+        # drop a column from the parity comparison (or emit broken SQL)
+        raise KeyError(f"unregistered indices {unknown}; have {index_names()}")
     e, t, v = entity_col, ts_col, value_col
     sel = []
     for n in names:
@@ -301,6 +309,13 @@ def climate_indices_sql(table: str = "events", entity_col: str = "user_id",
         "csu": f"{v} > {p['su_thr']!r}",
         "cfd": f"{v} < {p['fd_thr']!r}",
     }
+    if len(sel) != len(names):
+        # registered engine-side indices without a SQL twin (user
+        # plugins) must not silently vanish from the oracle columns
+        missing = [n for n in names
+                   if not any(f" AS {n}" in x or x.endswith(n) for x in sel)]
+        raise KeyError(f"no SQL twin for registered indices {missing}; "
+                       "omit them from `indices` for oracle generation")
     runs_needed = [n for n in names if n in run_cmp]
     runs_ctes = ""
     runs_joins = ""

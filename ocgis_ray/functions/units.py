@@ -83,7 +83,10 @@ def conform_units(ds, col: str, src: str, dst: str,
         v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
         out = v * scale + offset
         if target in t.column_names:
-            t = t.drop_columns([target])
+            # replace IN PLACE: drop+append would move the column to
+            # the end and break schema-order-sensitive consumers
+            return t.set_column(t.schema.get_field_index(target),
+                                target, pa.array(out))
         return t.append_column(target, pa.array(out))
 
     return ds.map_batches(xf, batch_format="pyarrow", zero_copy_batch=True)

@@ -30,7 +30,10 @@ _NAME_KEYS = ("name", "NAME", "title")
 def _feature_ugid(props: dict, fallback: int) -> int:
     for k in _UGID_KEYS:
         if k in props:
-            return int(props[k])
+            try:
+                return int(props[k])
+            except (TypeError, ValueError):
+                continue  # non-numeric id (e.g. "US-CA"): keep looking
     return fallback
 
 
@@ -101,8 +104,11 @@ def _parse_wkb_polygons(buf: bytes) -> list[tuple[np.ndarray, list[np.ndarray]]]
         (gtype,) = struct.unpack_from(fmt + "I", mv, pos + 1)
         pos += 5
         base = gtype & 0xFF
-        if gtype & 0x80000000 or (gtype // 1000) in (1, 2, 3):  # Z/M/ZM
-            raise ValueError("only 2-D WKB supported")
+        # EWKB flag bits: Z=0x80000000, M=0x40000000, SRID=0x20000000;
+        # ISO WKB encodes Z/M as +1000/+2000/+3000
+        if gtype & 0xE0000000 or (gtype // 1000) in (1, 2, 3):
+            raise ValueError("only plain 2-D WKB supported "
+                             "(Z/M/EWKB-SRID variants raise)")
         if base == 3:  # Polygon
             (nrings,) = struct.unpack_from(fmt + "I", mv, pos)
             pos += 4
@@ -150,10 +156,14 @@ def load_geopackage(path: str, table: str | None = None) -> list[Polygon]:
             if row is None:
                 raise ValueError(f"no feature tables in {path}")
             table = row[0]
-        (geom_col,) = con.execute(
+        geom_row = con.execute(
             "SELECT column_name FROM gpkg_geometry_columns WHERE table_name=?",
             (table,),
         ).fetchone()
+        if geom_row is None:
+            raise ValueError(
+                f"table {table!r} is not a registered geometry table")
+        (geom_col,) = geom_row
         cols = [r[1] for r in con.execute(f"PRAGMA table_info({table})")]
         name_col = next((c for c in cols if c.lower() in ("name", "title")), None)
         ugid_col = next((c for c in cols if c.upper() in ("UGID", "ID", "FID")), None)
@@ -162,11 +172,17 @@ def load_geopackage(path: str, table: str | None = None) -> list[Polygon]:
         for i, (blob, ugid, name) in enumerate(
             con.execute(f"SELECT {', '.join(sel)} FROM {table}")
         ):
+            if blob is None:
+                continue  # NULL geometry rows are allowed by the spec
             if blob[:2] != b"GP":
                 raise ValueError("not a GeoPackage geometry blob")
             flags = blob[3]
             env_code = (flags >> 1) & 0x07
-            env_len = {0: 0, 1: 32, 2: 48, 3: 48, 4: 64}[env_code]
+            try:
+                env_len = {0: 0, 1: 32, 2: 48, 3: 48, 4: 64}[env_code]
+            except KeyError:
+                raise ValueError(
+                    f"invalid GPKG envelope code {env_code}") from None
             wkb = blob[8 + env_len:]
             for j, (outer, holes) in enumerate(_parse_wkb_polygons(wkb)):
                 polys.append(Polygon(int(ugid), f"{name}/{j}" if j else str(name),
@@ -181,8 +197,9 @@ def load_geopackage(path: str, table: str | None = None) -> list[Polygon]:
 # ------------------------------------------------------------- Shapefile
 
 def _ring_is_cw(ring: np.ndarray) -> bool:
-    x, y = ring[:, 0], ring[:, 1]
-    return float(np.sum((np.roll(x, -1) - x) * (np.roll(y, -1) + y))) > 0.0
+    from ocgis_ray.geometry import _is_ccw
+
+    return not _is_ccw(ring)
 
 
 def _point_in_ring(ring: np.ndarray, px: float, py: float) -> bool:
@@ -212,7 +229,8 @@ def _read_dbf(path: str) -> list[dict]:
     out = []
     for i in range(nrec):
         rpos = hdr_size + i * rec_size
-        if buf[rpos] == 0x2A:  # deleted
+        if buf[rpos] == 0x2A:  # deleted: keep a PLACEHOLDER — attrs
+            out.append({})     # align 1:1 with .shp record numbers
             continue
         rec, fpos = {}, rpos + 1
         for name, ftype, flen in fields:

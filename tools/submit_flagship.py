@@ -42,8 +42,21 @@ def main() -> None:
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=args.num_cpus,
-                 include_dashboard=False, logging_level="ERROR")
+        # attach to the submitting cluster when one exists (ray job
+        # submit sets RAY_ADDRESS on the driver); only boot a local
+        # capped instance when there is no cluster to join — a fresh
+        # job-driver process is NEVER ray.is_initialized(), so
+        # address="local" here would silently run the multi-node job
+        # single-node
+        addr = os.environ.get("RAY_ADDRESS")
+        if addr and addr != "local":
+            ray.init(address=addr, logging_level="ERROR")
+        else:
+            try:
+                ray.init(address="auto", logging_level="ERROR")
+            except ConnectionError:
+                ray.init(address="local", num_cpus=args.num_cpus,
+                         include_dashboard=False, logging_level="ERROR")
     from ocgis_ray.pipelines.flagship import flagship_partitioned
     from ocgis_ray.state import lineage
     from ocgis_ray.tuning import tune_data_context
