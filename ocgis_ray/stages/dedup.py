@@ -247,7 +247,8 @@ def pick_lsh_bands(num_perm: int, threshold: float) -> tuple[int, int]:
     return num_perm // rows, rows
 
 
-def lsh_candidate_pairs(sig_ds, bands: int = 16, rows: int = 8, max_bucket: int = 2000):
+def lsh_candidate_pairs(sig_ds, bands: int = 16, rows: int = 8, max_bucket: int = 2000,
+                        distinct: bool = True):
     """Banded LSH: bucket rows -> bucketed shuffle -> within-bucket
     pairs (vectorized over LSH buckets that actually collide — almost
     all (band, band_hash) keys are singletons and are dropped without
@@ -289,6 +290,10 @@ def lsh_candidate_pairs(sig_ds, bands: int = 16, rows: int = 8, max_bucket: int 
                              "doc_b": np.concatenate(out_b)})
 
     cand = bucketed_group_apply(band_ds, ["band", "band_hash"], pairs)
+    if not distinct:
+        # caller collapses duplicates itself (e.g. bucketed_pair_attach's
+        # final per-(doc_a, doc_b)-bucket combine) — skip a full shuffle
+        return cand
     # distinct pairs (a pair can surface from many bands)
     return distinct_rows(cand, ["doc_a", "doc_b"])
 
@@ -321,7 +326,11 @@ def minhash_near_duplicates(ds, threshold: float = 0.7, num_perm: int = 128,
     elif rows is None:
         rows = num_perm // bands
     sig_ds = minhash_signatures(ds, num_perm=num_perm, k=k).materialize()
-    cand = lsh_candidate_pairs(sig_ds, bands=bands, rows=rows)
+    # distinct=False: duplicate pairs (same pair from many bands) are
+    # collapsed exactly by bucketed_pair_attach's final combine, which
+    # buckets by (doc_a, doc_b) — paying a dedicated distinct shuffle
+    # here would be a fourth all-to-all for nothing
+    cand = lsh_candidate_pairs(sig_ds, bands=bands, rows=rows, distinct=False)
 
     # task-based bucketed attach (io.bucketed_pair_attach): ~3x cheaper
     # than two native Dataset.joins at small scale (no aggregator-actor
