@@ -1,0 +1,207 @@
+"""Unstructured-mesh source (sources/mesh.py) + spatial reorder
+(stages/reorder.py) — the UGRID / Grid.reorder analogs."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from ocgis_ray.sources.mesh import (
+    mesh_covering,
+    mesh_polygons,
+    register_mesh_layer,
+    synth_tri_mesh,
+)
+from ocgis_ray.stages.reorder import (
+    _spread_bits,
+    morton_key,
+    morton_key_naive,
+    spatial_reorder,
+)
+
+
+# ---------------------------------------------------------------- morton
+
+def test_spread_bits_small():
+    x = np.array([0b0, 0b1, 0b10, 0b11, 0b111], dtype=np.uint64)
+    got = _spread_bits(x)
+    assert got.tolist() == [0b0, 0b1, 0b100, 0b101, 0b10101]
+
+
+def test_spread_bits_wide():
+    """Bits above position 15 must land at 2*b — the round-2 bug
+    corrupted these via a bogus shift-32 pre-step."""
+    for b in (16, 20, 31):
+        got = int(_spread_bits(np.array([1 << b], dtype=np.uint64))[0])
+        assert got == 1 << (2 * b)
+
+
+@pytest.mark.parametrize("res", [3, 7, 12, 20])
+def test_morton_key_matches_naive(res):
+    rng = np.random.default_rng(42 + res)
+    lon = rng.uniform(-180.0, 180.0, 500)
+    lat = rng.uniform(-90.0, 90.0, 500)
+    fast = morton_key(lon, lat, res)
+    slow = morton_key_naive(lon, lat, res)
+    np.testing.assert_array_equal(fast, slow)
+    assert (fast >= 0).all()  # int64-safe for res <= 20
+
+
+def test_morton_locality():
+    """Z-order keys of a 2x2 block of adjacent cells are closer to
+    each other than to a far-away cell."""
+    res = 7
+    cs = 360.0 / (2 ** (res + 1))
+    lon = np.array([0.1 * cs, 1.1 * cs, 0.1 * cs, 150.0])
+    lat = np.array([0.1 * cs, 0.1 * cs, 1.1 * cs, 70.0])
+    k = morton_key(lon, lat, res)
+    assert max(abs(k[1] - k[0]), abs(k[2] - k[0])) < abs(k[3] - k[0])
+
+
+def test_spatial_reorder_lon(ray_session):
+    import ray
+
+    df = pd.DataFrame({
+        "lon": [170.0, -170.0, 10.0, -10.0],
+        "lat": [0.0, 1.0, 2.0, 3.0],
+        "v": [0, 1, 2, 3],
+    })
+    ds = ray.data.from_pandas(df)
+    # reference semantics: ascending lon measured from the wrap start
+    # (spatial/grid.py:750-793 rotates a 0..360 grid to -180..180)
+    out = spatial_reorder(ds, order="lon", wrap_start=0.0).to_pandas()
+    assert out["v"].tolist() == [2, 0, 1, 3]
+    assert list(out.columns) == ["lon", "lat", "v"]  # key dropped
+    out2 = spatial_reorder(ds, order="lon", wrap_start=-180.0).to_pandas()
+    assert out2["v"].tolist() == [1, 3, 2, 0]
+
+
+def test_spatial_reorder_morton_sorts_by_key(ray_session):
+    import ray
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({
+        "lon": rng.uniform(-180, 180, 200),
+        "lat": rng.uniform(-90, 90, 200),
+    })
+    ds = ray.data.from_pandas(df)
+    out = spatial_reorder(ds, order="morton", res=9,
+                          key_col="zkey").to_pandas()
+    key = out["zkey"].to_numpy()
+    assert (np.diff(key) >= 0).all()
+    np.testing.assert_array_equal(
+        np.sort(key),
+        np.sort(morton_key(df["lon"].to_numpy(), df["lat"].to_numpy(), 9)),
+    )
+
+
+def test_spatial_reorder_bad_order(ray_session):
+    import ray
+
+    ds = ray.data.from_pandas(pd.DataFrame({"lon": [0.0], "lat": [0.0]}))
+    with pytest.raises(ValueError):
+        spatial_reorder(ds, order="hilbert")
+
+
+# ------------------------------------------------------------------ mesh
+
+def test_synth_tri_mesh_shapes():
+    nodes, faces = synth_tri_mesh(0.0, 0.0, nx=3, ny=2, cell=1.0)
+    assert len(nodes) == 4 * 3 and len(faces) == 2 * 3 * 2
+    polys = mesh_polygons(nodes, faces)
+    assert len(polys) == 12
+    # two CCW triangles per unit square -> total area nx*ny*cell^2
+    total = sum(p.area() for p in polys)
+    assert total == pytest.approx(6.0, rel=1e-12)
+    # face_id is the stable ugid
+    assert [p.ugid for p in polys] == list(range(12))
+
+
+def test_mesh_start_index_parity():
+    n0, f0 = synth_tri_mesh(10.0, 20.0, nx=2, ny=2, cell=0.5, start_index=0)
+    n1, f1 = synth_tri_mesh(10.0, 20.0, nx=2, ny=2, cell=0.5, start_index=1)
+    p0 = mesh_polygons(n0, f0, start_index=0)
+    p1 = mesh_polygons(n1, f1, start_index=1)
+    for a, b in zip(p0, p1):
+        np.testing.assert_allclose(a.verts, b.verts)
+
+
+def test_mesh_closed_ring_tolerated():
+    nodes = pd.DataFrame({"node_id": [0, 1, 2],
+                          "lon": [0.0, 1.0, 0.0],
+                          "lat": [0.0, 0.0, 1.0]})
+    faces = pd.DataFrame({"face_id": [5],
+                          "node_ids": [np.array([0, 1, 2, 0])]})
+    (p,) = mesh_polygons(nodes, faces)
+    assert p.verts.shape[0] == 3 and p.ugid == 5
+
+
+def test_mesh_invalid_faces_raise():
+    nodes = pd.DataFrame({"node_id": [0, 1, 2],
+                          "lon": [0.0, 1.0, 0.0],
+                          "lat": [0.0, 0.0, 1.0]})
+    dangling = pd.DataFrame({"face_id": [0], "node_ids": [np.array([0, 1, 9])]})
+    with pytest.raises(ValueError, match="unknown node"):
+        mesh_polygons(nodes, dangling)
+    degen = pd.DataFrame({"face_id": [0], "node_ids": [np.array([0, 1, 1])]})
+    with pytest.raises(ValueError, match="degenerate"):
+        mesh_polygons(nodes, degen)
+
+
+def test_mesh_layer_spatial_join(ray_session):
+    """A registered mesh layer drives the ordinary spatial machinery;
+    membership equals driver-side Polygon.contains."""
+    import pyarrow as pa
+    import ray
+
+    from ocgis_ray import grid
+    from ocgis_ray.sources.cabinet import layer
+    from ocgis_ray.stages.spatial_join import spatial_join
+
+    nodes, faces = synth_tri_mesh(-1.0, -1.0, nx=2, ny=2, cell=1.0)
+    register_mesh_layer("tri_mesh_test", nodes, faces)
+    polys = layer("tri_mesh_test")
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({
+        "pid": np.arange(300, dtype=np.int64),
+        "lon": rng.uniform(-2.0, 2.0, 300),
+        "lat": rng.uniform(-2.0, 2.0, 300),
+    })
+
+    def add_cell(t: pa.Table) -> pa.Table:
+        lon = t["lon"].to_numpy()
+        lat = t["lat"].to_numpy()
+        return t.append_column("cell_r7", pa.array(grid.encode(lon, lat, 7)))
+
+    ds = ray.data.from_pandas(df).map_batches(add_cell, batch_format="pyarrow")
+    got = spatial_join(ds, polys, how="inner", concurrency=2).to_pandas()
+    got_pairs = set(zip(got["pid"], got["ugid"]))
+    exp_pairs = set()
+    for p in polys:
+        inside = p.contains(df["lon"].to_numpy(), df["lat"].to_numpy())
+        for pid in df["pid"].to_numpy()[inside]:
+            exp_pairs.add((pid, p.ugid))
+    assert got_pairs == exp_pairs
+
+
+def test_mesh_covering_matches_driver_path(ray_session):
+    """The Dataset-native covering (scale path) emits exactly the
+    (face_id, cell, full) rows cover_polygon produces driver-side."""
+    import ray
+
+    from ocgis_ray.cover import cover_polygon
+
+    nodes, faces = synth_tri_mesh(5.0, 5.0, nx=2, ny=1, cell=2.0)
+    res = 7
+    faces_ds = ray.data.from_pandas(faces)
+    got = mesh_covering(faces_ds, nodes, res=res).to_pandas()
+    got_rows = set(zip(got["face_id"], got["cell"], got["full"]))
+
+    exp_rows = set()
+    for p in mesh_polygons(nodes, faces):
+        cov = cover_polygon(p, res)
+        for c in cov.full.tolist():
+            exp_rows.add((p.ugid, c, True))
+        for c in cov.boundary.tolist():
+            exp_rows.add((p.ugid, c, False))
+    assert got_rows == exp_rows
