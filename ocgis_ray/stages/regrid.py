@@ -16,7 +16,11 @@ Here (per the north star) regridding becomes:
   per target from streamed partial top-k gathers (no all-pairs);
 - **apply_weights**: a precomputed sparse (src_cell, dst_cell, w)
   table applied as broadcast lookup + partial aggregation
-  (:func:`apply_weights`) — the ``smm`` analog.
+  (:func:`apply_weights`) — the ``smm`` analog;
+- **conservative_weights**: first-order conservative weight
+  GENERATION from exact cell∩polygon clip areas
+  (:func:`conservative_weights`) — the ESMF ``regrid_method=
+  CONSERVE`` weight-file analog, closing the generate→``smm`` loop.
 """
 
 from __future__ import annotations
@@ -169,6 +173,67 @@ def apply_weights(ds, weights: pd.DataFrame, src_col: str = "cell_r7",
 
     expanded = ds.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)
     return grouped_aggregate(expanded, ["dst"], {out_col: ("wv", "sum")})
+
+
+def conservative_weights(polys, res: int,
+                         normalize: str = "dstarea") -> pd.DataFrame:
+    """First-order conservative regrid weight generation — the ESMF
+    ``regrid_method=CONSERVE`` weight-computation analog
+    (``/root/reference/src/ocgis/regrid/base.py:24-119`` drives ESMF to
+    produce exactly these (src, dst, fraction) triples; here the
+    overlap areas come from the engine's own exact Sutherland-Hodgman
+    clip, ``cover.cover_polygon``).
+
+    For each destination polygon ``d`` and source cell ``s`` at
+    resolution ``res``:  ``w(s, d) = area(s ∩ d) / area(d)``
+    (``normalize="dstarea"``, the default — a destination value is the
+    area-weighted MEAN of overlapping source-cell values, and a
+    constant source field regrids to that constant exactly).  With
+    ``normalize="none"`` the raw overlap areas are returned (the
+    integral/flux form: destination value is the area INTEGRAL).
+
+    ``area(d)`` is computed as the sum of the clip areas rather than
+    the shoelace area so the weights of every destination sum to 1.0
+    to within float64 rounding of the divisions — same decomposition,
+    same operation order.
+
+    Output schema matches :func:`apply_weights` input: columns
+    ``src`` (int64 cell id), ``dst`` (int64 ugid), ``w`` (float64).
+    The input Dataset for ``apply_weights`` should hold one row per
+    source cell (a raster field), e.g. the per-cell rollup a
+    ``grouped_aggregate`` over the geocoded pages produces.
+
+    Driver-side by design: destination layers are cabinet-scale
+    (dozens–thousands of polygons, same broadcast role as the spatial
+    join build side).  A planetary destination mesh takes the
+    Dataset-native route instead: ``sources.mesh.mesh_covering`` emits
+    the same (face_id, cell, full) rows as a stream.
+    """
+    if normalize not in ("dstarea", "none"):
+        raise ValueError(f"normalize={normalize!r}")
+    from ocgis_ray.cover import cover_polygon
+
+    cell_area = grid.cell_size(res) ** 2
+    src_parts, dst_parts, w_parts = [], [], []
+    for p in polys:
+        cov = cover_polygon(p, res)
+        areas = np.concatenate([
+            np.full(cov.full.size, cell_area, dtype=np.float64),
+            cov.boundary_clip_area,
+        ])
+        denom = float(areas.sum())
+        if denom <= 0.0:
+            continue
+        src_parts.append(np.concatenate([cov.full, cov.boundary]))
+        dst_parts.append(np.full(areas.size, p.ugid, dtype=np.int64))
+        w_parts.append(areas / denom if normalize == "dstarea" else areas)
+    if not src_parts:
+        return pd.DataFrame({"src": pd.Series(dtype=np.int64),
+                             "dst": pd.Series(dtype=np.int64),
+                             "w": pd.Series(dtype=np.float64)})
+    return pd.DataFrame({"src": np.concatenate(src_parts),
+                         "dst": np.concatenate(dst_parts),
+                         "w": np.concatenate(w_parts)})
 
 
 def _axis_rect(poly) -> tuple[float, float, float, float] | None:

@@ -367,3 +367,70 @@ def test_radius_filter_antimeridian_wrap(ray_session):
     })
     out = radius_filter(rd.from_pandas(df), 179.9, 0.0, 50.0).to_pandas()
     assert sorted(out["page_id"].tolist()) == [1, 2]
+
+
+def test_conservative_weights_rect_uniform():
+    """A rect aligned to cell edges covers n cells with uniform
+    weights 1/n; denom equals the shoelace area."""
+    from ocgis_ray import grid
+    from ocgis_ray.geometry import Polygon
+    from ocgis_ray.stages.regrid import conservative_weights
+
+    res = 7
+    cs = grid.cell_size(res)
+    r = Polygon(9, "rect", np.array([
+        [0.0, 0.0], [4 * cs, 0.0], [4 * cs, 2 * cs], [0.0, 2 * cs]]))
+    w = conservative_weights([r], res)
+    assert len(w) == 8 and (w["dst"] == 9).all()
+    np.testing.assert_allclose(w["w"], 1.0 / 8, rtol=1e-12)
+    raw = conservative_weights([r], res, normalize="none")
+    assert raw["w"].sum() == pytest.approx(r.area(), rel=1e-12)
+
+
+def test_conservative_weights_sum_to_one_general():
+    """Per-destination weight sums are 1 for arbitrary (non-convex)
+    polygons; a triangle's partial cells carry fractional weights."""
+    from ocgis_ray.geometry import Polygon
+    from ocgis_ray.stages.regrid import conservative_weights
+
+    tri = Polygon(1, "tri", np.array([[0.0, 0.0], [10.0, 0.0], [0.0, 10.0]]))
+    ell = Polygon(2, "ell", np.array([
+        [20.0, 0.0], [30.0, 0.0], [30.0, 4.0], [24.0, 4.0],
+        [24.0, 10.0], [20.0, 10.0]]))
+    w = conservative_weights([tri, ell], res=6)
+    sums = w.groupby("dst")["w"].sum()
+    np.testing.assert_allclose(sums, 1.0, rtol=1e-12)
+    assert ((w["w"] > 0) & (w["w"] <= 1.0 + 1e-12)).all()
+    # fractional boundary cells exist for the hypotenuse
+    assert (w.loc[w["dst"] == 1, "w"] < w.loc[w["dst"] == 1, "w"].max()
+            ).any()
+
+
+def test_conservative_regrid_constant_field(ray_session):
+    """generate -> smm loop: a constant per-cell source field regrids
+    to the constant on every destination (first-order conservation)."""
+    import ray.data as rd
+
+    from ocgis_ray.geometry import Polygon
+    from ocgis_ray.stages.regrid import apply_weights, conservative_weights
+
+    res = 6
+    tri = Polygon(1, "tri", np.array([[0.0, 0.0], [9.0, 0.0], [0.0, 9.0]]))
+    rect = Polygon(2, "rect", np.array([
+        [-20.0, -5.0], [-8.0, -5.0], [-8.0, 3.0], [-20.0, 3.0]]))
+    w = conservative_weights([tri, rect], res)
+    field = pd.DataFrame({"cell_r6": np.unique(w["src"].to_numpy()),
+                          "value": 7.25})
+    out = apply_weights(rd.from_pandas(field), w, src_col="cell_r6",
+                        value_col="value").to_pandas().sort_values("dst")
+    assert out["dst"].tolist() == [1, 2]
+    np.testing.assert_allclose(out["wsum"], 7.25, rtol=1e-12)
+
+
+def test_conservative_weights_empty_and_bad_norm():
+    from ocgis_ray.stages.regrid import conservative_weights
+
+    with pytest.raises(ValueError):
+        conservative_weights([], res=7, normalize="fracarea")
+    w = conservative_weights([], res=7)
+    assert len(w) == 0 and list(w.columns) == ["src", "dst", "w"]
