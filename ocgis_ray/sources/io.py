@@ -127,14 +127,20 @@ def join_datasets(left, right, on, right_on=None, join_type: str = "inner",
     )
 
 
-def bucketed_group_apply(ds, keys: list[str] | str, fn, num_buckets: int = 32,
+def bucketed_group_apply(ds, keys: list[str] | str, fn,
+                         num_buckets: int | None = None,
                          batch_format: str = "pandas"):
     """Apply ``fn(bucket_df)`` once per hash bucket of ``keys``.
 
     ``fn`` receives ALL rows whose key hashes to the bucket (possibly
     many distinct keys) and is responsible for its own per-key pandas
     groupby.  The ``_bucket`` column is dropped before ``fn`` runs.
+    ``num_buckets=None`` sizes by the live cluster
+    (``tuning.auto_buckets``); scale-bound callers pass it explicitly.
     """
+    from ocgis_ray.tuning import auto_buckets
+
+    num_buckets = auto_buckets(num_buckets)
     keys = [keys] if isinstance(keys, str) else list(keys)
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
@@ -160,7 +166,7 @@ def bucketed_group_apply(ds, keys: list[str] | str, fn, num_buckets: int = 32,
 
 
 def topk_by_group(ds, group_col: str, sort_cols: list[str], ascending: list[bool],
-                  k: int, rank_col: str = "rank", num_buckets: int = 32):
+                  k: int, rank_col: str = "rank", num_buckets: int | None = None):
     """Top-k rows per group with a 1-based ``rank`` column.
 
     The scalable final-combine shape for kNN/ANN: groups co-locate via
@@ -180,7 +186,7 @@ def topk_by_group(ds, group_col: str, sort_cols: list[str], ascending: list[bool
 
 
 def distinct_rows(ds, keys: list[str] | str, order_col: str | None = None,
-                  num_buckets: int = 32):
+                  num_buckets: int | None = None):
     """Exact distinct-by-keys keeping the first row (min ``order_col``
     if given) — the scalable dedup shape: identical keys co-locate via
     the bucket shuffle, the keep-first happens vectorized per bucket."""
@@ -196,7 +202,7 @@ def distinct_rows(ds, keys: list[str] | str, order_col: str | None = None,
 
 def bucketed_pair_attach(pairs, lookup, left_key: str, right_key: str,
                          id_col: str, value_col: str,
-                         num_buckets: int = 32):
+                         num_buckets: int | None = None):
     """Attach ``lookup[value_col]`` to BOTH sides of a pair Dataset —
     the task-based twin of two hash-shuffle ``Dataset.join``s.
 

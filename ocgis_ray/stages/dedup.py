@@ -337,7 +337,7 @@ def minhash_near_duplicates(ds, threshold: float = 0.7, num_perm: int = 128,
     # spawn); io.join_datasets is the drop-in for warehouse scale
     joined = bucketed_pair_attach(cand, sig_ds, "doc_a", "doc_b",
                                   "doc_id", "sig",
-                                  num_buckets=num_partitions or 32)
+                                  num_buckets=num_partitions)
 
     def verify(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:

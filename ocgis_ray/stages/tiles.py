@@ -58,7 +58,7 @@ def _partial_batch(df: pd.DataFrame, keys: list[str], spec: dict) -> pd.DataFram
 
 
 def grouped_aggregate(ds, keys: list[str] | str, spec: dict, batch_size: int = 65536,
-                      num_buckets: int = 32):
+                      num_buckets: int | None = None):
     """Generic partial+final grouped aggregate.
 
     ``spec``: ``{out_col: (in_col, kind)}`` with kinds count/sum/min/
@@ -76,6 +76,9 @@ def grouped_aggregate(ds, keys: list[str] | str, spec: dict, batch_size: int = 6
     bounds reducer parallelism; hot KEYS are already collapsed to one
     partial row per batch so bucket skew is bounded by key count, not
     row count."""
+    from ocgis_ray.tuning import auto_buckets
+
+    num_buckets = auto_buckets(num_buckets)
     keys = [keys] if isinstance(keys, str) else list(keys)
 
     def partial_with_bucket(df: pd.DataFrame) -> pd.DataFrame:

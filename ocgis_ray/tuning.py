@@ -57,3 +57,24 @@ def auto_pool(n_max: int | None = None) -> int:
     cap = max(1, total - 2)
     want = n_max if n_max is not None else min(8, max(1, total // 4))
     return max(1, min(want, cap))
+
+
+def auto_buckets(n: int | None = None) -> int:
+    """Default hash-bucket count for the bucketed-shuffle helpers
+    (``io.bucketed_group_apply`` family).
+
+    Each bucket is one map_groups task, so bucket count is pure fixed
+    cost at small scale (measured: pair-attach over 7k pairs, warm —
+    4 buckets 0.67 s, 8 → 0.73 s, 32 → 1.07 s at 32 cpus) and a
+    parallelism/memory bound at large scale.  Default: cpus/4 clamped
+    to [4, 32] — enough tasks to spread over the pool helpers'
+    ``auto_pool`` actors without paying 64 shuffle tasks for kilobyte
+    buckets.  Warehouse-scale callers size buckets to the DATA
+    (rows × row_width / target_bucket_bytes) and pass it explicitly;
+    every helper takes ``num_buckets``."""
+    if n is not None:
+        return n
+    import ray
+
+    total = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(4, min(32, total // 4))
