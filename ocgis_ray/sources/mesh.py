@@ -100,10 +100,14 @@ def mesh_polygons(nodes, faces, start_index: int = 0,
     if isinstance(faces, str):
         faces = pd.read_parquet(faces)
     node_id = nodes["node_id"].to_numpy(np.int64)
-    order = np.argsort(node_id, kind="stable")
-    sorted_ids = node_id[order]
-    lon = nodes["lon"].to_numpy(np.float64)[order]
-    lat = nodes["lat"].to_numpy(np.float64)[order]
+    lon = nodes["lon"].to_numpy(np.float64)
+    lat = nodes["lat"].to_numpy(np.float64)
+    # skip the sort when ids arrive sorted (the mesh_covering path
+    # pre-sorts ONCE on the driver so per-batch work is pure gathers)
+    if not np.all(node_id[1:] >= node_id[:-1]):
+        order = np.argsort(node_id, kind="stable")
+        node_id, lon, lat = node_id[order], lon[order], lat[order]
+    sorted_ids = node_id
 
     polys = []
     for fid, ring in zip(faces["face_id"].to_numpy(np.int64),
@@ -114,10 +118,8 @@ def mesh_polygons(nodes, faces, start_index: int = 0,
                 not np.array_equal(sorted_ids[pos], ids):
             raise ValueError(f"face {fid} references unknown node ids")
         verts = np.column_stack([lon[pos], lat[pos]])
-        # drop an explicitly closed ring's repeat vertex; Polygon also
-        # tolerates it, but UGRID rows are open by convention
-        if verts.shape[0] >= 4 and np.allclose(verts[0], verts[-1]):
-            verts = verts[:-1]
+        # Polygon.__post_init__ drops an explicitly closed ring's
+        # repeat vertex itself; np.unique below already ignores it
         if np.unique(verts, axis=0).shape[0] < 3:
             raise ValueError(f"face {fid} is degenerate (<3 distinct nodes)")
         polys.append(Polygon(int(fid), f"{name_prefix}_{int(fid)}", verts))
@@ -150,7 +152,11 @@ def mesh_covering(faces_ds, nodes, res: int, start_index: int = 0):
 
     if isinstance(nodes, str):
         nodes = pd.read_parquet(nodes)
-    node_ref = ray.put(nodes[["node_id", "lon", "lat"]])
+    # sort ONCE on the driver: every expand batch then skips the
+    # O(N log N) argsort and gathers through searchsorted directly
+    node_ref = ray.put(nodes[["node_id", "lon", "lat"]]
+                       .sort_values("node_id", kind="stable")
+                       .reset_index(drop=True))
 
     def expand(df: pd.DataFrame) -> pd.DataFrame:
         nd = ray.get(node_ref)

@@ -35,8 +35,8 @@ def _spread_bits(x: np.ndarray) -> np.ndarray:
 
 def morton_key(lon: np.ndarray, lat: np.ndarray, res: int) -> np.ndarray:
     """Z-order key of the ``res`` quadgrid cell: interleave(ix, iy)
-    with ``ix`` in the even bits.  int64, non-negative for res <= 20
-    (2*20+1 bits < 63)."""
+    with ``ix`` bit b at position 2b+1 (odd bits) and ``iy`` in the
+    even bits.  int64, non-negative for res <= 20 (2*20+2 bits < 63)."""
     cell = grid.encode(lon, lat, res)
     ix, iy = grid.split(cell)
     key = (_spread_bits(ix.astype(np.uint64)) << np.uint64(1)) | \
@@ -65,18 +65,26 @@ def spatial_reorder(ds, lon_col: str = "lon", lat_col: str = "lat",
     ``order="lon"`` — the reference-parity reorder: ascending longitude
     measured from ``wrap_start`` (``spatial/grid.py:750-793`` rotates a
     0..360 grid to -180..180; here any wrap start is a sort key
-    ``(lon - wrap_start) mod 360``), ties broken by latitude then input
-    order.  ``order="morton"`` — Z-order locality clustering at
-    quadgrid resolution ``res``.
+    ``(lon - wrap_start) mod 360``), ties broken by latitude (rows
+    equal on both keys come back in arbitrary order — the distributed
+    sort is not stable).  ``order="morton"`` — Z-order locality
+    clustering at quadgrid resolution ``res``.
 
     Pass ``key_col`` to keep the sort key as a column (needed when the
     output is written to parquet for min/max row-group pruning);
-    otherwise it is dropped after the sort.
+    otherwise it is dropped after the sort.  The name must not already
+    exist in the table.
     """
     if order not in ("lon", "morton"):
         raise ValueError("order must be 'lon' or 'morton'")
     keep_key = key_col is not None
     key_col = key_col or "_spatial_key"
+    existing = ds.schema().names
+    if key_col in existing:
+        raise ValueError(
+            f"key_col {key_col!r} already exists in the table; "
+            "pass a fresh column name"
+        )
 
     def add_key(t: pa.Table) -> pa.Table:
         lon = np.asarray(t[lon_col].to_numpy(zero_copy_only=False), np.float64)

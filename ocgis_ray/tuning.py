@@ -73,6 +73,8 @@ def auto_buckets(n: int | None = None) -> int:
     (rows × row_width / target_bucket_bytes) and pass it explicitly;
     every helper takes ``num_buckets``."""
     if n is not None:
+        if n < 1:
+            raise ValueError(f"num_buckets must be >= 1, got {n}")
         return n
     import ray
 

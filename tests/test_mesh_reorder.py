@@ -49,11 +49,15 @@ def test_morton_key_matches_naive(res):
 def test_morton_locality():
     """Z-order keys of a 2x2 block of adjacent cells are closer to
     each other than to a far-away cell."""
+    from ocgis_ray import grid
+
     res = 7
-    cs = 360.0 / (2 ** (res + 1))
+    cs = grid.cell_size(res)
     lon = np.array([0.1 * cs, 1.1 * cs, 0.1 * cs, 150.0])
     lat = np.array([0.1 * cs, 0.1 * cs, 1.1 * cs, 70.0])
     k = morton_key(lon, lat, res)
+    # the three points occupy a genuine 2x2 cell block
+    assert len(set(k[:3].tolist())) == 3
     assert max(abs(k[1] - k[0]), abs(k[2] - k[0])) < abs(k[3] - k[0])
 
 
@@ -205,3 +209,22 @@ def test_mesh_covering_matches_driver_path(ray_session):
         for c in cov.boundary.tolist():
             exp_rows.add((p.ugid, c, False))
     assert got_rows == exp_rows
+
+
+def test_spatial_reorder_key_collision(ray_session):
+    import ray
+
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"lon": [0.0], "lat": [0.0], "zkey": [1]}))
+    with pytest.raises(ValueError, match="already exists"):
+        spatial_reorder(ds, order="morton", key_col="zkey")
+
+
+def test_auto_buckets_validation():
+    from ocgis_ray.tuning import auto_buckets
+
+    assert auto_buckets(5) == 5
+    with pytest.raises(ValueError):
+        auto_buckets(0)
+    with pytest.raises(ValueError):
+        auto_buckets(-3)
