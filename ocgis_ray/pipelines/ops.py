@@ -55,6 +55,12 @@ class OcgRayOperations:
     - ``time_range`` / ``time_region``: temporal subsets
     - ``calc``: list of {'func', 'field', 'name'} (calculation library)
     - ``calc_grouping``: temporal group keys ('year','month',...,'season')
+    - ``spatial_reorder``: True -> row output ordered by ascending
+      longitude from ``-180`` (the reference's ``spatial_reorder``
+      parameter, ``ops/engine.py:561-570`` driving ``Grid.reorder``).
+      Row outputs only — grouped calcs are order-free; requesting both
+      raises, matching the reference's constraint that reorder applies
+      to field data
     - ``output_format``: dataset | pandas | parquet | csv
     - ``prefix`` / ``output_dir``: sink naming for file formats
     """
@@ -69,6 +75,7 @@ class OcgRayOperations:
     time_region: dict[str, list[int]] | None = None
     calc: list[dict[str, Any]] | None = None
     calc_grouping: tuple[str, ...] = ()
+    spatial_reorder: bool = False
     output_format: str = "dataset"
     prefix: str = "ocgis_ray_output"
     output_dir: str = "/tmp/ocgis_ray"
@@ -80,6 +87,10 @@ class OcgRayOperations:
     def __post_init__(self) -> None:
         if self.spatial_operation not in _SPATIAL_OPS:
             raise ValueError(f"spatial_operation must be one of {_SPATIAL_OPS}")
+        if self.spatial_reorder and (self.calc or self.aggregate):
+            raise ValueError(
+                "spatial_reorder orders ROW output; it has no effect "
+                "on grouped calc/aggregate results — drop one")
         if self.output_format not in _OUTPUT_FORMATS:
             raise ValueError(f"output_format must be one of {_OUTPUT_FORMATS}")
         for g in self.calc_grouping:
@@ -247,6 +258,10 @@ class OcgRayOperations:
                 "returned unaggregated otherwise")
         else:
             result = ds
+            if self.spatial_reorder:
+                from ocgis_ray.stages.reorder import spatial_reorder
+
+                result = spatial_reorder(result, order="lon")
         self._progress(0.7, "pipeline composed; converting output")
         out = self._convert(result)
         self._progress(1.0, "complete")

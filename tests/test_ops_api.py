@@ -149,3 +149,16 @@ def test_global_rollup_and_count_semantics(ray_session, sf_dir):
     with pytest.raises(ValueError):
         OcgRayOperations(sf_dir, aggregate=True,
                          output_format="pandas").execute()
+
+
+def test_ops_spatial_reorder(ray_session, sf_dir):
+    from ocgis_ray.pipelines.ops import OcgRayOperations
+
+    out = OcgRayOperations(sf_dir, geom="world_regions",
+                           spatial_reorder=True,
+                           output_format="pandas").execute()
+    lon = out["lon"].to_numpy()
+    assert len(out) > 0 and (np.diff(np.mod(lon + 180.0, 360.0)) >= 0).all()
+    with pytest.raises(ValueError, match="spatial_reorder"):
+        OcgRayOperations(sf_dir, calc=[{"func": "mean", "field": "n_chars"}],
+                         spatial_reorder=True)
