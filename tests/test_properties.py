@@ -279,3 +279,25 @@ def test_coverage_sweep_properties(n_polys, seed):
     faces = union_faces(polys)
     assert abs(sum(shoelace_area(f) for f in faces) - cov.sum()) \
         <= 1e-9 * max(1.0, cov.sum())
+
+
+@settings(max_examples=60, deadline=None)
+@given(convex_polygons(), st.integers(min_value=4, max_value=8))
+def test_conservative_weights_properties(poly, res):
+    """Invariants of the ESMF-CONSERVE analog on random convex
+    polygons: positive weights in (0, 1], per-dst sum 1, raw areas sum
+    to the shoelace area, and every weighted cell intersects bbox."""
+    from ocgis_ray.stages.regrid import conservative_weights
+
+    w = conservative_weights([poly], res)
+    assert len(w) > 0
+    vals = w["w"].to_numpy()
+    assert ((vals > 0) & (vals <= 1.0 + 1e-12)).all()
+    np.testing.assert_allclose(vals.sum(), 1.0, rtol=1e-10)
+    raw = conservative_weights([poly], res, normalize="none")
+    np.testing.assert_allclose(raw["w"].sum(), poly.area(), rtol=1e-9)
+    x0, y0, x1, y1 = grid.bounds(w["src"].to_numpy(np.int64), res)
+    bx0, by0, bx1, by1 = poly.bbox
+    eps = 1e-9
+    assert (x1 >= bx0 - eps).all() and (x0 <= bx1 + eps).all()
+    assert (y1 >= by0 - eps).all() and (y0 <= by1 + eps).all()
