@@ -1262,14 +1262,13 @@ def q_polygon_aggregate_area_weighted(sf_dir: str):
     exact inclusion-exclusion; the union measure is cross-checked
     against the ``coverage_areas`` sweep in tests)."""
     from ocgis_ray.stages.regrid import _axis_rect, area_weighted_aggregate
-    from ocgis_ray.stages.reshape import union_all
 
     polys = [p for p in cabinet.layer(WORLD) if _axis_rect(p)]
-    per = area_weighted_aggregate(_geo_pages(sf_dir), polys,
-                                  value_col="n_chars", res=7)
-    dis = area_weighted_aggregate(_geo_pages(sf_dir), polys,
-                                  value_col="n_chars", res=7, dissolve=True)
-    return union_all(per, dis)
+    # ONE pages scan: the probe's inner_semi mode emits the per-ugid
+    # rows AND the dissolved ugid-0 rows from the same match matrix
+    return area_weighted_aggregate(_geo_pages(sf_dir), polys,
+                                   value_col="n_chars", res=7,
+                                   with_dissolved=True)
 
 
 def sql_polygon_aggregate_area_weighted() -> str:

@@ -283,7 +283,8 @@ def rect_union_terms(rects: list) -> list[tuple[float, ...]]:
 
 def area_weighted_aggregate(ds, polys, value_col: str = "n_chars", res: int = 7,
                             out_col: str = "awm", round_digits: int = 6,
-                            dissolve: bool = False, dissolve_ugid: int = 0):
+                            dissolve: bool = False, dissolve_ugid: int = 0,
+                            with_dissolved: bool = False):
     """Area-fraction weighted spatial mean — the true analog of the
     reference's area-weighted aggregation (``variable/geom.py:307-321``,
     weights = clipped cell area), finishing the containment-fraction
@@ -309,6 +310,13 @@ def area_weighted_aggregate(ds, polys, value_col: str = "n_chars", res: int = 7,
     layers reuse each polygon's clip area for singly-covered cells and
     run an exact per-cell coverage sweep over the clipped pieces where
     covers overlap (see :func:`_dissolved_cell_weights`).
+
+    ``with_dissolved=True`` emits BOTH the per-ugid rows and the
+    dissolved ``dissolve_ugid`` row from ONE pages scan: the probe's
+    ``how="inner_semi"`` mode adds the semi-join rows (tagged with the
+    synthetic ugid) from the same match matrix, so the second full
+    read+geocode the two separate calls pay disappears.  Requires
+    ``dissolve_ugid`` to not collide with a real layer ugid.
     """
     import ray
 
@@ -321,10 +329,21 @@ def area_weighted_aggregate(ds, polys, value_col: str = "n_chars", res: int = 7,
     from ocgis_ray.stages.tiles import grouped_aggregate
 
     cell_col = f"cell_r{res}"
+    if dissolve and with_dissolved:
+        raise ValueError("dissolve=True already returns ONLY the "
+                         "dissolved row; with_dissolved adds it to the "
+                         "per-ugid rows — pick one")
+    if (dissolve or with_dissolved) and \
+            any(p.ugid == dissolve_ugid for p in polys):
+        raise ValueError(f"dissolve_ugid {dissolve_ugid} collides with "
+                         "a layer ugid")
     if dissolve:
         from ocgis_ray.stages.spatial_join import semi_join_tagged
 
         j = semi_join_tagged(ds, polys, ugid_out=dissolve_ugid, res=res)
+    elif with_dissolved:
+        j = spatial_join(ds, polys, how="inner_semi", res=res,
+                         semi_ugid=dissolve_ugid)
     else:
         j = spatial_join(ds, polys, how="inner", res=res)
     per_cell = grouped_aggregate(
@@ -338,6 +357,8 @@ def area_weighted_aggregate(ds, polys, value_col: str = "n_chars", res: int = 7,
         _finish = _make_awm_finalizer(ray.put(wmap), cell_col, out_col,
                                       round_digits)
         return bucketed_group_apply(per_cell, "ugid", _finish)
+    if with_dissolved:
+        wmap.update(_dissolved_cell_weights(polys, res, dissolve_ugid))
     for p in polys:
         rect = _axis_rect(p)
         cov = cover_polygon(p, res)

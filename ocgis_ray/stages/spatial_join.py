@@ -155,17 +155,19 @@ class SpatialJoinProbe:
         how: str = "inner",
         keep_touches: bool = True,
         cell_col: str | None = None,
+        semi_ugid: int = 0,
     ):
         import ray
 
         self.index: SpatialJoinIndex = (
             ray.get(index_ref) if not isinstance(index_ref, SpatialJoinIndex) else index_ref
         )
-        if how not in ("inner", "semi", "anti"):
+        if how not in ("inner", "semi", "anti", "inner_semi"):
             raise ValueError(f"how={how!r}")
         self.how = how
         self.keep_touches = keep_touches
         self.cell_col = cell_col or f"cell_r{self.index.res}"
+        self.semi_ugid = semi_ugid
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         lon = batch["lon"].to_numpy(zero_copy_only=False)
@@ -173,7 +175,7 @@ class SpatialJoinProbe:
         cell = batch[self.cell_col].to_numpy(zero_copy_only=False)
         matches = _match_matrix(self.index, lon, lat, cell, self.keep_touches)
 
-        if self.how == "inner":
+        if self.how in ("inner", "inner_semi"):
             rows, ugids = [], []
             for ugid in sorted(matches):
                 m = matches[ugid]
@@ -181,6 +183,16 @@ class SpatialJoinProbe:
                     r = np.nonzero(m)[0]
                     rows.append(r)
                     ugids.append(np.full(r.shape, ugid, dtype=np.int64))
+            if self.how == "inner_semi" and rows:
+                # ONE extra output row per matching input row, tagged
+                # with the synthetic dissolve ugid — the semi join's
+                # rows from the SAME match matrix, same scan
+                any_match = np.zeros(batch.num_rows, dtype=bool)
+                for m in matches.values():
+                    any_match |= m
+                r = np.nonzero(any_match)[0]
+                rows.append(r)
+                ugids.append(np.full(r.shape, self.semi_ugid, dtype=np.int64))
             if not rows:
                 empty = batch.slice(0, 0)
                 return empty.append_column("ugid", pa.array([], type=pa.int64()))
@@ -203,12 +215,19 @@ def spatial_join(
     res: int = 7,
     concurrency=None,
     batch_size: int = 8192,
+    semi_ugid: int = 0,
 ):
     """pages Dataset (geocoded) -> joined Dataset.
 
     Builds and broadcasts the index, then attaches the probe actor
     pool.  Probe batches are larger than extract batches (slim rows,
     cheap per-row work — SURVEY §4 sizing).
+
+    ``how``: ``inner`` (one row per (page, matching ugid)), ``semi`` /
+    ``anti`` (filter), or ``inner_semi`` — inner rows PLUS one row per
+    matching page tagged ``ugid=semi_ugid`` (the dissolved-selection
+    rows from the same scan; see ``area_weighted_aggregate(
+    with_dissolved=True)``).
     """
     import ray
 
@@ -226,6 +245,7 @@ def spatial_join(
             "index_ref": index_ref,
             "how": how,
             "keep_touches": keep_touches,
+            "semi_ugid": semi_ugid,
         },
     )
 

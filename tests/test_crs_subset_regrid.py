@@ -434,3 +434,38 @@ def test_conservative_weights_empty_and_bad_norm():
         conservative_weights([], res=7, normalize="fracarea")
     w = conservative_weights([], res=7)
     assert len(w) == 0 and list(w.columns) == ["src", "dst", "w"]
+
+
+def test_area_weighted_with_dissolved_single_scan(ray_session, sf_dir):
+    """with_dissolved=True (one inner_semi scan) equals the union of
+    the separate per-ugid and dissolved calls, row for row."""
+    from ocgis_ray.sources import cabinet
+    from ocgis_ray.sources.pages import pages_dataset
+    from ocgis_ray.stages.geocode import geocode
+    from ocgis_ray.stages.regrid import _axis_rect, area_weighted_aggregate
+
+    polys = [p for p in cabinet.layer("world_regions") if _axis_rect(p)]
+
+    def geo():
+        return geocode(pages_dataset(sf_dir).drop_columns(["html"]))
+
+    combo = area_weighted_aggregate(geo(), polys, with_dissolved=True) \
+        .to_pandas().sort_values("ugid").reset_index(drop=True)
+    per = area_weighted_aggregate(geo(), polys).to_pandas()
+    dis = area_weighted_aggregate(geo(), polys, dissolve=True).to_pandas()
+    import pandas as pd
+    exp = pd.concat([per, dis]).sort_values("ugid").reset_index(drop=True)
+    pd.testing.assert_frame_equal(combo[sorted(combo.columns)],
+                                  exp[sorted(exp.columns)])
+
+
+def test_area_weighted_dissolve_arg_validation(ray_session, sf_dir):
+    from ocgis_ray.geometry import Polygon
+    from ocgis_ray.stages.regrid import area_weighted_aggregate
+
+    p0 = Polygon(0, "zero", np.array([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]]))
+    with pytest.raises(ValueError, match="collides"):
+        area_weighted_aggregate(None, [p0], with_dissolved=True)
+    with pytest.raises(ValueError, match="pick one"):
+        area_weighted_aggregate(None, [p0], dissolve=True,
+                                with_dissolved=True)
