@@ -393,21 +393,26 @@ def _hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 class SimHashStage:
-    """Actor: text -> 64-bit simhash (token-hash bit votes)."""
+    """Actor: text -> 64-bit simhash (token-hash bit votes).
+
+    Vectorized batch-wide: ONE tokenize+hash pass over the zero-copy
+    byte view (``stages.text._tokenize_hash`` — ASCII-whitespace
+    tokens, Horner+mix64 token hash), then 64 ``bincount`` bit votes
+    over the token→row map.  No per-document Python (the round-1
+    version looped docs and built a tokens×64 bit matrix per doc);
+    null/empty text yields signature 0."""
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        sigs = np.empty(len(df), dtype=np.uint64)
-        for i, t in enumerate(df["text"]):
-            toks = np.asarray(t.split(), dtype=object)
-            if toks.size == 0:
-                sigs[i] = 0
-                continue
-            h = pd.util.hash_array(toks).astype(np.uint64)
-            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1))
-            votes = bits.sum(axis=0) * 2 > toks.size
-            sigs[i] = np.bitwise_or.reduce(
-                votes.astype(np.uint64) << np.arange(64, dtype=np.uint64)
-            )
+        from ocgis_ray.stages.text import _tokenize_hash
+
+        arr = pa.array(df["text"], type=pa.string())
+        h, tok_row, per_row = _tokenize_hash(arr, lower=False)
+        n = len(df)
+        sigs = np.zeros(n, dtype=np.uint64)
+        for b in range(64):
+            bit = ((h >> np.uint64(b)) & np.uint64(1)).astype(np.float64)
+            votes = np.bincount(tok_row, weights=bit, minlength=n)
+            sigs |= (votes * 2.0 > per_row).astype(np.uint64) << np.uint64(b)
         return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(), "simhash": sigs.astype(np.int64)})
 
 

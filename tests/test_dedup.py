@@ -134,3 +134,31 @@ def test_minhash_empty_batch_and_band_params(ray_session, sf_dir):
     empty = rd.read_parquet(f"{sf_dir}/documents.parquet",
                             columns=["doc_id", "text"]).filter(lambda r: False)
     assert minhash_signatures(empty).count() == 0
+
+
+def test_simhash_vectorized_matches_naive(ray_session):
+    """The batch-wide 64-bincount simhash equals a per-doc
+    reimplementation using the same tokenizer + Horner hash."""
+    import pyarrow as pa
+
+    from ocgis_ray.stages.dedup import SimHashStage
+    from ocgis_ray.stages.text import _horner_hash_bytes
+
+    texts = ["the quick brown fox", "the quick brown fox",
+             "lorem ipsum dolor sit amet", "", "a b a b c",
+             "tabs\tand\nnewlines mixed   spaces"]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+    got = SimHashStage()(df)["simhash"].to_numpy().astype(np.uint64)
+    for i, t in enumerate(texts):
+        toks = t.split()
+        if not toks:
+            assert got[i] == 0
+            continue
+        h = np.asarray([_horner_hash_bytes(w.encode()) for w in toks],
+                       dtype=np.uint64)
+        sig = np.uint64(0)
+        for b in range(64):
+            votes = int((((h >> np.uint64(b)) & np.uint64(1)).sum()))
+            if votes * 2 > len(toks):
+                sig |= np.uint64(1) << np.uint64(b)
+        assert got[i] == sig, i
