@@ -104,3 +104,117 @@ def spatial_reorder(ds, lon_col: str = "lon", lat_col: str = "lat",
     if not keep_key:
         out = out.drop_columns([key_col])
     return out
+
+
+def morton_ranges(x0: float, y0: float, x1: float, y1: float, res: int,
+                  max_ranges: int = 64) -> list[tuple[int, int]]:
+    """bbox -> sorted inclusive ``(lo, hi)`` Z-order key ranges whose
+    union covers EXACTLY the keys of cells intersecting the bbox
+    (then coalesced down to ``max_ranges`` by merging the smallest
+    gaps — coalescing only ever widens, so the union stays a
+    superset; readers post-filter exactly).
+
+    The scale purpose: data written in Morton order (``spatial_reorder
+    (order="morton")``) carries the key's min/max in every parquet
+    row-group footer, so a bbox subset becomes ``max_ranges`` interval
+    predicates the reader pushes down — whole row groups skip without
+    a byte read (:func:`read_morton_pruned`).  This is the table-form
+    analog of the reference's optimized bbox subset
+    (``spatial/grid.py:1234-1273`` hint masks over coordinate
+    arrays), moved to where 100 TB needs it: the storage layer.
+
+    Decomposition: iterative quadtree walk emitting a node's whole
+    contiguous key span ``[base, base + s*s)`` when its square lies
+    inside the query's cell-index rectangle; boundary-overflow
+    indices (lon=180 / lat=90 encode one past the grid) stay
+    addressable via one extra level bit.
+    """
+    if res < 0 or res > 20:
+        raise ValueError("res must be in [0, 20]")
+    if x1 < x0 or y1 < y0:
+        return []
+    cs = grid.cell_size(res)
+    qx0 = int(np.floor((x0 + 180.0) / cs))
+    qx1 = int(np.floor((x1 + 180.0) / cs))
+    qy0 = int(np.floor((y0 + 90.0) / cs))
+    qy1 = int(np.floor((y1 + 90.0) / cs))
+    if qx1 < qx0 or qy1 < qy0:
+        return []
+    side_bits = res + 1  # covers the boundary-overflow index 2**res
+    ranges: list[list[int]] = []
+    # stack of (depth, mx, my); children pushed in REVERSE Morton
+    # order so emission is globally sorted
+    stack = [(0, 0, 0)]
+    while stack:
+        d, mx, my = stack.pop()
+        s = 1 << (side_bits - d)
+        if mx > qx1 or my > qy1 or mx + s - 1 < qx0 or my + s - 1 < qy0:
+            continue
+        base = int(morton_key_cells(np.array([mx]), np.array([my]))[0])
+        if (qx0 <= mx and mx + s - 1 <= qx1
+                and qy0 <= my and my + s - 1 <= qy1):
+            ranges.append([base, base + s * s - 1])
+            continue
+        if s == 1:
+            ranges.append([base, base])
+            continue
+        h = s >> 1
+        for ix_half, iy_half in ((1, 1), (1, 0), (0, 1), (0, 0)):
+            stack.append((d + 1, mx + ix_half * h, my + iy_half * h))
+    # merge touching/adjacent spans
+    merged: list[list[int]] = []
+    for lo, hi in ranges:
+        if merged and lo <= merged[-1][1] + 1:
+            merged[-1][1] = max(merged[-1][1], hi)
+        else:
+            merged.append([lo, hi])
+    # coalesce to max_ranges: repeatedly close the smallest gap
+    while len(merged) > max_ranges:
+        gaps = np.array([merged[i + 1][0] - merged[i][1]
+                         for i in range(len(merged) - 1)])
+        i = int(np.argmin(gaps))
+        merged[i][1] = merged[i + 1][1]
+        del merged[i + 1]
+    return [(lo, hi) for lo, hi in merged]
+
+
+def morton_key_cells(ix: np.ndarray, iy: np.ndarray) -> np.ndarray:
+    """(ix, iy) cell indices -> Z-order keys (same layout as
+    :func:`morton_key`: ix in the odd bits)."""
+    key = (_spread_bits(np.asarray(ix).astype(np.uint64)) << np.uint64(1)) | \
+        _spread_bits(np.asarray(iy).astype(np.uint64))
+    return key.astype(np.int64)
+
+
+def morton_filter_expr(ranges: list[tuple[int, int]], key_col: str):
+    """Ranges -> pyarrow dataset expression ``OR_i (lo_i <= key <=
+    hi_i)`` for parquet row-group predicate pushdown."""
+    import pyarrow.dataset as pads
+
+    if not ranges:
+        return pads.field(key_col) < pads.scalar(int(np.iinfo(np.int64).min))
+    expr = None
+    for lo, hi in ranges:
+        e = (pads.field(key_col) >= lo) & (pads.field(key_col) <= hi)
+        expr = e if expr is None else expr | e
+    return expr
+
+
+def read_morton_pruned(path, x0: float, y0: float, x1: float, y1: float,
+                       res: int, key_col: str = "zkey",
+                       lon_col: str = "lon", lat_col: str = "lat",
+                       max_ranges: int = 64, **read_kwargs):
+    """bbox subset over Morton-ordered parquet with row-group
+    pruning: the interval predicates skip whole row groups via footer
+    min/max statistics, then the exact bbox filter runs over the
+    survivors.  Returns a Dataset — the pruned twin of
+    ``subset.bbox_filter`` over an unordered table."""
+    import ray.data as rd
+
+    from ocgis_ray.stages.subset import bbox_filter
+
+    ranges = morton_ranges(x0, y0, x1, y1, res, max_ranges=max_ranges)
+    ds = rd.read_parquet(path,
+                         filter=morton_filter_expr(ranges, key_col),
+                         **read_kwargs)
+    return bbox_filter(ds, x0, y0, x1, y1, lon_col=lon_col, lat_col=lat_col)

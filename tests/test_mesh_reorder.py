@@ -228,3 +228,66 @@ def test_auto_buckets_validation():
         auto_buckets(0)
     with pytest.raises(ValueError):
         auto_buckets(-3)
+
+
+def test_morton_ranges_exact_and_coalesced():
+    from ocgis_ray import grid
+    from ocgis_ray.stages.reorder import morton_key_cells, morton_ranges
+
+    res = 5
+    cs = grid.cell_size(res)
+    x0, y0, x1, y1 = -10.0, -5.0, 33.0, 21.0
+    full = morton_ranges(x0, y0, x1, y1, res, max_ranges=10**9)
+    got = set()
+    for lo, hi in full:
+        got |= set(range(lo, hi + 1))
+    ix0, ix1 = int(np.floor((x0 + 180) / cs)), int(np.floor((x1 + 180) / cs))
+    iy0, iy1 = int(np.floor((y0 + 90) / cs)), int(np.floor((y1 + 90) / cs))
+    ix, iy = np.meshgrid(np.arange(ix0, ix1 + 1), np.arange(iy0, iy1 + 1))
+    exp = set(morton_key_cells(ix.ravel(), iy.ravel()).tolist())
+    assert got == exp  # exact decomposition
+    # coalescing widens but never loses keys, and respects the cap
+    few = morton_ranges(x0, y0, x1, y1, res, max_ranges=4)
+    assert len(few) <= 4
+    cov = set()
+    for lo, hi in few:
+        cov |= set(range(lo, hi + 1))
+    assert exp <= cov
+    # degenerate bbox
+    assert morton_ranges(10.0, 10.0, 5.0, 5.0, res) == []
+
+
+def test_read_morton_pruned_end_to_end(ray_session, sf_dir, tmp_path):
+    """Morton-sorted parquet + range predicates == plain bbox filter,
+    and whole row groups are skipped via footer statistics."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from ocgis_ray.sources.pages import pages_dataset
+    from ocgis_ray.stages.geocode import geocode
+    from ocgis_ray.stages.reorder import (morton_filter_expr, morton_ranges,
+                                          read_morton_pruned, spatial_reorder)
+    from ocgis_ray.stages.subset import bbox_filter
+
+    res = 7
+    ds = geocode(pages_dataset(sf_dir).drop_columns(["html", "text"]))
+    ordered = spatial_reorder(ds, order="morton", res=res,
+                              key_col="zkey").to_pandas()
+    path = str(tmp_path / "pages_morton.parquet")
+    import pyarrow as pa
+    pq.write_table(pa.Table.from_pandas(ordered, preserve_index=False),
+                   path, row_group_size=100)
+
+    bbox = (-60.0, -30.0, 40.0, 45.0)
+    pruned = read_morton_pruned(path, *bbox, res=res).to_pandas()
+    plain = bbox_filter(ds, *bbox).to_pandas()
+    assert sorted(pruned["page_id"]) == sorted(plain["page_id"])
+    assert len(pruned) > 0
+
+    # row-group skip evidence: the predicate admits strictly fewer
+    # row groups than the file holds
+    expr = morton_filter_expr(morton_ranges(*bbox, res=res), "zkey")
+    frag = list(pads.dataset(path).get_fragments())[0]
+    total = frag.num_row_groups
+    kept = len(list(frag.split_by_row_group(expr)))
+    assert kept < total, (kept, total)
