@@ -123,15 +123,25 @@ def ring(cell: int, res: int, k: int) -> np.ndarray:
     )
 
 
+def bbox_index_rect(x0: float, y0: float, x1: float, y1: float,
+                    res: int) -> tuple[int, int, int, int]:
+    """bbox -> inclusive cell-index rectangle ``(ix0, iy0, ix1, iy1)``
+    using the SAME floor/cell-size formula as :func:`encode` — the one
+    place the bbox→index convention lives (cells_in_bbox and the
+    Morton pruning ranges both derive from it, so they can never
+    diverge from the stored cell assignment)."""
+    cs = cell_size(res)
+    return (int(np.floor((x0 + 180.0) / cs)),
+            int(np.floor((y0 + 90.0) / cs)),
+            int(np.floor((x1 + 180.0) / cs)),
+            int(np.floor((y1 + 90.0) / cs)))
+
+
 def cells_in_bbox(x0: float, y0: float, x1: float, y1: float, res: int) -> np.ndarray:
     """All cell ids whose square intersects the bbox (inclusive of
     cells the bbox edge touches from inside).  Vectorized; the analog
     of the reference's bbox "hint mask"
     (``spatial/grid.py:1234-1273``)."""
-    cs = cell_size(res)
-    ix0 = int(np.floor((x0 + 180.0) / cs))
-    ix1 = int(np.floor((x1 + 180.0) / cs))
-    iy0 = int(np.floor((y0 + 90.0) / cs))
-    iy1 = int(np.floor((y1 + 90.0) / cs))
+    ix0, iy0, ix1, iy1 = bbox_index_rect(x0, y0, x1, y1, res)
     xs, ys = np.meshgrid(np.arange(ix0, ix1 + 1), np.arange(iy0, iy1 + 1))
     return pack(xs.ravel(), ys.ravel())

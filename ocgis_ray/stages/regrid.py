@@ -357,11 +357,12 @@ def area_weighted_aggregate(ds, polys, value_col: str = "n_chars", res: int = 7,
         _finish = _make_awm_finalizer(ray.put(wmap), cell_col, out_col,
                                       round_digits)
         return bucketed_group_apply(per_cell, "ugid", _finish)
+    covers = [cover_polygon(p, res) for p in polys]
     if with_dissolved:
-        wmap.update(_dissolved_cell_weights(polys, res, dissolve_ugid))
-    for p in polys:
+        wmap.update(_dissolved_cell_weights(polys, res, dissolve_ugid,
+                                            covers=covers))
+    for p, cov in zip(polys, covers):
         rect = _axis_rect(p)
-        cov = cover_polygon(p, res)
         cells = np.concatenate([cov.full, cov.boundary])
         if rect is not None:
             x0, y0, x1, y1 = _grid.bounds(cells, res)
@@ -378,8 +379,8 @@ def area_weighted_aggregate(ds, polys, value_col: str = "n_chars", res: int = 7,
     return bucketed_group_apply(per_cell, "ugid", per_bucket)
 
 
-def _dissolved_cell_weights(polys, res: int,
-                            ugid_out: int) -> dict[tuple[int, int], float]:
+def _dissolved_cell_weights(polys, res: int, ugid_out: int,
+                            covers=None) -> dict[tuple[int, int], float]:
     """``(ugid_out, cell) -> area(cell INTERSECT union of polys)``.
 
     Axis-rect layers: vectorized :func:`rect_union_terms`
@@ -400,7 +401,8 @@ def _dissolved_cell_weights(polys, res: int,
                                     rect_clip_area_sqlparity)
 
     rects = [_axis_rect(p) for p in polys]
-    covers = [cover_polygon(p, res) for p in polys]
+    if covers is None:
+        covers = [cover_polygon(p, res) for p in polys]
     cs = _grid.cell_size(res)
     if all(r is not None for r in rects):
         terms = rect_union_terms(rects)

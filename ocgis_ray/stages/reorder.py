@@ -37,11 +37,22 @@ def morton_key(lon: np.ndarray, lat: np.ndarray, res: int) -> np.ndarray:
     """Z-order key of the ``res`` quadgrid cell: interleave(ix, iy)
     with ``ix`` bit b at position 2b+1 (odd bits) and ``iy`` in the
     even bits.  int64, non-negative for res <= 20 (2*20+2 bits < 63)."""
-    cell = grid.encode(lon, lat, res)
-    ix, iy = grid.split(cell)
-    key = (_spread_bits(ix.astype(np.uint64)) << np.uint64(1)) | \
-        _spread_bits(iy.astype(np.uint64))
-    return key.astype(np.int64)
+    return morton_key_cells(*grid.split(grid.encode(lon, lat, res)))
+
+
+def _interleave_scalar(mx: int, my: int) -> int:
+    """Scalar (python-int) twin of :func:`morton_key_cells` for the
+    per-node quadtree walk — no 1-element array allocations."""
+    key = 0
+    for v, off in ((mx, 1), (my, 0)):
+        v &= 0xFFFF_FFFF
+        v = (v | (v << 16)) & 0x0000_FFFF_0000_FFFF
+        v = (v | (v << 8)) & 0x00FF_00FF_00FF_00FF
+        v = (v | (v << 4)) & 0x0F0F_0F0F_0F0F_0F0F
+        v = (v | (v << 2)) & 0x3333_3333_3333_3333
+        v = (v | (v << 1)) & 0x5555_5555_5555_5555
+        key |= v << off
+    return key
 
 
 def morton_key_naive(lon: np.ndarray, lat: np.ndarray, res: int) -> np.ndarray:
@@ -133,11 +144,7 @@ def morton_ranges(x0: float, y0: float, x1: float, y1: float, res: int,
         raise ValueError("res must be in [0, 20]")
     if x1 < x0 or y1 < y0:
         return []
-    cs = grid.cell_size(res)
-    qx0 = int(np.floor((x0 + 180.0) / cs))
-    qx1 = int(np.floor((x1 + 180.0) / cs))
-    qy0 = int(np.floor((y0 + 90.0) / cs))
-    qy1 = int(np.floor((y1 + 90.0) / cs))
+    qx0, qy0, qx1, qy1 = grid.bbox_index_rect(x0, y0, x1, y1, res)
     if qx1 < qx0 or qy1 < qy0:
         return []
     side_bits = res + 1  # covers the boundary-overflow index 2**res
@@ -150,13 +157,12 @@ def morton_ranges(x0: float, y0: float, x1: float, y1: float, res: int,
         s = 1 << (side_bits - d)
         if mx > qx1 or my > qy1 or mx + s - 1 < qx0 or my + s - 1 < qy0:
             continue
-        base = int(morton_key_cells(np.array([mx]), np.array([my]))[0])
         if (qx0 <= mx and mx + s - 1 <= qx1
                 and qy0 <= my and my + s - 1 <= qy1):
+            # fully inside — covers the s == 1 leaf too: a surviving
+            # single cell is inside by the disjoint test above
+            base = _interleave_scalar(mx, my)
             ranges.append([base, base + s * s - 1])
-            continue
-        if s == 1:
-            ranges.append([base, base])
             continue
         h = s >> 1
         for ix_half, iy_half in ((1, 1), (1, 0), (0, 1), (0, 0)):
@@ -168,13 +174,21 @@ def morton_ranges(x0: float, y0: float, x1: float, y1: float, res: int,
             merged[-1][1] = max(merged[-1][1], hi)
         else:
             merged.append([lo, hi])
-    # coalesce to max_ranges: repeatedly close the smallest gap
-    while len(merged) > max_ranges:
-        gaps = np.array([merged[i + 1][0] - merged[i][1]
-                         for i in range(len(merged) - 1)])
-        i = int(np.argmin(gaps))
-        merged[i][1] = merged[i + 1][1]
-        del merged[i + 1]
+    # coalesce to max_ranges in ONE pass: keep the (max_ranges - 1)
+    # LARGEST gaps as separators — equivalent to repeatedly closing
+    # the smallest gap, without the O(k^2) loop
+    if max_ranges < 1:
+        raise ValueError("max_ranges must be >= 1")
+    if len(merged) > max_ranges:
+        if max_ranges == 1:
+            return [(merged[0][0], merged[-1][1])]
+        los = np.array([m[0] for m in merged], dtype=np.int64)
+        his = np.array([m[1] for m in merged], dtype=np.int64)
+        sep = np.sort(np.argsort(los[1:] - his[:-1],
+                                 kind="stable")[-(max_ranges - 1):])
+        starts = np.concatenate([[0], sep + 1])
+        ends = np.concatenate([sep, [len(merged) - 1]])
+        merged = [[int(los[s]), int(his[e])] for s, e in zip(starts, ends)]
     return [(lo, hi) for lo, hi in merged]
 
 
