@@ -360,19 +360,51 @@ def sql_temporal_rollup_events() -> str:
     )
 
 
+#: custom month groups for the seasonal oracle (the reference's
+#: ``calc_grouping=[[11,12,1,2],[5,6,7,8]]`` arbitrary-season form —
+#: ops/parms/definition.py:309-372); deliberately NON-contiguous with
+#: months 3, 4, 9, 10 excluded so the drop-outside-groups semantics
+#: are oracle-checked too
+CUSTOM_SEASONS = ((11, 12, 1, 2), (5, 6, 7, 8))
+
+
 def q_seasonal_rollup_pages(sf_dir: str):
+    from ocgis_ray.stages.reshape import union_all
+
     ds = pages_dataset(sf_dir, reps=REPS).drop_columns(["html"])
-    ds = temporal.add_season(ds, "warc_ts")
-    return grouped_aggregate(ds, ["season"], {"n_pages": (None, "count")})
+    std = temporal.add_season(ds, "warc_ts")
+    std = grouped_aggregate(std, ["season"], {"n_pages": (None, "count")})
+    cus = temporal.add_month_groups(ds, "warc_ts", CUSTOM_SEASONS)
+    cus = grouped_aggregate(cus, ["season"], {"n_pages": (None, "count")})
+
+    def tag(scheme):
+        def f(t):
+            import numpy as np
+            import pyarrow as _pa
+
+            return t.append_column(
+                "scheme", _pa.array(np.full(t.num_rows, scheme, np.int64)))
+        return f
+
+    return union_all(
+        std.map_batches(tag(0), batch_format="pyarrow"),
+        cus.map_batches(tag(1), batch_format="pyarrow"),
+    )
 
 
 def sql_seasonal_rollup_pages() -> str:
     from ocgis_ray.sources.pages import pages_cte
 
+    case, pred = temporal.month_groups_sql("warc_ts", CUSTOM_SEASONS)
     return (
         f"WITH {pages_cte(REPS)}\n"
-        f"SELECT {temporal.season_sql('warc_ts')} AS season, count(*) AS n_pages\n"
-        "FROM pages GROUP BY 1"
+        f"SELECT {temporal.season_sql('warc_ts')} AS season,"
+        " count(*) AS n_pages, CAST(0 AS BIGINT) AS scheme\n"
+        "FROM pages GROUP BY 1\n"
+        "UNION ALL\n"
+        f"SELECT {case} AS season, count(*) AS n_pages,"
+        " CAST(1 AS BIGINT) AS scheme\n"
+        f"FROM pages WHERE {pred} GROUP BY 1"
     )
 
 

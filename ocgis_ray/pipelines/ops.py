@@ -93,7 +93,19 @@ class OcgRayOperations:
                 "on grouped calc/aggregate results — drop one")
         if self.output_format not in _OUTPUT_FORMATS:
             raise ValueError(f"output_format must be one of {_OUTPUT_FORMATS}")
+        month_groups = [g for g in self.calc_grouping
+                        if isinstance(g, (tuple, list))]
+        if month_groups:
+            from ocgis_ray.stages.temporal import _month_group_lut
+
+            _month_group_lut(month_groups)  # validates months/overlap
+            if "season" in self.calc_grouping:
+                raise ValueError(
+                    "custom month groups replace the named 'season' "
+                    "grouping — pass one or the other")
         for g in self.calc_grouping:
+            if isinstance(g, (tuple, list)):
+                continue  # custom month group, validated above
             if g not in _GROUPINGS:
                 raise ValueError(f"unknown calc_grouping {g!r}; have {_GROUPINGS}")
         for c in self.calc or []:
@@ -147,11 +159,18 @@ class OcgRayOperations:
             else:
                 ds = spatial_join(ds, polys, how="inner", concurrency=2)
         if self.calc_grouping:
-            parts = tuple(g for g in self.calc_grouping if g != "season")
+            month_groups = [g for g in self.calc_grouping
+                            if isinstance(g, (tuple, list))]
+            parts = tuple(g for g in self.calc_grouping
+                          if not isinstance(g, (tuple, list)) and g != "season")
             if parts:
                 ds = temporal.add_time_parts(ds, "warc_ts", parts=parts)
             if "season" in self.calc_grouping:
                 ds = temporal.add_season(ds, "warc_ts")
+            elif month_groups:
+                # arbitrary month-group seasons (the reference's
+                # calc_grouping=[[12,1,2],...]); out-of-group rows drop
+                ds = temporal.add_month_groups(ds, "warc_ts", month_groups)
         return ds
 
     def _group_keys(self) -> list[str]:
@@ -160,7 +179,12 @@ class OcgRayOperations:
             keys.append("ugid")
         if not self.aggregate:
             keys.append("cell_r8")
-        keys.extend(self.calc_grouping)
+        for g in self.calc_grouping:
+            if isinstance(g, (tuple, list)):
+                if "season" not in keys:  # all month groups -> one col
+                    keys.append("season")
+            else:
+                keys.append(g)
         return keys
 
     def _progress(self, frac: float, msg: str) -> None:

@@ -208,3 +208,59 @@ def add_cf_time_parts(ds, col: str, units: str, calendar: str = "standard",
         return t
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def add_month_groups(ds, col: str, groups, out: str = "season"):
+    """Seasonal aggregation with ARBITRARY month groups — the
+    reference's ``calc_grouping=[[12, 1, 2], ...]`` form
+    (``ops/parms/definition.py:309-372``; standard seasons are just
+    one instance).  Each row is tagged with the INDEX of the month
+    group containing its month; rows whose month is in no group are
+    DROPPED (matching the reference, which restricts the temporal
+    dimension to the grouped months).
+
+    Groups must be disjoint; months are 1-12.  SQL twin:
+    :func:`month_groups_sql`.
+    """
+    lut = _month_group_lut(groups)
+    lref = lut  # small (13,) array; captured by value in the closure
+
+    def f(t: pa.Table) -> pa.Table:
+        m = pc.cast(pc.month(t[col]), pa.int64()).to_numpy(zero_copy_only=False)
+        gid = lref[m]
+        keep = gid >= 0
+        t = t.filter(pa.array(keep))
+        return t.append_column(out, pa.array(gid[keep], pa.int64()))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _month_group_lut(groups) -> np.ndarray:
+    """Validated month -> group-index LUT (index 0 unused; -1 = none)."""
+    lut = np.full(13, -1, dtype=np.int64)
+    for i, g in enumerate(groups):
+        for m in g:
+            m = int(m)
+            if not 1 <= m <= 12:
+                raise ValueError(f"month {m} out of range 1-12")
+            if lut[m] != -1:
+                raise ValueError(f"month {m} appears in two groups")
+            lut[m] = i
+    if (lut == -1).all():
+        raise ValueError("no month groups given")
+    return lut
+
+
+def month_groups_sql(ts_expr: str, groups) -> tuple[str, str]:
+    """(CASE expression, WHERE predicate) matching
+    :func:`add_month_groups` — group ids by list position, rows
+    outside every group excluded."""
+    _month_group_lut(groups)  # validate identically
+    whens = " ".join(
+        f"WHEN month({ts_expr}) IN ({', '.join(str(int(m)) for m in g)}) "
+        f"THEN {i}"
+        for i, g in enumerate(groups)
+    )
+    months = sorted({int(m) for g in groups for m in g})
+    pred = f"month({ts_expr}) IN ({', '.join(map(str, months))})"
+    return f"CASE {whens} END", pred

@@ -162,3 +162,34 @@ def test_ops_spatial_reorder(ray_session, sf_dir):
     with pytest.raises(ValueError, match="spatial_reorder"):
         OcgRayOperations(sf_dir, calc=[{"func": "mean", "field": "n_chars"}],
                          spatial_reorder=True)
+
+
+def test_ops_custom_month_groups(ray_session, sf_dir):
+    """calc_grouping with arbitrary month lists (the reference's
+    seasonal-aggregation form): group ids by list position, rows
+    outside every group dropped."""
+    from ocgis_ray.pipelines.ops import OcgRayOperations
+
+    out = OcgRayOperations(
+        sf_dir,
+        calc=[{"func": "count", "field": "n_chars", "name": "n"}],
+        calc_grouping=("year", (11, 12, 1, 2), (5, 6, 7, 8)),
+        aggregate=True,
+        output_format="pandas",
+    ).execute()
+    assert set(out.columns) == {"year", "season", "n"}
+    assert set(out["season"]) <= {0, 1}
+    # parity against a direct pandas regroup of the raw rows
+    raw = OcgRayOperations(sf_dir, output_format="pandas").execute()
+    months = raw["warc_ts"].dt.month.to_numpy()
+    years = raw["warc_ts"].dt.year.to_numpy()
+    lut = {m: 0 for m in (11, 12, 1, 2)} | {m: 1 for m in (5, 6, 7, 8)}
+    import collections
+    exp = collections.Counter(
+        (y, lut[m]) for y, m in zip(years, months) if m in lut)
+    got = {(int(r.year), int(r.season)): int(r.n) for r in out.itertuples()}
+    assert got == dict(exp)
+    with pytest.raises(ValueError, match="two groups"):
+        OcgRayOperations(sf_dir, calc_grouping=((1, 2), (2, 3)))
+    with pytest.raises(ValueError, match="one or the other"):
+        OcgRayOperations(sf_dir, calc_grouping=("season", (1, 2)))
