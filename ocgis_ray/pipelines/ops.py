@@ -42,7 +42,10 @@ class OcgRayOperations:
 
     - ``sf_dir``: data root (the RequestDataset uri analog)
     - ``geom``: cabinet layer name (GeomCabinet key analog)
-    - ``select_ugid``: restrict the selection geometries
+    - ``select_ugid``: restrict the selection geometries by ugid
+    - ``select_name``: restrict by geometry name (the
+      ``geom_select_sql_where`` attribute-filter analog,
+      ``ops/parms/definition.py``); composes with ``select_ugid``
     - ``spatial_operation``: 'intersects' (subset) | 'clip' (for point
       data clip == intersects; retained for call parity)
     - ``aggregate``: True -> one rollup row per selection geometry
@@ -68,6 +71,7 @@ class OcgRayOperations:
     sf_dir: str
     geom: str | None = None
     select_ugid: list[int] | None = None
+    select_name: list[str] | None = None
     spatial_operation: str = "intersects"
     aggregate: bool = False
     agg_selection: bool = False
@@ -151,6 +155,11 @@ class OcgRayOperations:
                 polys = [p for p in polys if p.ugid in self.select_ugid]
                 if not polys:
                     raise ValueError("select_ugid matched no geometries")
+            if self.select_name is not None:
+                wanted = set(self.select_name)
+                polys = [p for p in polys if p.name in wanted]
+                if not polys:
+                    raise ValueError("select_name matched no geometries")
             # for point data, clip == intersects (SURVEY §2.2)
             if self.agg_selection:
                 from ocgis_ray.stages.spatial_join import semi_join_tagged

@@ -193,3 +193,19 @@ def test_ops_custom_month_groups(ray_session, sf_dir):
         OcgRayOperations(sf_dir, calc_grouping=((1, 2), (2, 3)))
     with pytest.raises(ValueError, match="one or the other"):
         OcgRayOperations(sf_dir, calc_grouping=("season", (1, 2)))
+
+
+def test_ops_select_name(ray_session, sf_dir):
+    from ocgis_ray.pipelines.ops import OcgRayOperations
+
+    by_name = OcgRayOperations(sf_dir, geom="world_regions",
+                               select_name=["bay_area", "nyc"],
+                               output_format="pandas").execute()
+    by_ugid = OcgRayOperations(sf_dir, geom="world_regions",
+                               select_ugid=[1, 2],
+                               output_format="pandas").execute()
+    assert sorted(by_name["page_id"]) == sorted(by_ugid["page_id"])
+    assert set(by_name["ugid"]) == {1, 2}
+    with pytest.raises(ValueError, match="select_name"):
+        OcgRayOperations(sf_dir, geom="world_regions",
+                         select_name=["atlantis"]).execute()
