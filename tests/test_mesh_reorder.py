@@ -291,3 +291,26 @@ def test_read_morton_pruned_end_to_end(ray_session, sf_dir, tmp_path):
     total = frag.num_row_groups
     kept = len(list(frag.split_by_row_group(expr)))
     assert kept < total, (kept, total)
+
+
+def test_mesh_destination_conservative_regrid(ray_session):
+    """The reference's headline ESMF workflow — conservative regrid to
+    an UNSTRUCTURED destination mesh — as generate->smm over the mesh
+    faces: constant source field regrids to the constant on every
+    triangle."""
+    import ray.data as rd
+
+    from ocgis_ray.stages.regrid import apply_weights, conservative_weights
+
+    nodes, faces = synth_tri_mesh(12.0, -8.0, nx=3, ny=2, cell=4.0)
+    tris = mesh_polygons(nodes, faces)
+    w = conservative_weights(tris, res=7)
+    assert set(w["dst"]) == {p.ugid for p in tris}
+    sums = w.groupby("dst")["w"].sum()
+    np.testing.assert_allclose(sums, 1.0, rtol=1e-10)
+    field = pd.DataFrame({"cell_r7": np.unique(w["src"].to_numpy()),
+                          "value": -3.5})
+    out = apply_weights(rd.from_pandas(field), w, src_col="cell_r7",
+                        value_col="value").to_pandas()
+    assert len(out) == len(tris)
+    np.testing.assert_allclose(out["wsum"], -3.5, rtol=1e-10)
