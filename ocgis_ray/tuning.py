@@ -61,22 +61,23 @@ def auto_pool(n_max: int | None = None) -> int:
 
 def auto_buckets(n: int | None = None) -> int:
     """Default hash-bucket count for the bucketed-shuffle helpers
-    (``io.bucketed_group_apply`` family).
+    (``io.bucketed_group_apply`` family): fixed 32.
 
-    Each bucket is one map_groups task, so bucket count is pure fixed
-    cost at small scale (measured: pair-attach over 7k pairs, warm —
-    4 buckets 0.67 s, 8 → 0.73 s, 32 → 1.07 s at 32 cpus) and a
-    parallelism/memory bound at large scale.  Default: cpus/4 clamped
-    to [4, 32] — enough tasks to spread over the pool helpers'
-    ``auto_pool`` actors without paying 64 shuffle tasks for kilobyte
-    buckets.  Warehouse-scale callers size buckets to the DATA
-    (rows × row_width / target_bucket_bytes) and pass it explicitly;
-    every helper takes ``num_buckets``."""
+    Bucket count must scale with the DATA (rows × row width), not the
+    session's CPUs, and the two failure directions are asymmetric —
+    measured on this host: too MANY buckets on tiny data costs a
+    bounded ~0.3 s of task overhead (pair-attach over 7k pairs, warm:
+    4 buckets 0.67 s vs 32 → 1.07 s), while too FEW buckets on big
+    data costs 25–47%% of the whole pipeline (flagship rollup over 10M
+    pages at 4 cpus, interleaved A/B: 4 buckets 250/197 s vs 32
+    buckets 170/156 s — fat per-bucket combine frames stall the
+    streaming pipeline behind the scan).  A cpus-derived default was
+    tried and reverted on that A/B.  With no data-size signal at
+    planning time the big-data-safe constant wins; warehouse-scale
+    callers size buckets to rows × row_width / target_bucket_bytes and
+    pass ``num_buckets`` explicitly (every helper takes it)."""
     if n is not None:
         if n < 1:
             raise ValueError(f"num_buckets must be >= 1, got {n}")
         return n
-    import ray
-
-    total = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    return max(4, min(32, total // 4))
+    return 32
