@@ -212,3 +212,104 @@ def test_dissolve_geometry_join_equals_semi(ray_session, sf_dir):
                              concurrency=2).count()
     via_semi = spatial_join(ds, polys, how="semi", concurrency=2).count()
     assert via_faces == via_semi
+
+
+# =====================================================================
+# Partitioned (large-layer) spatial join: must equal the broadcast join
+# =====================================================================
+
+def _pairs(tbl, id_col="page_id"):
+    import pandas as pd
+    df = tbl.to_pandas() if not isinstance(tbl, pd.DataFrame) else tbl
+    return set(zip(df[id_col].tolist(), df["ugid"].tolist()))
+
+
+def test_pack_unpack_roundtrip():
+    from ocgis_ray.sources import cabinet
+    from ocgis_ray.stages.spatial_join import pack_part, unpack_part
+
+    for p in cabinet.layer("hard_cases"):
+        for part in p.parts:
+            q = unpack_part(pack_part(part), part.ugid)
+            assert np.array_equal(q.verts, part.verts)
+            assert len(q.holes) == len(part.holes)
+            for ha, hb in zip(q.holes, part.holes):
+                assert np.array_equal(ha, hb)
+            assert q.convex == part.convex and q.bbox == part.bbox
+
+
+@pytest.mark.parametrize("layer_name", ["world_regions", "hard_cases"])
+@pytest.mark.parametrize("how", ["inner", "semi", "anti"])
+def test_partitioned_equals_broadcast(ray_session, sf_dir, layer_name, how):
+    from ocgis_ray.sources import cabinet
+    from ocgis_ray.sources.pages import pages_dataset
+    from ocgis_ray.stages.geocode import geocode
+    from ocgis_ray.stages.spatial_join import (spatial_join,
+                                               spatial_join_partitioned)
+
+    polys = cabinet.layer(layer_name)
+    ds = geocode(pages_dataset(sf_dir).drop_columns(["html"]))
+    bc = spatial_join(ds, polys, how=how, concurrency=2).to_pandas()
+    pt = spatial_join_partitioned(ds, polys, how=how,
+                                  num_buckets=8).to_pandas()
+    if how == "inner":
+        assert _pairs(pt) == _pairs(bc)
+    else:
+        assert set(pt["page_id"]) == set(bc["page_id"])
+
+
+def test_partitioned_keep_touches_false(ray_session):
+    """on-edge point dropped under keep_touches=False in BOTH paths."""
+    import ray.data as rd
+    from ocgis_ray.sources import cabinet
+    from ocgis_ray.stages.spatial_join import (spatial_join,
+                                               spatial_join_partitioned)
+
+    polys = cabinet.layer("quadrants")
+    # a point exactly on the quadrant-fixture outer edge + one interior
+    lon = np.array([-105.5, -104.0])
+    lat = np.array([41.5, 40.0])
+    batch = probe_batch(lon, lat)
+    ds = rd.from_arrow(batch)
+    for kt in (True, False):
+        bc = spatial_join(ds, polys, how="inner", keep_touches=kt,
+                          concurrency=2).to_pandas()
+        pt = spatial_join_partitioned(ds, polys, how="inner",
+                                      keep_touches=kt,
+                                      num_buckets=4).to_pandas()
+        assert _pairs(pt) == _pairs(bc)
+
+
+def test_partitioned_attach_payload(ray_session, sf_dir):
+    from ocgis_ray.sources import cabinet
+    from ocgis_ray.sources.pages import pages_dataset
+    from ocgis_ray.stages.geocode import geocode
+    from ocgis_ray.stages.spatial_join import (spatial_join,
+                                               spatial_join_partitioned)
+
+    polys = cabinet.layer("world_regions")
+    ds = geocode(pages_dataset(sf_dir).drop_columns(["html"]))
+    out = spatial_join_partitioned(ds, polys, how="inner", num_buckets=8,
+                                   attach=True).to_pandas()
+    bc = spatial_join(ds, polys, how="inner", concurrency=2).to_pandas()
+    assert "url" in out.columns and "lon" in out.columns
+    assert _pairs(out) == _pairs(bc)
+
+
+def test_partitioned_layer_as_dataset(ray_session, sf_dir):
+    """the scale shape: the layer arrives as a Dataset of packed parts
+    (never driver-resident) and the cover stage runs distributed."""
+    from ocgis_ray.sources import cabinet
+    from ocgis_ray.sources.pages import pages_dataset
+    from ocgis_ray.stages.geocode import geocode
+    from ocgis_ray.stages.spatial_join import (layer_to_dataset,
+                                               spatial_join,
+                                               spatial_join_partitioned)
+
+    polys = cabinet.layer("us_states48")
+    layer_ds = layer_to_dataset(polys, num_blocks=4)
+    ds = geocode(pages_dataset(sf_dir).drop_columns(["html"]))
+    pt = spatial_join_partitioned(ds, layer_ds, how="inner",
+                                  num_buckets=8).to_pandas()
+    bc = spatial_join(ds, polys, how="inner", concurrency=2).to_pandas()
+    assert _pairs(pt) == _pairs(bc)
