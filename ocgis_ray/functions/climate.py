@@ -33,6 +33,12 @@ Index semantics (value plays the daily-variable role, ts the day):
 - ``wsdi`` / ``csdi``           total entries in runs of >= spell_min
                                 consecutive values above q90 / below
                                 q10 (warm/cold spell duration)
+- ``rx1day`` / ``rx5day``       max daily total / max calendar-5-day
+                                total (RX1day, RX5day)
+- ``r10mm`` / ``r20mm``         days with daily total >= threshold
+- ``r99ptot``                   sum of values > own 99th percentile
+- ``r75p``                      count above own 75th percentile
+- ``txn`` / ``tnx``             min of daily max / max of daily min
 
 Every index has an exact DuckDB twin assembled by
 :func:`climate_indices_sql` (gaps-and-islands for the run lengths,
@@ -199,6 +205,72 @@ register_index("csdi", lambda v, d, p: _spell_total(
     v < np.percentile(v, 10.0), p["spell_min"]))
 
 
+# third ECA&D tranche: daily-total precipitation family + day-extreme
+# temperature family (contrib/library_icclim.py RX1day/RX5day/R10mm/
+# R20mm/R99pTOT/R75p/TXn/TNx analogs over the events series)
+
+DEFAULTS["r10_thr"] = 100.0   # daily-total "heavy" threshold (R10mm)
+DEFAULTS["r20_thr"] = 200.0   # daily-total "very heavy" threshold (R20mm)
+
+
+def _daily(v: np.ndarray, d: np.ndarray):
+    """(day_int64, day_sum_cents, day_max, day_min) — d arrives
+    ts-sorted so day segments are contiguous (see _dtr)."""
+    starts = np.flatnonzero(np.concatenate([[True], d[1:] != d[:-1]]))
+    return (d[starts].astype(np.int64),
+            np.add.reduceat(_cents(v), starts),
+            np.maximum.reduceat(v, starts),
+            np.minimum.reduceat(v, starts))
+
+
+def _rx1day(v: np.ndarray, d: np.ndarray, p: dict) -> float:
+    _, sums, _, _ = _daily(v, d)
+    return float(sql_round(sums.max() / 100.0, ROUND))
+
+
+def _rx5day(v: np.ndarray, d: np.ndarray, p: dict) -> float:
+    """Max CALENDAR-5-day precipitation total: for each present day d,
+    the sum over present days in [d-4, d] (missing days contribute 0,
+    matching the SQL RANGE frame)."""
+    days, sums, _, _ = _daily(v, d)
+    prefix = np.concatenate([[0], np.cumsum(sums)])
+    lo = np.searchsorted(days, days - 4, side="left")
+    win = prefix[np.arange(1, days.size + 1)] - prefix[lo]
+    return float(sql_round(win.max() / 100.0, ROUND))
+
+
+def _r_nn(thr_key: str):
+    def fn(v: np.ndarray, d: np.ndarray, p: dict) -> int:
+        _, sums, _, _ = _daily(v, d)
+        return int((sums >= int(round(p[thr_key] * 100.0))).sum())
+    return fn
+
+
+def _r99ptot(v: np.ndarray, d: np.ndarray, p: dict) -> float:
+    q = np.percentile(v, 99.0)
+    return float(sql_round(_cents(v[v > q]).sum() / 100.0, ROUND))
+
+
+def _txn(v: np.ndarray, d: np.ndarray, p: dict) -> float:
+    _, _, dmax, _ = _daily(v, d)
+    return float(dmax.min())
+
+
+def _tnx(v: np.ndarray, d: np.ndarray, p: dict) -> float:
+    _, _, _, dmin = _daily(v, d)
+    return float(dmin.max())
+
+
+register_index("rx1day", _rx1day)
+register_index("rx5day", _rx5day)
+register_index("r10mm", _r_nn("r10_thr"))
+register_index("r20mm", _r_nn("r20_thr"))
+register_index("r99ptot", _r99ptot)
+register_index("r75p", lambda v, d, p: int((v > np.percentile(v, 75.0)).sum()))
+register_index("txn", _txn)
+register_index("tnx", _tnx)
+
+
 def climate_indices(ds, entity_col: str = "user_id", ts_col: str = "ts",
                     value_col: str = "value", indices: list[str] | None = None,
                     order_tiebreak: str = "event_id", **params):
@@ -303,6 +375,24 @@ def climate_indices_sql(table: str = "events", entity_col: str = "user_id",
             sel.append(f"sum(CASE WHEN {v} < q10 THEN 1 ELSE 0 END) AS tg10p")
         elif n in ("wsdi", "csdi"):
             sel.append(f"coalesce(max(spell_{n}_tot), 0) AS {n}")
+        elif n == "rx1day":
+            sel.append(f"round(max(rx1_c) / 100.0, {ROUND}) AS rx1day")
+        elif n == "rx5day":
+            sel.append("max(rx5day_v) AS rx5day")
+        elif n == "r10mm":
+            sel.append("max(r10_cnt) AS r10mm")
+        elif n == "r20mm":
+            sel.append("max(r20_cnt) AS r20mm")
+        elif n == "r99ptot":
+            sel.append(f"round(sum(CASE WHEN {v} > q99 THEN"
+                       f" CAST(round({v} * 100.0) AS BIGINT) ELSE 0 END)"
+                       f" / 100.0, {ROUND}) AS r99ptot")
+        elif n == "r75p":
+            sel.append(f"sum(CASE WHEN {v} > q75 THEN 1 ELSE 0 END) AS r75p")
+        elif n == "txn":
+            sel.append("max(txn_v) AS txn")
+        elif n == "tnx":
+            sel.append("max(tnx_v) AS tnx")
     run_cmp = {
         "cdd": f"{v} < {p['wet_thr']!r}",
         "cwd": f"{v} >= {p['wet_thr']!r}",
@@ -361,6 +451,21 @@ spell_{n} AS (
   GROUP BY {e}
 )"""
         runs_joins += f" LEFT JOIN spell_{n} USING ({e})"
+    if "rx5day" in names:
+        # calendar-5-day windows anchored at each PRESENT day: the
+        # integer-day RANGE frame sums present days in [d-4, d]
+        # (missing days contribute 0 on both sides)
+        runs_ctes += f""",
+rx5 AS (
+  SELECT {e}, round(max(win_c) / 100.0, {ROUND}) AS rx5day_v
+  FROM (SELECT {e},
+               sum(sum_c) OVER (PARTITION BY {e} ORDER BY dayi
+                                RANGE BETWEEN 4 PRECEDING AND CURRENT ROW) AS win_c
+        FROM (SELECT {e}, datediff('day', DATE '1970-01-01', day) AS dayi,
+                     sum_c FROM days))
+  GROUP BY {e}
+)"""
+        runs_joins += f" LEFT JOIN rx5 USING ({e})"
     if "vdtr" in names:
         runs_ctes += f""",
 vd AS (
@@ -381,21 +486,43 @@ vd AS (
         group_extra += ", day_rng_avg"
     if "vdtr" in names:
         group_extra += ", vdtr_val"
+    if "rx1day" in names:
+        group_extra += ", rx1_c"
+    if "rx5day" in names:
+        group_extra += ", rx5day_v"
+    if "r10mm" in names:
+        group_extra += ", r10_cnt"
+    if "r20mm" in names:
+        group_extra += ", r20_cnt"
+    if "txn" in names:
+        group_extra += ", txn_v"
+    if "tnx" in names:
+        group_extra += ", tnx_v"
+    r10c = int(round(p["r10_thr"] * 100.0))
+    r20c = int(round(p["r20_thr"] * 100.0))
     base = f"""
 WITH base AS (
   SELECT {e}, {t}, {order_tiebreak}, {v},
          CAST({t} AS DATE) AS day,
          quantile_cont({v}, 0.95) OVER (PARTITION BY {e}) AS q95,
          quantile_cont({v}, 0.90) OVER (PARTITION BY {e}) AS q90,
-         quantile_cont({v}, 0.10) OVER (PARTITION BY {e}) AS q10
+         quantile_cont({v}, 0.10) OVER (PARTITION BY {e}) AS q10,
+         quantile_cont({v}, 0.99) OVER (PARTITION BY {e}) AS q99,
+         quantile_cont({v}, 0.75) OVER (PARTITION BY {e}) AS q75
   FROM {table}
 ),
 days AS (
-  SELECT {e}, day, CAST(round((max({v}) - min({v})) * 100.0) AS BIGINT) AS rng_c
+  SELECT {e}, day, CAST(round((max({v}) - min({v})) * 100.0) AS BIGINT) AS rng_c,
+         sum(CAST(round({v} * 100.0) AS BIGINT)) AS sum_c,
+         max({v}) AS dmax, min({v}) AS dmin
   FROM base GROUP BY {e}, day
 ),
 day_stats AS (
-  SELECT {e}, (sum(rng_c) / 100.0) / count(*) AS day_rng_avg FROM days GROUP BY {e}
+  SELECT {e}, (sum(rng_c) / 100.0) / count(*) AS day_rng_avg,
+         max(sum_c) AS rx1_c, min(dmax) AS txn_v, max(dmin) AS tnx_v,
+         sum(CASE WHEN sum_c >= {r10c} THEN 1 ELSE 0 END) AS r10_cnt,
+         sum(CASE WHEN sum_c >= {r20c} THEN 1 ELSE 0 END) AS r20_cnt
+  FROM days GROUP BY {e}
 ){runs_ctes}
 SELECT b.{e} AS {e}, {", ".join(sel)}
 FROM base b LEFT JOIN day_stats USING ({e}){runs_joins}

@@ -280,3 +280,28 @@ def test_convolve_short_entity(ray_session):
     assert len(out) == 6
     one = out[out["user_id"] == 2]["convolved"].iloc[0]
     assert one == pytest.approx(10.0 * 0.5)  # centered tap only
+
+
+def test_third_tranche_index_kernels():
+    """Hand-computed values for rx1day/rx5day/r10mm/r20mm/r99ptot/
+    r75p/txn/tnx, incl. a calendar gap inside the rx5day window."""
+    import numpy as np
+    from ocgis_ray.functions import climate
+
+    # days 0,0,1,5,6 (gap 2-4): values chosen for distinct daily stats
+    d = np.array(["2020-01-01", "2020-01-01", "2020-01-02",
+                  "2020-01-06", "2020-01-07"], dtype="datetime64[D]")
+    v = np.array([40.0, 70.0, 90.0, 120.0, 10.0])
+    p = dict(climate.DEFAULTS)
+    # daily sums: 110, 90, 120, 10
+    assert climate._INDEX_FUNCS["rx1day"](v, d, p) == 120.0
+    # calendar-5-day windows ending at each present day:
+    #   d0: 110; d1: 200; d5: 90+120=210; d6: 120+10=130  -> max 210
+    assert climate._INDEX_FUNCS["rx5day"](v, d, p) == 210.0
+    assert climate._INDEX_FUNCS["r10mm"](v, d, p) == 2   # sums 110,120 >= 100
+    assert climate._INDEX_FUNCS["r20mm"](v, d, p) == 0   # no daily sum >= 200
+    assert climate._INDEX_FUNCS["txn"](v, d, p) == 10.0  # min of day maxes (70,90,120,10)
+    assert climate._INDEX_FUNCS["tnx"](v, d, p) == 120.0  # max of day mins (40,90,120,10)
+    q99 = np.percentile(v, 99.0)
+    assert climate._INDEX_FUNCS["r99ptot"](v, d, p) == float(np.sum(v[v > q99]))
+    assert climate._INDEX_FUNCS["r75p"](v, d, p) == int((v > np.percentile(v, 75.0)).sum())
