@@ -381,6 +381,118 @@ def dedup_survivors(ds, pairs, id_col: str = "doc_id",
                          join_type="left_anti", num_partitions=num_partitions)
 
 
+def connected_components(pairs, id_a: str = "doc_a", id_b: str = "doc_b",
+                         max_rounds: int = 25, num_buckets: int | None = None):
+    """Distributed connected components over a near-dup pair graph:
+    (id, component) with component = MIN doc id in the component.
+
+    The transitive-closure dedup semantics big corpus pipelines use
+    (cluster near-dup pairs, keep one doc per cluster) — stricter than
+    the greedy pairwise :func:`dedup_survivors`: in the chain a-b, b-c
+    with ids 1<2<3, greedy keeps {1,2} (2's only smaller neighbor is
+    dropped late) while components keep {1}.
+
+    Hash-min label propagation: every round each node takes the min
+    label among itself and its neighbors — two bucketed task shuffles
+    per round (attach neighbor labels; combine per node), labels
+    materialized between rounds (the working set is one row per doc
+    APPEARING IN A PAIR, far smaller than the corpus).  Converges in
+    O(component diameter) rounds — near-dup clusters are dense, so
+    measured rounds are 2-4; ``max_rounds`` bounds pathological chains
+    and the loop stops early on a converged round (changed == 0,
+    computed as a Dataset aggregate, never a driver materialization).
+    """
+    from ocgis_ray.sources.io import bucketed_group_apply
+
+    def seed(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[id_a].to_numpy(np.int64)
+        b = df[id_b].to_numpy(np.int64)
+        ids = np.concatenate([a, b])
+        return pd.DataFrame({"id": ids, "label": ids})
+
+    def edge_rows(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[id_a].to_numpy(np.int64)
+        b = df[id_b].to_numpy(np.int64)
+        return pd.DataFrame({"key": np.concatenate([a, b]),
+                             "src": np.concatenate([b, a]),
+                             "label": np.full(2 * len(a), -1, np.int64)})
+
+    def first_per_id(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates("id")
+
+    labels = bucketed_group_apply(
+        pairs.map_batches(seed, batch_format="pandas"), "id", first_per_id,
+        num_buckets=num_buckets).materialize()
+    edges = pairs.map_batches(edge_rows, batch_format="pandas").materialize()
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        nodes = g[g["src"] == -2]
+        lab = pd.Series(nodes["label"].to_numpy(np.int64),
+                        index=nodes["key"].to_numpy(np.int64))
+        es = g[g["src"] != -2]
+        out_id = np.concatenate([nodes["key"].to_numpy(np.int64),
+                                 es["src"].to_numpy(np.int64)])
+        out_cand = np.concatenate([nodes["label"].to_numpy(np.int64),
+                                   lab.loc[es["key"].to_numpy(np.int64)]
+                                   .to_numpy(np.int64)])
+        out_self = np.concatenate([np.ones(len(nodes), np.int8),
+                                   np.zeros(len(es), np.int8)])
+        return pd.DataFrame({"id": out_id, "cand": out_cand,
+                             "is_self": out_self})
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        gg = g.groupby("id", sort=False)
+        new = gg["cand"].min()
+        old = g[g["is_self"] == 1].set_index("id")["cand"]
+        out = pd.DataFrame({"id": new.index.to_numpy(np.int64),
+                            "label": new.to_numpy(np.int64)})
+        out["changed"] = (new.to_numpy(np.int64)
+                          < old.loc[new.index].to_numpy(np.int64)).astype(np.int64)
+        return out
+
+    for _ in range(max_rounds):
+        def as_node(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"key": df["id"].to_numpy(np.int64),
+                                 "src": np.full(len(df), -2, np.int64),
+                                 "label": df["label"].to_numpy(np.int64)})
+
+        unioned = labels.map_batches(as_node, batch_format="pandas").union(edges)
+        msgs = bucketed_group_apply(unioned, "key", attach,
+                                    num_buckets=num_buckets)
+        new_labels = bucketed_group_apply(msgs, "id", combine,
+                                          num_buckets=num_buckets).materialize()
+        changed = new_labels.sum("changed", ignore_nulls=True) or 0
+        labels = new_labels.drop_columns(["changed"]).materialize()
+        if changed == 0:
+            break
+    return labels.map_batches(
+        lambda df: df.rename(columns={"label": "component"}),
+        batch_format="pandas")
+
+
+def dedup_cluster_survivors(ds, pairs, id_col: str = "doc_id",
+                            num_partitions: int | None = None,
+                            max_rounds: int = 25,
+                            num_buckets: int | None = None):
+    """Keep ONE doc per near-dup cluster (the component's min id):
+    connected components over the pair graph, then a hash-shuffle
+    anti-join removing every doc whose component label is a smaller
+    id.  Transitive-closure semantics; see :func:`dedup_survivors`
+    for the cheaper greedy pairwise variant."""
+    from ocgis_ray.sources.io import join_datasets
+
+    comp = connected_components(pairs, max_rounds=max_rounds,
+                                num_buckets=num_buckets)
+
+    def loser_rows(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df["component"].to_numpy(np.int64) < df["id"].to_numpy(np.int64)
+        return pd.DataFrame({"loser_id": df["id"].to_numpy(np.int64)[keep]})
+
+    losers = comp.map_batches(loser_rows, batch_format="pandas")
+    return join_datasets(ds, losers, on=(id_col,), right_on=("loser_id",),
+                         join_type="left_anti", num_partitions=num_partitions)
+
+
 # ------------------------------------------------------------------ simhash
 
 _POPCOUNT_LUT = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)

@@ -162,3 +162,97 @@ def test_simhash_vectorized_matches_naive(ray_session):
             if votes * 2 > len(toks):
                 sig |= np.uint64(1) << np.uint64(b)
         assert got[i] == sig, i
+
+
+# ------------------------------------------------ connected components
+
+def _local_components(edges):
+    """Reference union-find on the driver."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_connected_components_random_graph(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from ocgis_ray.stages.dedup import connected_components
+
+    rng = np.random.RandomState(7)
+    edges = [(int(a), int(b)) for a, b in rng.randint(0, 60, (80, 2))
+             if a != b]
+    pairs = rd.from_pandas(pd.DataFrame(edges, columns=["doc_a", "doc_b"]))
+    got = connected_components(pairs, num_buckets=4).to_pandas()
+    want = _local_components(edges)
+    assert dict(zip(got["id"], got["component"])) == want
+
+
+def test_connected_components_chain_and_empty(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from ocgis_ray.stages.dedup import connected_components
+
+    # worst-case diameter: a 12-node chain — min label must walk the
+    # whole chain (one hop per round)
+    chain = [(i, i + 1) for i in range(11)]
+    pairs = rd.from_pandas(pd.DataFrame(chain, columns=["doc_a", "doc_b"]))
+    got = connected_components(pairs, num_buckets=4).to_pandas()
+    assert set(got["component"]) == {0} and len(got) == 12
+
+    empty = rd.from_pandas(pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                                         "doc_b": pd.Series([], dtype=np.int64)}))
+    assert connected_components(empty, num_buckets=4).count() == 0
+
+
+def test_cluster_vs_greedy_survivors(ray_session):
+    """chain 1-2, 2-3: transitive clustering keeps {1}; greedy pairwise
+    keeps {1, 2} (documented semantic difference)."""
+    import pandas as pd
+    import ray.data as rd
+    from ocgis_ray.stages.dedup import dedup_cluster_survivors, dedup_survivors
+
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(1, 5, dtype=np.int64),
+        "text": ["a", "b", "c", "d"]}))
+    pairs = rd.from_pandas(pd.DataFrame({
+        "doc_a": np.array([1, 2], np.int64),
+        "doc_b": np.array([2, 3], np.int64)}))
+    cluster = set(dedup_cluster_survivors(docs, pairs, num_buckets=4)
+                  .to_pandas()["doc_id"])
+    greedy = set(dedup_survivors(docs, pairs).to_pandas()["doc_id"])
+    assert cluster == {1, 4}
+    assert greedy == {1, 4}  # 2 and 3 are each the max of a pair
+
+
+def test_cluster_survivors_on_minhash_pairs(ray_session, sf_dir):
+    """end-to-end: minhash near-dup pairs -> components -> one doc per
+    cluster; survivors + losers partition the corpus."""
+    from ocgis_ray.sources.io import read_parquet_sized
+    from ocgis_ray.stages.dedup import (connected_components,
+                                        dedup_cluster_survivors,
+                                        minhash_near_duplicates)
+
+    docs = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+    pairs = minhash_near_duplicates(docs, threshold=0.5).materialize()
+    n_docs = docs.count()
+    surv = dedup_cluster_survivors(docs, pairs, num_buckets=4).to_pandas()
+    comp = connected_components(pairs, num_buckets=4).to_pandas()
+    in_pairs = set(comp["id"])
+    # every component's min id survives; every other member is dropped
+    mins = set(comp["component"])
+    dropped = in_pairs - mins
+    got = set(surv["doc_id"])
+    assert mins <= got and not (dropped & got)
+    assert len(surv) == n_docs - len(dropped)
