@@ -116,10 +116,9 @@ register_index(
 
 def _dtr(v: np.ndarray, d: np.ndarray, p: dict) -> float:
     # d arrives sorted (series sorted by ts) -> day segments are
-    # contiguous; reduceat max/min beats two pandas groupbys ~20x
-    starts = np.flatnonzero(np.concatenate([[True], d[1:] != d[:-1]]))
-    rng = np.maximum.reduceat(v, starts) - np.minimum.reduceat(v, starts)
-    return float(sql_round((_cents(rng).sum() / 100.0) / rng.size, ROUND))
+    # contiguous; shares the memoized daily reduceat aggregates
+    rng_c = _day_ranges_cents(v, d, p)
+    return float(sql_round((rng_c.sum() / 100.0) / rng_c.size, ROUND))
 
 
 def _r95ptot(v: np.ndarray, d: np.ndarray, p: dict) -> float:
@@ -142,17 +141,19 @@ def _spell_total(mask: np.ndarray, min_len: int) -> int:
     return int(lens[lens >= min_len].sum())
 
 
-def _day_ranges_cents(v: np.ndarray, d: np.ndarray) -> np.ndarray:
+def _day_ranges_cents(v: np.ndarray, d: np.ndarray,
+                      p: dict | None = None) -> np.ndarray:
     """Per-day (max-min) in exact integer cents; d arrives ts-sorted
-    so day segments are contiguous (see _dtr)."""
-    starts = np.flatnonzero(np.concatenate([[True], d[1:] != d[:-1]]))
-    rng = np.maximum.reduceat(v, starts) - np.minimum.reduceat(v, starts)
-    return _cents(rng)
+    so day segments are contiguous.  Built on the memoized daily
+    aggregates — dmax/dmin come from the same reduceat segmentation
+    the standalone computation used, so values are bit-identical."""
+    _, _, dmax, dmin = _daily(v, d, p)
+    return _cents(dmax - dmin)
 
 
 def _vdtr(v: np.ndarray, d: np.ndarray, p: dict) -> float:
     """Mean absolute day-to-day difference of the daily range (vDTR)."""
-    rc = _day_ranges_cents(v, d)
+    rc = _day_ranges_cents(v, d, p)
     if rc.size < 2:
         return 0.0
     diffs = np.abs(np.diff(rc))
@@ -213,18 +214,31 @@ DEFAULTS["r10_thr"] = 100.0   # daily-total "heavy" threshold (R10mm)
 DEFAULTS["r20_thr"] = 200.0   # daily-total "very heavy" threshold (R20mm)
 
 
-def _daily(v: np.ndarray, d: np.ndarray):
+def _daily(v: np.ndarray, d: np.ndarray, p: dict | None = None):
     """(day_int64, day_sum_cents, day_max, day_min) — d arrives
-    ts-sorted so day segments are contiguous (see _dtr)."""
+    ts-sorted so day segments are contiguous (see _dtr).
+
+    Six kernels read the same daily aggregates; when ``p`` is the
+    per-entity params dict :func:`climate_indices` passes (a fresh
+    copy per entity), the tuple is computed once and memoized in it.
+    The cache is validated against the array identities so direct
+    kernel calls with a shared dict stay correct."""
+    if p is not None:
+        hit = p.get("_daily_cache")
+        if hit is not None and hit[0] is v and hit[1] is d:
+            return hit[2]
     starts = np.flatnonzero(np.concatenate([[True], d[1:] != d[:-1]]))
-    return (d[starts].astype(np.int64),
-            np.add.reduceat(_cents(v), starts),
-            np.maximum.reduceat(v, starts),
-            np.minimum.reduceat(v, starts))
+    out = (d[starts].astype(np.int64),
+           np.add.reduceat(_cents(v), starts),
+           np.maximum.reduceat(v, starts),
+           np.minimum.reduceat(v, starts))
+    if p is not None:
+        p["_daily_cache"] = (v, d, out)
+    return out
 
 
 def _rx1day(v: np.ndarray, d: np.ndarray, p: dict) -> float:
-    _, sums, _, _ = _daily(v, d)
+    _, sums, _, _ = _daily(v, d, p)
     return float(sql_round(sums.max() / 100.0, ROUND))
 
 
@@ -232,7 +246,7 @@ def _rx5day(v: np.ndarray, d: np.ndarray, p: dict) -> float:
     """Max CALENDAR-5-day precipitation total: for each present day d,
     the sum over present days in [d-4, d] (missing days contribute 0,
     matching the SQL RANGE frame)."""
-    days, sums, _, _ = _daily(v, d)
+    days, sums, _, _ = _daily(v, d, p)
     prefix = np.concatenate([[0], np.cumsum(sums)])
     lo = np.searchsorted(days, days - 4, side="left")
     win = prefix[np.arange(1, days.size + 1)] - prefix[lo]
@@ -241,7 +255,7 @@ def _rx5day(v: np.ndarray, d: np.ndarray, p: dict) -> float:
 
 def _r_nn(thr_key: str):
     def fn(v: np.ndarray, d: np.ndarray, p: dict) -> int:
-        _, sums, _, _ = _daily(v, d)
+        _, sums, _, _ = _daily(v, d, p)
         return int((sums >= int(round(p[thr_key] * 100.0))).sum())
     return fn
 
@@ -252,12 +266,12 @@ def _r99ptot(v: np.ndarray, d: np.ndarray, p: dict) -> float:
 
 
 def _txn(v: np.ndarray, d: np.ndarray, p: dict) -> float:
-    _, _, dmax, _ = _daily(v, d)
+    _, _, dmax, _ = _daily(v, d, p)
     return float(dmax.min())
 
 
 def _tnx(v: np.ndarray, d: np.ndarray, p: dict) -> float:
-    _, _, _, dmin = _daily(v, d)
+    _, _, _, dmin = _daily(v, d, p)
     return float(dmin.max())
 
 

@@ -388,9 +388,9 @@ def connected_components(pairs, id_a: str = "doc_a", id_b: str = "doc_b",
 
     The transitive-closure dedup semantics big corpus pipelines use
     (cluster near-dup pairs, keep one doc per cluster) — stricter than
-    the greedy pairwise :func:`dedup_survivors`: in the chain a-b, b-c
-    with ids 1<2<3, greedy keeps {1,2} (2's only smaller neighbor is
-    dropped late) while components keep {1}.
+    the greedy pairwise :func:`dedup_survivors`: for pairs (1,3) and
+    (3,2), greedy drops only 3 (the max of each pair) and keeps both 1
+    and 2, while components see {1,2,3} as one cluster and keep 1.
 
     Hash-min label propagation: every round each node takes the min
     label among itself and its neighbors — two bucketed task shuffles
@@ -398,9 +398,12 @@ def connected_components(pairs, id_a: str = "doc_a", id_b: str = "doc_b",
     materialized between rounds (the working set is one row per doc
     APPEARING IN A PAIR, far smaller than the corpus).  Converges in
     O(component diameter) rounds — near-dup clusters are dense, so
-    measured rounds are 2-4; ``max_rounds`` bounds pathological chains
-    and the loop stops early on a converged round (changed == 0,
-    computed as a Dataset aggregate, never a driver materialization).
+    measured rounds are 2-4; the loop stops early on a converged round
+    (changed == 0, computed as a Dataset aggregate, never a driver
+    materialization) and RAISES if ``max_rounds`` is exhausted before
+    convergence — silently returning split components would make
+    :func:`dedup_cluster_survivors` keep several docs from one true
+    cluster, the exact bug this function exists to prevent.
     """
     from ocgis_ray.sources.io import bucketed_group_apply
 
@@ -450,8 +453,11 @@ def connected_components(pairs, id_a: str = "doc_a", id_b: str = "doc_b",
                           < old.loc[new.index].to_numpy(np.int64)).astype(np.int64)
         return out
 
+    changed = None
     for _ in range(max_rounds):
         def as_node(df: pd.DataFrame) -> pd.DataFrame:
+            # the `changed` column from the previous round (absent in
+            # round 1) rides along in `labels` and is simply not read
             return pd.DataFrame({"key": df["id"].to_numpy(np.int64),
                                  "src": np.full(len(df), -2, np.int64),
                                  "label": df["label"].to_numpy(np.int64)})
@@ -459,14 +465,19 @@ def connected_components(pairs, id_a: str = "doc_a", id_b: str = "doc_b",
         unioned = labels.map_batches(as_node, batch_format="pandas").union(edges)
         msgs = bucketed_group_apply(unioned, "key", attach,
                                     num_buckets=num_buckets)
-        new_labels = bucketed_group_apply(msgs, "id", combine,
-                                          num_buckets=num_buckets).materialize()
-        changed = new_labels.sum("changed", ignore_nulls=True) or 0
-        labels = new_labels.drop_columns(["changed"]).materialize()
+        labels = bucketed_group_apply(msgs, "id", combine,
+                                      num_buckets=num_buckets).materialize()
+        changed = labels.sum("changed", ignore_nulls=True) or 0
         if changed == 0:
             break
+    if changed:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds "
+            f"({changed} labels still changing — a component chain longer "
+            "than max_rounds); raise max_rounds")
     return labels.map_batches(
-        lambda df: df.rename(columns={"label": "component"}),
+        lambda df: df.rename(columns={"label": "component"})
+        .drop(columns=["changed"], errors="ignore"),
         batch_format="pandas")
 
 

@@ -340,17 +340,22 @@ def layer_to_dataset(polys: list[Polygon], num_blocks: int | None = None):
     return ds.repartition(min(n, max(1, len(blobs))))
 
 
-def _cover_rows(batch: pa.Table, res: int) -> pa.Table:
+def _cover_rows(batch: pa.Table, res: int, keep_touches: bool = True) -> pa.Table:
     """COVER stage kernel: packed parts -> (cell, ugid, full, blob)
     rows.  Boundary rows carry the part blob (the exact test needs the
     geometry in the cell's bucket); full rows carry b'' — at res 7+ the
     full cells dominate, so the shuffled geometry volume tracks the
-    polygon PERIMETER, not its area."""
+    polygon PERIMETER, not its area.  Under ``keep_touches=False`` the
+    probe demotes full cells to the exact test (shared-edge semantics,
+    see ``_match_matrix``), so full rows must ship the geometry too —
+    that mode pays an area-proportional shuffle by construction."""
     cells, ugids, fulls, blobs = [], [], [], []
+    full_blob_of = (lambda blob: b"") if keep_touches else (lambda blob: blob)
     for ugid, blob in zip(batch["ugid"].to_pylist(), batch["blob"].to_pylist()):
         part = unpack_part(blob, ugid)
         cov = cover_polygon(part, res)
-        for arr, is_full, b in ((cov.full, 1, b""), (cov.boundary, 0, blob)):
+        for arr, is_full, b in ((cov.full, 1, full_blob_of(blob)),
+                                (cov.boundary, 0, blob)):
             if arr.size:
                 cells.append(arr.astype(np.int64))
                 ugids.append(np.full(arr.size, ugid, np.int64))
@@ -413,7 +418,7 @@ def spatial_join_partitioned(
     layer_ds = layer_to_dataset(layer) if isinstance(layer, list) else layer
 
     cellmap = layer_ds.map_batches(
-        lambda b: _cover_rows(b, res), batch_format="pyarrow",
+        lambda b: _cover_rows(b, res, keep_touches), batch_format="pyarrow",
         zero_copy_batch=True)
 
     def project_cellmap(t: pa.Table) -> pa.Table:
@@ -465,6 +470,7 @@ def spatial_join_partitioned(
                 cell_full.setdefault(cell, []).append(ugid)
             else:
                 cell_boundary.setdefault(cell, []).append(ugid)
+            if blob:  # boundary rows always; full rows when keep_touches=False
                 seen = parts.setdefault(ugid, {})
                 if blob not in seen:
                     seen[blob] = unpack_part(blob, ugid)

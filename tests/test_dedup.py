@@ -216,8 +216,9 @@ def test_connected_components_chain_and_empty(ray_session):
 
 
 def test_cluster_vs_greedy_survivors(ray_session):
-    """chain 1-2, 2-3: transitive clustering keeps {1}; greedy pairwise
-    keeps {1, 2} (documented semantic difference)."""
+    """pairs (1,3),(3,2): greedy drops only 3 (the max of each pair)
+    and keeps 1 AND 2; transitive clustering sees {1,2,3} as one
+    cluster and keeps only 1 — the documented semantic difference."""
     import pandas as pd
     import ray.data as rd
     from ocgis_ray.stages.dedup import dedup_cluster_survivors, dedup_survivors
@@ -226,13 +227,24 @@ def test_cluster_vs_greedy_survivors(ray_session):
         "doc_id": np.arange(1, 5, dtype=np.int64),
         "text": ["a", "b", "c", "d"]}))
     pairs = rd.from_pandas(pd.DataFrame({
-        "doc_a": np.array([1, 2], np.int64),
-        "doc_b": np.array([2, 3], np.int64)}))
+        "doc_a": np.array([1, 3], np.int64),
+        "doc_b": np.array([3, 2], np.int64)}))
     cluster = set(dedup_cluster_survivors(docs, pairs, num_buckets=4)
                   .to_pandas()["doc_id"])
     greedy = set(dedup_survivors(docs, pairs).to_pandas()["doc_id"])
     assert cluster == {1, 4}
-    assert greedy == {1, 4}  # 2 and 3 are each the max of a pair
+    assert greedy == {1, 2, 4}
+
+
+def test_connected_components_raises_on_round_exhaustion(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from ocgis_ray.stages.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(11)]
+    pairs = rd.from_pandas(pd.DataFrame(chain, columns=["doc_a", "doc_b"]))
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_rounds=3, num_buckets=4)
 
 
 def test_cluster_survivors_on_minhash_pairs(ray_session, sf_dir):

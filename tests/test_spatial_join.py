@@ -313,3 +313,29 @@ def test_partitioned_layer_as_dataset(ray_session, sf_dir):
                                   num_buckets=8).to_pandas()
     bc = spatial_join(ds, polys, how="inner", concurrency=2).to_pandas()
     assert _pairs(pt) == _pairs(bc)
+
+
+def test_partitioned_full_cell_keep_touches_false(ray_session):
+    """regression: under keep_touches=False the probe demotes FULL
+    cells to the exact test, so full-cell rows must ship geometry too.
+    world_regions has full cells at res 7 (quadrants does not); a high
+    bucket count isolates full cells from their part's boundary rows,
+    which crashed (KeyError) before the fix."""
+    import ray.data as rd
+    from ocgis_ray.sources import cabinet
+    from ocgis_ray.stages.spatial_join import (build_index, spatial_join,
+                                               spatial_join_partitioned)
+
+    polys = cabinet.layer("world_regions")
+    idx = build_index(polys, res=7)
+    assert any(a.size for a in idx.full.values())  # fixture sanity
+    rng = np.random.RandomState(3)
+    lon = rng.uniform(-180, 180, 500)
+    lat = rng.uniform(-85, 85, 500)
+    ds = rd.from_arrow(probe_batch(lon, lat))
+    bc = spatial_join(ds, polys, how="inner", keep_touches=False,
+                      concurrency=2).to_pandas()
+    pt = spatial_join_partitioned(ds, polys, how="inner",
+                                  keep_touches=False,
+                                  num_buckets=256).to_pandas()
+    assert _pairs(pt) == _pairs(bc) and len(pt) > 0
