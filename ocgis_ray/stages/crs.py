@@ -253,8 +253,75 @@ def tm_inverse(x, y, lon0: float, k0: float = 0.9996,
     return np.degrees(lon), np.degrees(lat)
 
 
+def _aea_q(sinp: np.ndarray | float):
+    """Snyder 3-12: the authalic-latitude q function (ellipsoidal
+    equal-area kernel).  Exact identity: the ellipsoid's surface area
+    between two parallels over Δλ is a²·Δλ·(q2−q1)/2 — the equal-area
+    test in tests/test_crs.py leans on this."""
+    e = WGS84_E
+    return (1.0 - WGS84_E2) * (
+        sinp / (1.0 - WGS84_E2 * sinp ** 2)
+        - (1.0 / (2.0 * e)) * np.log((1.0 - e * sinp) / (1.0 + e * sinp)))
+
+
+def _aea_consts(lat1: float, lat2: float, lat0: float):
+    """EPSG 9822 (Albers Equal Area conic) projection constants."""
+    def m(phi):
+        return np.cos(phi) / np.sqrt(1.0 - WGS84_E2 * np.sin(phi) ** 2)
+
+    p1, p2, p0 = np.radians(lat1), np.radians(lat2), np.radians(lat0)
+    m1, m2 = float(m(p1)), float(m(p2))
+    q1, q2 = float(_aea_q(np.sin(p1))), float(_aea_q(np.sin(p2)))
+    if abs(lat1 - lat2) < 1e-12:
+        n = float(np.sin(p1))
+    else:
+        n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    C = m1 * m1 + n * q1
+    rho0 = WGS84_A * float(np.sqrt(C - n * float(_aea_q(np.sin(p0))))) / n
+    return n, C, rho0
+
+
+def aea_forward(lon, lat, lon0: float = -96.0, lat0: float = 23.0,
+                lat1: float = 29.5, lat2: float = 45.5,
+                fe: float = 0.0, fn: float = 0.0):
+    """Ellipsoidal Albers Equal Area conic forward (EPSG 9822, Snyder
+    14-1..14-4) — THE projection for area-preserving continental
+    analyses (defaults = EPSG:5070 CONUS Albers parameters); the
+    natural output CRS for ``area_weighted_aggregate`` results.
+    Reference analog: the proj4-backed ``variable/crs.py`` family."""
+    n, C, rho0 = _aea_consts(lat1, lat2, lat0)
+    p = np.radians(np.asarray(lat, dtype=np.float64))
+    q = _aea_q(np.sin(p))
+    rho = WGS84_A * np.sqrt(C - n * q) / n
+    th = n * (np.radians(np.asarray(lon, dtype=np.float64)) - np.radians(lon0))
+    return fe + rho * np.sin(th), fn + rho0 - rho * np.cos(th)
+
+
+def aea_inverse(x, y, lon0: float = -96.0, lat0: float = 23.0,
+                lat1: float = 29.5, lat2: float = 45.5,
+                fe: float = 0.0, fn: float = 0.0, iters: int = 10):
+    """Snyder 14-19 + 3-16 fixed-point iteration (sub-1e-9-degree
+    round-trips over CONUS at 10 iterations)."""
+    n, C, rho0 = _aea_consts(lat1, lat2, lat0)
+    e = WGS84_E
+    xs = np.asarray(x, dtype=np.float64) - fe
+    ys = rho0 - (np.asarray(y, dtype=np.float64) - fn)
+    rho = np.sign(n) * np.hypot(xs, ys)
+    th = np.arctan2(np.sign(n) * xs, np.sign(n) * ys)
+    q = (C - (rho * n / WGS84_A) ** 2) / n
+    phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+    for _ in range(iters):
+        sinp = np.sin(phi)
+        phi = phi + (1.0 - WGS84_E2 * sinp ** 2) ** 2 / (2.0 * np.cos(phi)) * (
+            q / (1.0 - WGS84_E2)
+            - sinp / (1.0 - WGS84_E2 * sinp ** 2)
+            + (1.0 / (2.0 * e)) * np.log((1.0 - e * sinp) / (1.0 + e * sinp)))
+    return np.degrees(th / n + np.radians(lon0)), np.degrees(phi)
+
+
 CrsTransformStage.TRANSFORMS["lcc_conus"] = lambda lon, lat: lcc_forward(lon, lat)
 CrsTransformStage.TRANSFORMS["utm33n"] = lambda lon, lat: utm_forward(lon, lat, 33)
+CrsTransformStage.TRANSFORMS["albers_conus"] = lambda lon, lat: aea_forward(lon, lat)
 
 
 def utm_inverse(x, y, zone: int, south: bool = False):
@@ -281,6 +348,8 @@ CRS_PAIRS: dict = {
         lambda lon, lat: rotated_pole_transform(lon, lat, -97.0, 42.5),
         lambda rl, rp: rotated_pole_transform(rl, rp, -97.0, 42.5,
                                               inverse=True)),
+    "albers_conus": (lambda lon, lat: aea_forward(lon, lat),
+                     lambda x, y: aea_inverse(x, y)),
 }
 
 

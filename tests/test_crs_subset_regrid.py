@@ -469,3 +469,42 @@ def test_area_weighted_dissolve_arg_validation(ray_session, sf_dir):
     with pytest.raises(ValueError, match="pick one"):
         area_weighted_aggregate(None, [p0], dissolve=True,
                                 with_dissolved=True)
+
+
+def test_albers_equal_area():
+    """Ellipsoidal Albers (EPSG 9822, CONUS 5070 parameters):
+    round-trip closure; origin at (0,0); the EXACT equal-area identity
+    (ellipsoid band area = a^2 * dlam * (q2-q1)/2) holds for projected
+    quads; distances are true on both standard parallels."""
+    from ocgis_ray.stages.crs import (WGS84_A, WGS84_E2, _aea_q,
+                                      aea_forward, aea_inverse)
+
+    rng = np.random.RandomState(5)
+    lon = rng.uniform(-125, -65, 500)
+    lat = rng.uniform(23, 52, 500)
+    x, y = aea_forward(lon, lat)
+    lo, la = aea_inverse(x, y)
+    assert np.abs(lo - lon).max() < 1e-9 and np.abs(la - lat).max() < 1e-9
+    x0, y0 = aea_forward(np.array([-96.0]), np.array([23.0]))
+    assert abs(x0[0]) < 1e-6 and abs(y0[0]) < 1e-6
+
+    # equal-area: a small projected quad's shoelace area equals the
+    # ellipsoidal band area (exact up to straight-edge approximation)
+    lon_q = np.array([-100.0, -99.9, -99.9, -100.0])
+    lat_q = np.array([38.0, 38.0, 38.1, 38.1])
+    qx, qy = aea_forward(lon_q, lat_q)
+    proj_area = 0.5 * abs(np.dot(qx, np.roll(qy, -1)) - np.dot(qy, np.roll(qx, -1)))
+    dlam = np.radians(0.1)
+    band = WGS84_A ** 2 * dlam * (
+        _aea_q(np.sin(np.radians(38.1))) - _aea_q(np.sin(np.radians(38.0)))) / 2.0
+    assert abs(proj_area - band) / band < 1e-5
+
+    # scale true along both standard parallels: projected distance of
+    # a 0.01-deg lon step == a * m(phi) * dlam
+    for sp in (29.5, 45.5):
+        p = np.radians(sp)
+        m = np.cos(p) / np.sqrt(1.0 - WGS84_E2 * np.sin(p) ** 2)
+        ax, ay = aea_forward(np.array([-96.0, -95.99]), np.array([sp, sp]))
+        d = np.hypot(ax[1] - ax[0], ay[1] - ay[0])
+        want = WGS84_A * m * np.radians(0.01)
+        assert abs(d - want) / want < 1e-6, sp
