@@ -126,8 +126,14 @@ def sql_spatial_join_semi() -> str:
 
 
 def q_spatial_join_anti(sf_dir: str):
-    j = spatial_join(_geo_pages(sf_dir), cabinet.layer(WORLD), how="anti", res=7)
-    return j.select_columns(["page_id"])
+    """Runs through the PARTITIONED join (large-layer path) so that
+    operator carries its own hash-exact oracle row — the broadcast
+    path is oracle-checked by inner/semi/counts, and pair-equality of
+    the two paths is pytest-asserted (tests/test_spatial_join.py)."""
+    from ocgis_ray.stages.spatial_join import spatial_join_partitioned
+
+    return spatial_join_partitioned(
+        _geo_pages(sf_dir), cabinet.layer(WORLD), how="anti", res=7)
 
 
 def sql_spatial_join_anti() -> str:
