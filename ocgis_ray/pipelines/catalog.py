@@ -677,19 +677,29 @@ def sql_dedup_exact_documents() -> str:
 
 
 def q_text_stats_documents(sf_dir: str):
+    """Per-document text stats + Gopher repetition/quality signals
+    (dup-word fraction, mean word length, stop-word fraction,
+    top-bigram character fraction, keep gate) — one fused scan, all
+    columns hash-exact vs the DuckDB twin."""
     from ocgis_ray.sources.io import read_parquet_sized
+    from ocgis_ray.stages.quality import add_quality_stats
 
     docs = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    out = text.add_text_stats(docs)
+    out = add_quality_stats(text.add_text_stats(docs))
     return out.select_columns(
-        ["doc_id", "token_count", "alpha_ratio", "punct_ratio", "quality_score"]
+        ["doc_id", "token_count", "alpha_ratio", "punct_ratio", "quality_score",
+         "dup_word_frac", "mean_word_len", "stopword_frac", "top_bigram_frac",
+         "gopher_keep"]
     )
 
 
 def sql_text_stats_documents() -> str:
-    frags = text.text_stats_sql("text")
-    cols = ",\n  ".join(f"{sql} AS {name}" for name, sql in frags.items())
-    return f"SELECT doc_id,\n  {cols}\nFROM documents"
+    from ocgis_ray.stages.quality import quality_stats_sql
+
+    frags = text.text_stats_sql("d.text")
+    extra = ",\n    ".join(f"{sql} AS {name}" for name, sql in frags.items())
+    return quality_stats_sql(col="text", table="documents", id_col="doc_id",
+                             extra_select=extra)
 
 
 def q_token_rollup_by_lang(sf_dir: str):

@@ -1,0 +1,543 @@
+"""Web-text quality filtering: repetition stats, Gopher-rule gating,
+C4-style line cleaning, PII redaction, paragraph-level dedup.
+
+First-class training-data-pipeline operators (build brief; no reference
+analog — the reference's text surface ends at scalar functions).  The
+rule set mirrors the published web-corpus pipelines:
+
+- repetition / quality signals per Gopher (Rae et al. 2021 §A1.1):
+  duplicate-word fraction, top-bigram character fraction, stop-word
+  fraction, mean word length, word-count bounds — combined into a
+  single ``gopher_keep`` gate;
+- line-level cleaning per C4 (Raffel et al. 2020 §2.2): keep lines
+  that end in terminal punctuation, have a minimum word count, and
+  contain no blocklisted substring;
+- paragraph-level exact dedup per RefinedWeb/CCNet: explode
+  paragraphs, global keep-first on content hash, reconstruct.
+
+SQL-parity notes (the driver's gate hash-compares values):
+
+- "word" means a DuckDB ``string_split(col, ' ')`` FIELD — single-space
+  separators, empty fields included — matching the existing
+  ``token_count`` parity in :mod:`ocgis_ray.stages.text`.
+- all ratios are ``sql_round``-ed to 6 digits on both sides; the
+  ``gopher_keep`` thresholds compare the ROUNDED values so the
+  boolean is reproducible bit-exactly.
+- distinct/bigram counting uses 64-bit splitmix-finalized Horner
+  hashes of the field bytes (same family as the minhash/fingerprint
+  kernels).  Distinct fields collide with probability ~n²/2⁶⁵ per
+  document (≈1e-16 at 10³ words) — the same engineering assumption
+  the dedup stages document.  Word-bigram keys are injective as
+  strings (fields contain no spaces), so hashing is the only
+  approximation.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ocgis_ray.parity import sql_round
+from ocgis_ray.stages.text import (
+    _FNV,
+    _horner_hash_bytes,
+    _mix64,
+    _string_byte_view,
+)
+
+ROUND_DIGITS = 6
+
+# Gopher-style gate thresholds, calibrated so the synthetic documents
+# table splits into a meaningful keep/drop mix (word counts 10-99,
+# dup-word fraction 0-0.72, top-bigram fraction 0.03-0.33 at sf0.01).
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 90
+GOPHER_MAX_DUP_WORD_FRAC = 0.6
+GOPHER_MAX_TOP_BIGRAM_FRAC = 0.12
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 8.0
+
+# the en profile from text.STOPWORDS, frozen in definition order so the
+# SQL twin's IN-list is reproducible
+GOPHER_STOPWORDS = ("the", "and", "of", "a", "to", "in", "is", "for", "with", "on")
+
+
+# ------------------------------------------------------------- segments
+
+def _segments(data: np.ndarray, off: np.ndarray, sep: int):
+    """Split every row of a string column's byte view on a single-byte
+    separator — DuckDB ``string_split`` semantics (empty segments kept,
+    a row with no separator is one segment).
+
+    Returns ``(starts, ends, seg_row, segs_per_row)`` — all int64,
+    row-major (segments of row 0, then row 1, ...).  Fully vectorized:
+    one pass to locate separators, O(rows + seps) index arithmetic.
+    ``sep`` must be an ASCII byte (cannot occur inside multi-byte UTF-8
+    sequences, so byte positions are char-boundary-safe)."""
+    n = len(off) - 1
+    sep_pos = np.nonzero(data == sep)[0]
+    # drop separators outside [off[0], off[-1]) (sliced views)
+    if len(sep_pos) and (sep_pos[0] < off[0] or sep_pos[-1] >= off[-1]):
+        sep_pos = sep_pos[(sep_pos >= off[0]) & (sep_pos < off[-1])]
+    sep_row = np.searchsorted(off[1:], sep_pos, side="right").astype(np.int64)
+    seps_per_row = np.bincount(sep_row, minlength=n).astype(np.int64)
+    segs_per_row = seps_per_row + 1
+    total = int(segs_per_row.sum())
+    first_idx = np.zeros(n, dtype=np.int64)
+    np.cumsum(segs_per_row[:-1], out=first_idx[1:])
+    starts = np.empty(total, dtype=np.int64)
+    ends = np.empty(total, dtype=np.int64)
+    starts[first_idx] = off[:-1]
+    ends[first_idx + segs_per_row - 1] = off[1:]
+    if len(sep_pos):
+        cum_before = np.zeros(n, dtype=np.int64)
+        np.cumsum(seps_per_row[:-1], out=cum_before[1:])
+        rank = np.arange(len(sep_pos), dtype=np.int64) - cum_before[sep_row]
+        idx = first_idx[sep_row] + 1 + rank  # segment AFTER this sep
+        starts[idx] = sep_pos + 1
+        ends[idx - 1] = sep_pos
+    seg_row = np.repeat(np.arange(n, dtype=np.int64), segs_per_row)
+    return starts, ends, seg_row, segs_per_row
+
+
+_HASH_MAX_LEN = 128
+
+
+def _hash_segments(data: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Horner polynomial hash (splitmix-finalized) per segment —
+    vectorized across segments, loop over BYTE POSITION only.  Segments
+    longer than 128 bytes hash their prefix (documented approximation;
+    natural-language words never get there)."""
+    h = np.zeros(len(starts), dtype=np.uint64)
+    if len(starts) == 0:
+        return h
+    lmax = int(min(lens.max(), _HASH_MAX_LEN))
+    d64 = data.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        for u in range(lmax):
+            act = lens > u
+            h[act] = h[act] * _FNV + d64[starts[act] + u]
+    return _mix64(h)
+
+
+def _char_counts(data: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
+    """UTF-8 char count per segment (non-continuation bytes)."""
+    is_start = ((data & 0xC0) != 0x80).astype(np.int64)
+    cum = np.zeros(len(data) + 1, dtype=np.int64)
+    np.cumsum(is_start, out=cum[1:])
+    return cum[ends] - cum[starts]
+
+
+# ------------------------------------------------- repetition / Gopher
+
+def quality_stats_arrays(text_arr) -> dict[str, np.ndarray]:
+    """Gopher-style repetition/quality signals per row, vectorized:
+
+    - ``dup_word_frac``  = 1 - distinct_fields / fields
+    - ``mean_word_len``  = (chars - (fields-1)) / fields
+    - ``stopword_frac``  = stop-word fields / fields
+    - ``top_bigram_frac`` = max over adjacent-field bigrams of
+      count·(len(w1)+len(w2)+1) / chars   (0 when < 2 fields)
+    - ``gopher_keep``    = int64 0/1 gate over the ROUNDED signals
+
+    Outputs are bit-identical to :func:`quality_stats_sql`'s DuckDB
+    twin; NULL text rows surface as a ``_null_mask`` entry."""
+    import pyarrow.compute as pc
+
+    if isinstance(text_arr, pa.ChunkedArray):
+        text_arr = text_arr.combine_chunks()
+    data, off = _string_byte_view(text_arr)
+    n = len(off) - 1
+    n_chars = pc.utf8_length(text_arr).to_numpy(zero_copy_only=False).astype(np.float64)
+    n_chars = np.nan_to_num(n_chars)  # null rows -> 0, masked below
+
+    starts, ends, frow, fper = _segments(data, off, ord(" "))
+    lens = ends - starts
+    h = _hash_segments(data, starts, lens)
+
+    # distinct fields per row: sort (row, hash), count group starts
+    order = np.lexsort((h, frow))
+    hs, rs = h[order], frow[order]
+    grp_start = np.empty(len(hs), dtype=bool)
+    if len(hs):
+        grp_start[0] = True
+        grp_start[1:] = (hs[1:] != hs[:-1]) | (rs[1:] != rs[:-1])
+    distinct = np.bincount(rs[grp_start], minlength=n).astype(np.float64)
+
+    fper_f = fper.astype(np.float64)
+    dup_word_frac = 1.0 - distinct / fper_f
+    mean_word_len = (n_chars - (fper_f - 1.0)) / fper_f
+
+    stop_table = np.sort(np.asarray(
+        [_horner_hash_bytes(w.encode(), max_len=_HASH_MAX_LEN) for w in GOPHER_STOPWORDS],
+        dtype=np.uint64))
+    pos = np.minimum(np.searchsorted(stop_table, h), stop_table.size - 1)
+    member = (stop_table[pos] == h).astype(np.float64)
+    stopword_frac = np.bincount(frow, weights=member, minlength=n) / fper_f
+
+    # top-bigram character coverage
+    clen = _char_counts(data, starts, ends)
+    top_cov = np.zeros(n, dtype=np.float64)
+    if len(h) > 1:
+        adj = frow[:-1] == frow[1:]
+        if adj.any():
+            with np.errstate(over="ignore"):
+                bh = _mix64(h[:-1][adj] * _FNV + h[1:][adj])
+            brow = frow[:-1][adj]
+            blen = (clen[:-1][adj] + clen[1:][adj] + 1).astype(np.float64)
+            border = np.lexsort((bh, brow))
+            bh, brow, blen = bh[border], brow[border], blen[border]
+            gstart = np.empty(len(bh), dtype=bool)
+            gstart[0] = True
+            gstart[1:] = (bh[1:] != bh[:-1]) | (brow[1:] != brow[:-1])
+            gidx = np.nonzero(gstart)[0]
+            counts = np.diff(np.append(gidx, len(bh))).astype(np.float64)
+            cov = counts * blen[gidx]
+            grow = brow[gidx]
+            # per-row max over this row's groups (grow is sorted)
+            row_start = np.nonzero(np.r_[True, grow[1:] != grow[:-1]])[0]
+            maxes = np.maximum.reduceat(cov, row_start)
+            top_cov[grow[row_start]] = maxes
+    top_bigram_frac = np.where(n_chars > 0, top_cov / np.maximum(n_chars, 1.0), 0.0)
+
+    dup_word_frac = sql_round(dup_word_frac, ROUND_DIGITS)
+    mean_word_len = sql_round(mean_word_len, ROUND_DIGITS)
+    stopword_frac = sql_round(stopword_frac, ROUND_DIGITS)
+    top_bigram_frac = sql_round(top_bigram_frac, ROUND_DIGITS)
+
+    keep = (
+        (fper >= GOPHER_MIN_WORDS) & (fper <= GOPHER_MAX_WORDS)
+        & (dup_word_frac <= GOPHER_MAX_DUP_WORD_FRAC)
+        & (stopword_frac > 0.0)
+        & (top_bigram_frac <= GOPHER_MAX_TOP_BIGRAM_FRAC)
+        & (mean_word_len >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (mean_word_len <= GOPHER_MAX_MEAN_WORD_LEN)
+    ).astype(np.int64)
+
+    out = {
+        "dup_word_frac": dup_word_frac,
+        "mean_word_len": mean_word_len,
+        "stopword_frac": stopword_frac,
+        "top_bigram_frac": top_bigram_frac,
+        "gopher_keep": keep,
+    }
+    if text_arr.null_count:
+        out["_null_mask"] = pc.is_null(text_arr).to_numpy(zero_copy_only=False)
+    return out
+
+
+def add_quality_stats(ds, col: str = "text"):
+    """Append the Gopher repetition/quality columns (see
+    :func:`quality_stats_arrays`); NULL text rows yield NULL stats."""
+
+    def f(t: pa.Table) -> pa.Table:
+        stats = quality_stats_arrays(t[col])
+        isnull = stats.pop("_null_mask", None)
+        for name, vals in stats.items():
+            t = t.append_column(
+                name, pa.array(vals, mask=isnull) if isnull is not None else pa.array(vals))
+        return t
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def gopher_filter(ds, col: str = "text"):
+    """Rows passing the Gopher gate (stats computed, gate applied,
+    stat columns dropped — the filter shape a cleaning pipeline uses)."""
+    def f(t: pa.Table) -> pa.Table:
+        stats = quality_stats_arrays(t[col])
+        keep = stats["gopher_keep"].astype(bool)
+        if "_null_mask" in stats:
+            keep &= ~stats["_null_mask"]
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def quality_stats_sql(col: str = "text", table: str = "documents",
+                      id_col: str = "doc_id",
+                      extra_select: str = "") -> str:
+    """Full DuckDB twin of :func:`quality_stats_arrays` over ``table``
+    (CTE-shaped: the top-bigram coverage needs a per-bigram group-by).
+    ``extra_select`` appends further select-list fragments computed
+    over ``d`` (e.g. the text_stats fragments) to the outer query."""
+    sw = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    split = f"string_split(d.{col}, ' ')"
+    nf = f"len({split})"
+    r = ROUND_DIGITS
+    extra = f",\n  {extra_select}" if extra_select else ""
+    return f"""
+WITH f AS (
+  SELECT {id_col}, string_split({col}, ' ') AS l,
+         CAST(length({col}) AS DOUBLE) AS n
+  FROM {table}
+),
+w AS (
+  SELECT {id_col}, n, unnest(l) AS w, unnest(range(1, len(l) + 1)) AS i FROM f
+),
+bg AS (
+  SELECT a.{id_col} AS {id_col}, a.n AS n, a.w || ' ' || b.w AS bg
+  FROM w a JOIN w b ON a.{id_col} = b.{id_col} AND b.i = a.i + 1
+),
+cov AS (
+  SELECT {id_col}, n, bg, CAST(count(*) * length(bg) AS DOUBLE) AS cov
+  FROM bg GROUP BY {id_col}, n, bg
+),
+tb AS (
+  SELECT f.{id_col} AS {id_col},
+         CASE WHEN f.n IS NULL THEN NULL
+              ELSE round(coalesce(max(cov.cov) / f.n, 0.0), {r}) END AS top_bigram_frac
+  FROM f LEFT JOIN cov ON f.{id_col} = cov.{id_col}
+  GROUP BY f.{id_col}, f.n
+),
+q AS (
+  SELECT d.{id_col} AS {id_col},
+    round(1.0 - CAST(len(list_distinct({split})) AS DOUBLE) / {nf}, {r}) AS dup_word_frac,
+    round((CAST(length(d.{col}) AS DOUBLE) - ({nf} - 1)) / {nf}, {r}) AS mean_word_len,
+    round(CAST(len(list_filter({split}, x -> x IN ({sw}))) AS DOUBLE) / {nf}, {r}) AS stopword_frac,
+    {nf} AS _nf,
+    tb.top_bigram_frac AS top_bigram_frac{extra}
+  FROM {table} d JOIN tb ON d.{id_col} = tb.{id_col}
+)
+SELECT * EXCLUDE (_nf),
+  CAST((_nf >= {GOPHER_MIN_WORDS} AND _nf <= {GOPHER_MAX_WORDS}
+        AND dup_word_frac <= {GOPHER_MAX_DUP_WORD_FRAC}
+        AND stopword_frac > 0.0
+        AND top_bigram_frac <= {GOPHER_MAX_TOP_BIGRAM_FRAC}
+        AND mean_word_len >= {GOPHER_MIN_MEAN_WORD_LEN}
+        AND mean_word_len <= {GOPHER_MAX_MEAN_WORD_LEN}) AS BIGINT) AS gopher_keep
+FROM q
+"""
+
+
+# --------------------------------------------------------- C4 line rules
+
+C4_TERMINAL = b".!?\"'"
+C4_MIN_WORDS = 3
+C4_BLOCKLIST = ("lorem ipsum", "{", "javascript")
+
+
+def _find_substring_starts(data: np.ndarray, pattern: bytes) -> np.ndarray:
+    """Byte positions where ``pattern`` starts — vectorized sliding
+    compare (len(pattern) shifted equality passes over the batch's
+    byte view); hits spanning a row/segment boundary are the caller's
+    job to mask (segments are newline-separated, and patterns contain
+    no newlines, so a cross-LINE hit is impossible by construction)."""
+    m = len(pattern)
+    if len(data) < m:
+        return np.empty(0, dtype=np.int64)
+    hit = data[: len(data) - m + 1] == pattern[0]
+    for j in range(1, m):
+        hit &= data[j: len(data) - m + 1 + j] == pattern[j]
+    return np.nonzero(hit)[0].astype(np.int64)
+
+
+def c4_line_filter(ds, col: str = "text", min_words: int = C4_MIN_WORDS,
+                   terminal: bytes = C4_TERMINAL,
+                   blocklist: tuple[str, ...] = C4_BLOCKLIST,
+                   drop_empty_docs: bool = True):
+    """C4-style line cleaning (Raffel et al. 2020 §2.2), vectorized.
+
+    Splits ``col`` on ``\\n``; keeps lines that (a) end in a terminal-
+    punctuation byte, (b) contain >= ``min_words`` space-split fields,
+    and (c) contain no blocklisted substring (case-sensitive);
+    reconstructs the document from the kept lines.  Whole-batch
+    kernels: one segment pass, byte-LUT predicates, a single
+    fancy-gather rebuild — no per-row Python.
+
+    SQL twin (pytest parity):
+    ``array_to_string(list_filter(string_split(text, chr(10)),
+    l -> <same predicates>), chr(10))``."""
+    term_set = frozenset(terminal)
+    bl = tuple(b.encode() for b in blocklist)
+
+    def f(t: pa.Table) -> pa.Table:
+        arr = t[col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        data, off = _string_byte_view(arr)
+        n = len(off) - 1
+        starts, ends, lrow, lper = _segments(data, off, ord("\n"))
+        lens = ends - starts
+
+        # (a) terminal punctuation: last byte of a non-empty line
+        term_lut = np.zeros(256, dtype=bool)
+        term_lut[list(term_set)] = True
+        nonempty = lens > 0
+        keep = np.zeros(len(starts), dtype=bool)
+        keep[nonempty] = term_lut[data[ends[nonempty] - 1]]
+
+        # (b) word count: spaces within the line + 1
+        sp = np.zeros(len(data) + 1, dtype=np.int64)
+        np.cumsum(data == ord(" "), out=sp[1:])
+        keep &= (sp[ends] - sp[starts] + 1) >= min_words
+
+        # (c) blocklist substrings -> owning line
+        for pat in bl:
+            hits = _find_substring_starts(data, pat)
+            if len(hits):
+                li = np.searchsorted(starts, hits, side="right") - 1
+                inside = (hits + len(pat)) <= ends[li]
+                keep[li[inside]] = False
+
+        # rebuild: kept lines joined by \n, per row
+        kstart, klen, krow = starts[keep], lens[keep], lrow[keep]
+        kper = np.bincount(krow, minlength=n).astype(np.int64)
+        out_len = np.bincount(krow, weights=klen, minlength=n).astype(np.int64) \
+            + np.maximum(kper - 1, 0)
+        new_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(out_len, out=new_off[1:])
+        total = int(new_off[-1])
+        out = np.full(total, ord("\n"), dtype=np.uint8)
+        if len(kstart):
+            # dest start of each kept line: row base + within-row prefix
+            # of (len+1) minus the current line's own (len+1)
+            g = klen + 1
+            cg = np.cumsum(g)
+            row_first = np.zeros(n, dtype=np.int64)
+            np.cumsum(kper[:-1], out=row_first[1:])  # first kept-line idx per row
+            base_cg = np.where(kper > 0, np.r_[0, cg][row_first], 0)
+            prefix = cg - g - base_cg[krow]
+            dest = new_off[krow] + prefix
+            # gather all line bytes with one fancy index
+            tot_bytes = int(klen.sum())
+            rep_dest = np.repeat(dest, klen)
+            rep_src = np.repeat(kstart, klen)
+            within = np.arange(tot_bytes, dtype=np.int64) \
+                - np.repeat(np.r_[0, np.cumsum(klen)[:-1]], klen)
+            out[rep_dest + within] = data[rep_src + within]
+        validity = None
+        if arr.null_count:
+            import pyarrow.compute as pc
+            validity = pc.is_valid(arr).combine_chunks() if isinstance(
+                arr, pa.ChunkedArray) else pc.is_valid(arr)
+        new_arr = pa.Array.from_buffers(
+            pa.string(), n,
+            [validity.buffers()[1] if validity is not None else None,
+             pa.py_buffer(new_off.astype(np.int32).tobytes()),
+             pa.py_buffer(out.tobytes())])
+        idx = t.schema.get_field_index(col)
+        t = t.set_column(idx, col, new_arr)
+        if drop_empty_docs:
+            import pyarrow.compute as pc
+            t = t.filter(pc.greater(pc.utf8_length(pc.fill_null(t[col], "")), 0))
+        return t
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def c4_line_filter_sql(col: str = "text", min_words: int = C4_MIN_WORDS,
+                       blocklist: tuple[str, ...] = C4_BLOCKLIST) -> str:
+    """DuckDB expression twin of :func:`c4_line_filter` (the kept-and-
+    rejoined text), for parity tests."""
+    not_blocked = " AND ".join(
+        f"NOT contains(l, '{b.replace(chr(39), chr(39) * 2)}')" for b in blocklist)
+    pred = (f"len(string_split(l, ' ')) >= {min_words} "
+            "AND regexp_matches(l, '[.!?\"'']$') "
+            f"AND {not_blocked}")
+    return (f"array_to_string(list_filter(string_split({col}, chr(10)), "
+            f"l -> {pred}), chr(10))")
+
+
+# ------------------------------------------------------------ PII redact
+
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    # RE2-compatible (no lookaround/backrefs) so the DuckDB twin
+    # regexp_replace(..., 'g') matches byte-for-byte
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\+?\d{3}[- ]\d{3}[- ]\d{4}\b", "<PHONE>"),
+)
+
+
+class PiiRedactStage:
+    """Actor-pool PII scrub: patterns compiled once per actor,
+    applied via pandas' C-level ``str.replace`` per batch.  Pattern
+    order matters (emails before phones — an email can contain
+    digits); the DuckDB twin applies ``regexp_replace(..., 'g')`` in
+    the same order."""
+
+    def __init__(self, col: str = "text",
+                 patterns: tuple[tuple[str, str], ...] = PII_PATTERNS):
+        self.col = col
+        self.compiled = [(re.compile(p), tok) for p, tok in patterns]
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        s = df[self.col]
+        for pat, tok in self.compiled:
+            s = s.str.replace(pat, tok, regex=True)
+        df = df.copy()
+        df[self.col] = s
+        return df
+
+
+def pii_redact(ds, col: str = "text", concurrency: int | None = None):
+    from ocgis_ray.tuning import auto_pool
+
+    concurrency = auto_pool() if concurrency is None else concurrency
+    return ds.map_batches(
+        PiiRedactStage, fn_constructor_kwargs={"col": col},
+        batch_format="pandas", concurrency=concurrency)
+
+
+def pii_redact_sql(col: str = "text",
+                   patterns: tuple[tuple[str, str], ...] = PII_PATTERNS) -> str:
+    expr = col
+    for pat, tok in patterns:
+        # standard-SQL string literals pass backslashes through
+        # untouched, so only quotes need escaping
+        p = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{tok}', 'g')"
+    return expr
+
+
+# ------------------------------------------------------ paragraph dedup
+
+def paragraph_dedup(ds, id_col: str = "doc_id", col: str = "text",
+                    sep: str = "\n\n", drop_empty_docs: bool = True,
+                    num_buckets: int | None = None):
+    """Cross-document paragraph-level exact dedup (RefinedWeb §G.3 /
+    CCNet shape): explode paragraphs with a 64-bit content hash,
+    GLOBAL keep-first on the hash (bucketed shuffle — the survivor is
+    the minimum ``(id_col, position)``, deterministic under resume),
+    then reconstruct each document from its surviving paragraphs.
+
+    Two hash shuffles total (dedup + regroup); nothing materializes on
+    the driver.  Hash collisions merge distinct paragraphs with
+    probability ~P²/2⁶⁵ — the repo-wide content-hash assumption."""
+    from ocgis_ray.sources.io import bucketed_group_apply, distinct_rows
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        ids: list = []
+        pos: list[int] = []
+        paras: list[str] = []
+        for i, txt in zip(df[id_col].to_numpy(), df[col].to_numpy()):
+            if txt is None or (isinstance(txt, float) and np.isnan(txt)):
+                continue
+            for j, p in enumerate(txt.split(sep)):
+                ids.append(i)
+                pos.append(j)
+                paras.append(p)
+        out = pd.DataFrame({id_col: ids, "_pos": pos, "_para": paras})
+        h = np.asarray([_horner_hash_bytes(p.encode(), max_len=1 << 30)
+                        for p in paras], dtype=np.uint64)
+        out["_ph"] = h.astype(np.int64)  # view as int64 for Arrow
+        out["_ord"] = out[id_col].astype(np.int64) * (1 << 20) + out["_pos"]
+        return out
+
+    paras = ds.map_batches(explode, batch_format="pandas")
+    kept = distinct_rows(paras, "_ph", order_col="_ord", num_buckets=num_buckets)
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_col, "_pos"], kind="mergesort")
+        joined = g.groupby(id_col, sort=True)["_para"].agg(sep.join).reset_index()
+        joined.columns = [id_col, col]
+        return joined
+
+    out = bucketed_group_apply(kept, [id_col], rebuild, num_buckets=num_buckets)
+    if drop_empty_docs:
+        out = out.filter(lambda r: len(r[col]) > 0)
+    return out

@@ -1,0 +1,266 @@
+"""Web-text quality filtering: Gopher repetition stats, C4 line
+cleaning, PII redaction, paragraph dedup — DuckDB-parity + property
+tests (stages/quality.py)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from ocgis_ray.stages.quality import (
+    C4_BLOCKLIST,
+    _segments,
+    _string_byte_view,
+    add_quality_stats,
+    c4_line_filter,
+    c4_line_filter_sql,
+    gopher_filter,
+    paragraph_dedup,
+    pii_redact,
+    pii_redact_sql,
+    quality_stats_arrays,
+    quality_stats_sql,
+)
+
+EDGE_TEXTS = [
+    "", " ", "  ", "one", "a b a b a b", "the the the",
+    "héllo wörld héllo wörld", None, "a", "x " * 50,
+    "the quick brown fox jumps over the lazy dog and runs on",
+    "日本 語 日本 語 test", "trailing space ", " leading", "a  b", "ab" * 200,
+]
+
+
+def _edge_table():
+    return pa.table({
+        "doc_id": list(range(len(EDGE_TEXTS))),
+        "text": pa.array(EDGE_TEXTS, type=pa.string()),
+    })
+
+
+# ------------------------------------------------------------- segments
+
+def test_segments_match_str_split():
+    texts = ["a b", "", " ", "x", "a  b ", "one two three"]
+    arr = pa.array(texts, type=pa.string())
+    data, off = _string_byte_view(arr)
+    starts, ends, seg_row, per = _segments(data, off, ord(" "))
+    got = [[] for _ in texts]
+    for s, e, r in zip(starts, ends, seg_row):
+        got[r].append(bytes(data[s:e]).decode())
+    assert got == [t.split(" ") for t in texts]
+    assert per.tolist() == [len(t.split(" ")) for t in texts]
+
+
+def test_segments_random_property():
+    rng = np.random.default_rng(7)
+    texts = []
+    for _ in range(200):
+        n = rng.integers(0, 30)
+        texts.append("".join(rng.choice([" ", "a", "b", "cc"], size=n)))
+    arr = pa.array(texts, type=pa.string())
+    data, off = _string_byte_view(arr)
+    starts, ends, seg_row, per = _segments(data, off, ord(" "))
+    got = [[] for _ in texts]
+    for s, e, r in zip(starts, ends, seg_row):
+        got[r].append(bytes(data[s:e]).decode())
+    assert got == [t.split(" ") for t in texts]
+
+
+# --------------------------------------------------- Gopher stats parity
+
+def _assert_stats_match_duckdb(tbl: pa.Table):
+    stats = quality_stats_arrays(tbl["text"])
+    mask = stats.pop("_null_mask", None)
+    eng = pd.DataFrame({"doc_id": tbl["doc_id"].to_numpy(), **stats})
+    if mask is not None:
+        for c in eng.columns[1:]:
+            eng.loc[mask, c] = np.nan
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    ora = con.execute(quality_stats_sql()).fetchdf()
+    con.close()
+    eng = eng.sort_values("doc_id").reset_index(drop=True)
+    ora = ora.sort_values("doc_id").reset_index(drop=True)
+    for c in ["dup_word_frac", "mean_word_len", "stopword_frac",
+              "top_bigram_frac", "gopher_keep"]:
+        a = eng[c].to_numpy(np.float64)
+        b = ora[c].to_numpy(np.float64)
+        same = (np.isnan(a) & np.isnan(b)) | (a == b)
+        assert same.all(), (c, np.nonzero(~same)[0])
+
+
+def test_quality_stats_edge_cases_bit_exact():
+    _assert_stats_match_duckdb(_edge_table())
+
+
+def test_quality_stats_real_documents_bit_exact():
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                        columns=["doc_id", "text"])
+    _assert_stats_match_duckdb(tbl)
+    # the gate must split, not rubber-stamp
+    keep = quality_stats_arrays(tbl["text"])["gopher_keep"]
+    assert 0.05 < keep.mean() < 0.95
+
+
+def test_quality_stats_random_texts_bit_exact():
+    rng = np.random.default_rng(11)
+    vocab = ["the", "a", "on", "zq", "wordy", "bb", "ccc", "dddd", "ée"]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(1, 40)))
+             for _ in range(300)]
+    tbl = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    _assert_stats_match_duckdb(tbl)
+
+
+def test_add_quality_stats_and_filter(ray_session):
+    import ray.data as rd
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = add_quality_stats(ds).to_pandas()
+    assert {"dup_word_frac", "mean_word_len", "stopword_frac",
+            "top_bigram_frac", "gopher_keep"} <= set(out.columns)
+    kept = gopher_filter(ds).to_pandas()
+    assert len(kept) == int(out["gopher_keep"].sum())
+    assert 0 < len(kept) < len(out)
+
+
+# ------------------------------------------------------- C4 line filter
+
+C4_DOCS = [
+    "Good sentence here today.\nshort\nThis line has javascript inside it.\n"
+    "Another proper long sentence!",
+    "no terminal punctuation at all\nstill none",
+    "Only one good line stays right here.",
+    "",
+    "Has a { brace so it dies here.\nBut this survives just fine?",
+    'Quoted line is kept as well."\nlorem ipsum dolor sit amet etc.',
+    "Ends with period.\n\nEmpty line above.",
+]
+
+
+def _c4_expected(texts):
+    con = duckdb.connect()
+    con.register("t", pa.table({"i": list(range(len(texts))),
+                                "text": pa.array(texts, type=pa.string())}))
+    expr = c4_line_filter_sql("text")
+    df = con.execute(f"SELECT i, {expr} AS cleaned FROM t ORDER BY i").fetchdf()
+    con.close()
+    return df
+
+
+def test_c4_line_filter_matches_duckdb(ray_session):
+    import ray.data as rd
+
+    texts = C4_DOCS + [
+        " ".join(["Filler words line ending well."] * 3),
+        "Tab\there but still ends with a word count of nine total.",
+    ]
+    ds = rd.from_pandas(pd.DataFrame({
+        "i": list(range(len(texts))), "text": texts}))
+    got = c4_line_filter(ds, drop_empty_docs=False).to_pandas() \
+        .sort_values("i").reset_index(drop=True)
+    # DuckDB's array_to_string yields NULL for an empty kept-list where
+    # the engine yields '' — normalize that representational difference
+    exp = _c4_expected(texts)["cleaned"].fillna("")
+    assert got["text"].tolist() == exp.tolist()
+
+
+def test_c4_drops_empty_docs(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_pandas(pd.DataFrame({"i": [0, 1], "text": [
+        "no punct no keep", "This one is kept fine."]}))
+    out = c4_line_filter(ds).to_pandas()
+    assert out["i"].tolist() == [1]
+
+
+def test_c4_blocklist_cannot_match_across_rows(ray_session):
+    import ray.data as rd
+
+    # adjacent rows in one buffer: "...lorem" | "ipsum..." must NOT
+    # form a blocklist hit spanning the row boundary
+    a = "This line would end in lorem"
+    b = "ipsum starts here but line is clean and long enough."
+    ds = rd.from_pandas(pd.DataFrame({"i": [0, 1], "text": [a + ".", b]}))
+    out = c4_line_filter(ds, drop_empty_docs=False).to_pandas() \
+        .sort_values("i")
+    assert out["text"].tolist() == [a + ".", b]
+    assert "lorem ipsum" in C4_BLOCKLIST
+
+
+# ---------------------------------------------------------- PII redact
+
+PII_DOCS = [
+    "contact me at john.doe+spam@example.co.uk or on 555-123-4567 now",
+    "server at 192.168.0.1 and also 8.8.8.8.",
+    "no pii here at all",
+    "mixed a@b.io then +358 555-123-4567 then 10.0.0.255 done",
+    "",
+]
+
+
+def test_pii_redact_matches_duckdb(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_pandas(pd.DataFrame({
+        "i": list(range(len(PII_DOCS))), "text": PII_DOCS}))
+    got = pii_redact(ds, concurrency=1).to_pandas() \
+        .sort_values("i").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", pa.table({"i": list(range(len(PII_DOCS))),
+                                "text": PII_DOCS}))
+    exp = con.execute(
+        f"SELECT i, {pii_redact_sql('text')} AS r FROM t ORDER BY i").fetchdf()
+    con.close()
+    assert got["text"].tolist() == exp["r"].tolist()
+    assert "<EMAIL>" in got["text"][0] and "<PHONE>" in got["text"][0]
+    assert got["text"][1].count("<IP>") == 2
+
+
+# ------------------------------------------------------ paragraph dedup
+
+def _para_dedup_local(docs, sep="\n\n"):
+    seen = {}
+    order = []
+    for i, txt in docs:
+        for j, p in enumerate(txt.split(sep)):
+            key = p
+            if key not in seen:
+                seen[key] = (i, j)
+    out = {}
+    for i, txt in docs:
+        kept = [p for j, p in enumerate(txt.split(sep))
+                if seen[p] == (i, j)]
+        if kept:
+            out[i] = sep.join(kept)
+    return out
+
+
+def test_paragraph_dedup_matches_local_reference(ray_session):
+    import ray.data as rd
+
+    docs = [
+        (0, "alpha\n\nbeta\n\ngamma"),
+        (1, "beta\n\ndelta"),          # beta deduped (doc 0 owns it)
+        (2, "alpha\n\nbeta"),          # everything deduped -> dropped
+        (3, "epsilon"),
+        (4, "delta\n\nalpha\n\nzeta"),
+    ]
+    ds = rd.from_pandas(pd.DataFrame(
+        {"doc_id": [i for i, _ in docs], "text": [t for _, t in docs]}))
+    got = paragraph_dedup(ds, num_buckets=4).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    exp = _para_dedup_local(docs)
+    assert dict(zip(got["doc_id"], got["text"])) == exp
+
+
+def test_paragraph_dedup_within_doc_repeats(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_pandas(pd.DataFrame({
+        "doc_id": [7], "text": ["same\n\nsame\n\nother"]}))
+    got = paragraph_dedup(ds, num_buckets=2).to_pandas()
+    assert got["text"].tolist() == ["same\n\nother"]
