@@ -308,18 +308,28 @@ def q_spatiotemporal_subset_pages(sf_dir: str):
     spatiotemporal request): pure filters, no geometry work."""
     from ocgis_ray.stages.subset import bbox_filter
 
+    from ocgis_ray.stages.url import parse_url
+
     ds = bbox_filter(_geo_pages(sf_dir), *BBOX)
     ds = temporal.time_range_filter(
         ds, "warc_ts", "2024-03-01T00:00:00", "2024-06-30T23:59:59"
     )
-    return _ts_us(ds, "warc_ts", "warc_ts_us").select_columns(["page_id", "warc_ts_us"])
+    # URL parsing rides the subset result (the crawl-pipeline shape:
+    # filter first, parse the survivors)
+    ds = parse_url(_ts_us(ds, "warc_ts", "warc_ts_us"))
+    return ds.select_columns(["page_id", "warc_ts_us", "url_host", "url_domain"])
 
 
 def sql_spatiotemporal_subset_pages() -> str:
+    from ocgis_ray.stages.url import parse_url_sql
+
     x0, y0, x1, y1 = BBOX
+    frags = parse_url_sql("url")
     return (
         f"{geo_cte(REPS)}\n"
-        f"SELECT page_id, epoch_us(warc_ts) AS warc_ts_us FROM geo\n"
+        f"SELECT page_id, epoch_us(warc_ts) AS warc_ts_us,\n"
+        f"  {frags['url_host']} AS url_host, {frags['url_domain']} AS url_domain\n"
+        f"FROM geo\n"
         f"WHERE lon >= {x0!r} AND lon <= {x1!r} AND lat >= {y0!r} AND lat <= {y1!r}\n"
         "AND warc_ts >= TIMESTAMP '2024-03-01 00:00:00' AND warc_ts <= TIMESTAMP '2024-06-30 23:59:59'"
     )
@@ -686,10 +696,11 @@ def q_text_stats_documents(sf_dir: str):
 
     docs = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = add_quality_stats(text.add_text_stats(docs))
+    out = text.add_bpe_token_count(out)
     return out.select_columns(
         ["doc_id", "token_count", "alpha_ratio", "punct_ratio", "quality_score",
          "dup_word_frac", "mean_word_len", "stopword_frac", "top_bigram_frac",
-         "gopher_keep"]
+         "gopher_keep", "bpe_token_count"]
     )
 
 
@@ -697,6 +708,7 @@ def sql_text_stats_documents() -> str:
     from ocgis_ray.stages.quality import quality_stats_sql
 
     frags = text.text_stats_sql("d.text")
+    frags["bpe_token_count"] = text.bpe_token_count_sql("d.text")
     extra = ",\n    ".join(f"{sql} AS {name}" for name, sql in frags.items())
     return quality_stats_sql(col="text", table="documents", id_col="doc_id",
                              extra_select=extra)
@@ -706,15 +718,17 @@ def q_token_rollup_by_lang(sf_dir: str):
     from ocgis_ray.sources.io import read_parquet_sized
 
     docs = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"])
-    stats = text.add_text_stats(docs)
+    stats = text.add_bpe_token_count(text.add_text_stats(docs))
     agg = grouped_aggregate(
         stats,
         ["lang"],
-        {"n_docs": (None, "count"), "sum_tokens": ("token_count", "sum")},
+        {"n_docs": (None, "count"), "sum_tokens": ("token_count", "sum"),
+         "sum_bpe_tokens": ("bpe_token_count", "sum")},
     )
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
         df["sum_tokens"] = df["sum_tokens"].astype(np.int64)
+        df["sum_bpe_tokens"] = df["sum_bpe_tokens"].astype(np.int64)
         return df
 
     return agg.map_batches(finalize, batch_format="pandas")
@@ -722,8 +736,10 @@ def q_token_rollup_by_lang(sf_dir: str):
 
 def sql_token_rollup_by_lang() -> str:
     tokens = text.text_stats_sql("text")["token_count"]
+    bpe = text.bpe_token_count_sql("text")
     return (
-        f"SELECT lang, count(*) AS n_docs, CAST(sum({tokens}) AS BIGINT) AS sum_tokens\n"
+        f"SELECT lang, count(*) AS n_docs, CAST(sum({tokens}) AS BIGINT) AS sum_tokens,\n"
+        f"  CAST(sum({bpe}) AS BIGINT) AS sum_bpe_tokens\n"
         "FROM documents GROUP BY lang"
     )
 

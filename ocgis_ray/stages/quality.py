@@ -541,3 +541,26 @@ def paragraph_dedup(ds, id_col: str = "doc_id", col: str = "text",
     if drop_empty_docs:
         out = out.filter(lambda r: len(r[col]) > 0)
     return out
+
+
+def _gather_strings(data: np.ndarray, starts: np.ndarray, lens: np.ndarray,
+                    null_mask: np.ndarray | None = None) -> pa.Array:
+    """Build a string array from (start, len) slices of a byte view —
+    one fancy-gather, no per-row Python.  Shared by the line-filter
+    rebuild and the URL parser."""
+    n = len(starts)
+    new_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=new_off[1:])
+    total = int(new_off[-1])
+    out = np.empty(total, dtype=np.uint8)
+    if total:
+        rep_src = np.repeat(starts, lens)
+        within = np.arange(total, dtype=np.int64) - np.repeat(new_off[:-1], lens)
+        out[:] = data[rep_src + within]
+    validity = None
+    if null_mask is not None and null_mask.any():
+        validity = pa.array(~null_mask).buffers()[1]
+    return pa.Array.from_buffers(
+        pa.string(), n,
+        [validity, pa.py_buffer(new_off.astype(np.int32).tobytes()),
+         pa.py_buffer(out.tobytes())])

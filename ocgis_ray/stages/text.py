@@ -323,3 +323,76 @@ def add_fingerprint(ds, col: str = "text", k: int = 8, out: str = "fingerprint")
         return t.append_column(out, pa.array(fps.view(np.int64)))
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------------- BPE-ish token count
+
+# GPT-2-family pre-tokenizer, RE2-compatible (no lookahead): an
+# optional leading space glued to a letter/digit/symbol run, or a
+# space run.  DuckDB's regexp_extract_all over this pattern counts the
+# same tokens byte-for-byte.
+BPE_SPLIT_PATTERN = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
+
+_BPE_CLS = np.full(256, 3, dtype=np.uint8)  # other
+_BPE_CLS[ord(" ")] = 0
+_BPE_CLS[ord("A"): ord("Z") + 1] = 1
+_BPE_CLS[ord("a"): ord("z") + 1] = 1
+_BPE_CLS[ord("0"): ord("9") + 1] = 2
+
+
+def bpe_token_count_arrays(text_arr) -> tuple[np.ndarray, np.ndarray | None]:
+    """Tokens per row under :data:`BPE_SPLIT_PATTERN` — vectorized run
+    counting instead of a regex engine.
+
+    The pattern's tokenization is equivalent to counting maximal
+    same-class byte runs (space / letter / digit / other; UTF-8
+    continuation bytes share the lead byte's "other" class so a
+    multi-byte char never splits a run), where a LENGTH-1 space run
+    followed by a non-space run in the same row glues onto that run
+    (" ?X+") and contributes no token of its own.  Verified
+    exhaustively against DuckDB ``len(regexp_extract_all(...))`` in
+    tests.  Returns (counts, null_mask_or_None)."""
+    import pyarrow.compute as pc
+
+    if isinstance(text_arr, pa.ChunkedArray):
+        text_arr = text_arr.combine_chunks()
+    data, off = _string_byte_view(text_arr)
+    n = len(off) - 1
+    counts = np.zeros(n, dtype=np.int64)
+    if len(data):
+        cls = _BPE_CLS[data]
+        rs = np.empty(len(data), dtype=bool)
+        rs[0] = True
+        rs[1:] = cls[1:] != cls[:-1]
+        row_starts = off[:-1][off[:-1] < len(data)]
+        rs[row_starts] = True  # runs never cross row boundaries
+        p = np.nonzero(rs)[0]
+        run_end = np.append(p[1:], len(data))
+        run_cls = cls[p]
+        run_row = np.searchsorted(off[1:], p, side="right").astype(np.int64)
+        run_len = run_end - p
+        last_in_row = run_end == off[run_row + 1]
+        glued_space = (run_cls == 0) & (run_len == 1) & ~last_in_row
+        contrib = (~glued_space).astype(np.int64)
+        counts = np.bincount(run_row, weights=contrib, minlength=n).astype(np.int64)
+    null_mask = None
+    if text_arr.null_count:
+        null_mask = pc.is_null(text_arr).to_numpy(zero_copy_only=False)
+    return counts, null_mask
+
+
+def add_bpe_token_count(ds, col: str = "text", out: str = "bpe_token_count"):
+    """Append the BPE-ish pre-tokenizer token count (see
+    :data:`BPE_SPLIT_PATTERN`); NULL text rows yield NULL."""
+
+    def f(t: pa.Table) -> pa.Table:
+        counts, mask = bpe_token_count_arrays(t[col])
+        return t.append_column(
+            out, pa.array(counts, mask=mask) if mask is not None else pa.array(counts))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def bpe_token_count_sql(col: str = "text") -> str:
+    return (f"CAST(len(regexp_extract_all({col}, "
+            f"'{BPE_SPLIT_PATTERN}')) AS BIGINT)")

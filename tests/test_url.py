@@ -1,0 +1,113 @@
+"""URL parsing / domain rollup / URL dedup (stages/url.py) and the
+BPE-ish token counter (text.add_bpe_token_count) — DuckDB parity."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ocgis_ray.stages.text import (
+    bpe_token_count_arrays,
+    bpe_token_count_sql,
+)
+from ocgis_ray.stages.url import (
+    dedup_by_url,
+    domain_rollup,
+    parse_url,
+    parse_url_arrays,
+    parse_url_sql,
+)
+
+ADVERSARIAL_URLS = [
+    "https://site-3.example.com/p/42", "http://a.b/c/d?x=1#f", "ftp://host",
+    "nohost", "", None, "https://no.path.example.org/", "a://b://c/d",
+    "://x/y", "http://xn--bcher-kva.de/ü/path", "https://one/", "https://x",
+    "http://a.b.c.d.e/zz", "//proto-relative/x", "http:///emptyhost/p",
+    "https://trailing.dot./p", "s://h?q=1", "日本://ホスト/パス",
+]
+
+
+def _fuzz_urls(n=500, seed=9):
+    rng = np.random.default_rng(seed)
+    alphabet = list("ab:/. 9-é")
+    return ["".join(rng.choice(alphabet, size=rng.integers(0, 30)))
+            for _ in range(n)]
+
+
+def test_parse_url_matches_duckdb():
+    urls = ADVERSARIAL_URLS + _fuzz_urls()
+    arr = pa.array(urls, type=pa.string())
+    got = {k: v.to_pylist() for k, v in parse_url_arrays(arr).items()}
+    con = duckdb.connect()
+    con.register("t", pa.table({"i": list(range(len(urls))), "url": arr}))
+    frags = parse_url_sql("url")
+    exp = con.execute(
+        "SELECT " + ", ".join(f"{v} AS {k}" for k, v in frags.items())
+        + " FROM t ORDER BY i").fetchdf()
+    con.close()
+    for k in frags:
+        e = [None if x is None or x != x else x for x in exp[k]]
+        assert got[k] == e, k
+
+
+def test_parse_url_known_values():
+    arr = pa.array(["https://site-7.example.com/p/99"])
+    got = {k: v.to_pylist()[0] for k, v in parse_url_arrays(arr).items()}
+    assert got == {"url_scheme": "https", "url_host": "site-7.example.com",
+                   "url_path": "/p/99", "url_domain": "example.com"}
+
+
+def test_domain_rollup_and_dedup(ray_session):
+    import ray.data as rd
+
+    df = pd.DataFrame({
+        "page_id": [3, 1, 2, 4, 5],
+        "url": ["https://a.com/x", "https://a.com/x", "https://b.org/y",
+                "https://sub.a.com/z", "https://b.org/y2"],
+    })
+    ds = rd.from_pandas(df)
+    roll = domain_rollup(ds).to_pandas().sort_values("url_domain")
+    assert dict(zip(roll["url_domain"], roll["n_pages"])) == {
+        "a.com": 3, "b.org": 2}
+    kept = dedup_by_url(ds).to_pandas()
+    # exact-URL dedup keeps min page_id per URL
+    assert sorted(kept["page_id"]) == [1, 2, 4, 5]
+
+
+def test_parse_url_dataset_stage(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_pandas(pd.DataFrame({
+        "url": ["https://h.example.net/p", None]}))
+    out = parse_url(ds).to_pandas()
+    assert out["url_host"].tolist()[0] == "h.example.net"
+    assert out["url_domain"].isna().tolist() == [False, True]
+
+
+# ------------------------------------------------------ BPE token count
+
+def test_bpe_token_count_matches_duckdb():
+    rng = np.random.default_rng(5)
+    alphabet = list("ab Z9 .,!?  0  {}\t\né日")
+    texts = ["".join(rng.choice(alphabet, size=rng.integers(0, 60)))
+             for _ in range(800)]
+    texts += ["", " ", "  ", "a", " a", "a ", None, "abc123", "...", "é",
+              "日本 語", "hello world", "  double  spaced  "]
+    arr = pa.array(texts, type=pa.string())
+    counts, mask = bpe_token_count_arrays(arr)
+    con = duckdb.connect()
+    con.register("t", pa.table({"i": list(range(len(texts))), "text": arr}))
+    sql = con.execute(
+        f"SELECT {bpe_token_count_sql()} AS n FROM t ORDER BY i"
+    ).fetchdf()["n"].to_numpy(np.float64)
+    con.close()
+    eng = counts.astype(np.float64)
+    if mask is not None:
+        eng[mask] = np.nan
+    assert ((np.isnan(eng) & np.isnan(sql)) | (eng == sql)).all()
+
+
+def test_bpe_token_count_known():
+    counts, _ = bpe_token_count_arrays(pa.array(["hello world, it's 42"]))
+    # tokens: "hello", " world", ",", " it", "'", "s", " 42"
+    assert counts[0] == 7
