@@ -564,3 +564,120 @@ def _gather_strings(data: np.ndarray, starts: np.ndarray, lens: np.ndarray,
         pa.string(), n,
         [validity, pa.py_buffer(new_off.astype(np.int32).tobytes()),
          pa.py_buffer(out.tobytes())])
+
+
+# ----------------------------------------- full Gopher n-gram signals
+
+def ngram_repetition_arrays(text_arr, top_ns=(2, 3, 4),
+                            dup_ns=(5, 6, 7, 8, 9, 10)) -> dict[str, np.ndarray]:
+    """The full Gopher repetition table (Rae et al. 2021, Table A1):
+
+    - ``top_{n}gram_char_frac``: characters covered by the MOST
+      FREQUENT word n-gram (count x n-gram char length, inner spaces
+      included) / total chars;
+    - ``dup_{n}gram_char_frac``: characters covered by ANY word n-gram
+      occurring more than once — overlap-aware (each character counted
+      once, the DataTrove-style character mask), via interval stabbing
+      (+1/-1 deltas, one cumsum) rather than per-occurrence loops.
+
+    Word = DuckDB ``string_split(col, ' ')`` field, matching
+    :func:`quality_stats_arrays`.  Rows with fewer than n fields score
+    0.  NULL rows surface via ``_null_mask``.  Checked against a
+    straightforward Python reference in tests (no SQL twin — the
+    overlap union is not reasonably SQL-expressible)."""
+    import pyarrow.compute as pc
+
+    if isinstance(text_arr, pa.ChunkedArray):
+        text_arr = text_arr.combine_chunks()
+    data, off = _string_byte_view(text_arr)
+    n_rows = len(off) - 1
+    n_chars = pc.utf8_length(text_arr).to_numpy(zero_copy_only=False).astype(np.float64)
+    n_chars = np.nan_to_num(n_chars)
+    safe_chars = np.maximum(n_chars, 1.0)
+
+    starts, ends, frow, fper = _segments(data, off, ord(" "))
+    h = _hash_segments(data, starts, ends - starts)
+    clen = _char_counts(data, starts, ends)
+    is_char = ((data & 0xC0) != 0x80).astype(np.int64)
+    char_cum = np.zeros(len(data) + 1, dtype=np.int64)
+    np.cumsum(is_char, out=char_cum[1:])
+
+    out: dict[str, np.ndarray] = {}
+    all_ns = sorted(set(top_ns) | set(dup_ns))
+    nf = len(h)
+    for n in all_ns:
+        if nf >= n:
+            m = nf - n + 1
+            # an n-gram is valid iff its first and last field share a row
+            valid = frow[:m] == frow[n - 1:]
+            key = np.zeros(m, dtype=np.uint64)
+            glen = np.zeros(m, dtype=np.int64)
+            with np.errstate(over="ignore"):
+                for j in range(n):
+                    key = key * _FNV + h[j: m + j]
+                    glen += clen[j: m + j]
+            key = _mix64(key)
+            glen += n - 1  # inner separators
+            vkey, vrow = key[valid], frow[:m][valid]
+            vstart = starts[:m][valid]
+            vend = ends[n - 1:][valid]
+            vlen = glen[valid]
+            vidx = np.nonzero(valid)[0]
+        else:
+            vkey = np.empty(0, np.uint64)
+            vrow = vstart = vend = vlen = vidx = np.empty(0, np.int64)
+
+        order = np.lexsort((vkey, vrow))
+        sk, sr = vkey[order], vrow[order]
+        gstart = np.empty(len(sk), dtype=bool)
+        if len(sk):
+            gstart[0] = True
+            gstart[1:] = (sk[1:] != sk[:-1]) | (sr[1:] != sr[:-1])
+        gidx = np.nonzero(gstart)[0]
+        counts = np.diff(np.append(gidx, len(sk)))
+
+        if n in top_ns:
+            top = np.zeros(n_rows, dtype=np.float64)
+            if len(gidx):
+                cov = counts.astype(np.float64) * vlen[order][gidx]
+                grow = sr[gidx]
+                row_start = np.nonzero(np.r_[True, grow[1:] != grow[:-1]])[0]
+                top[grow[row_start]] = np.maximum.reduceat(cov, row_start)
+            out[f"top_{n}gram_char_frac"] = sql_round(
+                np.where(n_chars > 0, top / safe_chars, 0.0), ROUND_DIGITS)
+
+        if n in dup_ns:
+            dup = np.zeros(n_rows, dtype=np.float64)
+            if len(gidx):
+                occ_dup = np.repeat(counts >= 2, counts)  # sorted order
+                sel = order[occ_dup]
+                if len(sel):
+                    # mark [vstart, vend) byte spans; union via deltas
+                    delta = np.zeros(len(data) + 1, dtype=np.int64)
+                    np.add.at(delta, vstart[sel], 1)
+                    np.add.at(delta, vend[sel], -1)
+                    covered = np.cumsum(delta[:-1]) > 0
+                    marked = np.zeros(len(data) + 1, dtype=np.int64)
+                    np.cumsum(covered & (is_char > 0), out=marked[1:])
+                    dup = (marked[off[1:]] - marked[off[:-1]]).astype(np.float64)
+            out[f"dup_{n}gram_char_frac"] = sql_round(
+                np.where(n_chars > 0, dup / safe_chars, 0.0), ROUND_DIGITS)
+
+    if text_arr.null_count:
+        out["_null_mask"] = pc.is_null(text_arr).to_numpy(zero_copy_only=False)
+    return out
+
+
+def add_ngram_repetition(ds, col: str = "text", top_ns=(2, 3, 4),
+                         dup_ns=(5, 6, 7, 8, 9, 10)):
+    """Append the full Gopher n-gram repetition columns."""
+
+    def f(t: pa.Table) -> pa.Table:
+        stats = ngram_repetition_arrays(t[col], top_ns=top_ns, dup_ns=dup_ns)
+        isnull = stats.pop("_null_mask", None)
+        for name, vals in stats.items():
+            t = t.append_column(
+                name, pa.array(vals, mask=isnull) if isnull is not None else pa.array(vals))
+        return t
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

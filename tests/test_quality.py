@@ -264,3 +264,97 @@ def test_paragraph_dedup_within_doc_repeats(ray_session):
         "doc_id": [7], "text": ["same\n\nsame\n\nother"]}))
     got = paragraph_dedup(ds, num_buckets=2).to_pandas()
     assert got["text"].tolist() == ["same\n\nother"]
+
+
+# -------------------------------------------- full Gopher n-gram table
+
+def _ngram_ref(texts, top_ns=(2, 3, 4), dup_ns=(5, 6, 7, 8, 9, 10)):
+    """Slow-but-obvious reference for ngram_repetition_arrays."""
+    from collections import Counter
+
+    from ocgis_ray.parity import sql_round
+
+    out = {f"top_{n}gram_char_frac": [] for n in top_ns}
+    out.update({f"dup_{n}gram_char_frac": [] for n in dup_ns})
+    for t in texts:
+        if t is None:
+            for k in out:
+                out[k].append(np.nan)
+            continue
+        words = t.split(" ")
+        nchars = len(t)
+        # char start of each word
+        wstart, pos = [], 0
+        for w in words:
+            wstart.append(pos)
+            pos += len(w) + 1
+        for n in set(top_ns) | set(dup_ns):
+            grams = [tuple(words[i:i + n]) for i in range(len(words) - n + 1)]
+            cnt = Counter(grams)
+            if n in top_ns:
+                best = 0.0
+                for g, c in cnt.items():
+                    glen = sum(len(w) for w in g) + n - 1
+                    best = max(best, c * glen)
+                v = best / max(nchars, 1) if nchars > 0 else 0.0
+                out[f"top_{n}gram_char_frac"].append(float(sql_round(v, 6)))
+            if n in dup_ns:
+                marked = set()
+                for i, g in enumerate(grams):
+                    if cnt[g] >= 2:
+                        lo = wstart[i]
+                        hi = wstart[i + n - 1] + len(words[i + n - 1])
+                        marked.update(range(lo, hi))
+                v = len(marked) / max(nchars, 1) if nchars > 0 else 0.0
+                out[f"dup_{n}gram_char_frac"].append(float(sql_round(v, 6)))
+    return {k: np.asarray(v, dtype=np.float64) for k, v in out.items()}
+
+
+def test_ngram_repetition_matches_reference():
+    from ocgis_ray.stages.quality import ngram_repetition_arrays
+
+    rng = np.random.default_rng(23)
+    vocab = ["a", "bb", "ccc", "the", "on", "zz", "é日"]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(0, 60)))
+             for _ in range(300)]
+    texts += ["", " ", "a b a b a b a b a b a b", "one two three four five",
+              None, "x " * 30, "same same same same same same same same"]
+    arr = pa.array(texts, type=pa.string())
+    got = ngram_repetition_arrays(arr)
+    mask = got.pop("_null_mask", None)
+    exp = _ngram_ref(texts)
+    for k in exp:
+        a = got[k].astype(np.float64).copy()
+        if mask is not None:
+            a[mask] = np.nan
+        b = exp[k]
+        same = (np.isnan(a) & np.isnan(b)) | (a == b)
+        assert same.all(), (k, np.nonzero(~same)[0][:5],
+                            a[~same][:5], b[~same][:5])
+
+
+def test_ngram_repetition_known_values():
+    from ocgis_ray.stages.quality import ngram_repetition_arrays
+
+    # "ab cd ab cd ab" : top bigram ("ab","cd") count 2, len 5 -> 10/14
+    from ocgis_ray.parity import sql_round
+
+    got = ngram_repetition_arrays(pa.array(["ab cd ab cd ab"]),
+                                  top_ns=(2,), dup_ns=(2,))
+    assert got["top_2gram_char_frac"][0] == float(sql_round(10 / 14, 6))
+    # dup bigrams: ("ab","cd") x2 and ("cd","ab") x2 -> every char covered
+    assert got["dup_2gram_char_frac"][0] == 1.0
+
+
+def test_add_ngram_repetition_stage(ray_session):
+    import ray.data as rd
+
+    from ocgis_ray.stages.quality import add_ngram_repetition
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = add_ngram_repetition(ds).to_pandas()
+    assert "top_3gram_char_frac" in out and "dup_10gram_char_frac" in out
+    assert ((out["dup_5gram_char_frac"] >= 0) & (out["dup_5gram_char_frac"] <= 1)).all()
+    # dup coverage can only shrink as n grows (an n+1-dup implies an n-dup span)
+    assert (out["dup_6gram_char_frac"] <= out["dup_5gram_char_frac"] + 1e-12).all()
