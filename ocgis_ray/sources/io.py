@@ -185,10 +185,12 @@ def topk_by_group(ds, group_col: str, sort_cols: list[str], ascending: list[bool
     return bucketed_group_apply(ds, group_col, per_bucket, num_buckets=num_buckets)
 
 
-def distinct_rows(ds, keys: list[str] | str, order_col: str | None = None,
+def distinct_rows(ds, keys: list[str] | str,
+                  order_col: str | list[str] | None = None,
                   num_buckets: int | None = None):
-    """Exact distinct-by-keys keeping the first row (min ``order_col``
-    if given) — the scalable dedup shape: identical keys co-locate via
+    """Exact distinct-by-keys keeping the first row (lexicographic-min
+    ``order_col``, a column or column list, if given) — the scalable
+    dedup shape: identical keys co-locate via
     the bucket shuffle, the keep-first happens vectorized per bucket."""
     keys = [keys] if isinstance(keys, str) else list(keys)
 

@@ -123,11 +123,15 @@ def _hash_segments(data: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np
     return _mix64(h)
 
 
-def _char_counts(data: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
-    """UTF-8 char count per segment (non-continuation bytes)."""
-    is_start = ((data & 0xC0) != 0x80).astype(np.int64)
-    cum = np.zeros(len(data) + 1, dtype=np.int64)
-    np.cumsum(is_start, out=cum[1:])
+def _char_counts(data: np.ndarray, starts: np.ndarray, ends: np.ndarray,
+                 cum: np.ndarray | None = None) -> np.ndarray:
+    """UTF-8 char count per segment (non-continuation bytes).  Pass a
+    precomputed ``cum`` (cumsum of char-start flags, length
+    ``len(data)+1``) when the caller already built one."""
+    if cum is None:
+        is_start = ((data & 0xC0) != 0x80).astype(np.int64)
+        cum = np.zeros(len(data) + 1, dtype=np.int64)
+        np.cumsum(is_start, out=cum[1:])
     return cum[ends] - cum[starts]
 
 
@@ -320,19 +324,27 @@ C4_MIN_WORDS = 3
 C4_BLOCKLIST = ("lorem ipsum", "{", "javascript")
 
 
-def _find_substring_starts(data: np.ndarray, pattern: bytes) -> np.ndarray:
-    """Byte positions where ``pattern`` starts — vectorized sliding
-    compare (len(pattern) shifted equality passes over the batch's
-    byte view); hits spanning a row/segment boundary are the caller's
-    job to mask (segments are newline-separated, and patterns contain
-    no newlines, so a cross-LINE hit is impossible by construction)."""
+def _find_substring_starts(data: np.ndarray, pattern: bytes,
+                           lo: int = 0, hi: int | None = None) -> np.ndarray:
+    """Byte positions in ``[lo, hi)`` where ``pattern`` starts —
+    vectorized sliding compare (len(pattern) shifted equality passes
+    over the batch's byte view).  Callers MUST pass the slice window
+    (``off[0]``, ``off[-1]``) — sliced Arrow arrays share the parent
+    buffer, and an unclamped hit in the out-of-window bytes would be
+    attributed to a real row.  Hits spanning a row/segment boundary
+    are the caller's job to mask (patterns contain no newlines, so a
+    cross-LINE hit is impossible by construction)."""
     m = len(pattern)
     if len(data) < m:
         return np.empty(0, dtype=np.int64)
     hit = data[: len(data) - m + 1] == pattern[0]
     for j in range(1, m):
         hit &= data[j: len(data) - m + 1 + j] == pattern[j]
-    return np.nonzero(hit)[0].astype(np.int64)
+    hits = np.nonzero(hit)[0].astype(np.int64)
+    hi = len(data) if hi is None else hi
+    if len(hits) and (lo > 0 or hi < len(data)):
+        hits = hits[(hits >= lo) & (hits + m <= hi)]
+    return hits
 
 
 def c4_line_filter(ds, col: str = "text", min_words: int = C4_MIN_WORDS,
@@ -360,7 +372,7 @@ def c4_line_filter(ds, col: str = "text", min_words: int = C4_MIN_WORDS,
             arr = arr.combine_chunks()
         data, off = _string_byte_view(arr)
         n = len(off) - 1
-        starts, ends, lrow, lper = _segments(data, off, ord("\n"))
+        starts, ends, lrow, _ = _segments(data, off, ord("\n"))
         lens = ends - starts
 
         # (a) terminal punctuation: last byte of a non-empty line
@@ -375,9 +387,11 @@ def c4_line_filter(ds, col: str = "text", min_words: int = C4_MIN_WORDS,
         np.cumsum(data == ord(" "), out=sp[1:])
         keep &= (sp[ends] - sp[starts] + 1) >= min_words
 
-        # (c) blocklist substrings -> owning line
+        # (c) blocklist substrings -> owning line (window-clamped: a
+        # hit in a sliced view's out-of-window bytes must not map to
+        # line -1 / past-the-end)
         for pat in bl:
-            hits = _find_substring_starts(data, pat)
+            hits = _find_substring_starts(data, pat, int(off[0]), int(off[-1]))
             if len(hits):
                 li = np.searchsorted(starts, hits, side="right") - 1
                 inside = (hits + len(pat)) <= ends[li]
@@ -391,6 +405,10 @@ def c4_line_filter(ds, col: str = "text", min_words: int = C4_MIN_WORDS,
         new_off = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(out_len, out=new_off[1:])
         total = int(new_off[-1])
+        if total >= 1 << 31:
+            raise ValueError(
+                f"c4_line_filter batch output is {total} bytes (>= 2 GiB "
+                "int32 offset limit) — lower the stage's batch_size")
         out = np.full(total, ord("\n"), dtype=np.uint8)
         if len(kstart):
             # dest start of each kept line: row base + within-row prefix
@@ -430,13 +448,17 @@ def c4_line_filter(ds, col: str = "text", min_words: int = C4_MIN_WORDS,
 
 
 def c4_line_filter_sql(col: str = "text", min_words: int = C4_MIN_WORDS,
+                       terminal: bytes = C4_TERMINAL,
                        blocklist: tuple[str, ...] = C4_BLOCKLIST) -> str:
     """DuckDB expression twin of :func:`c4_line_filter` (the kept-and-
-    rejoined text), for parity tests."""
+    rejoined text), for parity tests.  Takes the SAME parameters so a
+    customized filter keeps a matching twin."""
     not_blocked = " AND ".join(
         f"NOT contains(l, '{b.replace(chr(39), chr(39) * 2)}')" for b in blocklist)
+    cls = "".join("\\" + chr(c) if chr(c) in "]\\^-" else chr(c)
+                  for c in terminal).replace("'", "''")
     pred = (f"len(string_split(l, ' ')) >= {min_words} "
-            "AND regexp_matches(l, '[.!?\"'']$') "
+            f"AND regexp_matches(l, '[{cls}]$') "
             f"AND {not_blocked}")
     return (f"array_to_string(list_filter(string_split({col}, chr(10)), "
             f"l -> {pred}), chr(10))")
@@ -463,7 +485,10 @@ class PiiRedactStage:
     def __init__(self, col: str = "text",
                  patterns: tuple[tuple[str, str], ...] = PII_PATTERNS):
         self.col = col
-        self.compiled = [(re.compile(p), tok) for p, tok in patterns]
+        # re.ASCII: RE2 (the DuckDB twin) treats \d/\b/\w as ASCII
+        # classes; Python defaults to Unicode-aware (e.g. \d matches
+        # Arabic-Indic digits), which would break byte-for-byte parity
+        self.compiled = [(re.compile(p, re.ASCII), tok) for p, tok in patterns]
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         s = df[self.col]
@@ -507,33 +532,51 @@ def paragraph_dedup(ds, id_col: str = "doc_id", col: str = "text",
 
     Two hash shuffles total (dedup + regroup); nothing materializes on
     the driver.  Hash collisions merge distinct paragraphs with
-    probability ~P²/2⁶⁵ — the repo-wide content-hash assumption."""
+    probability ~P²/2⁶⁵ — the repo-wide content-hash assumption.
+
+    With ``drop_empty_docs=False`` a document whose every paragraph
+    was deduped away (or whose text is NULL) survives as an EMPTY
+    string: each doc also emits a per-doc sentinel row whose hash is
+    unique, so the doc reaches the rebuild even with zero surviving
+    paragraphs."""
     from ocgis_ray.sources.io import bucketed_group_apply, distinct_rows
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
         ids: list = []
         pos: list[int] = []
         paras: list[str] = []
+        sent: list[bool] = []
         for i, txt in zip(df[id_col].to_numpy(), df[col].to_numpy()):
+            if not drop_empty_docs:
+                ids.append(i)
+                pos.append(-1)
+                paras.append(f"\x00sentinel:{i!r}")  # unique hash input
+                sent.append(True)
             if txt is None or (isinstance(txt, float) and np.isnan(txt)):
                 continue
             for j, p in enumerate(txt.split(sep)):
                 ids.append(i)
                 pos.append(j)
                 paras.append(p)
-        out = pd.DataFrame({id_col: ids, "_pos": pos, "_para": paras})
+                sent.append(False)
+        out = pd.DataFrame({id_col: ids, "_pos": pos, "_para": paras,
+                            "_sent": np.asarray(sent, dtype=bool)})
         h = np.asarray([_horner_hash_bytes(p.encode(), max_len=1 << 30)
                         for p in paras], dtype=np.uint64)
         out["_ph"] = h.astype(np.int64)  # view as int64 for Arrow
-        out["_ord"] = out[id_col].astype(np.int64) * (1 << 20) + out["_pos"]
         return out
 
     paras = ds.map_batches(explode, batch_format="pandas")
-    kept = distinct_rows(paras, "_ph", order_col="_ord", num_buckets=num_buckets)
+    # survivor = lexicographic-min (id, position) — no bit packing, so
+    # any orderable id type and any paragraph count are safe
+    kept = distinct_rows(paras, "_ph", order_col=[id_col, "_pos"],
+                         num_buckets=num_buckets)
 
     def rebuild(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([id_col, "_pos"], kind="mergesort")
-        joined = g.groupby(id_col, sort=True)["_para"].agg(sep.join).reset_index()
+        real = g[~g["_sent"]].sort_values([id_col, "_pos"], kind="mergesort")
+        joined = real.groupby(id_col, sort=True)["_para"].agg(sep.join)
+        all_ids = pd.Index(g[id_col].unique()).sort_values()
+        joined = joined.reindex(all_ids, fill_value="").reset_index()
         joined.columns = [id_col, col]
         return joined
 
@@ -552,6 +595,10 @@ def _gather_strings(data: np.ndarray, starts: np.ndarray, lens: np.ndarray,
     new_off = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(lens, out=new_off[1:])
     total = int(new_off[-1])
+    if total >= 1 << 31:
+        raise ValueError(
+            f"string batch output is {total} bytes (>= 2 GiB int32 offset "
+            "limit) — lower the stage's batch_size")
     out = np.empty(total, dtype=np.uint8)
     if total:
         rep_src = np.repeat(starts, lens)
@@ -597,10 +644,10 @@ def ngram_repetition_arrays(text_arr, top_ns=(2, 3, 4),
 
     starts, ends, frow, fper = _segments(data, off, ord(" "))
     h = _hash_segments(data, starts, ends - starts)
-    clen = _char_counts(data, starts, ends)
     is_char = ((data & 0xC0) != 0x80).astype(np.int64)
     char_cum = np.zeros(len(data) + 1, dtype=np.int64)
     np.cumsum(is_char, out=char_cum[1:])
+    clen = _char_counts(data, starts, ends, cum=char_cum)
 
     out: dict[str, np.ndarray] = {}
     all_ns = sorted(set(top_ns) | set(dup_ns))
@@ -622,10 +669,9 @@ def ngram_repetition_arrays(text_arr, top_ns=(2, 3, 4),
             vstart = starts[:m][valid]
             vend = ends[n - 1:][valid]
             vlen = glen[valid]
-            vidx = np.nonzero(valid)[0]
         else:
             vkey = np.empty(0, np.uint64)
-            vrow = vstart = vend = vlen = vidx = np.empty(0, np.int64)
+            vrow = vstart = vend = vlen = np.empty(0, np.int64)
 
         order = np.lexsort((vkey, vrow))
         sk, sr = vkey[order], vrow[order]

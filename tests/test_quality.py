@@ -358,3 +358,104 @@ def test_add_ngram_repetition_stage(ray_session):
     assert ((out["dup_5gram_char_frac"] >= 0) & (out["dup_5gram_char_frac"] <= 1)).all()
     # dup coverage can only shrink as n grows (an n+1-dup implies an n-dup span)
     assert (out["dup_6gram_char_frac"] <= out["dup_5gram_char_frac"] + 1e-12).all()
+
+
+# ------------------------------------------------- review regressions
+
+def test_sliced_array_window_clamping():
+    """Sliced Arrow arrays share the parent buffer: out-of-window
+    '://' / blocklist bytes must not be attributed to in-window rows."""
+    from ocgis_ray.stages.quality import _find_substring_starts
+    from ocgis_ray.stages.url import parse_url_arrays
+
+    full = pa.array(["x://evil{lorem ipsum", "plain", "alpha beta"])
+    sliced = full.slice(1, 2)  # window excludes the '://' and '{'
+    got = parse_url_arrays(sliced)
+    assert got["url_scheme"].to_pylist() == ["plain", "alpha beta"]
+    assert got["url_host"].to_pylist() == ["", ""]
+
+    data, off = _string_byte_view(sliced.combine_chunks()
+                                  if isinstance(sliced, pa.ChunkedArray) else sliced)
+    hits = _find_substring_starts(data, b"{", int(off[0]), int(off[-1]))
+    assert len(hits) == 0
+
+
+def test_quality_stats_on_sliced_array():
+    full = pa.array(["pre slice words", "the quick fox runs", "a b a b"])
+    sliced = full.slice(1, 2)
+    got = quality_stats_arrays(sliced)
+    whole = quality_stats_arrays(pa.array(["the quick fox runs", "a b a b"]))
+    for k in whole:
+        assert np.array_equal(got[k], whole[k]), k
+
+
+def test_pii_ascii_class_parity(ray_session):
+    """Python \\d is Unicode-aware by default; RE2 is ASCII-only — the
+    stage must compile with re.ASCII or Arabic-Indic digits diverge."""
+    import ray.data as rd
+
+    from ocgis_ray.stages.quality import pii_redact_sql
+
+    texts = ["\u0661\u0662\u0663.\u0661.\u0661.\u0661 stays",
+             "real 10.0.0.1 goes", "４５６-７８９-０１２３ fullwidth stays"]
+    ds = rd.from_pandas(pd.DataFrame({"i": [0, 1, 2], "text": texts}))
+    got = pii_redact(ds, concurrency=1).to_pandas().sort_values("i")
+    con = duckdb.connect()
+    con.register("t", pa.table({"i": [0, 1, 2], "text": texts}))
+    exp = con.execute(
+        f"SELECT {pii_redact_sql('text')} AS r FROM t ORDER BY i").fetchdf()
+    con.close()
+    assert got["text"].tolist() == exp["r"].tolist()
+    assert "<IP>" not in got["text"].tolist()[0]
+    assert "<IP>" in got["text"].tolist()[1]
+
+
+def test_paragraph_dedup_keep_empty_docs(ray_session):
+    import ray.data as rd
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["alpha\n\nbeta", "alpha\n\nbeta", None],
+    })
+    ds = rd.from_pandas(docs)
+    kept = paragraph_dedup(ds, num_buckets=2, drop_empty_docs=False) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # doc 1 fully deduped and doc 2 NULL -> both survive as ''
+    assert kept["doc_id"].tolist() == [0, 1, 2]
+    assert kept["text"].tolist() == ["alpha\n\nbeta", "", ""]
+
+
+def test_paragraph_dedup_string_ids(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_pandas(pd.DataFrame({
+        "doc_id": ["b", "a"], "text": ["shared\n\nmine", "shared"]}))
+    got = paragraph_dedup(ds, num_buckets=2).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # survivor of "shared" is lexicographic-min id "a"
+    assert dict(zip(got["doc_id"], got["text"])) == {
+        "a": "shared", "b": "mine"}
+
+
+def test_gather_strings_int32_guard():
+    from ocgis_ray.stages.quality import _gather_strings
+
+    with pytest.raises(ValueError, match="2 GiB"):
+        _gather_strings(np.zeros(8, np.uint8),
+                        np.zeros(2, np.int64),
+                        np.full(2, 1 << 30, np.int64))
+
+
+def test_c4_sql_twin_custom_terminal(ray_session):
+    import ray.data as rd
+
+    texts = ["keep this line;\ndrop this one.", "also kept;"]
+    ds = rd.from_pandas(pd.DataFrame({"i": [0, 1], "text": texts}))
+    got = c4_line_filter(ds, terminal=b";", drop_empty_docs=False) \
+        .to_pandas().sort_values("i")
+    con = duckdb.connect()
+    con.register("t", pa.table({"i": [0, 1], "text": texts}))
+    expr = c4_line_filter_sql("text", terminal=b";")
+    exp = con.execute(f"SELECT {expr} AS r FROM t ORDER BY i").fetchdf()
+    con.close()
+    assert got["text"].tolist() == exp["r"].fillna("").tolist()
