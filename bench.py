@@ -136,8 +136,21 @@ def run_queries() -> dict[str, float]:
             read_parquet_sized(f"{SF_DIR}/events.parquet"),
             "ts", 7200, 3600, keys=["event_type"], value_col="value")
 
+    def extra_quality_gate():
+        # Gopher repetition stats + gate over the MATERIALIZED 2M-page
+        # corpus (the real throughput number for the quality kernels;
+        # documents.parquet is only 5k rows at sf0.1)
+        from ocgis_ray.sources.io import read_parquet_sized
+        from ocgis_ray.stages.quality import gopher_filter
+
+        sf_tag = os.path.basename(SF_DIR.rstrip("/"))
+        path = f"/tmp/graft_bench/{sf_tag}/pages_reps{BENCH_REPS}"
+        pages = read_parquet_sized(path, columns=["text"])
+        return gopher_filter(pages).count()
+
     extras = {"heavy_hitters_events": extra_heavy_hitters,
-              "hopping_window_events": extra_hopping_window}
+              "hopping_window_events": extra_hopping_window,
+              "quality_gate_pages": extra_quality_gate}
 
     def run(name: str) -> float:
         fn = extras.get(name) or (lambda: catalog.QUERIES[name](SF_DIR))
