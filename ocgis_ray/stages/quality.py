@@ -115,11 +115,12 @@ def _hash_segments(data: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np
     if len(starts) == 0:
         return h
     lmax = int(min(lens.max(), _HASH_MAX_LEN))
-    d64 = data.astype(np.uint64)
     with np.errstate(over="ignore"):
         for u in range(lmax):
             act = lens > u
-            h[act] = h[act] * _FNV + d64[starts[act] + u]
+            # gather uint8 then let the add promote — converting the
+            # whole byte buffer to uint64 up front is an 8x temporary
+            h[act] = h[act] * _FNV + data[starts[act] + u]
     return _mix64(h)
 
 
@@ -129,9 +130,10 @@ def _char_counts(data: np.ndarray, starts: np.ndarray, ends: np.ndarray,
     precomputed ``cum`` (cumsum of char-start flags, length
     ``len(data)+1``) when the caller already built one."""
     if cum is None:
-        is_start = ((data & 0xC0) != 0x80).astype(np.int64)
         cum = np.zeros(len(data) + 1, dtype=np.int64)
-        np.cumsum(is_start, out=cum[1:])
+        # cumsum the bool mask directly — widening the whole byte
+        # buffer to int64 first costs an 8x-size temporary per batch
+        np.cumsum((data & 0xC0) != 0x80, dtype=np.int64, out=cum[1:])
     return cum[ends] - cum[starts]
 
 
@@ -644,9 +646,9 @@ def ngram_repetition_arrays(text_arr, top_ns=(2, 3, 4),
 
     starts, ends, frow, fper = _segments(data, off, ord(" "))
     h = _hash_segments(data, starts, ends - starts)
-    is_char = ((data & 0xC0) != 0x80).astype(np.int64)
+    is_char = (data & 0xC0) != 0x80
     char_cum = np.zeros(len(data) + 1, dtype=np.int64)
-    np.cumsum(is_char, out=char_cum[1:])
+    np.cumsum(is_char, dtype=np.int64, out=char_cum[1:])
     clen = _char_counts(data, starts, ends, cum=char_cum)
 
     out: dict[str, np.ndarray] = {}
@@ -704,7 +706,7 @@ def ngram_repetition_arrays(text_arr, top_ns=(2, 3, 4),
                     np.add.at(delta, vend[sel], -1)
                     covered = np.cumsum(delta[:-1]) > 0
                     marked = np.zeros(len(data) + 1, dtype=np.int64)
-                    np.cumsum(covered & (is_char > 0), out=marked[1:])
+                    np.cumsum(covered & is_char, dtype=np.int64, out=marked[1:])
                     dup = (marked[off[1:]] - marked[off[:-1]]).astype(np.float64)
             out[f"dup_{n}gram_char_frac"] = sql_round(
                 np.where(n_chars > 0, dup / safe_chars, 0.0), ROUND_DIGITS)
