@@ -214,10 +214,10 @@ def _tokenize_hash(arr, lower: bool = True) -> tuple[np.ndarray, np.ndarray, np.
     # Horner over byte position (vectorized across tokens)
     h = np.zeros(tok_starts.shape, dtype=np.uint64)
     lmax = int(min(tok_lens.max(), _TOKEN_HASH_MAX_LEN)) if tok_lens.size else 0
-    low64 = low.astype(np.uint64)
     for u in range(lmax):
         act = tok_lens > u
-        h[act] = h[act] * _FNV + low64[tok_starts[act] + u]
+        # gather uint8, let the add promote (no full-buffer widening)
+        h[act] = h[act] * _FNV + low[tok_starts[act] + u]
     h = _mix64(h)
     tok_row = np.searchsorted(off[1:], tok_starts, side="right").astype(np.int64)
     tokens_per_row = np.bincount(tok_row, minlength=n).astype(np.int64)
@@ -300,9 +300,8 @@ def add_fingerprint(ds, col: str = "text", k: int = 8, out: str = "fingerprint")
         if len(data) >= k and nz.any():
             nwin = len(data) - k + 1
             h = np.zeros(nwin, dtype=np.uint64)
-            data64 = data.astype(np.uint64)
             for u in range(k):
-                h = h * _FNV + data64[u: nwin + u]
+                h = h * _FNV + data[u: nwin + u]
             h = _mix64(h)
             cnts = valid_counts[nz]
             seg_starts = np.concatenate([[0], np.cumsum(cnts)[:-1]])
@@ -315,10 +314,9 @@ def add_fingerprint(ds, col: str = "text", k: int = 8, out: str = "fingerprint")
             s_off = off[:-1][short]
             s_len = lens[short]
             hs = np.zeros(int(short.sum()), dtype=np.uint64)
-            data64 = data.astype(np.uint64)
             for u in range(int(s_len.max()) if s_len.size else 0):
                 act = s_len > u
-                hs[act] = hs[act] * _FNV + data64[s_off[act] + u]
+                hs[act] = hs[act] * _FNV + data[s_off[act] + u]
             fps[short] = _mix64(hs)
         return t.append_column(out, pa.array(fps.view(np.int64)))
 
