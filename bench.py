@@ -148,9 +148,26 @@ def run_queries() -> dict[str, float]:
         pages = read_parquet_sized(path, columns=["text"])
         return gopher_filter(pages).count()
 
+    def extra_clean_corpus():
+        # the production cleaning cascade over the 2M-page corpus:
+        # URL dedup -> exact dedup (collapses the 10x rep structure)
+        # -> PII scrub -> Gopher gate.  near_dup is benchmarked
+        # separately (minhash_near_dup); c4 needs newline-structured
+        # text the synthetic corpus doesn't have.
+        from ocgis_ray.pipelines.cleaning import clean_corpus
+        from ocgis_ray.sources.io import read_parquet_sized
+
+        sf_tag = os.path.basename(SF_DIR.rstrip("/"))
+        path = f"/tmp/graft_bench/{sf_tag}/pages_reps{BENCH_REPS}"
+        pages = read_parquet_sized(path, columns=["page_id", "url", "text"])
+        return clean_corpus(pages, id_col="page_id", url_col="url",
+                            steps=("url_dedup", "exact_dedup", "pii",
+                                   "gopher")).count()
+
     extras = {"heavy_hitters_events": extra_heavy_hitters,
               "hopping_window_events": extra_hopping_window,
-              "quality_gate_pages": extra_quality_gate}
+              "quality_gate_pages": extra_quality_gate,
+              "clean_corpus_pages": extra_clean_corpus}
 
     def run(name: str) -> float:
         fn = extras.get(name) or (lambda: catalog.QUERIES[name](SF_DIR))

@@ -1,0 +1,76 @@
+"""End-to-end web-corpus cleaning pipeline.
+
+Composes the training-data operators into the published-pipeline order
+(C4 / Gopher / RefinedWeb; see stages/quality.py for the rule
+citations):
+
+1. URL-level exact dedup          (first pass every crawl pipeline runs)
+2. C4 line cleaning               (terminal punct / min words / blocklist)
+3. Gopher quality gate            (repetition + stop-word signals)
+4. exact content dedup            (hash-bucketed keep-first)
+5. paragraph-level exact dedup    (cross-document, global keep-first)
+6. MinHash near-dup survivors     (LSH candidates -> estimated Jaccard
+                                   -> connected components -> keep the
+                                   min-id doc per cluster)
+7. PII redaction                  (actor-pool regex scrub)
+
+Filters run BEFORE the dedup shuffles (the RefinedWeb order): the
+quality kernels then read zero-copy Arrow blocks straight off storage,
+and every all-to-all exchange carries only the surviving rows.  PII
+runs LAST so the regex pass touches nothing that later stages would
+drop (measured 2-3x on the bench corpus vs dedup-first).
+
+Every stage is a streaming Ray Data transform — the pipeline is lazy
+until consumed, nothing materializes on the driver, and each shuffle
+is hash-bucketed (see the per-stage modules for the 100-TB arguments).
+Steps are individually skippable: real corpora differ (the synthetic
+``documents`` table has no newlines, so ``c4`` would gate everything
+on terminal punctuation — callers choose).  Step application order is
+the canonical order above, independent of the tuple's order.
+"""
+
+from __future__ import annotations
+
+DEFAULT_STEPS = ("url_dedup", "c4", "gopher", "exact_dedup",
+                 "paragraph_dedup", "near_dup", "pii")
+
+
+def clean_corpus(ds, id_col: str = "doc_id", text_col: str = "text",
+                 url_col: str | None = None,
+                 steps: tuple[str, ...] = DEFAULT_STEPS,
+                 minhash_threshold: float = 0.7,
+                 num_buckets: int | None = None):
+    """Run the cleaning cascade over a documents Dataset; returns the
+    surviving documents (same schema, text possibly rewritten by the
+    pii/c4/paragraph steps).  ``url_dedup`` is skipped automatically
+    when ``url_col`` is None."""
+    unknown = set(steps) - set(DEFAULT_STEPS)
+    if unknown:
+        raise ValueError(f"unknown cleaning steps: {sorted(unknown)}")
+
+    from ocgis_ray.stages import dedup, quality
+    from ocgis_ray.stages.url import dedup_by_url
+
+    if "url_dedup" in steps and url_col is not None:
+        ds = dedup_by_url(ds, col=url_col, id_col=id_col)
+    if "c4" in steps:
+        ds = quality.c4_line_filter(ds, col=text_col)
+    if "gopher" in steps:
+        ds = quality.gopher_filter(ds, col=text_col)
+    if "exact_dedup" in steps:
+        ds = dedup.dedup_exact(ds, id_col=id_col, col=text_col)
+    if "paragraph_dedup" in steps:
+        # paragraph projection drops the other columns; re-attach them
+        # afterwards via the id hash join would cost a shuffle — at
+        # this point in the cascade only (id, text) matter downstream,
+        # so the pipeline narrows to them (document the contract)
+        ds = quality.paragraph_dedup(ds, id_col=id_col, col=text_col,
+                                     num_buckets=num_buckets)
+    if "near_dup" in steps:
+        pairs = dedup.minhash_near_duplicates(
+            ds, threshold=minhash_threshold, num_partitions=num_buckets)
+        ds = dedup.dedup_cluster_survivors(ds, pairs, id_col=id_col,
+                                           num_partitions=num_buckets)
+    if "pii" in steps:
+        ds = quality.pii_redact(ds, col=text_col)
+    return ds

@@ -375,8 +375,20 @@ def dedup_survivors(ds, pairs, id_col: str = "doc_id",
             "loser_id": np.maximum(df["doc_a"].to_numpy(), df["doc_b"].to_numpy()).astype(np.int64)
         })
 
+    # empty pair set: map_batches never runs on a row-less Dataset, so
+    # the losers side would have NO schema and the anti-join would fail
+    # on the missing key — and there is nothing to drop anyway.
+    # materialize() first: count() would otherwise re-execute the lazy
+    # candidate pipeline a second time for the losers scan
+    pairs = pairs.materialize()
+    if pairs.count() == 0:
+        return ds
     losers = distinct_rows(pairs.map_batches(loser_rows, batch_format="pandas"),
                            "loser_id")
+    # repartition unifies block schemas: map_groups emits zero-column
+    # blocks for empty shuffle partitions, which Arrow's join rejects
+    # ("no match for key field on right side")
+    losers = losers.repartition(max(2, num_partitions or 2))
     return join_datasets(ds, losers, on=(id_col,), right_on=("loser_id",),
                          join_type="left_anti", num_partitions=num_partitions)
 
@@ -492,6 +504,17 @@ def dedup_cluster_survivors(ds, pairs, id_col: str = "doc_id",
     for the cheaper greedy pairwise variant."""
     from ocgis_ray.sources.io import join_datasets
 
+    # see dedup_survivors: a row-less pair graph yields a schema-less
+    # losers side, which the anti-join rejects; nothing to drop.
+    # materialized so the count doesn't re-run the candidate pipeline
+    # (label propagation re-reads the pair set every round anyway)
+    import ray.data as rd
+
+    if isinstance(pairs, pd.DataFrame):
+        pairs = rd.from_pandas(pairs)
+    pairs = pairs.materialize()
+    if pairs.count() == 0:
+        return ds
     comp = connected_components(pairs, max_rounds=max_rounds,
                                 num_buckets=num_buckets)
 
@@ -499,7 +522,10 @@ def dedup_cluster_survivors(ds, pairs, id_col: str = "doc_id",
         keep = df["component"].to_numpy(np.int64) < df["id"].to_numpy(np.int64)
         return pd.DataFrame({"loser_id": df["id"].to_numpy(np.int64)[keep]})
 
-    losers = comp.map_batches(loser_rows, batch_format="pandas")
+    # see dedup_survivors: repartition unifies away the zero-column
+    # blocks map_groups emits for empty shuffle partitions
+    losers = comp.map_batches(loser_rows, batch_format="pandas") \
+        .repartition(max(2, num_partitions or 2))
     return join_datasets(ds, losers, on=(id_col,), right_on=("loser_id",),
                          join_type="left_anti", num_partitions=num_partitions)
 

@@ -459,3 +459,53 @@ def test_c4_sql_twin_custom_terminal(ray_session):
     exp = con.execute(f"SELECT {expr} AS r FROM t ORDER BY i").fetchdf()
     con.close()
     assert got["text"].tolist() == exp["r"].fillna("").tolist()
+
+
+# --------------------------------------------------- cleaning pipeline
+
+def test_clean_corpus_end_to_end(ray_session):
+    import ray.data as rd
+
+    from ocgis_ray.pipelines.cleaning import clean_corpus
+
+    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "text"])
+    n0 = docs.count()
+    # synthetic docs have no newlines/terminal punct -> skip c4
+    steps = ("exact_dedup", "pii", "gopher", "paragraph_dedup", "near_dup")
+    out = clean_corpus(docs, steps=steps, num_buckets=4).to_pandas()
+    assert 0 < len(out) < n0
+    # survivors are unique ids with non-empty text
+    assert out["doc_id"].is_unique
+    assert (out["text"].str.len() > 0).all()
+    # every survivor came from the input unchanged in id space
+    src = docs.to_pandas()
+    assert set(out["doc_id"]) <= set(src["doc_id"])
+    # monotone: the gopher gate alone keeps at least as many docs
+    from ocgis_ray.stages.quality import gopher_filter
+
+    assert len(out) <= gopher_filter(docs).count()
+
+
+def test_clean_corpus_unknown_step():
+    from ocgis_ray.pipelines.cleaning import clean_corpus
+
+    with pytest.raises(ValueError, match="unknown cleaning steps"):
+        clean_corpus(None, steps=("gopher", "nope"))
+
+
+def test_clean_corpus_url_dedup(ray_session):
+    import ray.data as rd
+
+    from ocgis_ray.pipelines.cleaning import clean_corpus
+
+    df = pd.DataFrame({
+        "doc_id": [2, 1, 3],
+        "url": ["https://a.com/x", "https://a.com/x", "https://b.com/y"],
+        "text": ["the quick brown fox jumps over and over the lazy dog "
+                 "with many more words to pass the gate easily " * 1,
+                 "same", "other"],
+    })
+    out = clean_corpus(rd.from_pandas(df), url_col="url",
+                       steps=("url_dedup",), num_buckets=2).to_pandas()
+    assert sorted(out["doc_id"]) == [1, 3]
