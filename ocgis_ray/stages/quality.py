@@ -42,6 +42,7 @@ import pyarrow as pa
 
 from ocgis_ray.parity import sql_round
 from ocgis_ray.stages.text import (
+    KERNEL_BATCH_SIZE,
     _FNV,
     _horner_hash_bytes,
     _mix64,
@@ -247,7 +248,8 @@ def add_quality_stats(ds, col: str = "text"):
                 name, pa.array(vals, mask=isnull) if isnull is not None else pa.array(vals))
         return t
 
-    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True,
+                        batch_size=KERNEL_BATCH_SIZE)
 
 
 def gopher_filter(ds, col: str = "text"):
@@ -260,7 +262,8 @@ def gopher_filter(ds, col: str = "text"):
             keep &= ~stats["_null_mask"]
         return t.filter(pa.array(keep))
 
-    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True,
+                        batch_size=KERNEL_BATCH_SIZE)
 
 
 def quality_stats_sql(col: str = "text", table: str = "documents",
@@ -446,7 +449,8 @@ def c4_line_filter(ds, col: str = "text", min_words: int = C4_MIN_WORDS,
             t = t.filter(pc.greater(pc.utf8_length(pc.fill_null(t[col], "")), 0))
         return t
 
-    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True,
+                        batch_size=KERNEL_BATCH_SIZE)
 
 
 def c4_line_filter_sql(col: str = "text", min_words: int = C4_MIN_WORDS,
@@ -728,4 +732,5 @@ def add_ngram_repetition(ds, col: str = "text", top_ns=(2, 3, 4),
                 name, pa.array(vals, mask=isnull) if isnull is not None else pa.array(vals))
         return t
 
-    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True,
+                        batch_size=KERNEL_BATCH_SIZE)

@@ -24,6 +24,12 @@ import pyarrow as pa
 
 ROUND_DIGITS = 6
 
+# explicit batch size for the byte-view kernel map stages: Ray's
+# pyarrow default hands WHOLE BLOCKS (a 180 MB text block blows the
+# cache — measured 4-10x slower than 4k-row batches), and on pandas
+# upstream blocks it also bounds the per-batch conversion
+KERNEL_BATCH_SIZE = 4096
+
 STOPWORDS = {
     "en": {"the", "and", "of", "a", "to", "in", "is", "for", "with", "on"},
     "es": {"el", "la", "de", "y", "que", "en", "un", "una", "los", "las"},
@@ -43,7 +49,14 @@ def _string_byte_view(arr) -> tuple[np.ndarray, np.ndarray]:
 
     Zero-copy views into the Arrow buffers; the basis of the byte-LUT
     counting kernels (sub-us/row — regex engines count the same
-    classes 30-40x slower)."""
+    classes 30-40x slower).
+
+    The view is REBASED to the array's window: ``data`` is the slice
+    ``[off[0], off[-1])`` of the parent buffer and offsets start at 0.
+    Sliced arrays (Ray's zero-copy batches share one block buffer)
+    would otherwise make every whole-buffer pass (``data == sep``,
+    cumsum LUTs) cost O(block) per batch instead of O(batch) —
+    measured 3x on a 62k-row block cut into 8k batches."""
     import pyarrow as pa
 
     if isinstance(arr, pa.ChunkedArray):
@@ -51,8 +64,13 @@ def _string_byte_view(arr) -> tuple[np.ndarray, np.ndarray]:
     bufs = arr.buffers()
     off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
     off = np.frombuffer(bufs[1], dtype=off_dtype)[arr.offset : arr.offset + len(arr) + 1]
+    off = off.astype(np.int64)
     data = np.frombuffer(bufs[2], dtype=np.uint8)
-    return data, off.astype(np.int64)
+    lo, hi = int(off[0]), int(off[-1])
+    if lo > 0 or hi < len(data):
+        data = data[lo:hi]
+        off = off - lo
+    return data, off
 
 
 def byte_class_counts(arr, class_bytes: bytes, view=None) -> np.ndarray:
@@ -132,7 +150,8 @@ def add_text_stats(ds, col: str = "text"):
                                 if isnull is not None else pa.array(vals))
         return t
 
-    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True,
+                        batch_size=KERNEL_BATCH_SIZE)
 
 
 def text_stats_sql(col: str = "text") -> dict[str, str]:
@@ -320,7 +339,8 @@ def add_fingerprint(ds, col: str = "text", k: int = 8, out: str = "fingerprint")
             fps[short] = _mix64(hs)
         return t.append_column(out, pa.array(fps.view(np.int64)))
 
-    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True,
+                        batch_size=KERNEL_BATCH_SIZE)
 
 
 # ------------------------------------------------- BPE-ish token count
@@ -388,7 +408,8 @@ def add_bpe_token_count(ds, col: str = "text", out: str = "bpe_token_count"):
         return t.append_column(
             out, pa.array(counts, mask=mask) if mask is not None else pa.array(counts))
 
-    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True,
+                        batch_size=KERNEL_BATCH_SIZE)
 
 
 def bpe_token_count_sql(col: str = "text") -> str:

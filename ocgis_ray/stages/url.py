@@ -97,7 +97,10 @@ def parse_url(ds, col: str = "url"):
             t = t.append_column(name, arr)
         return t
 
-    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+    from ocgis_ray.stages.text import KERNEL_BATCH_SIZE
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=KERNEL_BATCH_SIZE)
 
 
 def parse_url_sql(col: str = "url") -> dict[str, str]:
