@@ -102,3 +102,132 @@ def sample_by_key_sql_pred(key_expr: str, rate: float, salt: int = 0) -> str:
     threshold = int(rate * (1 << 32))
     return (f"(((CAST({key_expr} AS UBIGINT) % 4294967296) * 2654435761"
             f" + {salt}) % 4294967296) < {threshold}")
+
+
+def stratified_sample(ds, key_col: str, group_col: str,
+                      rates: dict, default_rate: float = 0.0,
+                      salt: int = 0):
+    """Per-group deterministic sampling — the data-MIXING operator a
+    training corpus needs (e.g. keep 100% of books, 10% of web, 1% of
+    logs).  Same multiplicative hash as :func:`sample_by_key`, with
+    the threshold looked up per row from ``rates[group]``; stable
+    under resume, no shuffle, SQL-mirrorable
+    (:func:`stratified_sample_sql_pred`)."""
+    import numpy as np
+    import pyarrow as pa
+
+    thresholds = {g: np.uint64(int(r * (1 << 32))) for g, r in rates.items()}
+    default_t = np.uint64(int(default_rate * (1 << 32)))
+    mult = np.uint64(2654435761)
+    mod = np.uint64(1 << 32)
+    salt_u = np.uint64(salt)
+
+    def f(t: pa.Table) -> pa.Table:
+        raw = t[key_col].to_numpy(zero_copy_only=False)
+        if np.issubdtype(raw.dtype, np.signedinteger) and raw.size \
+                and raw.min() < 0:
+            raise ValueError("stratified_sample requires non-negative keys "
+                             "(the SQL twin cannot wrap)")
+        k = raw.astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (k * mult + salt_u) % mod
+        groups = t[group_col].to_pandas()
+        thr = groups.map(thresholds).fillna(default_t).to_numpy(np.uint64)
+        return t.filter(pa.array(h < thr))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def stratified_sample_sql_pred(key_expr: str, group_expr: str,
+                               rates: dict, default_rate: float = 0.0,
+                               salt: int = 0) -> str:
+    """DuckDB predicate twin of :func:`stratified_sample`."""
+    h = (f"(((CAST({key_expr} AS UBIGINT) % 4294967296) * 2654435761"
+         f" + {salt}) % 4294967296)")
+    cases = " ".join(
+        f"WHEN '{g}' THEN {int(r * (1 << 32))}" for g, r in rates.items())
+    return (f"{h} < (CASE {group_expr} {cases} "
+            f"ELSE {int(default_rate * (1 << 32))} END)")
+
+
+def pack_sequences(ds, id_col: str, size_col: str, budget: int,
+                   num_buckets: int | None = None):
+    """Greedy sequence packing: group documents into packs whose
+    ``size_col`` totals stay <= ``budget`` (the fixed-token-window
+    batching step before LLM training).  Documents hash into buckets
+    (deterministic, resume-stable), are sorted by id within the
+    bucket, and packed sequentially — any grouping under the budget is
+    a valid packing, so bucketing loses nothing while keeping the
+    operator embarrassingly parallel.  A document LARGER than the
+    budget gets a pack of its own (callers chunk upstream if needed).
+
+    Adds ``pack_bucket`` and ``pack_seq`` columns; a pack is the
+    composite key (pack_bucket, pack_seq)."""
+    import pandas as pd
+
+    from ocgis_ray.sources.io import bucketed_group_apply
+    from ocgis_ray.tuning import auto_buckets
+
+    nb = auto_buckets(num_buckets)
+
+    def with_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(
+            df[[id_col]].reset_index(drop=True), index=False).to_numpy(np.uint64)
+        df = df.copy()
+        df["pack_bucket"] = (h % np.uint64(nb)).astype(np.int64)
+        return df
+
+    def pack_one(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        sizes = g[size_col].to_numpy(np.int64)
+        cs = np.cumsum(sizes)
+        n = len(sizes)
+        seq = np.empty(n, dtype=np.int64)
+        i, base, p = 0, 0, 0
+        while i < n:
+            # O(packs * log n): furthest j whose cumsum stays in budget
+            j = int(np.searchsorted(cs, base + budget, side="right"))
+            j = max(j, i + 1)  # oversized doc -> its own pack
+            seq[i:j] = p
+            base = int(cs[j - 1])
+            i, p = j, p + 1
+        g["pack_seq"] = seq
+        return g
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        # a shuffle bucket may hold several pack_bucket values — the
+        # greedy run must reset per pack_bucket for (pack_bucket,
+        # pack_seq) to stay deterministic under ANY num_buckets
+        return g.groupby("pack_bucket", group_keys=False, sort=True) \
+            .apply(pack_one)
+
+    # the pack_bucket id doubles as the pack namespace, making
+    # (pack_bucket, pack_seq) globally unique without coordination
+    return bucketed_group_apply(
+        ds.map_batches(with_bucket, batch_format="pandas"),
+        ["pack_bucket"], pack, num_buckets=nb)
+
+
+def stratified_sample_flag(ds, key_col: str, group_col: str, rates: dict,
+                           default_rate: float = 0.0, salt: int = 0,
+                           out: str = "mix_keep"):
+    """The sampling DECISION as a 0/1 column instead of a filter —
+    lets the choice ride an oracle-checked query and lets callers
+    split keep/drop streams from one pass."""
+    import pandas as pd
+    import pyarrow as pa
+
+    thresholds = {g: np.uint64(int(r * (1 << 32))) for g, r in rates.items()}
+    default_t = np.uint64(int(default_rate * (1 << 32)))
+    mult, mod = np.uint64(2654435761), np.uint64(1 << 32)
+    salt_u = np.uint64(salt)
+
+    def f(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (k * mult + salt_u) % mod
+        thr = t[group_col].to_pandas().map(thresholds) \
+            .fillna(default_t).to_numpy(np.uint64)
+        return t.append_column(out, pa.array((h < thr).astype(np.int64)))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

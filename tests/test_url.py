@@ -111,3 +111,79 @@ def test_bpe_token_count_known():
     counts, _ = bpe_token_count_arrays(pa.array(["hello world, it's 42"]))
     # tokens: "hello", " world", ",", " it", "'", "s", " 42"
     assert counts[0] == 7
+
+
+# --------------------------------- data mixing / sequence packing
+
+def test_stratified_sample_matches_duckdb(ray_session):
+    import duckdb as ddb
+    import ray.data as rd
+
+    from ocgis_ray.stages.reshape import (
+        stratified_sample,
+        stratified_sample_sql_pred,
+    )
+
+    rates = {"src0": 1.0, "src1": 0.3, "src2": 0.0}
+    df = pd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "source"])
+    ds = rd.from_pandas(df)
+    got = stratified_sample(ds, "doc_id", "source", rates,
+                            default_rate=0.05).to_pandas()
+    con = ddb.connect()
+    con.register("t", df)
+    pred = stratified_sample_sql_pred("doc_id", "source", rates,
+                                      default_rate=0.05)
+    exp = con.execute(f"SELECT doc_id FROM t WHERE {pred}").fetchdf()
+    con.close()
+    assert sorted(got["doc_id"]) == sorted(exp["doc_id"])
+    # src0 kept fully, src2 dropped fully
+    assert (got[got["source"] == "src0"].shape[0]
+            == (df["source"] == "src0").sum())
+    assert (got["source"] == "src2").sum() == 0
+
+
+def test_pack_sequences_invariants(ray_session):
+    import ray.data as rd
+
+    from ocgis_ray.stages.reshape import pack_sequences
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "doc_id": np.arange(500),
+        "n_tokens": rng.integers(1, 900, 500),
+    })
+    df.loc[7, "n_tokens"] = 5000  # oversized doc
+    out = pack_sequences(rd.from_pandas(df), "doc_id", "n_tokens",
+                         budget=2048, num_buckets=8).to_pandas()
+    # every doc assigned exactly once
+    assert sorted(out["doc_id"]) == list(range(500))
+    totals = out.groupby(["pack_bucket", "pack_seq"])["n_tokens"].agg(
+        ["sum", "count"])
+    # packs respect the budget unless they hold a single oversized doc
+    over = totals[totals["sum"] > 2048]
+    assert (over["count"] == 1).all()
+    # oversized doc is alone in its pack
+    row = out[out["doc_id"] == 7].iloc[0]
+    mates = out[(out["pack_bucket"] == row["pack_bucket"])
+                & (out["pack_seq"] == row["pack_seq"])]
+    assert len(mates) == 1
+    # deterministic: second run bit-identical
+    out2 = pack_sequences(rd.from_pandas(df), "doc_id", "n_tokens",
+                          budget=2048, num_buckets=8).to_pandas()
+    a = out.sort_values("doc_id").reset_index(drop=True)
+    b = out2.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_pack_sequences_tight_packing(ray_session):
+    import ray.data as rd
+
+    from ocgis_ray.stages.reshape import pack_sequences
+
+    # all-equal sizes pack exactly budget//size per pack (greedy)
+    df = pd.DataFrame({"doc_id": np.arange(64), "n_tokens": [256] * 64})
+    out = pack_sequences(rd.from_pandas(df), "doc_id", "n_tokens",
+                         budget=1024, num_buckets=1).to_pandas()
+    counts = out.groupby(["pack_bucket", "pack_seq"]).size()
+    assert set(counts) == {4}
