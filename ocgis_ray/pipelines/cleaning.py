@@ -12,13 +12,13 @@ citations):
 6. MinHash near-dup survivors     (LSH candidates -> estimated Jaccard
                                    -> connected components -> keep the
                                    min-id doc per cluster)
-7. PII redaction                  (actor-pool regex scrub)
+7. PII redaction                  (Arrow RE2 kernel scrub)
 
 Filters run BEFORE the dedup shuffles (the RefinedWeb order): the
 quality kernels then read zero-copy Arrow blocks straight off storage,
 and every all-to-all exchange carries only the surviving rows.  PII
 runs LAST so the regex pass touches nothing that later stages would
-drop (measured 2-3x on the bench corpus vs dedup-first).
+drop.
 
 Every stage is a streaming Ray Data transform — the pipeline is lazy
 until consumed, nothing materializes on the driver, and each shuffle
