@@ -67,8 +67,20 @@ def clean_corpus(ds, id_col: str = "doc_id", text_col: str = "text",
         ds = quality.paragraph_dedup(ds, id_col=id_col, col=text_col,
                                      num_buckets=num_buckets)
     if "near_dup" in steps:
+        # the minhash stage hardcodes (doc_id, text) column names —
+        # project+rename for custom schemas so the advertised
+        # id_col/text_col generality holds for every step
+        nd_in = ds
+        if (id_col, text_col) != ("doc_id", "text"):
+            def _std_names(t):
+                import pyarrow as pa
+
+                return pa.table({"doc_id": t[id_col], "text": t[text_col]})
+
+            nd_in = ds.map_batches(_std_names, batch_format="pyarrow",
+                                   zero_copy_batch=True)
         pairs = dedup.minhash_near_duplicates(
-            ds, threshold=minhash_threshold, num_partitions=num_buckets)
+            nd_in, threshold=minhash_threshold, num_partitions=num_buckets)
         ds = dedup.dedup_cluster_survivors(ds, pairs, id_col=id_col,
                                            num_partitions=num_buckets)
     if "pii" in steps:

@@ -30,8 +30,9 @@ def melt(ds, id_cols: list[str], value_cols: list[str],
         idx = pa.array(np.tile(np.arange(n, dtype=np.int64), len(value_cols)))
         for c in id_cols:
             out[c] = t[c].take(idx)
-        # dictionary-encoded variable column: len(value_cols) strings +
-        # an int8/int index instead of n*len(value_cols) Python strings
+        # the cast to plain string DOES materialize the repeats (the
+        # downstream hash-compare needs a non-dictionary column); the
+        # dictionary is just the cheapest way to build them in C
         codes = np.repeat(np.arange(len(value_cols), dtype=np.int32), n)
         out[var_name] = pa.DictionaryArray.from_arrays(
             pa.array(codes), pa.array(value_cols, pa.string())
@@ -54,13 +55,40 @@ def union_all(*datasets):
 
 
 def request_size(ds) -> dict:
-    """Dry-run size accounting over the (lazy) plan — executes only
-    counting, not the user pipeline's consumption."""
+    """Size accounting: executes the plan ONCE (materialize), then
+    reads rows/bytes/columns off the materialized snapshot —
+    ``count()`` + ``size_bytes()`` on a lazy Dataset would each be a
+    full execution.  ``schema().names`` works for both Arrow and
+    pandas block schemas (``base_schema`` does not)."""
+    m = ds.materialize()
     return {
-        "rows": ds.count(),
-        "bytes": ds.size_bytes(),
-        "columns": [f.name for f in ds.schema().base_schema],
+        "rows": m.count(),
+        "bytes": m.size_bytes(),
+        "columns": list(m.schema().names),
     }
+
+
+_HASH_MULT = np.uint64(2654435761)
+_HASH_MOD = np.uint64(1 << 32)
+
+
+def _key_hash(raw: np.ndarray, salt: int, op: str) -> np.ndarray:
+    """The shared multiplicative key hash (guarded): integer keys
+    only (float truncation diverges from DuckDB's rounding CAST),
+    non-negative only (CAST AS UBIGINT raises where numpy wraps) —
+    any divergence here breaks the documented bit-exact SQL parity,
+    so fail loudly instead."""
+    if not (np.issubdtype(raw.dtype, np.integer)
+            or np.issubdtype(raw.dtype, np.bool_)):
+        raise ValueError(f"{op} requires an integer key column "
+                         f"(got {raw.dtype}: float CASTs round in SQL "
+                         "but truncate in numpy)")
+    if np.issubdtype(raw.dtype, np.signedinteger) and raw.size \
+            and raw.min() < 0:
+        raise ValueError(f"{op} requires non-negative keys "
+                         "(the SQL twin cannot wrap)")
+    with np.errstate(over="ignore"):
+        return (raw.astype(np.uint64) * _HASH_MULT + np.uint64(salt)) % _HASH_MOD
 
 
 def sample_by_key(ds, key_col: str, rate: float, salt: int = 0):
@@ -70,25 +98,11 @@ def sample_by_key(ds, key_col: str, rate: float, salt: int = 0):
     SQL-mirrorable (the multiplicative hash is exact integer math).
     The training-data-pipeline sampling operator (the reference has
     none — its data is grid-complete by construction, SURVEY §2.6)."""
-    import numpy as np
-    import pyarrow as pa
-
     threshold = np.uint64(int(rate * (1 << 32)))
-    mult = np.uint64(2654435761)
-    mod = np.uint64(1 << 32)
-    salt_u = np.uint64(salt)
 
     def f(t: pa.Table) -> pa.Table:
-        raw = t[key_col].to_numpy(zero_copy_only=False)
-        if np.issubdtype(raw.dtype, np.signedinteger) and raw.size \
-                and raw.min() < 0:
-            # the SQL twin's CAST(key AS UBIGINT) raises on negatives
-            # while numpy would silently wrap — fail identically
-            raise ValueError("sample_by_key requires non-negative keys "
-                             "(the SQL twin cannot wrap)")
-        k = raw.astype(np.uint64)
-        with np.errstate(over="ignore"):
-            h = (k * mult + salt_u) % mod
+        h = _key_hash(t[key_col].to_numpy(zero_copy_only=False), salt,
+                      "sample_by_key")
         return t.filter(pa.array(h < threshold))
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
@@ -118,19 +132,10 @@ def stratified_sample(ds, key_col: str, group_col: str,
 
     thresholds = {g: np.uint64(int(r * (1 << 32))) for g, r in rates.items()}
     default_t = np.uint64(int(default_rate * (1 << 32)))
-    mult = np.uint64(2654435761)
-    mod = np.uint64(1 << 32)
-    salt_u = np.uint64(salt)
 
     def f(t: pa.Table) -> pa.Table:
-        raw = t[key_col].to_numpy(zero_copy_only=False)
-        if np.issubdtype(raw.dtype, np.signedinteger) and raw.size \
-                and raw.min() < 0:
-            raise ValueError("stratified_sample requires non-negative keys "
-                             "(the SQL twin cannot wrap)")
-        k = raw.astype(np.uint64)
-        with np.errstate(over="ignore"):
-            h = (k * mult + salt_u) % mod
+        h = _key_hash(t[key_col].to_numpy(zero_copy_only=False), salt,
+                      "stratified_sample")
         groups = t[group_col].to_pandas()
         thr = groups.map(thresholds).fillna(default_t).to_numpy(np.uint64)
         return t.filter(pa.array(h < thr))
@@ -141,13 +146,19 @@ def stratified_sample(ds, key_col: str, group_col: str,
 def stratified_sample_sql_pred(key_expr: str, group_expr: str,
                                rates: dict, default_rate: float = 0.0,
                                salt: int = 0) -> str:
-    """DuckDB predicate twin of :func:`stratified_sample`."""
+    """DuckDB predicate twin of :func:`stratified_sample` (group
+    names quote-escaped; an empty rates dict degrades to the plain
+    default-rate threshold — CASE with zero WHEN arms is a parse
+    error)."""
     h = (f"(((CAST({key_expr} AS UBIGINT) % 4294967296) * 2654435761"
          f" + {salt}) % 4294967296)")
+    default_thr = int(default_rate * (1 << 32))
+    if not rates:
+        return f"{h} < {default_thr}"
     cases = " ".join(
-        f"WHEN '{g}' THEN {int(r * (1 << 32))}" for g, r in rates.items())
-    return (f"{h} < (CASE {group_expr} {cases} "
-            f"ELSE {int(default_rate * (1 << 32))} END)")
+        f"WHEN '{str(g).replace(chr(39), chr(39) * 2)}'"
+        f" THEN {int(r * (1 << 32))}" for g, r in rates.items())
+    return f"{h} < (CASE {group_expr} {cases} ELSE {default_thr} END)"
 
 
 def pack_sequences(ds, id_col: str, size_col: str, budget: int,
@@ -197,9 +208,15 @@ def pack_sequences(ds, id_col: str, size_col: str, budget: int,
     def pack(g: pd.DataFrame) -> pd.DataFrame:
         # a shuffle bucket may hold several pack_bucket values — the
         # greedy run must reset per pack_bucket for (pack_bucket,
-        # pack_seq) to stay deterministic under ANY num_buckets
-        return g.groupby("pack_bucket", group_keys=False, sort=True) \
-            .apply(pack_one)
+        # pack_seq) to stay deterministic under ANY num_buckets.
+        # explicit iteration (not groupby.apply on the grouping
+        # column, which pandas 3 excludes from the group frames)
+        parts = []
+        for b, grp in g.groupby("pack_bucket", sort=True):
+            packed = pack_one(grp.drop(columns=["pack_bucket"]))
+            packed["pack_bucket"] = b
+            parts.append(packed)
+        return pd.concat(parts, ignore_index=True)
 
     # the pack_bucket id doubles as the pack namespace, making
     # (pack_bucket, pack_seq) globally unique without coordination
@@ -214,18 +231,12 @@ def stratified_sample_flag(ds, key_col: str, group_col: str, rates: dict,
     """The sampling DECISION as a 0/1 column instead of a filter —
     lets the choice ride an oracle-checked query and lets callers
     split keep/drop streams from one pass."""
-    import pandas as pd
-    import pyarrow as pa
-
     thresholds = {g: np.uint64(int(r * (1 << 32))) for g, r in rates.items()}
     default_t = np.uint64(int(default_rate * (1 << 32)))
-    mult, mod = np.uint64(2654435761), np.uint64(1 << 32)
-    salt_u = np.uint64(salt)
 
     def f(t: pa.Table) -> pa.Table:
-        k = t[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
-        with np.errstate(over="ignore"):
-            h = (k * mult + salt_u) % mod
+        h = _key_hash(t[key_col].to_numpy(zero_copy_only=False), salt,
+                      "stratified_sample_flag")
         thr = t[group_col].to_pandas().map(thresholds) \
             .fillna(default_t).to_numpy(np.uint64)
         return t.append_column(out, pa.array((h < thr).astype(np.int64)))

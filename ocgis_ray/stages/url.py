@@ -134,7 +134,24 @@ def domain_rollup(ds, col: str = "url", value_specs: dict | None = None):
 
 def dedup_by_url(ds, col: str = "url", id_col: str = "page_id"):
     """Keep the first (min ``id_col``) row per exact URL — the standard
-    crawl-dedup first pass; hash-bucketed shuffle, no driver state."""
+    crawl-dedup first pass; hash-bucketed shuffle, no driver state.
+
+    NULL urls pass through untouched: pandas ``drop_duplicates``
+    treats NaN keys as equal, which would silently collapse every
+    missing-metadata document into one survivor."""
+    import pyarrow.compute as pc
+
     from ocgis_ray.sources.io import distinct_rows
 
-    return distinct_rows(ds, col, order_col=id_col)
+    def _is_null(t):
+        return t.filter(pc.is_null(t[col]))
+
+    def _not_null(t):
+        return t.filter(pc.is_valid(t[col]))
+
+    nulls = ds.map_batches(_is_null, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    deduped = distinct_rows(
+        ds.map_batches(_not_null, batch_format="pyarrow",
+                       zero_copy_batch=True), col, order_col=id_col)
+    return deduped.union(nulls)

@@ -3,6 +3,7 @@ BPE-ish token counter (text.add_bpe_token_count) — DuckDB parity."""
 
 import duckdb
 import numpy as np
+import pytest
 import pandas as pd
 import pyarrow as pa
 
@@ -187,3 +188,89 @@ def test_pack_sequences_tight_packing(ray_session):
                          budget=1024, num_buckets=1).to_pandas()
     counts = out.groupby(["pack_bucket", "pack_seq"]).size()
     assert set(counts) == {4}
+
+
+# ------------------------------------------------- review regressions
+
+def test_dedup_by_url_null_urls_pass_through(ray_session):
+    import ray.data as rd
+
+    df = pd.DataFrame({
+        "page_id": [1, 2, 3, 4, 5],
+        "url": ["https://a.com/x", None, None, "https://a.com/x", None],
+    })
+    out = dedup_by_url(rd.from_pandas(df)).to_pandas()
+    # NULL urls are NOT treated as duplicates of each other
+    assert sorted(out["page_id"]) == [1, 2, 3, 5]
+
+
+def test_key_hash_guards():
+    import ray.data as rd
+
+    from ocgis_ray.stages.reshape import (
+        sample_by_key,
+        stratified_sample_flag,
+    )
+
+    def run(ds_df, fn):
+        import ray.data as rdd
+
+        return fn(rdd.from_pandas(ds_df)).to_pandas()
+
+    with pytest.raises(Exception, match="integer key"):
+        run(pd.DataFrame({"k": [2.7, 1.0]}),
+            lambda d: sample_by_key(d, "k", 0.5))
+    with pytest.raises(Exception, match="non-negative"):
+        run(pd.DataFrame({"k": [-5, 1]}),
+            lambda d: stratified_sample_flag(
+                d, "k", "g", {}, default_rate=0.5).select_columns(["mix_keep"]))
+
+
+def test_stratified_sql_pred_escaping_and_empty():
+    import duckdb as ddb
+
+    from ocgis_ray.stages.reshape import stratified_sample_sql_pred
+
+    con = ddb.connect()
+    # quote in a group name must not break the SQL
+    pred = stratified_sample_sql_pred("k", "g", {"don't": 0.5})
+    n = con.execute(
+        f"SELECT count(*) FROM (VALUES (1, 'don''t'), (2, 'x')) t(k, g) "
+        f"WHERE {pred}").fetchone()[0]
+    assert n in (0, 1, 2)
+    # empty rates -> plain default threshold, still valid SQL
+    pred2 = stratified_sample_sql_pred("k", "g", {}, default_rate=1.0)
+    n2 = con.execute(
+        f"SELECT count(*) FROM (VALUES (1, 'a'), (2, 'b')) t(k, g) "
+        f"WHERE {pred2}").fetchone()[0]
+    con.close()
+    assert n2 == 2
+
+
+def test_clean_corpus_custom_columns_near_dup(ray_session):
+    import ray.data as rd
+
+    from ocgis_ray.pipelines.cleaning import clean_corpus
+
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    df = pd.DataFrame({
+        "page_id": [1, 2, 3],
+        "content": [base + "one", base + "one!", "completely different words"],
+    })
+    out = clean_corpus(rd.from_pandas(df), id_col="page_id",
+                       text_col="content", steps=("near_dup",),
+                       minhash_threshold=0.6, num_buckets=2).to_pandas()
+    # near-dup pair (1,2) -> 2 dropped; custom column names work
+    assert sorted(out["page_id"]) == [1, 3]
+
+
+def test_request_size_on_pandas_blocks(ray_session):
+    import ray.data as rd
+
+    from ocgis_ray.stages.reshape import pack_sequences, request_size
+
+    df = pd.DataFrame({"doc_id": [1, 2, 3], "n_tokens": [10, 20, 30]})
+    packed = pack_sequences(rd.from_pandas(df), "doc_id", "n_tokens",
+                            budget=25, num_buckets=2)
+    info = request_size(packed)
+    assert info["rows"] == 3 and "pack_seq" in info["columns"]
