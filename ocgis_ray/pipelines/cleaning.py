@@ -86,3 +86,81 @@ def clean_corpus(ds, id_col: str = "doc_id", text_col: str = "text",
     if "pii" in steps:
         ds = quality.pii_redact(ds, col=text_col)
     return ds
+
+
+def clean_corpus_partitioned(in_dir: str, out_dir: str,
+                             id_col: str = "doc_id", text_col: str = "text",
+                             url_col: str | None = None,
+                             n_partitions: int = 8, resume: bool = True,
+                             filter_steps: tuple[str, ...] = ("c4", "gopher",
+                                                              "pii"),
+                             dedup_steps: tuple[str, ...] = ("url_dedup",
+                                                             "exact_dedup",
+                                                             "near_dup"),
+                             minhash_threshold: float = 0.7):
+    """Resumable two-phase cleaning job (the ``ray job submit`` shape):
+
+    - **Phase A (per partition, resumable)**: the row-local steps
+      (c4/gopher/pii — pure maps, safe to run shard-at-a-time) over
+      ``id_col``-range partitions of the input, each written atomically
+      with a lineage record; a re-submitted job skips completed
+      partitions without reading their input (parquet range pushdown).
+    - **Phase B (global, idempotent)**: the CROSS-PARTITION steps
+      (URL/exact/near dedup — partition-local dedup would miss
+      duplicates straddling shards) over phase A's checkpoint, written
+      as the ``final`` output directory in one atomic rename.
+
+    Returns the manifest records written this run."""
+    import pyarrow.compute as pc
+
+    from ocgis_ray.sources.io import read_parquet_sized
+    from ocgis_ray.state import lineage
+
+    bad = (set(filter_steps) | set(dedup_steps)) - set(DEFAULT_STEPS)
+    if bad:
+        raise ValueError(f"unknown cleaning steps: {sorted(bad)}")
+
+    # id range via one cheap id-column pass (per-block min/max, tiny
+    # driver reduce) — partition bounds must be derived, not assumed
+    agg = read_parquet_sized(in_dir, columns=[id_col]) \
+        .map_batches(lambda t: {"lo": [int(pc.min(t[id_col]).as_py())],
+                                "hi": [int(pc.max(t[id_col]).as_py())]},
+                     batch_format="pyarrow").to_pandas()
+    lo, hi = int(agg["lo"].min()), int(agg["hi"].max())
+    step = max(1, (hi - lo + 1 + n_partitions - 1) // n_partitions)
+
+    cols = [id_col, text_col] + ([url_col] if url_col else [])
+
+    def make_ds(part: str):
+        p = int(part)
+        plo, phi = lo + p * step, lo + (p + 1) * step
+
+        def in_range(t):
+            keep = pc.and_(pc.greater_equal(t[id_col], plo),
+                           pc.less(t[id_col], phi))
+            return t.filter(keep)
+
+        ds = read_parquet_sized(in_dir, columns=cols) \
+            .map_batches(in_range, batch_format="pyarrow",
+                         zero_copy_batch=True)
+        return clean_corpus(ds, id_col=id_col, text_col=text_col,
+                            url_col=url_col, steps=filter_steps)
+
+    phase_a = f"{out_dir}/filtered"
+    records = lineage.run_partitioned(
+        make_ds, phase_a, [str(i) for i in range(n_partitions)],
+        resume=resume)
+
+    if resume and "final" in lineage.completed_partitions(out_dir):
+        return records
+    import glob
+    import os
+
+    files = sorted(glob.glob(os.path.join(phase_a, "**", "*.parquet"),
+                             recursive=True))
+    filtered = read_parquet_sized(files, columns=cols)
+    final = clean_corpus(filtered, id_col=id_col, text_col=text_col,
+                         url_col=url_col, steps=dedup_steps,
+                         minhash_threshold=minhash_threshold)
+    records.append(lineage.write_partition(final, out_dir, "final"))
+    return records

@@ -60,7 +60,12 @@ def read_parquet_sized(
         md = pq.ParquetFile(fp).metadata
         return sum(md.row_group(i).total_byte_size for i in range(md.num_row_groups))
 
-    if os.path.isfile(path):
+    if isinstance(path, (list, tuple)):
+        # explicit file list (e.g. a checkpoint dir whose manifest
+        # would trip a directory scan)
+        path = list(path)
+        size = sum(uncompressed(p) for p in path if os.path.isfile(p)) or None
+    elif os.path.isfile(path):
         size = uncompressed(path)
     elif os.path.isdir(path):
         # recurse: hive/partitioned layouts (e.g. lineage's part=*/

@@ -509,3 +509,45 @@ def test_clean_corpus_url_dedup(ray_session):
     out = clean_corpus(rd.from_pandas(df), url_col="url",
                        steps=("url_dedup",), num_buckets=2).to_pandas()
     assert sorted(out["doc_id"]) == [1, 3]
+
+
+def test_clean_corpus_partitioned_resume(ray_session, tmp_path):
+    import shutil
+
+    from ocgis_ray.pipelines.cleaning import clean_corpus_partitioned
+    from ocgis_ray.state.lineage import read_manifest
+
+    out = str(tmp_path / "cleaned")
+    rec1 = clean_corpus_partitioned(
+        "/root/testdata/sf0.001/documents.parquet", out,
+        n_partitions=4, filter_steps=("gopher", "pii"),
+        dedup_steps=("exact_dedup",))
+    assert len(rec1) == 5  # 4 filter partitions + final
+    total = sum(r["rows"] for r in rec1 if r["partition"] == "final")
+    assert 0 < total < 500
+
+    # full resume: nothing re-runs
+    rec2 = clean_corpus_partitioned(
+        "/root/testdata/sf0.001/documents.parquet", out,
+        n_partitions=4, filter_steps=("gopher", "pii"),
+        dedup_steps=("exact_dedup",))
+    assert rec2 == []
+
+    # partial resume: drop one phase-A partition from the manifest and
+    # disk; only it (and the final) re-run
+    shutil.rmtree(f"{out}/filtered/part=2")
+    mp = f"{out}/filtered/manifest.jsonl"
+    lines = [l for l in open(mp) if '"partition": "2"' not in l]
+    open(mp, "w").writelines(lines)
+    mp_out = f"{out}/manifest.jsonl"
+    lines = [l for l in open(mp_out) if '"partition": "final"' not in l]
+    open(mp_out, "w").writelines(lines)
+    rec3 = clean_corpus_partitioned(
+        "/root/testdata/sf0.001/documents.parquet", out,
+        n_partitions=4, filter_steps=("gopher", "pii"),
+        dedup_steps=("exact_dedup",))
+    parts = sorted(r["partition"] for r in rec3)
+    assert parts == ["2", "final"]
+    # final output identical row count after the partial re-run
+    total3 = [r["rows"] for r in read_manifest(out) if r["partition"] == "final"][-1]
+    assert total3 == total
