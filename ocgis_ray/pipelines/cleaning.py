@@ -39,11 +39,17 @@ def clean_corpus(ds, id_col: str = "doc_id", text_col: str = "text",
                  url_col: str | None = None,
                  steps: tuple[str, ...] = DEFAULT_STEPS,
                  minhash_threshold: float = 0.7,
+                 near_dup_method: str = "minhash",
+                 max_hamming: int = 3,
                  num_buckets: int | None = None):
     """Run the cleaning cascade over a documents Dataset; returns the
     surviving documents (same schema, text possibly rewritten by the
     pii/c4/paragraph steps).  ``url_dedup`` is skipped automatically
-    when ``url_col`` is None."""
+    when ``url_col`` is None.  ``near_dup_method`` picks the candidate
+    generator: ``"minhash"`` (Jaccard-style, ``minhash_threshold``) or
+    ``"simhash"`` (Hamming-style, ``max_hamming`` bits)."""
+    if near_dup_method not in ("minhash", "simhash"):
+        raise ValueError(f"unknown near_dup_method {near_dup_method!r}")
     unknown = set(steps) - set(DEFAULT_STEPS)
     if unknown:
         raise ValueError(f"unknown cleaning steps: {sorted(unknown)}")
@@ -79,8 +85,13 @@ def clean_corpus(ds, id_col: str = "doc_id", text_col: str = "text",
 
             nd_in = ds.map_batches(_std_names, batch_format="pyarrow",
                                    zero_copy_batch=True)
-        pairs = dedup.minhash_near_duplicates(
-            nd_in, threshold=minhash_threshold, num_partitions=num_buckets)
+        if near_dup_method == "simhash":
+            pairs = dedup.simhash_near_duplicates(
+                dedup.simhash_signatures(nd_in), max_hamming=max_hamming)
+        else:
+            pairs = dedup.minhash_near_duplicates(
+                nd_in, threshold=minhash_threshold,
+                num_partitions=num_buckets)
         ds = dedup.dedup_cluster_survivors(ds, pairs, id_col=id_col,
                                            num_partitions=num_buckets)
     if "pii" in steps:

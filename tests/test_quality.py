@@ -551,3 +551,22 @@ def test_clean_corpus_partitioned_resume(ray_session, tmp_path):
     # final output identical row count after the partial re-run
     total3 = [r["rows"] for r in read_manifest(out) if r["partition"] == "final"][-1]
     assert total3 == total
+
+
+def test_clean_corpus_simhash_near_dup(ray_session):
+    import ray.data as rd
+
+    from ocgis_ray.pipelines.cleaning import clean_corpus
+
+    base = ("the quick brown fox jumps over the lazy dog and keeps "
+            "running through the long field of tall green grass today")
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [base, base + " x", "entirely different content here"],
+    })
+    out = clean_corpus(rd.from_pandas(df), steps=("near_dup",),
+                       near_dup_method="simhash", max_hamming=8,
+                       num_buckets=2).to_pandas()
+    assert sorted(out["doc_id"]) == [1, 3]
+    with pytest.raises(ValueError, match="near_dup_method"):
+        clean_corpus(None, near_dup_method="nope")
