@@ -727,3 +727,122 @@ def add_ngram_repetition(ds, col: str = "text", top_ns=(2, 3, 4),
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True,
                         batch_size=KERNEL_BATCH_SIZE)
+
+
+# ------------------------------------------ line/paragraph repetition
+
+def line_repetition_arrays(text_arr) -> dict[str, np.ndarray]:
+    """The Gopher line/paragraph repetition signals (Rae et al. 2021
+    Table A1 rows 1-4), vectorized:
+
+    - ``dup_line_frac``       duplicate lines / lines
+    - ``dup_line_char_frac``  chars in duplicate lines / chars
+    - ``dup_para_frac``       duplicate paragraphs / paragraphs
+    - ``dup_para_char_frac``  chars in duplicate paragraphs / chars
+
+    A "line" is a ``\\n`` split segment; a "paragraph" is a maximal
+    run of non-empty lines (the blank-line-separated block — same
+    blocks ``\\n\\n`` splitting yields on normalized text).  A segment
+    is *duplicate* when its content occurs 2+ times in the SAME
+    document.  Line identity = (128-byte-prefix Horner, length) —
+    the length term removes same-prefix false positives; paragraph
+    identity = Horner over the member line keys.  Checked against a
+    plain-Python reference in tests."""
+    import pyarrow.compute as pc
+
+    if isinstance(text_arr, pa.ChunkedArray):
+        text_arr = text_arr.combine_chunks()
+    data, off = _string_byte_view(text_arr)
+    n = len(off) - 1
+    n_chars = np.nan_to_num(
+        pc.utf8_length(text_arr).to_numpy(zero_copy_only=False).astype(np.float64))
+    safe_chars = np.maximum(n_chars, 1.0)
+
+    starts, ends, lrow, lper = _segments(data, off, ord("\n"))
+    lens = ends - starts
+    lkey = _mix64(_hash_segments(data, starts, lens) ^ _mix64(lens.astype(np.uint64)))
+    clen = _char_counts(data, starts, ends)
+
+    def dup_stats(keys, rows, sizes, per_row):
+        """(dup_count/total, dup_size/row_size) per row for one
+        segment family."""
+        order = np.lexsort((keys, rows))
+        sk, sr = keys[order], rows[order]
+        gstart = np.empty(len(sk), dtype=bool)
+        if len(sk):
+            gstart[0] = True
+            gstart[1:] = (sk[1:] != sk[:-1]) | (sr[1:] != sr[:-1])
+        gidx = np.nonzero(gstart)[0]
+        counts = np.diff(np.append(gidx, len(sk)))
+        dup_occ = np.repeat(counts >= 2, counts)  # per sorted occurrence
+        sel = order[dup_occ]
+        dup_cnt = np.bincount(rows[sel], minlength=n).astype(np.float64)
+        dup_sz = np.bincount(rows[sel], weights=sizes[sel],
+                             minlength=n).astype(np.float64)
+        frac = dup_cnt / np.maximum(per_row, 1.0)
+        return frac, dup_sz
+
+    lper_f = lper.astype(np.float64)
+    line_frac, line_sz = dup_stats(lkey, lrow, clen.astype(np.float64), lper_f)
+
+    # paragraphs: runs of non-empty lines within a row
+    nonempty = lens > 0
+    first_line = np.zeros(len(lens), dtype=bool)
+    row_first = np.zeros(n, dtype=np.int64)
+    np.cumsum(lper[:-1], out=row_first[1:])
+    first_line[row_first[lper > 0]] = True
+    prev_empty = np.empty(len(lens), dtype=bool)
+    if len(lens):
+        prev_empty[0] = True
+        prev_empty[1:] = ~nonempty[:-1]
+    para_start = nonempty & (first_line | prev_empty)
+    para_id = np.cumsum(para_start) - 1  # global id; only valid on nonempty
+    if len(lens) and para_start.any():
+        pidx = np.nonzero(para_start)[0]
+        n_paras = len(pidx)
+        prow = lrow[pidx]
+        # Horner over member line keys (loop over line-within-para)
+        memb = np.nonzero(nonempty)[0]
+        mpara = para_id[memb]
+        # lines are contiguous per para; rank within para:
+        pfirst = np.zeros(n_paras, dtype=np.int64)
+        counts_per_para = np.bincount(mpara, minlength=n_paras)
+        np.cumsum(counts_per_para[:-1], out=pfirst[1:])
+        ph = np.zeros(n_paras, dtype=np.uint64)
+        pchars = np.bincount(mpara, weights=clen[memb],
+                             minlength=n_paras)
+        with np.errstate(over="ignore"):
+            for u in range(int(counts_per_para.max())):
+                m = counts_per_para > u
+                ph[m] = ph[m] * _FNV + lkey[memb[pfirst[m] + u]]
+        ph = _mix64(ph)
+        paras_per_row = np.bincount(prow, minlength=n).astype(np.float64)
+        para_frac, para_sz = dup_stats(ph, prow, pchars, paras_per_row)
+    else:
+        para_frac = np.zeros(n, dtype=np.float64)
+        para_sz = np.zeros(n, dtype=np.float64)
+
+    out = {
+        "dup_line_frac": sql_round(line_frac, ROUND_DIGITS),
+        "dup_line_char_frac": sql_round(line_sz / safe_chars, ROUND_DIGITS),
+        "dup_para_frac": sql_round(para_frac, ROUND_DIGITS),
+        "dup_para_char_frac": sql_round(para_sz / safe_chars, ROUND_DIGITS),
+    }
+    if text_arr.null_count:
+        out["_null_mask"] = pc.is_null(text_arr).to_numpy(zero_copy_only=False)
+    return out
+
+
+def add_line_repetition(ds, col: str = "text"):
+    """Append the Gopher line/paragraph duplicate-fraction columns."""
+
+    def f(t: pa.Table) -> pa.Table:
+        stats = line_repetition_arrays(t[col])
+        isnull = stats.pop("_null_mask", None)
+        for name, vals in stats.items():
+            t = t.append_column(
+                name, pa.array(vals, mask=isnull) if isnull is not None else pa.array(vals))
+        return t
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=KERNEL_BATCH_SIZE)

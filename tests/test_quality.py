@@ -570,3 +570,77 @@ def test_clean_corpus_simhash_near_dup(ray_session):
     assert sorted(out["doc_id"]) == [1, 3]
     with pytest.raises(ValueError, match="near_dup_method"):
         clean_corpus(None, near_dup_method="nope")
+
+
+# ------------------------------------- line/paragraph repetition table
+
+def _line_rep_ref(texts):
+    from ocgis_ray.parity import sql_round
+
+    out = {k: [] for k in ["dup_line_frac", "dup_line_char_frac",
+                           "dup_para_frac", "dup_para_char_frac"]}
+    for t in texts:
+        if t is None:
+            for k in out:
+                out[k].append(np.nan)
+            continue
+        lines = t.split("\n")
+        nchars = max(len(t), 1)
+        from collections import Counter
+        lc = Counter(lines)
+        dup_lines = [l for l in lines if lc[l] >= 2]
+        out["dup_line_frac"].append(float(sql_round(
+            len(dup_lines) / max(len(lines), 1), 6)))
+        out["dup_line_char_frac"].append(float(sql_round(
+            sum(len(l) for l in dup_lines) / nchars, 6)))
+        # paragraphs: maximal runs of non-empty lines
+        paras, cur = [], []
+        for l in lines:
+            if l:
+                cur.append(l)
+            elif cur:
+                paras.append(tuple(cur)); cur = []
+        if cur:
+            paras.append(tuple(cur))
+        pc_ = Counter(paras)
+        dups = [p for p in paras if pc_[p] >= 2]
+        out["dup_para_frac"].append(float(sql_round(
+            len(dups) / max(len(paras), 1), 6)))
+        out["dup_para_char_frac"].append(float(sql_round(
+            sum(len(l) for p in dups for l in p) / nchars, 6)))
+    return {k: np.asarray(v) for k, v in out.items()}
+
+
+def test_line_repetition_matches_reference():
+    from ocgis_ray.stages.quality import line_repetition_arrays
+
+    rng = np.random.default_rng(31)
+    pieces = ["aaa", "bb", "line one", "x", ""]
+    texts = ["\n".join(rng.choice(pieces, size=rng.integers(0, 25)))
+             for _ in range(300)]
+    texts += ["", "\n", "\n\n", "same\nsame", "a\n\na\n\nb", None,
+              "p1\np2\n\np1\np2\n\nother", "solo", "é日\né日"]
+    arr = pa.array(texts, type=pa.string())
+    got = line_repetition_arrays(arr)
+    mask = got.pop("_null_mask", None)
+    exp = _line_rep_ref(texts)
+    for k in exp:
+        a = got[k].astype(np.float64).copy()
+        if mask is not None:
+            a[mask] = np.nan
+        b = exp[k]
+        same = (np.isnan(a) & np.isnan(b)) | (a == b)
+        assert same.all(), (k, np.nonzero(~same)[0][:5], a[~same][:5], b[~same][:5])
+
+
+def test_add_line_repetition_stage(ray_session):
+    import ray.data as rd
+
+    from ocgis_ray.stages.quality import add_line_repetition
+
+    ds = rd.from_pandas(pd.DataFrame({
+        "doc_id": [0, 1],
+        "text": ["dup\ndup\nunique", "all\ndistinct\nlines"]}))
+    out = add_line_repetition(ds).to_pandas().sort_values("doc_id")
+    assert out["dup_line_frac"].tolist()[0] > 0
+    assert out["dup_line_frac"].tolist()[1] == 0.0
