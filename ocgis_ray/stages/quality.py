@@ -731,6 +731,50 @@ def add_ngram_repetition(ds, col: str = "text", top_ns=(2, 3, 4),
 
 # ------------------------------------------ line/paragraph repetition
 
+def _segmented_horner(vals: np.ndarray, seg_lens: np.ndarray) -> np.ndarray:
+    """Full-content Horner hash per segment in O(total values): the
+    prefix-sum form ``h(seg) = Σ v[i]·FNV^(L-1-i)`` (≡ the iterative
+    Horner mod 2⁶⁴) — no loop over segment LENGTH, so one huge
+    segment cannot stall the batch (unlike :func:`_hash_segments`,
+    whose 128-step cap is a words-only approximation).  ``vals`` is
+    segment-major (all of segment 0, then 1, ...); empty segments
+    hash to ``_mix64(0)``."""
+    n_segs = len(seg_lens)
+    out = np.zeros(n_segs, dtype=np.uint64)
+    total = int(seg_lens.sum())
+    if total:
+        maxlen = int(seg_lens.max())
+        pows = np.full(maxlen, _FNV, dtype=np.uint64)
+        pows[0] = np.uint64(1)
+        with np.errstate(over="ignore"):
+            np.cumprod(pows, out=pows)  # pows[j] = FNV^j (mod 2^64)
+            seg_first = np.zeros(n_segs, dtype=np.int64)
+            np.cumsum(seg_lens[:-1], out=seg_first[1:])
+            within = np.arange(total, dtype=np.int64) \
+                - np.repeat(seg_first, seg_lens)
+            rev = np.repeat(seg_lens, seg_lens) - 1 - within
+            weighted = vals.astype(np.uint64) * pows[rev]
+            nz = seg_lens > 0
+            bounds = seg_first[nz]
+            out[nz] = np.add.reduceat(weighted, bounds)
+    return _mix64(out)
+
+
+def _dup_occurrences(keys: np.ndarray, rows: np.ndarray) -> np.ndarray:
+    """Indices of occurrences whose (row, key) group has count >= 2 —
+    the shared duplicate-detection idiom (lexsort, group boundaries,
+    occurrence-level mask)."""
+    order = np.lexsort((keys, rows))
+    sk, sr = keys[order], rows[order]
+    gstart = np.empty(len(sk), dtype=bool)
+    if len(sk):
+        gstart[0] = True
+        gstart[1:] = (sk[1:] != sk[:-1]) | (sr[1:] != sr[:-1])
+    gidx = np.nonzero(gstart)[0]
+    counts = np.diff(np.append(gidx, len(sk)))
+    return order[np.repeat(counts >= 2, counts)]
+
+
 def line_repetition_arrays(text_arr) -> dict[str, np.ndarray]:
     """The Gopher line/paragraph repetition signals (Rae et al. 2021
     Table A1 rows 1-4), vectorized:
@@ -744,10 +788,12 @@ def line_repetition_arrays(text_arr) -> dict[str, np.ndarray]:
     run of non-empty lines (the blank-line-separated block — same
     blocks ``\\n\\n`` splitting yields on normalized text).  A segment
     is *duplicate* when its content occurs 2+ times in the SAME
-    document.  Line identity = (128-byte-prefix Horner, length) —
-    the length term removes same-prefix false positives; paragraph
-    identity = Horner over the member line keys.  Checked against a
-    plain-Python reference in tests."""
+    document.  Line identity = FULL-content Horner (the prefix-sum
+    form, O(bytes) — lines routinely exceed the 128-byte word cap, so
+    a prefix hash would falsely merge long same-prefix lines);
+    paragraph identity = full Horner over the member line keys.
+    Checked against a plain-Python reference in tests, including the
+    long-same-prefix regime."""
     import pyarrow.compute as pc
 
     if isinstance(text_arr, pa.ChunkedArray):
@@ -760,22 +806,18 @@ def line_repetition_arrays(text_arr) -> dict[str, np.ndarray]:
 
     starts, ends, lrow, lper = _segments(data, off, ord("\n"))
     lens = ends - starts
-    lkey = _mix64(_hash_segments(data, starts, lens) ^ _mix64(lens.astype(np.uint64)))
+    line_bytes = data[np.repeat(starts, lens)
+                      + (np.arange(int(lens.sum()), dtype=np.int64)
+                         - np.repeat(np.r_[np.zeros(1, np.int64),
+                                           np.cumsum(lens)[:-1]], lens))] \
+        if lens.sum() else np.empty(0, np.uint8)
+    lkey = _segmented_horner(line_bytes, lens)
     clen = _char_counts(data, starts, ends)
 
     def dup_stats(keys, rows, sizes, per_row):
         """(dup_count/total, dup_size/row_size) per row for one
         segment family."""
-        order = np.lexsort((keys, rows))
-        sk, sr = keys[order], rows[order]
-        gstart = np.empty(len(sk), dtype=bool)
-        if len(sk):
-            gstart[0] = True
-            gstart[1:] = (sk[1:] != sk[:-1]) | (sr[1:] != sr[:-1])
-        gidx = np.nonzero(gstart)[0]
-        counts = np.diff(np.append(gidx, len(sk)))
-        dup_occ = np.repeat(counts >= 2, counts)  # per sorted occurrence
-        sel = order[dup_occ]
+        sel = _dup_occurrences(keys, rows)
         dup_cnt = np.bincount(rows[sel], minlength=n).astype(np.float64)
         dup_sz = np.bincount(rows[sel], weights=sizes[sel],
                              minlength=n).astype(np.float64)
@@ -801,21 +843,15 @@ def line_repetition_arrays(text_arr) -> dict[str, np.ndarray]:
         pidx = np.nonzero(para_start)[0]
         n_paras = len(pidx)
         prow = lrow[pidx]
-        # Horner over member line keys (loop over line-within-para)
+        # full Horner over member line keys — member lines are already
+        # paragraph-major (paragraphs are contiguous line runs), so
+        # the O(total members) segmented form applies directly
         memb = np.nonzero(nonempty)[0]
         mpara = para_id[memb]
-        # lines are contiguous per para; rank within para:
-        pfirst = np.zeros(n_paras, dtype=np.int64)
         counts_per_para = np.bincount(mpara, minlength=n_paras)
-        np.cumsum(counts_per_para[:-1], out=pfirst[1:])
-        ph = np.zeros(n_paras, dtype=np.uint64)
         pchars = np.bincount(mpara, weights=clen[memb],
                              minlength=n_paras)
-        with np.errstate(over="ignore"):
-            for u in range(int(counts_per_para.max())):
-                m = counts_per_para > u
-                ph[m] = ph[m] * _FNV + lkey[memb[pfirst[m] + u]]
-        ph = _mix64(ph)
+        ph = _segmented_horner(lkey[memb], counts_per_para)
         paras_per_row = np.bincount(prow, minlength=n).astype(np.float64)
         para_frac, para_sz = dup_stats(ph, prow, pchars, paras_per_row)
     else:

@@ -615,7 +615,7 @@ def test_line_repetition_matches_reference():
     from ocgis_ray.stages.quality import line_repetition_arrays
 
     rng = np.random.default_rng(31)
-    pieces = ["aaa", "bb", "line one", "x", ""]
+    pieces = ["aaa", "bb", "line one", "x", "", "Q" * 200 + "tail1", "Q" * 200 + "tail2"]
     texts = ["\n".join(rng.choice(pieces, size=rng.integers(0, 25)))
              for _ in range(300)]
     texts += ["", "\n", "\n\n", "same\nsame", "a\n\na\n\nb", None,
@@ -644,3 +644,30 @@ def test_add_line_repetition_stage(ray_session):
     out = add_line_repetition(ds).to_pandas().sort_values("doc_id")
     assert out["dup_line_frac"].tolist()[0] > 0
     assert out["dup_line_frac"].tolist()[1] == 0.0
+
+
+def test_line_repetition_long_same_prefix_lines():
+    """Lines past the word-hash 128-byte cap must still be
+    distinguished (full-content hashing)."""
+    from ocgis_ray.stages.quality import line_repetition_arrays
+
+    a = "P" * 128 + "AAAA"
+    b = "P" * 128 + "BBBB"
+    got = line_repetition_arrays(pa.array([a + "\n" + b, a + "\n" + a]))
+    assert got["dup_line_frac"][0] == 0.0   # distinct despite shared prefix
+    assert got["dup_line_frac"][1] == 1.0   # true duplicates still found
+
+
+def test_line_repetition_giant_single_paragraph_fast():
+    """One blank-line-free 50k-line document must not stall the batch
+    (the segmented Horner is O(total lines), not O(max para lines))."""
+    import time
+
+    from ocgis_ray.stages.quality import line_repetition_arrays
+
+    giant = "\n".join(f"line {i}" for i in range(50_000))
+    texts = [giant] + ["short\ndoc\n\npara two"] * 100
+    t0 = time.time()
+    got = line_repetition_arrays(pa.array(texts))
+    assert time.time() - t0 < 2.0
+    assert got["dup_para_frac"][0] == 0.0
