@@ -41,15 +41,23 @@ def clean_corpus(ds, id_col: str = "doc_id", text_col: str = "text",
                  minhash_threshold: float = 0.7,
                  near_dup_method: str = "minhash",
                  max_hamming: int = 3,
+                 embeddings=None, embedding_threshold: float = 0.95,
                  num_buckets: int | None = None):
     """Run the cleaning cascade over a documents Dataset; returns the
     surviving documents (same schema, text possibly rewritten by the
     pii/c4/paragraph steps).  ``url_dedup`` is skipped automatically
     when ``url_col`` is None.  ``near_dup_method`` picks the candidate
-    generator: ``"minhash"`` (Jaccard-style, ``minhash_threshold``) or
-    ``"simhash"`` (Hamming-style, ``max_hamming`` bits)."""
-    if near_dup_method not in ("minhash", "simhash"):
+    generator: ``"minhash"`` (Jaccard-style, ``minhash_threshold``),
+    ``"simhash"`` (Hamming-style, ``max_hamming`` bits), or
+    ``"embedding"`` (cosine >= ``embedding_threshold`` over the
+    ``embeddings`` Dataset — (vec_id, embedding) rows whose vec_id is
+    the document id; semantic near-dups that token hashing misses)."""
+    if near_dup_method not in ("minhash", "simhash", "embedding"):
         raise ValueError(f"unknown near_dup_method {near_dup_method!r}")
+    if near_dup_method == "embedding" and embeddings is None \
+            and "near_dup" in steps:
+        raise ValueError("near_dup_method='embedding' needs an "
+                         "embeddings Dataset (vec_id, embedding)")
     unknown = set(steps) - set(DEFAULT_STEPS)
     if unknown:
         raise ValueError(f"unknown cleaning steps: {sorted(unknown)}")
@@ -88,6 +96,16 @@ def clean_corpus(ds, id_col: str = "doc_id", text_col: str = "text",
         if near_dup_method == "simhash":
             pairs = dedup.simhash_near_duplicates(
                 dedup.simhash_signatures(nd_in), max_hamming=max_hamming)
+        elif near_dup_method == "embedding":
+            from ocgis_ray.stages.ann import embedding_near_duplicates
+
+            raw = embedding_near_duplicates(
+                embeddings, threshold=embedding_threshold,
+                num_partitions=num_buckets)
+            pairs = raw.map_batches(
+                lambda df: df.rename(columns={"vec_a": "doc_a",
+                                              "vec_b": "doc_b"}),
+                batch_format="pandas")
         else:
             pairs = dedup.minhash_near_duplicates(
                 nd_in, threshold=minhash_threshold,

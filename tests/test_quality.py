@@ -671,3 +671,22 @@ def test_line_repetition_giant_single_paragraph_fast():
     got = line_repetition_arrays(pa.array(texts))
     assert time.time() - t0 < 2.0
     assert got["dup_para_frac"][0] == 0.0
+
+
+def test_clean_corpus_embedding_near_dup(ray_session):
+    import ray.data as rd
+
+    from ocgis_ray.pipelines.cleaning import clean_corpus
+
+    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "text"])
+    emb = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    n0 = docs.count()
+    out = clean_corpus(docs, steps=("near_dup",),
+                       near_dup_method="embedding", embeddings=emb,
+                       embedding_threshold=0.99, num_buckets=4).to_pandas()
+    assert 0 < len(out) <= n0
+    assert out["doc_id"].is_unique
+    with pytest.raises(ValueError, match="embeddings Dataset"):
+        clean_corpus(docs, steps=("near_dup",), near_dup_method="embedding")
