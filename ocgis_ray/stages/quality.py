@@ -327,27 +327,20 @@ C4_MIN_WORDS = 3
 C4_BLOCKLIST = ("lorem ipsum", "{", "javascript")
 
 
-def _find_substring_starts(data: np.ndarray, pattern: bytes,
-                           lo: int = 0, hi: int | None = None) -> np.ndarray:
-    """Byte positions in ``[lo, hi)`` where ``pattern`` starts —
-    vectorized sliding compare (len(pattern) shifted equality passes
-    over the batch's byte view).  Callers MUST pass the slice window
-    (``off[0]``, ``off[-1]``) — sliced Arrow arrays share the parent
-    buffer, and an unclamped hit in the out-of-window bytes would be
-    attributed to a real row.  Hits spanning a row/segment boundary
-    are the caller's job to mask (patterns contain no newlines, so a
-    cross-LINE hit is impossible by construction)."""
+def _find_substring_starts(data: np.ndarray, pattern: bytes) -> np.ndarray:
+    """Byte positions where ``pattern`` starts — vectorized sliding
+    compare (len(pattern) shifted equality passes over the batch's
+    byte view, which ``_string_byte_view`` guarantees is already
+    rebased to the array's own window).  Hits spanning a row/segment
+    boundary are the caller's job to mask (patterns contain no
+    newlines, so a cross-LINE hit is impossible by construction)."""
     m = len(pattern)
     if len(data) < m:
         return np.empty(0, dtype=np.int64)
     hit = data[: len(data) - m + 1] == pattern[0]
     for j in range(1, m):
         hit &= data[j: len(data) - m + 1 + j] == pattern[j]
-    hits = np.nonzero(hit)[0].astype(np.int64)
-    hi = len(data) if hi is None else hi
-    if len(hits) and (lo > 0 or hi < len(data)):
-        hits = hits[(hits >= lo) & (hits + m <= hi)]
-    return hits
+    return np.nonzero(hit)[0].astype(np.int64)
 
 
 def c4_line_filter(ds, col: str = "text", min_words: int = C4_MIN_WORDS,
@@ -390,11 +383,9 @@ def c4_line_filter(ds, col: str = "text", min_words: int = C4_MIN_WORDS,
         np.cumsum(data == ord(" "), out=sp[1:])
         keep &= (sp[ends] - sp[starts] + 1) >= min_words
 
-        # (c) blocklist substrings -> owning line (window-clamped: a
-        # hit in a sliced view's out-of-window bytes must not map to
-        # line -1 / past-the-end)
+        # (c) blocklist substrings -> owning line
         for pat in bl:
-            hits = _find_substring_starts(data, pat, int(off[0]), int(off[-1]))
+            hits = _find_substring_starts(data, pat)
             if len(hits):
                 li = np.searchsorted(starts, hits, side="right") - 1
                 inside = (hits + len(pat)) <= ends[li]

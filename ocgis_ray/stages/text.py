@@ -292,7 +292,9 @@ def add_lang_pred(ds, concurrency=None):
     from ocgis_ray.tuning import auto_pool
 
     concurrency = auto_pool() if concurrency is None else concurrency
-    return ds.map_batches(LangIdStage, batch_format="pandas", concurrency=concurrency)
+    return ds.map_batches(LangIdStage, batch_format="pandas",
+                          concurrency=concurrency,
+                          batch_size=KERNEL_BATCH_SIZE)
 
 
 def add_fingerprint(ds, col: str = "text", k: int = 8, out: str = "fingerprint"):
@@ -391,8 +393,7 @@ def bpe_token_count_arrays(text_arr) -> tuple[np.ndarray, np.ndarray | None]:
         run_len = run_end - p
         last_in_row = run_end == off[run_row + 1]
         glued_space = (run_cls == 0) & (run_len == 1) & ~last_in_row
-        contrib = (~glued_space).astype(np.int64)
-        counts = np.bincount(run_row, weights=contrib, minlength=n).astype(np.int64)
+        counts = np.bincount(run_row[~glued_space], minlength=n).astype(np.int64)
     null_mask = None
     if text_arr.null_count:
         null_mask = pc.is_null(text_arr).to_numpy(zero_copy_only=False)

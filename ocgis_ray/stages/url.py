@@ -40,10 +40,9 @@ def parse_url_arrays(url_arr) -> dict[str, pa.Array]:
     n = len(off) - 1
     row_start, row_end = off[:-1], off[1:]
 
-    # first "://" per row, clamped to the slice window (a sliced Arrow
-    # array shares the parent buffer — an out-of-window hit would index
-    # row_end out of bounds or corrupt row 0's scheme)
-    hits = _find_substring_starts(data, b"://", int(off[0]), int(off[-1]))
+    # first "://" per row (the byte view is window-rebased, so every
+    # hit belongs to a real row)
+    hits = _find_substring_starts(data, b"://")
     sep = np.full(n, -1, dtype=np.int64)
     if len(hits):
         hrow = np.searchsorted(off[1:], hits, side="right")

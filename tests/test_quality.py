@@ -374,10 +374,12 @@ def test_sliced_array_window_clamping():
     assert got["url_scheme"].to_pylist() == ["plain", "alpha beta"]
     assert got["url_host"].to_pylist() == ["", ""]
 
+    # the byte view is rebased to the slice window, so the '{' in the
+    # pre-slice bytes is invisible to the substring scan
     data, off = _string_byte_view(sliced.combine_chunks()
                                   if isinstance(sliced, pa.ChunkedArray) else sliced)
-    hits = _find_substring_starts(data, b"{", int(off[0]), int(off[-1]))
-    assert len(hits) == 0
+    hits = _find_substring_starts(data, b"{")
+    assert len(hits) == 0 and off[0] == 0
 
 
 def test_quality_stats_on_sliced_array():
