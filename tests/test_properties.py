@@ -301,3 +301,56 @@ def test_conservative_weights_properties(poly, res):
     eps = 1e-9
     assert (x1 >= bx0 - eps).all() and (x0 <= bx1 + eps).all()
     assert (y1 >= by0 - eps).all() and (y0 <= by1 + eps).all()
+
+
+# ------------------------------------------------- text kernel parity
+
+# arbitrary unicode text with frequent spaces/newlines (the separator
+# regimes the byte-view kernels care about)
+_texty = st.text(alphabet=list(" \n\taZ9.,!é日'\"{"), max_size=60)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_texty, min_size=1, max_size=8))
+def test_quality_stats_duckdb_parity_property(texts):
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+
+    from ocgis_ray.stages.quality import quality_stats_arrays, quality_stats_sql
+
+    tbl = pa.table({"doc_id": list(range(len(texts))),
+                    "text": pa.array(texts, type=pa.string())})
+    stats = quality_stats_arrays(tbl["text"])
+    stats.pop("_null_mask", None)
+    eng = pd.DataFrame({"doc_id": tbl["doc_id"].to_numpy(), **stats}) \
+        .sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    ora = con.execute(quality_stats_sql()).fetchdf() \
+        .sort_values("doc_id").reset_index(drop=True)
+    con.close()
+    for c in ["dup_word_frac", "mean_word_len", "stopword_frac",
+              "top_bigram_frac", "gopher_keep"]:
+        a = eng[c].to_numpy(np.float64)
+        b = ora[c].to_numpy(np.float64)
+        assert ((np.isnan(a) & np.isnan(b)) | (a == b)).all(), c
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_texty, min_size=1, max_size=8))
+def test_bpe_token_count_duckdb_parity_property(texts):
+    import duckdb
+    import pyarrow as pa
+
+    from ocgis_ray.stages.text import bpe_token_count_arrays, bpe_token_count_sql
+
+    arr = pa.array(texts, type=pa.string())
+    counts, _ = bpe_token_count_arrays(arr)
+    con = duckdb.connect()
+    con.register("t", pa.table({"i": list(range(len(texts))), "text": arr}))
+    sql = con.execute(
+        f"SELECT {bpe_token_count_sql()} AS n FROM t ORDER BY i"
+    ).fetchdf()["n"].to_numpy(np.int64)
+    con.close()
+    assert (counts == sql).all()
