@@ -39,6 +39,18 @@ Index semantics (value plays the daily-variable role, ts the day):
 - ``r99ptot``                   sum of values > own 99th percentile
 - ``r75p``                      count above own 75th percentile
 - ``txn`` / ``tnx``             min of daily max / max of daily min
+- ``txx`` / ``tnn``             max of daily max / min of daily min
+- ``txm`` / ``tnm``             mean of daily max / mean of daily min
+- ``sd``                        mean daily total (snow-depth analog)
+- ``sd1``/``sd5cm``/``sd50cm``  days with daily total >= threshold
+- ``tn10p`` / ``tn90p``         days with daily min below q10 / above
+                                q90 of the entity's own daily-min base
+- ``tx10p`` / ``tg90p``         days with daily max below q10 / daily
+                                mean above q90 (own daily bases)
+- ``r95p`` / ``r99p``           counts above own q95 / q99
+- ``cd``/``cw``/``wd``/``ww``   compound cold/warm x dry/wet day
+                                counts vs own daily medians (ECA&D
+                                CD, CW, WD, WW)
 
 Every index has an exact DuckDB twin assembled by
 :func:`climate_indices_sql` (gaps-and-islands for the run lengths,
@@ -63,6 +75,13 @@ DEFAULTS = {"su_thr": 60.0, "fd_thr": 10.0, "tr_thr": 120.0, "id_thr": 5.0,
 
 #: name -> fn(values_sorted, days_sorted, params) -> scalar
 _INDEX_FUNCS: dict[str, Callable] = {}
+
+#: indices whose SQL twin lives in the per-entity daily-scalar CTE
+#: (dayq/dayx); see the fourth-tranche registrations below
+_DAYX_NAMES = frozenset({
+    "txm", "tnm", "txx", "tnn", "sd", "sd1", "sd5cm", "sd50cm",
+    "tn10p", "tn90p", "tx10p", "tg90p", "cd", "cw", "wd", "ww",
+})
 
 
 def register_index(name: str, fn: Callable) -> None:
@@ -147,7 +166,7 @@ def _day_ranges_cents(v: np.ndarray, d: np.ndarray,
     so day segments are contiguous.  Built on the memoized daily
     aggregates — dmax/dmin come from the same reduceat segmentation
     the standalone computation used, so values are bit-identical."""
-    _, _, dmax, dmin = _daily(v, d, p)
+    _, _, dmax, dmin, _ = _daily(v, d, p)
     return _cents(dmax - dmin)
 
 
@@ -215,10 +234,10 @@ DEFAULTS["r20_thr"] = 200.0   # daily-total "very heavy" threshold (R20mm)
 
 
 def _daily(v: np.ndarray, d: np.ndarray, p: dict | None = None):
-    """(day_int64, day_sum_cents, day_max, day_min) — d arrives
-    ts-sorted so day segments are contiguous (see _dtr).
+    """(day_int64, day_sum_cents, day_max, day_min, day_count) — d
+    arrives ts-sorted so day segments are contiguous (see _dtr).
 
-    Six kernels read the same daily aggregates; when ``p`` is the
+    Two dozen kernels read the same daily aggregates; when ``p`` is the
     per-entity params dict :func:`climate_indices` passes (a fresh
     copy per entity), the tuple is computed once and memoized in it.
     The cache is validated against the array identities so direct
@@ -228,17 +247,19 @@ def _daily(v: np.ndarray, d: np.ndarray, p: dict | None = None):
         if hit is not None and hit[0] is v and hit[1] is d:
             return hit[2]
     starts = np.flatnonzero(np.concatenate([[True], d[1:] != d[:-1]]))
+    bounds = np.concatenate([starts, [v.size]])
     out = (d[starts].astype(np.int64),
            np.add.reduceat(_cents(v), starts),
            np.maximum.reduceat(v, starts),
-           np.minimum.reduceat(v, starts))
+           np.minimum.reduceat(v, starts),
+           np.diff(bounds).astype(np.int64))
     if p is not None:
         p["_daily_cache"] = (v, d, out)
     return out
 
 
 def _rx1day(v: np.ndarray, d: np.ndarray, p: dict) -> float:
-    _, sums, _, _ = _daily(v, d, p)
+    _, sums, _, _, _ = _daily(v, d, p)
     return float(sql_round(sums.max() / 100.0, ROUND))
 
 
@@ -246,7 +267,7 @@ def _rx5day(v: np.ndarray, d: np.ndarray, p: dict) -> float:
     """Max CALENDAR-5-day precipitation total: for each present day d,
     the sum over present days in [d-4, d] (missing days contribute 0,
     matching the SQL RANGE frame)."""
-    days, sums, _, _ = _daily(v, d, p)
+    days, sums, _, _, _ = _daily(v, d, p)
     prefix = np.concatenate([[0], np.cumsum(sums)])
     lo = np.searchsorted(days, days - 4, side="left")
     win = prefix[np.arange(1, days.size + 1)] - prefix[lo]
@@ -255,7 +276,7 @@ def _rx5day(v: np.ndarray, d: np.ndarray, p: dict) -> float:
 
 def _r_nn(thr_key: str):
     def fn(v: np.ndarray, d: np.ndarray, p: dict) -> int:
-        _, sums, _, _ = _daily(v, d, p)
+        _, sums, _, _, _ = _daily(v, d, p)
         return int((sums >= int(round(p[thr_key] * 100.0))).sum())
     return fn
 
@@ -266,12 +287,12 @@ def _r99ptot(v: np.ndarray, d: np.ndarray, p: dict) -> float:
 
 
 def _txn(v: np.ndarray, d: np.ndarray, p: dict) -> float:
-    _, _, dmax, _ = _daily(v, d, p)
+    _, _, dmax, _, _ = _daily(v, d, p)
     return float(dmax.min())
 
 
 def _tnx(v: np.ndarray, d: np.ndarray, p: dict) -> float:
-    _, _, _, dmin = _daily(v, d, p)
+    _, _, _, dmin, _ = _daily(v, d, p)
     return float(dmin.max())
 
 
@@ -283,6 +304,98 @@ register_index("r99ptot", _r99ptot)
 register_index("r75p", lambda v, d, p: int((v > np.percentile(v, 75.0)).sum()))
 register_index("txn", _txn)
 register_index("tnx", _tnx)
+
+
+# fourth ECA&D tranche (completes the ~50-index contrib surface,
+# contrib/library_icclim.py:1-509): snow-pack analogs over daily
+# totals (SD/SD1/SD5cm/SD50cm), percentile-days over the DAILY series
+# (TN10p/TN90p/TX10p/TG90p — the whole-entry tx90p/tg10p already
+# exist), daily-extreme means (TXm/TNm) and extremes (TXx/TNn),
+# whole-series percentile-day counts (R95p/R99p), and the CD/CW/WD/WW
+# compound climatology (cold/warm x dry/wet vs the entity's own daily
+# medians).
+
+DEFAULTS["sd1_thr"] = 30.0    # daily-total "snow day" floor (SD1 analog)
+DEFAULTS["sd5_thr"] = 100.0   # SD5cm analog
+DEFAULTS["sd50_thr"] = 250.0  # SD50cm analog
+
+
+def _day_mean_tot(v: np.ndarray, d: np.ndarray, p: dict):
+    """(day_mean, day_total) as float64 — both derived from the exact
+    integer-cent daily sums with the same IEEE ops as the SQL twin
+    (``(sum_c / 100.0) / dcnt`` and ``sum_c / 100.0``)."""
+    _, sums, _, _, cnt = _daily(v, d, p)
+    return (sums / 100.0) / cnt, sums / 100.0
+
+
+def _txm(v, d, p):
+    _, _, dmax, _, _ = _daily(v, d, p)
+    c = _cents(dmax)
+    return float(sql_round((c.sum() / 100.0) / c.size, ROUND))
+
+
+def _tnm(v, d, p):
+    _, _, _, dmin, _ = _daily(v, d, p)
+    c = _cents(dmin)
+    return float(sql_round((c.sum() / 100.0) / c.size, ROUND))
+
+
+def _sd(v, d, p):
+    _, sums, _, _, _ = _daily(v, d, p)
+    return float(sql_round((sums.sum() / 100.0) / sums.size, ROUND))
+
+
+def _sd_nn(thr_key: str):
+    def fn(v, d, p):
+        _, sums, _, _, _ = _daily(v, d, p)
+        return int((sums >= int(round(p[thr_key] * 100.0))).sum())
+    return fn
+
+
+def _day_pctl_count(which: str, q: float, above: bool):
+    """Count of days whose daily min/max/mean is above/below the
+    entity's own q-th percentile of that daily series."""
+    def fn(v, d, p):
+        _, sums, dmax, dmin, cnt = _daily(v, d, p)
+        series = {"min": dmin, "max": dmax}.get(which)
+        if series is None:
+            series = (sums / 100.0) / cnt
+        thr = np.percentile(series, q)
+        return int((series > thr).sum() if above else (series < thr).sum())
+    return fn
+
+
+def _compound(cold: bool, wet: bool):
+    """CD/CW/WD/WW: days cold/warm (daily mean vs its median) x
+    dry/wet (daily total vs its median)."""
+    def fn(v, d, p):
+        dmean, dtot = _day_mean_tot(v, d, p)
+        med_mean = np.percentile(dmean, 50.0)
+        med_tot = np.percentile(dtot, 50.0)
+        t = (dmean < med_mean) if cold else (dmean >= med_mean)
+        r = (dtot >= med_tot) if wet else (dtot < med_tot)
+        return int((t & r).sum())
+    return fn
+
+
+register_index("txm", _txm)
+register_index("tnm", _tnm)
+register_index("txx", lambda v, d, p: float(_daily(v, d, p)[2].max()))
+register_index("tnn", lambda v, d, p: float(_daily(v, d, p)[3].min()))
+register_index("sd", _sd)
+register_index("sd1", _sd_nn("sd1_thr"))
+register_index("sd5cm", _sd_nn("sd5_thr"))
+register_index("sd50cm", _sd_nn("sd50_thr"))
+register_index("tn10p", _day_pctl_count("min", 10.0, above=False))
+register_index("tn90p", _day_pctl_count("min", 90.0, above=True))
+register_index("tx10p", _day_pctl_count("max", 10.0, above=False))
+register_index("tg90p", _day_pctl_count("mean", 90.0, above=True))
+register_index("r95p", lambda v, d, p: int((v > np.percentile(v, 95.0)).sum()))
+register_index("r99p", lambda v, d, p: int((v > np.percentile(v, 99.0)).sum()))
+register_index("cd", _compound(cold=True, wet=False))
+register_index("cw", _compound(cold=True, wet=True))
+register_index("wd", _compound(cold=False, wet=False))
+register_index("ww", _compound(cold=False, wet=True))
 
 
 def climate_indices(ds, entity_col: str = "user_id", ts_col: str = "ts",
@@ -339,14 +452,18 @@ def climate_indices_sql(table: str = "events", entity_col: str = "user_id",
             sel.append(f"max({v}) AS tx")
         elif n == "tn":
             sel.append(f"min({v}) AS tn")
+        # count-valued indices: DuckDB's sum() over integers yields
+        # HUGEINT (float64 through fetchdf) while the engine emits
+        # int64 — CAST AS BIGINT so both sides agree on dtype (the
+        # driver's value hash is dtype-sensitive; round-2 red row)
         elif n == "su":
-            sel.append(f"sum(CASE WHEN {v} > {p['su_thr']!r} THEN 1 ELSE 0 END) AS su")
+            sel.append(f"CAST(sum(CASE WHEN {v} > {p['su_thr']!r} THEN 1 ELSE 0 END) AS BIGINT) AS su")
         elif n == "fd":
-            sel.append(f"sum(CASE WHEN {v} < {p['fd_thr']!r} THEN 1 ELSE 0 END) AS fd")
+            sel.append(f"CAST(sum(CASE WHEN {v} < {p['fd_thr']!r} THEN 1 ELSE 0 END) AS BIGINT) AS fd")
         elif n == "tr":
-            sel.append(f"sum(CASE WHEN {v} > {p['tr_thr']!r} THEN 1 ELSE 0 END) AS tr")
+            sel.append(f"CAST(sum(CASE WHEN {v} > {p['tr_thr']!r} THEN 1 ELSE 0 END) AS BIGINT) AS tr")
         elif n == "id_":
-            sel.append(f"sum(CASE WHEN {v} < {p['id_thr']!r} THEN 1 ELSE 0 END) AS id_")
+            sel.append(f"CAST(sum(CASE WHEN {v} < {p['id_thr']!r} THEN 1 ELSE 0 END) AS BIGINT) AS id_")
         elif n == "prcptot":
             sel.append(f"round(sum(CASE WHEN {v} >= {p['wet_thr']!r} THEN"
                        f" CAST(round({v} * 100.0) AS BIGINT) ELSE 0 END)"
@@ -358,9 +475,9 @@ def climate_indices_sql(table: str = "events", entity_col: str = "user_id",
                        f" CAST(round({v} * 100.0) AS BIGINT) ELSE 0 END)"
                        f" / 100.0, {ROUND}) AS r95ptot")
         elif n == "tx90p":
-            sel.append(f"sum(CASE WHEN {v} > q90 THEN 1 ELSE 0 END) AS tx90p")
+            sel.append(f"CAST(sum(CASE WHEN {v} > q90 THEN 1 ELSE 0 END) AS BIGINT) AS tx90p")
         elif n == "fzth":
-            sel.append("max(fzth_cnt) AS fzth")
+            sel.append("CAST(max(fzth_cnt) AS BIGINT) AS fzth")
         elif n in ("cdd", "cwd", "csu", "cfd"):
             # an entity with NO qualifying run is absent from the runs
             # CTE -> LEFT JOIN NULL; the engine's _max_run returns 0
@@ -376,7 +493,7 @@ def climate_indices_sql(table: str = "events", entity_col: str = "user_id",
             sel.append(f"round(sum(greatest(0, CAST(round({v} * 100.0)"
                        f" AS BIGINT) - {gc})) / 100.0, {ROUND}) AS gd4")
         elif n == "rr1":
-            sel.append(f"sum(CASE WHEN {v} >= {p['wet_thr']!r} THEN 1 ELSE 0 END) AS rr1")
+            sel.append(f"CAST(sum(CASE WHEN {v} >= {p['wet_thr']!r} THEN 1 ELSE 0 END) AS BIGINT) AS rr1")
         elif n == "sdii":
             sel.append(
                 f"coalesce(round((sum(CASE WHEN {v} >= {p['wet_thr']!r} THEN"
@@ -386,33 +503,40 @@ def climate_indices_sql(table: str = "events", entity_col: str = "user_id",
         elif n == "vdtr":
             sel.append("max(vdtr_val) AS vdtr")
         elif n == "tg10p":
-            sel.append(f"sum(CASE WHEN {v} < q10 THEN 1 ELSE 0 END) AS tg10p")
+            sel.append(f"CAST(sum(CASE WHEN {v} < q10 THEN 1 ELSE 0 END) AS BIGINT) AS tg10p")
         elif n in ("wsdi", "csdi"):
-            sel.append(f"coalesce(max(spell_{n}_tot), 0) AS {n}")
+            sel.append(f"CAST(coalesce(max(spell_{n}_tot), 0) AS BIGINT) AS {n}")
         elif n == "rx1day":
             sel.append(f"round(max(rx1_c) / 100.0, {ROUND}) AS rx1day")
         elif n == "rx5day":
             sel.append("max(rx5day_v) AS rx5day")
         elif n == "r10mm":
-            sel.append("max(r10_cnt) AS r10mm")
+            sel.append("CAST(max(r10_cnt) AS BIGINT) AS r10mm")
         elif n == "r20mm":
-            sel.append("max(r20_cnt) AS r20mm")
+            sel.append("CAST(max(r20_cnt) AS BIGINT) AS r20mm")
         elif n == "r99ptot":
             sel.append(f"round(sum(CASE WHEN {v} > q99 THEN"
                        f" CAST(round({v} * 100.0) AS BIGINT) ELSE 0 END)"
                        f" / 100.0, {ROUND}) AS r99ptot")
         elif n == "r75p":
-            sel.append(f"sum(CASE WHEN {v} > q75 THEN 1 ELSE 0 END) AS r75p")
+            sel.append(f"CAST(sum(CASE WHEN {v} > q75 THEN 1 ELSE 0 END) AS BIGINT) AS r75p")
         elif n == "txn":
             sel.append("max(txn_v) AS txn")
         elif n == "tnx":
             sel.append("max(tnx_v) AS tnx")
+        elif n == "r95p":
+            sel.append(f"CAST(sum(CASE WHEN {v} > q95 THEN 1 ELSE 0 END) AS BIGINT) AS r95p")
+        elif n == "r99p":
+            sel.append(f"CAST(sum(CASE WHEN {v} > q99 THEN 1 ELSE 0 END) AS BIGINT) AS r99p")
+        elif n in _DAYX_NAMES:
+            sel.append(f"max({n}_v) AS {n}")
     run_cmp = {
         "cdd": f"{v} < {p['wet_thr']!r}",
         "cwd": f"{v} >= {p['wet_thr']!r}",
         "csu": f"{v} > {p['su_thr']!r}",
         "cfd": f"{v} < {p['fd_thr']!r}",
     }
+    dayx_needed = [n for n in names if n in _DAYX_NAMES]
     if len(sel) != len(names):
         # registered engine-side indices without a SQL twin (user
         # plugins) must not silently vanish from the oracle columns
@@ -492,6 +616,50 @@ vd AS (
   GROUP BY {e}
 )"""
         runs_joins += f" LEFT JOIN vd USING ({e})"
+    if dayx_needed:
+        # per-entity scalars over the DAILY series: own-base quantiles
+        # first (dayq), then one counting/averaging pass (dayx).
+        # (sum_c / 100.0) / dcnt and sum_c / 100.0 are the exact IEEE
+        # ops the engine's _day_mean_tot performs on the same int64s.
+        sd1c = int(round(p["sd1_thr"] * 100.0))
+        sd5c = int(round(p["sd5_thr"] * 100.0))
+        sd50c = int(round(p["sd50_thr"] * 100.0))
+        dayx_cols = {
+            "txm": f"round((sum(dmax_c) / 100.0) / count(*), {ROUND}) AS txm_v",
+            "tnm": f"round((sum(dmin_c) / 100.0) / count(*), {ROUND}) AS tnm_v",
+            "txx": "max(dmax) AS txx_v",
+            "tnn": "min(dmin) AS tnn_v",
+            "sd": f"round((sum(sum_c) / 100.0) / count(*), {ROUND}) AS sd_v",
+            "sd1": f"CAST(sum(CASE WHEN sum_c >= {sd1c} THEN 1 ELSE 0 END) AS BIGINT) AS sd1_v",
+            "sd5cm": f"CAST(sum(CASE WHEN sum_c >= {sd5c} THEN 1 ELSE 0 END) AS BIGINT) AS sd5cm_v",
+            "sd50cm": f"CAST(sum(CASE WHEN sum_c >= {sd50c} THEN 1 ELSE 0 END) AS BIGINT) AS sd50cm_v",
+            "tn10p": "CAST(sum(CASE WHEN dmin < dq10_min THEN 1 ELSE 0 END) AS BIGINT) AS tn10p_v",
+            "tn90p": "CAST(sum(CASE WHEN dmin > dq90_min THEN 1 ELSE 0 END) AS BIGINT) AS tn90p_v",
+            "tx10p": "CAST(sum(CASE WHEN dmax < dq10_max THEN 1 ELSE 0 END) AS BIGINT) AS tx10p_v",
+            "tg90p": "CAST(sum(CASE WHEN (sum_c / 100.0) / dcnt > dq90_mean THEN 1 ELSE 0 END) AS BIGINT) AS tg90p_v",
+            "cd": "CAST(sum(CASE WHEN (sum_c / 100.0) / dcnt < dmed_mean AND sum_c / 100.0 < dmed_tot THEN 1 ELSE 0 END) AS BIGINT) AS cd_v",
+            "cw": "CAST(sum(CASE WHEN (sum_c / 100.0) / dcnt < dmed_mean AND sum_c / 100.0 >= dmed_tot THEN 1 ELSE 0 END) AS BIGINT) AS cw_v",
+            "wd": "CAST(sum(CASE WHEN (sum_c / 100.0) / dcnt >= dmed_mean AND sum_c / 100.0 < dmed_tot THEN 1 ELSE 0 END) AS BIGINT) AS wd_v",
+            "ww": "CAST(sum(CASE WHEN (sum_c / 100.0) / dcnt >= dmed_mean AND sum_c / 100.0 >= dmed_tot THEN 1 ELSE 0 END) AS BIGINT) AS ww_v",
+        }
+        picked = ",\n         ".join(dayx_cols[n] for n in dayx_needed)
+        runs_ctes += f""",
+dayq AS (
+  SELECT {e},
+         quantile_cont(dmin, 0.10) AS dq10_min,
+         quantile_cont(dmin, 0.90) AS dq90_min,
+         quantile_cont(dmax, 0.10) AS dq10_max,
+         quantile_cont((sum_c / 100.0) / dcnt, 0.90) AS dq90_mean,
+         quantile_cont((sum_c / 100.0) / dcnt, 0.50) AS dmed_mean,
+         quantile_cont(sum_c / 100.0, 0.50) AS dmed_tot
+  FROM days GROUP BY {e}
+),
+dayx AS (
+  SELECT days.{e} AS {e},
+         {picked}
+  FROM days JOIN dayq USING ({e}) GROUP BY days.{e}
+)"""
+        runs_joins += f" LEFT JOIN dayx USING ({e})"
     group_extra = "".join(f", run_len_{n}" for n in runs_needed)
     group_extra += "".join(f", spell_{n}_tot" for n in names if n in spell_cmp)
     if "fzth" in names:
@@ -512,6 +680,7 @@ vd AS (
         group_extra += ", txn_v"
     if "tnx" in names:
         group_extra += ", tnx_v"
+    group_extra += "".join(f", {n}_v" for n in dayx_needed)
     r10c = int(round(p["r10_thr"] * 100.0))
     r20c = int(round(p["r20_thr"] * 100.0))
     base = f"""
@@ -528,7 +697,10 @@ WITH base AS (
 days AS (
   SELECT {e}, day, CAST(round((max({v}) - min({v})) * 100.0) AS BIGINT) AS rng_c,
          sum(CAST(round({v} * 100.0) AS BIGINT)) AS sum_c,
-         max({v}) AS dmax, min({v}) AS dmin
+         max({v}) AS dmax, min({v}) AS dmin,
+         CAST(round(max({v}) * 100.0) AS BIGINT) AS dmax_c,
+         CAST(round(min({v}) * 100.0) AS BIGINT) AS dmin_c,
+         count(*) AS dcnt
   FROM base GROUP BY {e}, day
 ),
 day_stats AS (

@@ -1097,11 +1097,18 @@ def q_tile_rollup_salted(sf_dir: str):
     per-tile work where partials don't apply.)"""
     from ocgis_ray.stages.tiles import add_salt, cell_histogram, salt_plan
 
-    ds = _geo_pages(sf_dir)
-    hist = cell_histogram(ds, "cell_r7")
+    # ONE slim projection (3 int64 columns) materialized to the object
+    # store feeds BOTH the histogram and the salted rollup — round 2
+    # synthesized + geocoded the whole corpus twice (the second full
+    # scan cost ~as much as the rollup itself).  This is the
+    # signatures-checkpoint pattern: the checkpoint is bounded
+    # (~24 B/row), spillable, and read twice.
+    slim = _geo_pages(sf_dir).select_columns(
+        ["page_id", "cell_r7", "n_chars"]).materialize()
+    hist = cell_histogram(slim, "cell_r7")
     # low threshold so the plan actually fires on the hot city cells
     plan = salt_plan(hist, "cell_r7", rows_per_salt=50)
-    salted = add_salt(_geo_pages(sf_dir), plan, "cell_r7")
+    salted = add_salt(slim, plan, "cell_r7")
     partial = grouped_aggregate(
         salted, ["cell_r7", "salt"],
         {"n_pages": (None, "count"), "sum_chars": ("n_chars", "sum")},

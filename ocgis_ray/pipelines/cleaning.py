@@ -163,15 +163,16 @@ def clean_corpus_partitioned(in_dir: str, out_dir: str,
     def make_ds(part: str):
         p = int(part)
         plo, phi = lo + p * step, lo + (p + 1) * step
+        # the id range pushes down as a parquet scan filter: row-group
+        # statistics prune non-overlapping groups at the FOOTER, so N
+        # partitions cost ~one total input scan — the round-2 shape
+        # (read-everything + map_batches filter) re-scanned the full
+        # input once PER partition (256 full reads at 100 TB)
+        import pyarrow.dataset as pads
 
-        def in_range(t):
-            keep = pc.and_(pc.greater_equal(t[id_col], plo),
-                           pc.less(t[id_col], phi))
-            return t.filter(keep)
-
-        ds = read_parquet_sized(in_dir, columns=cols) \
-            .map_batches(in_range, batch_format="pyarrow",
-                         zero_copy_batch=True)
+        ds = read_parquet_sized(
+            in_dir, columns=cols,
+            filter=(pads.field(id_col) >= plo) & (pads.field(id_col) < phi))
         return clean_corpus(ds, id_col=id_col, text_col=text_col,
                             url_col=url_col, steps=filter_steps)
 
@@ -187,6 +188,13 @@ def clean_corpus_partitioned(in_dir: str, out_dir: str,
 
     files = sorted(glob.glob(os.path.join(phase_a, "**", "*.parquet"),
                              recursive=True))
+    if not files:
+        # phase A filtered away every row: read_parquet([]) raises an
+        # opaque error inside Ray — fail with the actual cause instead
+        raise ValueError(
+            f"clean_corpus_partitioned: phase A ({phase_a}) produced no "
+            f"rows — every document was filtered by {filter_steps}; no "
+            "'final' partition written")
     filtered = read_parquet_sized(files, columns=cols)
     final = clean_corpus(filtered, id_col=id_col, text_col=text_col,
                          url_col=url_col, steps=dedup_steps,

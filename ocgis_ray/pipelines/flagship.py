@@ -281,11 +281,10 @@ def flagship_partitioned(
     def make_ds(part: str):
         lo = int(part) * step
         hi = lo + step
-        import ray.data as rd
-
+        from ocgis_ray.sources.io import read_parquet_sized
         from ocgis_ray.sources.pages import synthesize_pages_batch
 
-        docs = rd.read_parquet(
+        docs = read_parquet_sized(
             f"{sf_dir}/documents.parquet",
             columns=["doc_id", "text", "lang", "source", "n_chars"],
             filter=(pads.field("doc_id") >= lo) & (pads.field("doc_id") < hi),

@@ -60,27 +60,51 @@ def read_parquet_sized(
         md = pq.ParquetFile(fp).metadata
         return sum(md.row_group(i).total_byte_size for i in range(md.num_row_groups))
 
+    first_file = None
+    hive_layout = False
     if isinstance(path, (list, tuple)):
         # explicit file list (e.g. a checkpoint dir whose manifest
         # would trip a directory scan)
         path = list(path)
         size = sum(uncompressed(p) for p in path if os.path.isfile(p)) or None
+        first_file = next((p for p in path if os.path.isfile(p)), None)
     elif os.path.isfile(path):
         size = uncompressed(path)
+        first_file = path
     elif os.path.isdir(path):
         # recurse: hive/partitioned layouts (e.g. lineage's part=*/
         # dirs) keep their files in subdirectories — a top-level-only
         # scan would report size 0 and pin the read to ONE block
-        size = sum(
-            uncompressed(os.path.join(root, f))
-            for root, _dirs, files in os.walk(path)
-            for f in files
-            if f.endswith(".parquet")
-        )
+        size = 0
+        for root, _dirs, files in os.walk(path):
+            if "=" in os.path.relpath(root, path):
+                hive_layout = True
+            for f in sorted(files):
+                if f.endswith(".parquet"):
+                    size += uncompressed(os.path.join(root, f))
+                    if first_file is None:
+                        first_file = os.path.join(root, f)
         if size == 0:
             size = None  # no files found: fall back to Ray's heuristic
     else:
         size = None
+    # Strip pandas metadata from the read schema: schemas carrying the
+    # b'pandas' dict are unhashable to Ray's schema-dedup fast path
+    # ("Failed to hash the schemas" on every block — round-2 log spam,
+    # disabled fast path).  Skipped for hive layouts, where a
+    # user-supplied schema would drop the partition columns.
+    schema = None
+    if first_file is not None and not hive_layout:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        file_schema = pq.read_schema(first_file)
+        if file_schema.metadata:
+            schema = file_schema.remove_metadata()
+            if columns is not None:
+                # a user schema must match the projected block layout
+                # exactly (Ray validates block schemas against it)
+                schema = pa.schema([schema.field(c) for c in columns])
     kwargs = {}
     if size is not None:
         if min_blocks is None:
@@ -96,6 +120,8 @@ def read_parquet_sized(
         kwargs["columns"] = columns
     if filter is not None:
         kwargs["filter"] = filter
+    if schema is not None:
+        kwargs["schema"] = schema
     return rd.read_parquet(path, **kwargs)
 
 

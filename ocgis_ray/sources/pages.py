@@ -178,9 +178,9 @@ def pages_dataset(sf_dir: str, reps: int = REPS, parallelism: int = -1):
     The ``RequestDataset`` analog (``driver/request/core.py:19-537``):
     a declarative source that prunes at the read and synthesizes lazily.
     """
-    import ray.data as rd
+    from ocgis_ray.sources.io import read_parquet_sized
 
-    ds = rd.read_parquet(
+    ds = read_parquet_sized(
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "text", "lang", "source", "n_chars"],
     )

@@ -72,9 +72,9 @@ def synth_media_batch(batch: pa.Table, kind: str = "image") -> pa.Table:
 
 
 def synth_media(sf_dir: str, kind: str = "image"):
-    import ray.data as rd
+    from ocgis_ray.sources.io import read_parquet_sized
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return docs.map_batches(
         lambda b: synth_media_batch(b, kind), batch_format="pyarrow", zero_copy_batch=True
     )
@@ -85,7 +85,6 @@ def synth_ppm_media(sf_dir: str, w: int = 32, h: int = 24):
     pure numpy, no image library.  Deterministic doc_id-seeded RGB
     gradients, fully vectorized assembly (one (N, h, w, 3) tensor, one
     flat byte buffer, zero per-row Python)."""
-    import ray.data as rd
 
     header = f"P6\n{w} {h}\n255\n".encode()
 
@@ -118,7 +117,9 @@ def synth_ppm_media(sf_dir: str, w: int = 32, h: int = 24):
             "meta_h": pa.array(np.full(n, h, dtype=np.int64)),
         })
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    from ocgis_ray.sources.io import read_parquet_sized
+
+    docs = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id"])
     return docs.map_batches(make, batch_format="pyarrow",
                             zero_copy_batch=True, batch_size=1024)
 
@@ -183,7 +184,6 @@ def synth_wav_media(sf_dir: str, n_samples: int = 2048,
     """REAL audio payloads: 16-bit mono PCM WAV (RIFF) — decodable
     with pure numpy.  Deterministic doc_id-seeded sine+harmonic
     waveforms, vectorized assembly like :func:`synth_ppm_media`."""
-    import ray.data as rd
 
     data_len = n_samples * 2
 
@@ -222,7 +222,9 @@ def synth_wav_media(sf_dir: str, n_samples: int = 2048,
             "meta_h": pa.array(np.full(n, n_samples, dtype=np.int64)),
         })
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    from ocgis_ray.sources.io import read_parquet_sized
+
+    docs = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id"])
     return docs.map_batches(make, batch_format="pyarrow",
                             zero_copy_batch=True, batch_size=1024)
 

@@ -106,21 +106,36 @@ _HASH_MAX_LEN = 128
 
 
 def _hash_segments(data: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
-    """Horner polynomial hash (splitmix-finalized) per segment —
-    vectorized across segments, loop over BYTE POSITION only.  Segments
-    longer than 128 bytes hash their prefix (documented approximation;
-    natural-language words never get there)."""
-    h = np.zeros(len(starts), dtype=np.uint64)
-    if len(starts) == 0:
+    """Horner polynomial hash (splitmix-finalized) per segment, FULL
+    content — gathers segment bytes segment-major and reduces via the
+    O(total-bytes) prefix-sum Horner (:func:`_segmented_horner`).
+
+    The former 128-byte prefix cap made distinct long words sharing a
+    prefix (URLs, base64 runs on real web text) deterministically
+    collide, silently diverging dup_word_frac / top-bigram / gopher
+    verdicts from the DuckDB twin; full-content hashing restores the
+    repo-wide only-probabilistic-collisions contract.  Short-word
+    batches (lmax <= 16, the natural-language case) keep the cheaper
+    per-position loop — identical values, no gather temporaries."""
+    n_segs = len(starts)
+    h = np.zeros(n_segs, dtype=np.uint64)
+    if n_segs == 0:
         return h
-    lmax = int(min(lens.max(), _HASH_MAX_LEN))
-    with np.errstate(over="ignore"):
-        for u in range(lmax):
-            act = lens > u
-            # gather uint8 then let the add promote — converting the
-            # whole byte buffer to uint64 up front is an 8x temporary
-            h[act] = h[act] * _FNV + data[starts[act] + u]
-    return _mix64(h)
+    lmax = int(lens.max())
+    if lmax <= 16:
+        with np.errstate(over="ignore"):
+            for u in range(lmax):
+                act = lens > u
+                # gather uint8 then let the add promote — converting the
+                # whole byte buffer to uint64 up front is an 8x temporary
+                h[act] = h[act] * _FNV + data[starts[act] + u]
+        return _mix64(h)
+    total = int(lens.sum())
+    seg_first = np.zeros(n_segs, dtype=np.int64)
+    np.cumsum(lens[:-1], out=seg_first[1:])
+    within = np.arange(total, dtype=np.int64) - np.repeat(seg_first, lens)
+    idx = np.repeat(starts, lens) + within
+    return _segmented_horner(data[idx], lens)
 
 
 def _char_counts(data: np.ndarray, starts: np.ndarray, ends: np.ndarray,

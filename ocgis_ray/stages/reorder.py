@@ -16,6 +16,8 @@ statistics of the Morton key instead of scanning the world.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 
@@ -227,6 +229,15 @@ def read_morton_pruned(path, x0: float, y0: float, x1: float, y1: float,
 
     from ocgis_ray.stages.subset import bbox_filter
 
+    if "schema" not in read_kwargs and isinstance(path, str) \
+            and os.path.isfile(path):
+        # strip pandas metadata: unhashable-schema warning + disabled
+        # Ray schema-dedup fast path (see sources/io.read_parquet_sized)
+        import pyarrow.parquet as pq
+
+        fs = pq.read_schema(path)
+        if fs.metadata:
+            read_kwargs["schema"] = fs.remove_metadata()
     ranges = morton_ranges(x0, y0, x1, y1, res, max_ranges=max_ranges)
     ds = rd.read_parquet(path,
                          filter=morton_filter_expr(ranges, key_col),

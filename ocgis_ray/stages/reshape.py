@@ -55,16 +55,26 @@ def union_all(*datasets):
 
 
 def request_size(ds) -> dict:
-    """Size accounting: executes the plan ONCE (materialize), then
-    reads rows/bytes/columns off the materialized snapshot —
-    ``count()`` + ``size_bytes()`` on a lazy Dataset would each be a
-    full execution.  ``schema().names`` works for both Arrow and
-    pandas block schemas (``base_schema`` does not)."""
-    m = ds.materialize()
+    """Size accounting in ONE streaming pass: each block reduces to a
+    (rows, bytes) pair inside ``map_batches`` and only the tiny
+    partials cross to the driver.  ``materialize()`` would pin a full
+    snapshot in the object store just to read two numbers (a memory
+    cliff for a size probe at 100 TB); ``count()`` + ``size_bytes()``
+    on the lazy Dataset would each be a full execution."""
+    import pyarrow as pa
+
+    columns = list(ds.schema().names)
+
+    def size_partial(t: pa.Table) -> pa.Table:
+        return pa.table({"rows": pa.array([t.num_rows], pa.int64()),
+                         "bytes": pa.array([t.nbytes], pa.int64())})
+
+    parts = ds.map_batches(size_partial, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
     return {
-        "rows": m.count(),
-        "bytes": m.size_bytes(),
-        "columns": list(m.schema().names),
+        "rows": int(parts["rows"].sum()),
+        "bytes": int(parts["bytes"].sum()),
+        "columns": columns,
     }
 
 
@@ -155,9 +165,22 @@ def stratified_sample_sql_pred(key_expr: str, group_expr: str,
     default_thr = int(default_rate * (1 << 32))
     if not rates:
         return f"{h} < {default_thr}"
+
+    def lit(g) -> str:
+        # numeric group keys must be numeric SQL literals: quoting
+        # them would make DuckDB compare an int column against
+        # VARCHAR (error or mismatch) while the engine's dict lookup
+        # matches the numeric key
+        if isinstance(g, (bool, np.bool_)):
+            return "TRUE" if g else "FALSE"
+        if isinstance(g, (int, np.integer)):
+            return str(int(g))
+        if isinstance(g, (float, np.floating)):
+            return repr(float(g))
+        return "'" + str(g).replace("'", "''") + "'"
+
     cases = " ".join(
-        f"WHEN '{str(g).replace(chr(39), chr(39) * 2)}'"
-        f" THEN {int(r * (1 << 32))}" for g, r in rates.items())
+        f"WHEN {lit(g)} THEN {int(r * (1 << 32))}" for g, r in rates.items())
     return f"{h} < (CASE {group_expr} {cases} ELSE {default_thr} END)"
 
 

@@ -41,9 +41,31 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
+def dtype_class(s: pd.Series) -> str:
+    """Coarse dtype family — the driver's value hash is dtype-sensitive
+    (int64 vs float64 hash differently even when values are bit-equal),
+    so the local gate must FAIL on family disagreement rather than
+    coerce both sides like round 2 did (that masking shipped a red
+    `climate_indices_events` row)."""
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    return "object"
+
+
 def compare(name: str, mine: pd.DataFrame, oracle: pd.DataFrame) -> str:
     if len(mine) != len(oracle):
         return f"ROWS {len(mine)} vs {len(oracle)}"
+    for c in sorted(set(mine.columns) & set(oracle.columns)):
+        ka, kb = dtype_class(mine[c]), dtype_class(oracle[c])
+        if ka != kb:
+            return (f"DTYPE col={c}: engine {mine[c].dtype} ({ka}) vs "
+                    f"oracle {oracle[c].dtype} ({kb})")
     a, b = canon(mine), canon(oracle)
     if list(a.columns) != list(b.columns):
         return f"SCHEMA {list(a.columns)} vs {list(b.columns)}"
