@@ -841,14 +841,17 @@ def q_embedding_near_dup(sf_dir: str):
 
 
 def q_media_features(sf_dir: str):
-    """REAL image decode: P6/PPM payloads decoded with pure numpy
-    (channel means over actual pixels — see stages/multimodal.py);
-    the byte-stat fake path stays covered by tests."""
-    from ocgis_ray.stages.multimodal import decode_ppm, synth_ppm_media
+    """REAL image decode over a MIXED container table: even doc_ids
+    are raw P6/PPM (vectorized numpy tail decode), odd are
+    zlib-compressed PNG (stdlib chunk walk + de-filter) — same
+    deterministic raster, one dispatching decode stage (see
+    stages/multimodal.py); the byte-stat fake path stays covered by
+    tests."""
+    from ocgis_ray.stages.multimodal import decode_images, synth_image_media
 
-    media = synth_ppm_media(sf_dir)
-    return decode_ppm(media).select_columns(
-        ["media_id", "kind", "n_bytes", "mean_r", "luma"])
+    media = synth_image_media(sf_dir)
+    return decode_images(media).select_columns(
+        ["media_id", "kind", "mean_r", "mean_g", "luma"])
 
 
 def q_knn_cells(sf_dir: str):
@@ -1478,10 +1481,12 @@ FROM k GROUP BY target_id"""
 
 
 def sql_media_features() -> str:
-    # PPM twin: re-derive the deterministic 32x24 gradient pixels in
-    # SQL (range cross joins) and average them — integer-valued float
-    # sums are exact, so the means match the engine's real pixel
-    # decode bit-for-bit.  n_bytes = len("P6\n32 24\n255\n") + 32*24*3.
+    # Container-independent pixel twin: re-derive the deterministic
+    # 32x24 gradient raster in SQL (range cross joins) and average it
+    # — integer-valued float sums are exact, so the means match the
+    # engine's real PPM *and* PNG decodes bit-for-bit (both containers
+    # carry the identical raster; n_bytes was dropped because a zlib
+    # stream's length is not SQL-derivable).
     return """
 WITH px AS (
   SELECT d.doc_id,
@@ -1496,8 +1501,7 @@ m AS (
   SELECT doc_id, avg(r) AS mean_r, avg(g) AS mean_g, avg(b) AS mean_b
   FROM px GROUP BY doc_id
 )
-SELECT doc_id AS media_id, 'image' AS kind,
-       CAST(13 + 32 * 24 * 3 AS BIGINT) AS n_bytes, mean_r,
+SELECT doc_id AS media_id, 'image' AS kind, mean_r, mean_g,
        0.299 * mean_r + 0.587 * mean_g + 0.114 * mean_b AS luma
 FROM m"""
 

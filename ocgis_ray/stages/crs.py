@@ -113,12 +113,13 @@ WGS84_E2 = WGS84_F * (2.0 - WGS84_F)
 WGS84_E = float(np.sqrt(WGS84_E2))
 
 
-def _lcc_consts(lat1: float, lat2: float, lat0: float):
+def _lcc_consts(lat1: float, lat2: float, lat0: float,
+                a: float = WGS84_A, e2: float = WGS84_E2):
     """EPSG 9802 (Lambert Conformal Conic 2SP) projection constants."""
-    e = WGS84_E
+    e = float(np.sqrt(e2))
 
     def m(phi):
-        return np.cos(phi) / np.sqrt(1.0 - WGS84_E2 * np.sin(phi) ** 2)
+        return np.cos(phi) / np.sqrt(1.0 - e2 * np.sin(phi) ** 2)
 
     def t(phi):
         return np.tan(np.pi / 4.0 - phi / 2.0) / (
@@ -131,39 +132,41 @@ def _lcc_consts(lat1: float, lat2: float, lat0: float):
     else:
         n = float((np.log(m(p1)) - np.log(m(p2))) / (np.log(t(p1)) - np.log(t(p2))))
     F = float(m(p1) / (n * t(p1) ** n))
-    rho0 = float(WGS84_A * F * t(p0) ** n)
+    rho0 = float(a * F * t(p0) ** n)
     return n, F, rho0
 
 
 def lcc_forward(lon, lat, lon0: float = -96.0, lat0: float = 40.0,
                 lat1: float = 33.0, lat2: float = 45.0,
-                fe: float = 0.0, fn: float = 0.0):
+                fe: float = 0.0, fn: float = 0.0,
+                a: float = WGS84_A, e2: float = WGS84_E2):
     """Ellipsoidal Lambert Conformal Conic 2SP forward (EPSG 9802) —
     the projection of the reference's regional-model fixtures
     (``variable/crs.py`` CFLambertConformal).  Vectorized numpy; a
     DuckDB twin with identical operation order is
     :func:`lcc_sql`."""
-    n, F, rho0 = _lcc_consts(lat1, lat2, lat0)
-    e = WGS84_E
+    n, F, rho0 = _lcc_consts(lat1, lat2, lat0, a, e2)
+    e = float(np.sqrt(e2))
     p = np.radians(np.asarray(lat, dtype=np.float64))
     t = np.tan(np.pi / 4.0 - p / 2.0) / (
         ((1.0 - e * np.sin(p)) / (1.0 + e * np.sin(p))) ** (e / 2.0)
     )
-    rho = WGS84_A * F * t ** n
+    rho = a * F * t ** n
     th = n * (np.radians(np.asarray(lon, dtype=np.float64)) - np.radians(lon0))
     return fe + rho * np.sin(th), fn + rho0 - rho * np.cos(th)
 
 
 def lcc_inverse(x, y, lon0: float = -96.0, lat0: float = 40.0,
                 lat1: float = 33.0, lat2: float = 45.0,
-                fe: float = 0.0, fn: float = 0.0, iters: int = 8):
-    n, F, rho0 = _lcc_consts(lat1, lat2, lat0)
-    e = WGS84_E
+                fe: float = 0.0, fn: float = 0.0, iters: int = 8,
+                a: float = WGS84_A, e2: float = WGS84_E2):
+    n, F, rho0 = _lcc_consts(lat1, lat2, lat0, a, e2)
+    e = float(np.sqrt(e2))
     xs = np.asarray(x, dtype=np.float64) - fe
     ys = rho0 - (np.asarray(y, dtype=np.float64) - fn)
     rho = np.sign(n) * np.hypot(xs, ys)
     th = np.arctan2(np.sign(n) * xs, np.sign(n) * ys)
-    t = (rho / (WGS84_A * F)) ** (1.0 / n)
+    t = (rho / (a * F)) ** (1.0 / n)
     phi = np.pi / 2.0 - 2.0 * np.arctan(t)
     for _ in range(iters):  # fixed-point (EPSG 9802 inverse)
         phi = np.pi / 2.0 - 2.0 * np.arctan(
@@ -193,20 +196,21 @@ def lcc_sql(lon_expr: str, lat_expr: str, lon0: float = -96.0, lat0: float = 40.
 
 
 def tm_forward(lon, lat, lon0: float, k0: float = 0.9996,
-               fe: float = 500000.0, fn: float = 0.0):
+               fe: float = 500000.0, fn: float = 0.0,
+               a: float = WGS84_A, e2_: float = WGS84_E2):
     """Ellipsoidal Transverse Mercator forward (Snyder 8-12..8-15,
     4th-order series — sub-mm inside a UTM zone).  UTM = this with
     ``lon0 = zone*6 - 183``."""
-    e2 = WGS84_E2
+    e2 = e2_
     ep2 = e2 / (1.0 - e2)
     p = np.radians(np.asarray(lat, dtype=np.float64))
     dl = np.radians(np.asarray(lon, dtype=np.float64)) - np.radians(lon0)
     sin_p, cos_p, tan_p = np.sin(p), np.cos(p), np.tan(p)
-    N = WGS84_A / np.sqrt(1.0 - e2 * sin_p ** 2)
+    N = a / np.sqrt(1.0 - e2 * sin_p ** 2)
     T = tan_p ** 2
     C = ep2 * cos_p ** 2
     A = cos_p * dl
-    M = WGS84_A * (
+    M = a * (
         (1 - e2 / 4 - 3 * e2**2 / 64 - 5 * e2**3 / 256) * p
         - (3 * e2 / 8 + 3 * e2**2 / 32 + 45 * e2**3 / 1024) * np.sin(2 * p)
         + (15 * e2**2 / 256 + 45 * e2**3 / 1024) * np.sin(4 * p)
@@ -225,13 +229,14 @@ def utm_forward(lon, lat, zone: int, south: bool = False):
 
 
 def tm_inverse(x, y, lon0: float, k0: float = 0.9996,
-               fe: float = 500000.0, fn: float = 0.0):
+               fe: float = 500000.0, fn: float = 0.0,
+               a: float = WGS84_A, e2_: float = WGS84_E2):
     """Snyder 8-17..8-25 inverse series."""
-    e2 = WGS84_E2
+    e2 = e2_
     ep2 = e2 / (1.0 - e2)
     e1 = (1 - np.sqrt(1 - e2)) / (1 + np.sqrt(1 - e2))
     M = (np.asarray(y, dtype=np.float64) - fn) / k0
-    mu = M / (WGS84_A * (1 - e2 / 4 - 3 * e2**2 / 64 - 5 * e2**3 / 256))
+    mu = M / (a * (1 - e2 / 4 - 3 * e2**2 / 64 - 5 * e2**3 / 256))
     p1 = (mu + (3 * e1 / 2 - 27 * e1**3 / 32) * np.sin(2 * mu)
           + (21 * e1**2 / 16 - 55 * e1**4 / 32) * np.sin(4 * mu)
           + (151 * e1**3 / 96) * np.sin(6 * mu)
@@ -239,8 +244,8 @@ def tm_inverse(x, y, lon0: float, k0: float = 0.9996,
     sin1, cos1, tan1 = np.sin(p1), np.cos(p1), np.tan(p1)
     C1 = ep2 * cos1 ** 2
     T1 = tan1 ** 2
-    N1 = WGS84_A / np.sqrt(1 - e2 * sin1 ** 2)
-    R1 = WGS84_A * (1 - e2) / (1 - e2 * sin1 ** 2) ** 1.5
+    N1 = a / np.sqrt(1 - e2 * sin1 ** 2)
+    R1 = a * (1 - e2) / (1 - e2 * sin1 ** 2) ** 1.5
     D = (np.asarray(x, dtype=np.float64) - fe) / (N1 * k0)
     lat = p1 - (N1 * tan1 / R1) * (
         D**2 / 2 - (5 + 3 * T1 + 10 * C1 - 4 * C1**2 - 9 * ep2) * D**4 / 24
@@ -253,70 +258,80 @@ def tm_inverse(x, y, lon0: float, k0: float = 0.9996,
     return np.degrees(lon), np.degrees(lat)
 
 
-def _aea_q(sinp: np.ndarray | float):
+def _aea_q(sinp: np.ndarray | float, e2: float = WGS84_E2):
     """Snyder 3-12: the authalic-latitude q function (ellipsoidal
     equal-area kernel).  Exact identity: the ellipsoid's surface area
     between two parallels over Δλ is a²·Δλ·(q2−q1)/2 — the equal-area
     test in tests/test_crs.py leans on this."""
-    e = WGS84_E
-    return (1.0 - WGS84_E2) * (
-        sinp / (1.0 - WGS84_E2 * sinp ** 2)
+    e = float(np.sqrt(e2))
+    return (1.0 - e2) * (
+        sinp / (1.0 - e2 * sinp ** 2)
         - (1.0 / (2.0 * e)) * np.log((1.0 - e * sinp) / (1.0 + e * sinp)))
 
 
-def _aea_consts(lat1: float, lat2: float, lat0: float):
+def _aea_consts(lat1: float, lat2: float, lat0: float,
+                a: float = WGS84_A, e2: float = WGS84_E2):
     """EPSG 9822 (Albers Equal Area conic) projection constants."""
     def m(phi):
-        return np.cos(phi) / np.sqrt(1.0 - WGS84_E2 * np.sin(phi) ** 2)
+        return np.cos(phi) / np.sqrt(1.0 - e2 * np.sin(phi) ** 2)
 
     p1, p2, p0 = np.radians(lat1), np.radians(lat2), np.radians(lat0)
     m1, m2 = float(m(p1)), float(m(p2))
-    q1, q2 = float(_aea_q(np.sin(p1))), float(_aea_q(np.sin(p2)))
+    q1, q2 = float(_aea_q(np.sin(p1), e2)), float(_aea_q(np.sin(p2), e2))
     if abs(lat1 - lat2) < 1e-12:
         n = float(np.sin(p1))
     else:
         n = (m1 * m1 - m2 * m2) / (q2 - q1)
     C = m1 * m1 + n * q1
-    rho0 = WGS84_A * float(np.sqrt(C - n * float(_aea_q(np.sin(p0))))) / n
+    rho0 = a * float(np.sqrt(C - n * float(_aea_q(np.sin(p0), e2)))) / n
     return n, C, rho0
 
 
 def aea_forward(lon, lat, lon0: float = -96.0, lat0: float = 23.0,
                 lat1: float = 29.5, lat2: float = 45.5,
-                fe: float = 0.0, fn: float = 0.0):
+                fe: float = 0.0, fn: float = 0.0,
+                a: float = WGS84_A, e2: float = WGS84_E2):
     """Ellipsoidal Albers Equal Area conic forward (EPSG 9822, Snyder
     14-1..14-4) — THE projection for area-preserving continental
     analyses (defaults = EPSG:5070 CONUS Albers parameters); the
     natural output CRS for ``area_weighted_aggregate`` results.
     Reference analog: the proj4-backed ``variable/crs.py`` family."""
-    n, C, rho0 = _aea_consts(lat1, lat2, lat0)
+    n, C, rho0 = _aea_consts(lat1, lat2, lat0, a, e2)
     p = np.radians(np.asarray(lat, dtype=np.float64))
-    q = _aea_q(np.sin(p))
-    rho = WGS84_A * np.sqrt(C - n * q) / n
+    q = _aea_q(np.sin(p), e2)
+    rho = a * np.sqrt(C - n * q) / n
     th = n * (np.radians(np.asarray(lon, dtype=np.float64)) - np.radians(lon0))
     return fe + rho * np.sin(th), fn + rho0 - rho * np.cos(th)
 
 
 def aea_inverse(x, y, lon0: float = -96.0, lat0: float = 23.0,
                 lat1: float = 29.5, lat2: float = 45.5,
-                fe: float = 0.0, fn: float = 0.0, iters: int = 10):
+                fe: float = 0.0, fn: float = 0.0, iters: int = 10,
+                a: float = WGS84_A, e2: float = WGS84_E2):
     """Snyder 14-19 + 3-16 fixed-point iteration (sub-1e-9-degree
     round-trips over CONUS at 10 iterations)."""
-    n, C, rho0 = _aea_consts(lat1, lat2, lat0)
-    e = WGS84_E
+    n, C, rho0 = _aea_consts(lat1, lat2, lat0, a, e2)
     xs = np.asarray(x, dtype=np.float64) - fe
     ys = rho0 - (np.asarray(y, dtype=np.float64) - fn)
     rho = np.sign(n) * np.hypot(xs, ys)
     th = np.arctan2(np.sign(n) * xs, np.sign(n) * ys)
-    q = (C - (rho * n / WGS84_A) ** 2) / n
-    phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+    q = (C - (rho * n / a) ** 2) / n
+    phi = _phi_from_q(q, e2, iters)
+    return np.degrees(th / n + np.radians(lon0)), np.degrees(phi)
+
+
+def _phi_from_q(q, e2: float = WGS84_E2, iters: int = 10):
+    """Snyder 3-16: latitude from the authalic q by fixed point —
+    shared by the AEA and LAEA inverses."""
+    e = float(np.sqrt(e2))
+    phi = np.arcsin(np.clip(np.asarray(q, dtype=np.float64) / 2.0, -1.0, 1.0))
     for _ in range(iters):
         sinp = np.sin(phi)
-        phi = phi + (1.0 - WGS84_E2 * sinp ** 2) ** 2 / (2.0 * np.cos(phi)) * (
-            q / (1.0 - WGS84_E2)
-            - sinp / (1.0 - WGS84_E2 * sinp ** 2)
+        phi = phi + (1.0 - e2 * sinp ** 2) ** 2 / (2.0 * np.cos(phi)) * (
+            q / (1.0 - e2)
+            - sinp / (1.0 - e2 * sinp ** 2)
             + (1.0 / (2.0 * e)) * np.log((1.0 - e * sinp) / (1.0 + e * sinp)))
-    return np.degrees(th / n + np.radians(lon0)), np.degrees(phi)
+    return phi
 
 
 CrsTransformStage.TRANSFORMS["lcc_conus"] = lambda lon, lat: lcc_forward(lon, lat)
@@ -353,17 +368,243 @@ CRS_PAIRS: dict = {
 }
 
 
-def compose_transform(src: str, dst: str):
+# ------------------------------------------------ LAEA / sinusoidal
+
+def laea_forward(lon, lat, lon0: float, lat0: float,
+                 fe: float = 0.0, fn: float = 0.0,
+                 a: float = WGS84_A, e2: float = WGS84_E2):
+    """Ellipsoidal Lambert Azimuthal Equal Area, oblique aspect
+    (Snyder 24-2..24-8, 3-11, 3-12) — EPSG 9820, the projection of
+    the pan-European EPSG:3035 grid."""
+    qp = float(_aea_q(1.0, e2))
+    p = np.radians(np.asarray(lat, dtype=np.float64))
+    dl = np.radians(np.asarray(lon, dtype=np.float64)) - np.radians(lon0)
+    beta = np.arcsin(np.clip(_aea_q(np.sin(p), e2) / qp, -1.0, 1.0))
+    p0 = np.radians(lat0)
+    beta0 = float(np.arcsin(np.clip(float(_aea_q(np.sin(p0), e2)) / qp, -1.0, 1.0)))
+    rq = a * float(np.sqrt(qp / 2.0))
+    m0 = float(np.cos(p0) / np.sqrt(1.0 - e2 * np.sin(p0) ** 2))
+    d = a * m0 / (rq * np.cos(beta0))
+    b = rq * np.sqrt(2.0 / (1.0 + np.sin(beta0) * np.sin(beta)
+                            + np.cos(beta0) * np.cos(beta) * np.cos(dl)))
+    x = b * d * np.cos(beta) * np.sin(dl)
+    y = (b / d) * (np.cos(beta0) * np.sin(beta)
+                   - np.sin(beta0) * np.cos(beta) * np.cos(dl))
+    return fe + x, fn + y
+
+
+def laea_inverse(x, y, lon0: float, lat0: float,
+                 fe: float = 0.0, fn: float = 0.0,
+                 a: float = WGS84_A, e2: float = WGS84_E2,
+                 iters: int = 10):
+    """Snyder 24-16..24-19 + 3-16 (shared :func:`_phi_from_q`)."""
+    qp = float(_aea_q(1.0, e2))
+    p0 = np.radians(lat0)
+    beta0 = float(np.arcsin(np.clip(float(_aea_q(np.sin(p0), e2)) / qp, -1.0, 1.0)))
+    rq = a * float(np.sqrt(qp / 2.0))
+    m0 = float(np.cos(p0) / np.sqrt(1.0 - e2 * np.sin(p0) ** 2))
+    d = a * m0 / (rq * np.cos(beta0))
+    xs = (np.asarray(x, dtype=np.float64) - fe) / d
+    ys = (np.asarray(y, dtype=np.float64) - fn) * d
+    rho = np.hypot(xs, ys)
+    ce = 2.0 * np.arcsin(np.clip(rho / (2.0 * rq), -1.0, 1.0))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        q = qp * (np.cos(ce) * np.sin(beta0)
+                  + ys * np.sin(ce) * np.cos(beta0) / rho)
+        lam = np.arctan2(xs * np.sin(ce),
+                         rho * np.cos(beta0) * np.cos(ce)
+                         - ys * np.sin(beta0) * np.sin(ce))
+    center = rho == 0.0  # projection center: q and lambda are exact
+    q = np.where(center, qp * np.sin(beta0), q)
+    lam = np.where(center, 0.0, lam)
+    phi = _phi_from_q(q, e2, iters)
+    return np.degrees(lam + np.radians(lon0)), np.degrees(phi)
+
+
+def sinu_forward(lon, lat, lon0: float = 0.0, R: float = WGS84_A,
+                 fe: float = 0.0, fn: float = 0.0):
+    """Spherical sinusoidal (Sanson-Flamsteed) forward — the MODIS
+    grid projection (sphere R=6371007.181, ESRI:54008/SR-ORG:6974)."""
+    p = np.radians(np.asarray(lat, dtype=np.float64))
+    dl = np.radians(np.asarray(lon, dtype=np.float64)) - np.radians(lon0)
+    return fe + R * dl * np.cos(p), fn + R * p
+
+
+def sinu_inverse(x, y, lon0: float = 0.0, R: float = WGS84_A,
+                 fe: float = 0.0, fn: float = 0.0):
+    p = (np.asarray(y, dtype=np.float64) - fn) / R
+    with np.errstate(invalid="ignore", divide="ignore"):
+        dl = (np.asarray(x, dtype=np.float64) - fe) / (R * np.cos(p))
+    dl = np.where(np.abs(np.cos(p)) < 1e-14, 0.0, dl)  # at the poles
+    return np.degrees(dl + np.radians(lon0)), np.degrees(p)
+
+
+# --------------------------------------- generic proj-param entry point
+
+#: named ellipsoids (+ellps / +datum): (a, 1/f); rf=0 means a sphere
+ELLIPSOIDS = {
+    "WGS84": (6378137.0, 298.257223563),
+    "GRS80": (6378137.0, 298.257222101),
+    "sphere": (6370997.0, 0.0),
+}
+
+
+def _ellipsoid(params: dict) -> tuple[float, float]:
+    """(a, e2) from proj-style params: +a/+rf beat +ellps; +R means a
+    sphere of that radius."""
+    if "R" in params:
+        return float(params["R"]), 0.0
+    a, rf = ELLIPSOIDS.get(params.get("ellps", "WGS84"), ELLIPSOIDS["WGS84"])
+    a = float(params.get("a", a))
+    rf = float(params.get("rf", rf))
+    if rf == 0.0:
+        return a, 0.0
+    f = 1.0 / rf
+    return a, f * (2.0 - f)
+
+
+def crs_from_params(params: dict):
+    """proj-style parameter dict -> (forward, inverse) pair — the
+    generic constructor the reference gets from proj4/EPSG
+    (``/root/reference/src/ocgis/variable/crs.py:160-240`` accepts any
+    proj4 string / EPSG code).  Supported ``proj`` families: longlat,
+    webmerc/merc, lcc (2SP), tmerc, utm, aea, laea, sinu, ob_tran
+    (rotated pole).  ``x_0``/``y_0`` are false easting/northing in
+    METERS; ``to_meter`` converts the native unit (e.g. US survey feet
+    1200/3937) so outputs are in the CRS's own unit, matching proj.
+
+    Unknown keys are ignored (proj compatibility); an unknown ``proj``
+    raises with the supported list."""
+    proj = params.get("proj", "longlat")
+    a, e2 = _ellipsoid(params)
+    fe = float(params.get("x_0", 0.0))
+    fn = float(params.get("y_0", 0.0))
+    to_m = float(params.get("to_meter", 1.0))
+    g = lambda k, d=0.0: float(params.get(k, d))  # noqa: E731
+
+    if proj in ("longlat", "latlong"):
+        fwd0, inv0 = _ident, _ident
+    elif proj in ("webmerc", "merc"):
+        fwd0, inv0 = to_web_mercator, from_web_mercator
+    elif proj == "lcc":
+        lat1, lat2 = g("lat_1"), g("lat_2", params.get("lat_1", 0.0))
+        lat0, lon0 = g("lat_0"), g("lon_0")
+        fwd0 = lambda lon, lat: lcc_forward(lon, lat, lon0, lat0, lat1, lat2,
+                                            fe, fn, a, e2)  # noqa: E731
+        inv0 = lambda x, y: lcc_inverse(x, y, lon0, lat0, lat1, lat2,
+                                        fe, fn, a=a, e2=e2)  # noqa: E731
+    elif proj == "tmerc":
+        lon0, k0 = g("lon_0"), g("k", params.get("k_0", 1.0))
+        fwd0 = lambda lon, lat: tm_forward(lon, lat, lon0, k0, fe, fn, a, e2)  # noqa: E731
+        inv0 = lambda x, y: tm_inverse(x, y, lon0, k0, fe, fn, a, e2)  # noqa: E731
+    elif proj == "utm":
+        zone = int(params["zone"])
+        south = bool(params.get("south", False))
+        lon0 = zone * 6.0 - 183.0
+        fn_utm = 10000000.0 if south else 0.0
+        fwd0 = lambda lon, lat: tm_forward(lon, lat, lon0, 0.9996, 500000.0,
+                                           fn_utm, a, e2)  # noqa: E731
+        inv0 = lambda x, y: tm_inverse(x, y, lon0, 0.9996, 500000.0,
+                                       fn_utm, a, e2)  # noqa: E731
+    elif proj == "aea":
+        lat1, lat2 = g("lat_1"), g("lat_2", params.get("lat_1", 0.0))
+        lat0, lon0 = g("lat_0"), g("lon_0")
+        fwd0 = lambda lon, lat: aea_forward(lon, lat, lon0, lat0, lat1, lat2,
+                                            fe, fn, a, e2)  # noqa: E731
+        inv0 = lambda x, y: aea_inverse(x, y, lon0, lat0, lat1, lat2,
+                                        fe, fn, a=a, e2=e2)  # noqa: E731
+    elif proj == "laea":
+        lat0, lon0 = g("lat_0"), g("lon_0")
+        fwd0 = lambda lon, lat: laea_forward(lon, lat, lon0, lat0, fe, fn,
+                                             a, e2)  # noqa: E731
+        inv0 = lambda x, y: laea_inverse(x, y, lon0, lat0, fe, fn, a, e2)  # noqa: E731
+    elif proj == "sinu":
+        lon0 = g("lon_0")
+        fwd0 = lambda lon, lat: sinu_forward(lon, lat, lon0, a, fe, fn)  # noqa: E731
+        inv0 = lambda x, y: sinu_inverse(x, y, lon0, a, fe, fn)  # noqa: E731
+    elif proj == "ob_tran":
+        plon = g("o_lon_p", params.get("pole_lon", 0.0))
+        plat = g("o_lat_p", params.get("pole_lat", 90.0))
+        fwd0 = lambda lon, lat: rotated_pole_transform(lon, lat, plon, plat)  # noqa: E731
+        inv0 = lambda rl, rp: rotated_pole_transform(rl, rp, plon, plat,
+                                                     inverse=True)  # noqa: E731
+    else:
+        raise KeyError(
+            f"unsupported proj {proj!r}; supported: longlat webmerc merc "
+            "lcc tmerc utm aea laea sinu ob_tran")
+
+    if to_m == 1.0:
+        return fwd0, inv0
+
+    def fwd(lon, lat):
+        x, y = fwd0(lon, lat)
+        return x / to_m, y / to_m
+
+    def inv(x, y):
+        return inv0(np.asarray(x, np.float64) * to_m,
+                    np.asarray(y, np.float64) * to_m)
+
+    return fwd, inv
+
+
+US_FT = 1200.0 / 3937.0  # US survey foot
+
+#: EPSG code -> proj params (the subset a webtext-geo deployment hits;
+#: the registry is data, crs_from_params is the single code path —
+#: new codes are one dict entry, not a new projection implementation)
+EPSG_PARAMS: dict[int, dict] = {
+    4326: {"proj": "longlat"},
+    3857: {"proj": "webmerc"},
+    5070: {"proj": "aea", "lat_0": 23.0, "lon_0": -96.0, "lat_1": 29.5,
+           "lat_2": 45.5, "ellps": "GRS80"},                    # CONUS Albers
+    2230: {"proj": "lcc", "lat_1": 33.883333333333333,
+           "lat_2": 32.783333333333333, "lat_0": 32.166666666666666,
+           "lon_0": -116.25, "x_0": 2000000.0001016,
+           "y_0": 500000.0001016002, "ellps": "GRS80",
+           "to_meter": US_FT},               # NAD83 / California zone 6 ftUS
+    3035: {"proj": "laea", "lat_0": 52.0, "lon_0": 10.0, "x_0": 4321000.0,
+           "y_0": 3210000.0, "ellps": "GRS80"},              # ETRS89 Europe
+    3347: {"proj": "lcc", "lat_1": 49.0, "lat_2": 77.0, "lat_0": 63.390675,
+           "lon_0": -91.866666666666667, "x_0": 6200000.0,
+           "y_0": 3000000.0, "ellps": "GRS80"},       # Statistics Canada LCC
+    32615: {"proj": "utm", "zone": 15},                     # WGS84 UTM 15N
+    32733: {"proj": "utm", "zone": 33, "south": True},      # WGS84 UTM 33S
+    54008: {"proj": "sinu", "lon_0": 0.0, "R": 6371007.181},  # ESRI sinu (MODIS)
+}
+
+
+def crs_from_epsg(code: int):
+    try:
+        return crs_from_params(EPSG_PARAMS[int(code)])
+    except KeyError:
+        raise KeyError(f"EPSG:{code} not in the registry; have "
+                       f"{sorted(EPSG_PARAMS)} (add a params dict to "
+                       "EPSG_PARAMS or pass proj params directly)") from None
+
+
+def resolve_crs(spec):
+    """Any CRS spec -> (forward, inverse): a registered name, an
+    ``"epsg:NNNN"`` string, an int EPSG code, or a proj-param dict."""
+    if isinstance(spec, dict):
+        return crs_from_params(spec)
+    if isinstance(spec, int):
+        return crs_from_epsg(spec)
+    if isinstance(spec, str) and spec.lower().startswith("epsg:"):
+        return crs_from_epsg(int(spec.split(":", 1)[1]))
+    try:
+        return CRS_PAIRS[spec]
+    except (KeyError, TypeError):
+        raise KeyError(f"unknown CRS {spec!r}; have {sorted(CRS_PAIRS)}, "
+                       "'epsg:<code>', or a proj-param dict") from None
+
+
+def compose_transform(src, dst):
     """Generic CRS-to-CRS transform: ``inverse(src) -> lon/lat ->
     forward(dst)`` — the ``update_crs(other_crs)`` generality the
     reference gets from proj4 (``variable/crs.py:CoordinateReference
     System.transform``), composed from the registered analytic pairs.
-    Unknown names raise with the available registry."""
-    try:
-        src_pair, dst_pair = CRS_PAIRS[src], CRS_PAIRS[dst]
-    except KeyError as e:
-        raise KeyError(f"unknown CRS {e.args[0]!r}; have "
-                       f"{sorted(CRS_PAIRS)}") from None
+    ``src``/``dst`` accept anything :func:`resolve_crs` does."""
+    src_pair, dst_pair = resolve_crs(src), resolve_crs(dst)
     src_inv, dst_fwd = src_pair[1], dst_pair[0]
 
     def fn(x, y):

@@ -91,13 +91,7 @@ def synth_ppm_media(sf_dir: str, w: int = 32, h: int = 24):
     def make(batch: pa.Table) -> pa.Table:
         doc_id = batch["doc_id"].to_numpy(zero_copy_only=False)
         n = len(doc_id)
-        yy = np.arange(h, dtype=np.int64)[None, :, None]
-        xx = np.arange(w, dtype=np.int64)[None, None, :]
-        did = doc_id[:, None, None]
-        px = np.empty((n, h, w, 3), dtype=np.uint8)
-        px[..., 0] = (did * 31 + xx * 8) % 256          # R: x gradient
-        px[..., 1] = (did * 17 + yy * 11) % 256         # G: y gradient
-        px[..., 2] = (did * 7 + xx * 3 + yy * 5) % 256  # B: diagonal
+        px = _gradient_pixels(doc_id, w, h)
         hdr = np.frombuffer(header, dtype=np.uint8)
         flat = np.concatenate(
             [np.broadcast_to(hdr, (n, len(hdr))),
@@ -175,6 +169,221 @@ def decode_ppm(ds, concurrency=None, batch_size: int = 512):
     payload batches x concurrency must fit the worker heap)."""
     kwargs = {} if concurrency is None else {"concurrency": concurrency}
     return ds.map_batches(decode_ppm_stats, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=batch_size,
+                          **kwargs)
+
+
+def _gradient_pixels(doc_id: np.ndarray, w: int, h: int) -> np.ndarray:
+    """The shared deterministic doc_id-seeded RGB raster — ONE pixel
+    formula for every container format (PPM and PNG carry identical
+    rasters, so the SQL oracle that re-derives these pixels is
+    container-agnostic)."""
+    n = len(doc_id)
+    yy = np.arange(h, dtype=np.int64)[None, :, None]
+    xx = np.arange(w, dtype=np.int64)[None, None, :]
+    did = doc_id[:, None, None]
+    px = np.empty((n, h, w, 3), dtype=np.uint8)
+    px[..., 0] = (did * 31 + xx * 8) % 256          # R: x gradient
+    px[..., 1] = (did * 17 + yy * 11) % 256         # G: y gradient
+    px[..., 2] = (did * 7 + xx * 3 + yy * 5) % 256  # B: diagonal
+    return px
+
+
+def _png_encode_rgb(raster: np.ndarray) -> bytes:
+    """One 8-bit RGB (color type 2) non-interlaced PNG from an (h, w,
+    3) uint8 raster — stdlib zlib only.  Scanlines use filter 0; the
+    DECODER handles all five filter types."""
+    import struct
+    import zlib
+
+    h, w, _ = raster.shape
+
+    def chunk(typ: bytes, payload: bytes) -> bytes:
+        return (struct.pack(">I", len(payload)) + typ + payload
+                + struct.pack(">I", zlib.crc32(typ + payload)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    scan = np.concatenate(
+        [np.zeros((h, 1), np.uint8), raster.reshape(h, w * 3)], axis=1)
+    idat = zlib.compress(scan.tobytes(), 6)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", idat) + chunk(b"IEND", b""))
+
+
+def _png_decode_rgb(payload: bytes) -> np.ndarray:
+    """Real PNG decode, stdlib only: signature + chunk walk -> IHDR
+    (8-bit RGB, non-interlaced) -> concatenated IDAT zlib stream ->
+    scanline de-filtering (all five PNG filter types).  Returns (h, w,
+    3) uint8.  Per-payload by nature (zlib streams don't vectorize
+    across rows); callers bound memory with small batch_size."""
+    import struct
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos = 8
+    w = h = None
+    idat = []
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        typ = payload[pos + 4: pos + 8]
+        data = payload[pos + 8: pos + 8 + ln]
+        pos += 12 + ln
+        if typ == b"IHDR":
+            w, h, depth, color, comp, filt, inter = struct.unpack(">IIBBBBB", data)
+            if (depth, color, comp, filt, inter) != (8, 2, 0, 0, 0):
+                raise NotImplementedError(
+                    "only 8-bit RGB non-interlaced PNG is supported "
+                    f"(got depth={depth} color={color} interlace={inter})")
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    stride = 1 + w * 3
+    raw = raw[: h * stride].reshape(h, stride)
+    ftypes, scans = raw[:, 0], raw[:, 1:]
+    out = np.zeros((h, w * 3), np.uint8)
+    bpp = 3
+    for r in range(h):
+        f, line = int(ftypes[r]), scans[r]
+        prior = out[r - 1] if r else np.zeros(w * 3, np.uint8)
+        if f == 0:
+            out[r] = line
+        elif f == 2:  # up
+            out[r] = line + prior
+        elif f == 1:  # sub: cumsum per byte lane (uint8 wraps mod 256)
+            lanes = line.reshape(w, bpp)
+            out[r] = np.add.accumulate(lanes, axis=0, dtype=np.uint8).ravel()
+        else:  # average / Paeth need the left neighbor sequentially
+            row = out[r]
+            for x in range(w * 3):
+                a = int(row[x - bpp]) if x >= bpp else 0
+                b = int(prior[x])
+                if f == 3:
+                    row[x] = (int(line[x]) + ((a + b) >> 1)) & 0xFF
+                else:  # Paeth
+                    c = int(prior[x - bpp]) if x >= bpp else 0
+                    pp = a + b - c
+                    pa_, pb_, pc_ = abs(pp - a), abs(pp - b), abs(pp - c)
+                    pred = a if (pa_ <= pb_ and pa_ <= pc_) else (b if pb_ <= pc_ else c)
+                    row[x] = (int(line[x]) + pred) & 0xFF
+    return out.reshape(h, w, 3)
+
+
+def synth_png_media(sf_dir: str, w: int = 32, h: int = 24):
+    """REAL PNG image payloads (stdlib zlib): same deterministic
+    gradient raster as :func:`synth_ppm_media`, different container —
+    exercises a real compressed-codec decode path."""
+
+    def make(batch: pa.Table) -> pa.Table:
+        doc_id = batch["doc_id"].to_numpy(zero_copy_only=False)
+        n = len(doc_id)
+        px = _gradient_pixels(doc_id, w, h)
+        payloads = [_png_encode_rgb(px[i]) for i in range(n)]  # zlib is per-stream
+        payload = pa.array(payloads, pa.binary())
+        n_bytes = np.asarray([len(b) for b in payloads], np.int64)
+        return pa.table({
+            "media_id": pa.array(doc_id),
+            "kind": pa.array(np.full(n, "image", dtype=object)),
+            "payload": payload,
+            "n_bytes": pa.array(n_bytes),
+            "meta_w": pa.array(np.full(n, w, dtype=np.int64)),
+            "meta_h": pa.array(np.full(n, h, dtype=np.int64)),
+        })
+
+    from ocgis_ray.sources.io import read_parquet_sized
+
+    docs = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return docs.map_batches(make, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=1024)
+
+
+def synth_image_media(sf_dir: str, w: int = 32, h: int = 24):
+    """Mixed-container image table: even doc_ids as raw PPM, odd as
+    zlib-compressed PNG — SAME raster either way, so downstream stats
+    (and the SQL pixel oracle) are container-independent."""
+
+    header = f"P6\n{w} {h}\n255\n".encode()
+
+    def make(batch: pa.Table) -> pa.Table:
+        doc_id = batch["doc_id"].to_numpy(zero_copy_only=False)
+        n = len(doc_id)
+        px = _gradient_pixels(doc_id, w, h)
+        payloads = [
+            _png_encode_rgb(px[i]) if doc_id[i] % 2 else
+            header + px[i].tobytes()
+            for i in range(n)
+        ]
+        payload = pa.array(payloads, pa.binary())
+        n_bytes = np.asarray([len(b) for b in payloads], np.int64)
+        return pa.table({
+            "media_id": pa.array(doc_id),
+            "kind": pa.array(np.full(n, "image", dtype=object)),
+            "payload": payload,
+            "n_bytes": pa.array(n_bytes),
+            "meta_w": pa.array(np.full(n, w, dtype=np.int64)),
+            "meta_h": pa.array(np.full(n, h, dtype=np.int64)),
+        })
+
+    from ocgis_ray.sources.io import read_parquet_sized
+
+    docs = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return docs.map_batches(make, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=1024)
+
+
+def _pixel_stats(px: np.ndarray):
+    """(mean_rgb(3,), luma, contrast) from an (h, w, 3) uint8 raster —
+    shared by the PPM tail path and the PNG decode path so mixed
+    tables emit identical statistics columns."""
+    f = px.reshape(-1, 3).astype(np.float64)
+    means = f.mean(axis=0)
+    var = (f * f).mean(axis=0) - means ** 2
+    luma = 0.299 * means[0] + 0.587 * means[1] + 0.114 * means[2]
+    return means, luma, float(np.sqrt(np.maximum(var, 0.0).mean()))
+
+
+def decode_image_stats(batch: pa.Table) -> pa.Table:
+    """Format-dispatching REAL image decode: P6/PPM rows take the
+    vectorized tail path (:func:`decode_ppm_stats`), PNG rows the
+    stdlib zlib chunk decode — one mixed batch in, one stats table out
+    in the original row order."""
+    data, off = _binary_view(batch["payload"])
+    n = batch.num_rows
+    if n == 0 or not len(data):
+        return decode_ppm_stats(batch)
+    is_png = (off[1:] - off[:-1] >= 8) & (data[off[:-1]] == 0x89)
+    if not is_png.any():
+        return decode_ppm_stats(batch)
+    if is_png.all():
+        means = np.zeros((n, 3))
+        luma = np.zeros(n)
+        contrast = np.zeros(n)
+        for i in range(n):
+            px = _png_decode_rgb(data[off[i]:off[i + 1]].tobytes())
+            means[i], luma[i], contrast[i] = _pixel_stats(px)
+        out = batch.drop_columns(["payload"])
+        out = out.append_column("mean_r", pa.array(means[:, 0]))
+        out = out.append_column("mean_g", pa.array(means[:, 1]))
+        out = out.append_column("mean_b", pa.array(means[:, 2]))
+        out = out.append_column("luma", pa.array(luma))
+        return out.append_column("contrast", pa.array(contrast))
+    idx = np.arange(n, dtype=np.int64)
+    png_part = decode_image_stats(batch.take(pa.array(idx[is_png])))
+    ppm_part = decode_ppm_stats(batch.take(pa.array(idx[~is_png])))
+    both = pa.concat_tables([png_part, ppm_part])
+    # restore the original row order
+    src = np.concatenate([idx[is_png], idx[~is_png]])
+    return both.take(pa.array(np.argsort(src, kind="stable")))
+
+
+def decode_images(ds, concurrency=None, batch_size: int = 512):
+    """Distributed mixed-format image decode (PPM + PNG)."""
+    kwargs = {} if concurrency is None else {"concurrency": concurrency}
+    return ds.map_batches(decode_image_stats, batch_format="pyarrow",
                           zero_copy_batch=True, batch_size=batch_size,
                           **kwargs)
 

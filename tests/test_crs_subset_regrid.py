@@ -352,6 +352,105 @@ def test_update_crs_between(ray_session, sf_dir):
     assert np.allclose(out["y"].to_numpy(), ey)
 
 
+def test_crs_from_epsg_known_points():
+    """Generic EPSG entry: published defining constants reproduce —
+    each CRS's natural origin maps EXACTLY to its false origin in the
+    CRS's own unit (EPSG:2230 in US survey FEET), and UTM's central
+    meridian/equator maps to (500000, 0)."""
+    from ocgis_ray.stages.crs import crs_from_epsg
+
+    fwd, _ = crs_from_epsg(2230)  # NAD83 / California zone 6 (ftUS)
+    x, y = fwd(np.array([-116.25]), np.array([32.166666666666666]))
+    assert abs(x[0] - 6561666.667) < 1e-3
+    assert abs(y[0] - 1640416.667) < 1e-3
+
+    fwd, _ = crs_from_epsg(3035)  # ETRS89-LAEA Europe
+    x, y = fwd(np.array([10.0]), np.array([52.0]))
+    assert abs(x[0] - 4321000.0) < 1e-6
+    assert abs(y[0] - 3210000.0) < 1e-6
+
+    fwd, _ = crs_from_epsg(32615)  # WGS84 UTM 15N
+    x, y = fwd(np.array([-93.0]), np.array([0.0]))
+    assert abs(x[0] - 500000.0) < 1e-6 and abs(y[0]) < 1e-6
+
+    fwd, _ = crs_from_epsg(54008)  # sinusoidal (MODIS sphere)
+    x, y = fwd(np.array([20.0]), np.array([40.0]))
+    assert abs(y[0] - 6371007.181 * np.radians(40.0)) < 1e-6
+
+
+def test_crs_from_epsg_roundtrips():
+    """Every registry entry round-trips its service area to <1e-8 deg
+    (~1 mm; the TM inverse is a truncated Snyder series) through the
+    generic constructor (no per-code code path)."""
+    from ocgis_ray.stages.crs import EPSG_PARAMS, crs_from_epsg
+
+    probe = {
+        4326: ([-120.0, 30.0], [35.0, -20.0]),
+        3857: ([-120.0, 30.0], [35.0, -20.0]),
+        5070: ([-120.0, -80.0], [30.0, 45.0]),
+        2230: ([-117.2, -116.0], [32.7, 33.5]),
+        3035: ([2.35, 24.9], [48.85, 60.2]),
+        3347: ([-106.3, -75.7], [52.1, 45.4]),
+        32615: ([-95.0, -91.0], [10.0, 45.0]),
+        32733: ([14.0, 16.5], [-30.0, -5.0]),
+        54008: ([-60.0, 130.0], [-45.0, 70.0]),
+    }
+    assert set(probe) == set(EPSG_PARAMS)
+    for code, (lons, lats) in probe.items():
+        fwd, inv = crs_from_epsg(code)
+        lon, lat = inv(*fwd(np.asarray(lons), np.asarray(lats)))
+        assert np.abs(lon - lons).max() < 1e-8, code
+        assert np.abs(lat - lats).max() < 1e-8, code
+
+
+def test_crs_laea_equal_area_property():
+    """LAEA preserves area: a small projected quad's area equals the
+    exact ellipsoidal patch area (authalic q identity) to 1e-6."""
+    from ocgis_ray.stages.crs import _aea_q, crs_from_epsg
+
+    fwd, _ = crs_from_epsg(3035)
+    rf = 298.257222101
+    f = 1.0 / rf
+    e2 = f * (2.0 - f)
+    a = 6378137.0
+    for lon0, lat0 in [(11.0, 48.0), (-5.0, 58.0), (25.0, 40.0)]:
+        d = 0.01
+        lons = np.array([lon0, lon0 + d, lon0 + d, lon0])
+        lats = np.array([lat0, lat0, lat0 + d, lat0 + d])
+        X, Y = fwd(lons, lats)
+        area_proj = 0.5 * abs(sum(
+            X[i] * Y[(i + 1) % 4] - X[(i + 1) % 4] * Y[i] for i in range(4)))
+        q1 = _aea_q(np.sin(np.radians(lat0)), e2)
+        q2 = _aea_q(np.sin(np.radians(lat0 + d)), e2)
+        area_true = a * a * np.radians(d) * (q2 - q1) / 2.0
+        assert abs(area_proj / area_true - 1.0) < 1e-6
+
+
+def test_update_crs_between_epsg_specs(ray_session, sf_dir):
+    """update_crs_between accepts EPSG strings and proj-param dicts
+    (the arbitrary-EPSG user path), distributed over a Dataset."""
+    from ocgis_ray.sources.pages import pages_dataset
+    from ocgis_ray.stages.crs import crs_from_epsg, update_crs_between
+    from ocgis_ray.stages.geocode import geocode
+    from ocgis_ray.stages.subset import bbox_filter
+
+    ds = geocode(pages_dataset(sf_dir).drop_columns(["html", "text"]))
+    ca = bbox_filter(ds, -124.0, 32.0, -114.0, 42.0).limit(200)
+    out = update_crs_between(ca, "epsg:4326", "epsg:2230").to_pandas()
+    assert len(out) > 0
+    fwd, _ = crs_from_epsg(2230)
+    ex, ey = fwd(out["lon"].to_numpy(), out["lat"].to_numpy())
+    assert np.allclose(out["x"].to_numpy(), ex)
+    assert np.allclose(out["y"].to_numpy(), ey)
+
+    # param-dict spec: custom sphere sinusoidal
+    out2 = update_crs_between(
+        ca, {"proj": "longlat"}, {"proj": "sinu", "R": 6371007.181},
+    ).to_pandas()
+    assert np.allclose(out2["y"].to_numpy(),
+                       6371007.181 * np.radians(out2["lat"].to_numpy()))
+
+
 def test_radius_filter_antimeridian_wrap(ray_session):
     """a radius window straddling +-180 must keep in-radius points on
     the far side (the unwrapped prefilter dropped them)."""

@@ -152,3 +152,84 @@ def test_empty_inputs_through_new_stages(ray_session, sf_dir):
         assert n == 0
     except (ValueError, IndexError):
         pass
+
+
+def test_png_codec_roundtrip_and_filters():
+    """stdlib PNG: encode(filter 0) -> decode recovers the raster
+    exactly, and the decoder reconstructs ALL five scanline filter
+    types (hand-filtered stream)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from ocgis_ray.stages.multimodal import (_gradient_pixels,
+                                             _png_decode_rgb,
+                                             _png_encode_rgb)
+
+    px = _gradient_pixels(np.array([7, 42]), 32, 24)
+    for i in range(2):
+        assert np.array_equal(_png_decode_rgb(_png_encode_rgb(px[i])), px[i])
+
+    rng = np.random.RandomState(0)
+    raster = rng.randint(0, 256, (6, 5, 3), dtype=np.uint8)
+    h, w, bpp = 6, 5, 3
+
+    def chunk(typ, payload):
+        return (struct.pack(">I", len(payload)) + typ + payload
+                + struct.pack(">I", zlib.crc32(typ + payload)))
+
+    recon = raster.reshape(h, w * 3).astype(np.int64)
+    rows = []
+    for r, f in zip(range(h), [0, 1, 2, 3, 4, 1]):
+        cur = recon[r]
+        prior = recon[r - 1] if r else np.zeros(w * 3, np.int64)
+        line = np.zeros(w * 3, np.int64)
+        for x in range(w * 3):
+            a = cur[x - bpp] if x >= bpp else 0
+            b = prior[x]
+            c = prior[x - bpp] if x >= bpp else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb_ and pa_ <= pc_) else \
+                    (b if pb_ <= pc_ else c)
+            line[x] = (cur[x] - pred) % 256
+        rows.append(bytes([f]) + bytes(line.astype(np.uint8)))
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(b"".join(rows)))
+           + chunk(b"IEND", b""))
+    assert np.array_equal(_png_decode_rgb(png), raster)
+
+
+def test_mixed_container_decode_matches(ray_session, sf_dir):
+    """PPM and PNG rows of the SAME raster produce identical stats
+    through the dispatching decode stage, in the original row order."""
+    import numpy as np
+
+    from ocgis_ray.stages.multimodal import decode_images, synth_image_media
+
+    out = decode_images(synth_image_media(sf_dir)).to_pandas() \
+        .sort_values("media_id").reset_index(drop=True)
+    assert len(out) == 500
+    # recompute expected means straight from the gradient formula
+    from ocgis_ray.stages.multimodal import _gradient_pixels
+
+    ids = out["media_id"].to_numpy()
+    px = _gradient_pixels(ids, 32, 24).reshape(len(ids), -1, 3) \
+        .astype(np.float64)
+    np.testing.assert_allclose(out["mean_r"], px[:, :, 0].mean(axis=1),
+                               rtol=0, atol=0)
+    np.testing.assert_allclose(out["mean_g"], px[:, :, 1].mean(axis=1),
+                               rtol=0, atol=0)
+    # both containers present
+    assert (ids % 2 == 0).any() and (ids % 2 == 1).any()
