@@ -242,7 +242,14 @@ class Polygon:
                     f" AND (({px_expr}) < {x0} + (({py_expr}) - {y0})"
                     f" * ({x1} - {x0}) / ({y1} - {y0})) THEN 1 ELSE 0 END"
                 )
-        return "((" + " + ".join(terms) + ") % 2 = 1)"
+        # balanced-tree sum: a flat "t1 + t2 + ..." binds left-
+        # associatively and blows DuckDB's 128-deep binder recursion on
+        # real-fixture rings (state_boundaries' New York has 200+
+        # edges); grouping 32 per level keeps depth ~32 + log32(n)
+        while len(terms) > 1:
+            terms = ["(" + " + ".join(terms[i:i + 32]) + ")"
+                     for i in range(0, len(terms), 32)]
+        return f"(({terms[0]}) % 2 = 1)"
 
     # -- measures ---------------------------------------------------
 

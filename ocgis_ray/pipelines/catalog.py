@@ -153,45 +153,48 @@ def sql_spatial_join_counts() -> str:
     )
 
 
+#: the API-scenario states (real reference fixture): New York (NYC hot
+#: pages), California (SF hot pages), Colorado (cold pages only)
+STATE_UGIDS = [17, 25, 32]
+
+
 def q_polygon_aggregate(sf_dir: str):
-    """Spatial aggregation analog (variable/geom.py:870-1075): per-ugid
-    rollup of joined pages with a weighted mean (weights = n_chars)."""
-    j = spatial_join(_geo_pages(sf_dir), cabinet.layer(WORLD), how="inner", res=7)
+    """Spatial aggregation analog (variable/geom.py:870-1075) driven
+    through the PUBLIC ``OcgRayOperations`` front end (ops/core.py) —
+    intersects + aggregate + calc (count/sum/weighted-mean) over TWO
+    layers in one oracle-checked result: the synthetic world_regions
+    AND the reference's REAL state_boundaries shapefile (NY/CA/CO,
+    ``test/bin/shp/state_boundaries``, loaded by the stdlib reader).
+    This is the cross-engine integration scenario — the reference's
+    ``test_simple.py:545-576`` runs the same call shape against its
+    own engine."""
+    from ocgis_ray.pipelines.ops import OcgRayOperations
 
-    def add_w(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        w = pc.cast(t["n_chars"], pa.float64())
-        wx = pc.multiply(w, pc.cast(t["rep"], pa.float64()))
-        t = t.append_column("w", w)
-        return t.append_column("wx", wx)
-
-    j = j.map_batches(add_w, batch_format="pyarrow", zero_copy_batch=True)
-    agg = grouped_aggregate(
-        j,
-        ["ugid"],
-        {
-            "n_pages": (None, "count"),
-            "sum_chars": ("n_chars", "sum"),
-            "sw": ("w", "sum"),
-            "swx": ("wx", "sum"),
-        },
-    )
-
-    def finalize(df: pd.DataFrame) -> pd.DataFrame:
-        out = df[["ugid", "n_pages"]].copy()
-        out["sum_chars"] = df["sum_chars"].astype(np.int64)
-        out["wmean_rep"] = sql_round(df["swx"] / df["sw"], 6)
-        return out
-
-    return agg.map_batches(finalize, batch_format="pandas")
+    calc = [
+        {"func": "count", "field": "n_chars", "name": "n_pages"},
+        {"func": "sum", "field": "n_chars", "name": "sum_chars"},
+        {"func": "wmean", "field": "rep", "weight": "n_chars",
+         "name": "wmean_rep"},
+    ]
+    world = OcgRayOperations(sf_dir, geom=WORLD, aggregate=True,
+                             calc=calc).execute()
+    states = OcgRayOperations(sf_dir, geom="state_boundaries",
+                              select_ugid=STATE_UGIDS, aggregate=True,
+                              calc=calc).execute()
+    return world.union(states)
 
 
 def sql_polygon_aggregate() -> str:
+    states = [p for p in cabinet.layer("state_boundaries")
+              if p.ugid in STATE_UGIDS]
+    state_sel = "\nUNION ALL\n".join(
+        f"SELECT page_id, CAST({u} AS BIGINT) AS ugid FROM geo WHERE {pred}"
+        for u, pred in sorted(_layer_preds(states).items()))
     return (
         f"WITH j AS ({sql_spatial_join_inner()}),\n"
         f"{geo_cte(REPS)[5:]},\n"  # strip leading 'WITH '
-        "m AS (SELECT j.ugid, g.n_chars, g.rep FROM j JOIN geo g USING (page_id))\n"
+        f"sj AS (SELECT page_id, ugid FROM j\nUNION ALL\n{state_sel}),\n"
+        "m AS (SELECT sj.ugid, g.n_chars, g.rep FROM sj JOIN geo g USING (page_id))\n"
         "SELECT ugid, count(*) AS n_pages, CAST(sum(n_chars) AS BIGINT) AS sum_chars,\n"
         "  round(sum(CAST(n_chars AS DOUBLE) * CAST(rep AS DOUBLE)) / sum(CAST(n_chars AS DOUBLE)), 6) AS wmean_rep\n"
         "FROM m GROUP BY ugid"

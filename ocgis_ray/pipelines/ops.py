@@ -28,7 +28,8 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Any
 
-_CALC_FUNCS = {"mean", "min", "max", "sum", "count", "std", "median"}
+_CALC_FUNCS = {"mean", "min", "max", "sum", "count", "std", "median",
+               "wmean"}
 _SPATIAL_OPS = {"intersects", "clip"}
 _OUTPUT_FORMATS = {"dataset", "pandas", "parquet", "csv"}
 _GROUPINGS = {"year", "month", "day", "hour", "season"}
@@ -125,6 +126,11 @@ class OcgRayOperations:
                         f"index {index_names()})")
             if "field" not in c:
                 raise ValueError("calc entries need a 'field'")
+            if c.get("func") == "wmean" and "weight" not in c:
+                raise ValueError(
+                    "calc func 'wmean' needs a 'weight' field (the "
+                    "reference's weighted spatial mean, "
+                    "variable/geom.py:870-1075)")
         if self.geom is not None:
             from ocgis_ray.sources import cabinet
 
@@ -224,14 +230,17 @@ class OcgRayOperations:
             if global_rollup:
                 keys = ["_all"]
             specs = [
-                (c["func"], c["field"], c.get("name", f"{c['func']}_{c['field']}"))
+                (c["func"], c["field"],
+                 c.get("name", f"{c['func']}_{c['field']}"),
+                 c.get("weight"))
                 for c in self.calc
             ]
-            fields = sorted({f for _, f, _ in specs})
+            fields = sorted({f for _, f, _, _ in specs}
+                            | {w for _, _, _, w in specs if w})
             from ocgis_ray.functions.climate import (DEFAULTS as _IDX_DEFAULTS,
                                                      _INDEX_FUNCS)
 
-            has_index = any(f in _INDEX_FUNCS for f, _, _ in specs)
+            has_index = any(f in _INDEX_FUNCS for f, _, _, _ in specs)
             need = {k for k in keys if k != "_all"} | set(fields)
             if has_index:
                 need |= {"warc_ts", "page_id"}  # ordered-series indices
@@ -252,8 +261,16 @@ class OcgRayOperations:
                                        kind="mergesort")
                     gb_ordered = g2.groupby(keys, sort=False)
                 cols = {}
-                for func, fld, name in specs:
-                    if func in _INDEX_FUNCS:
+                for func, fld, name, weight in specs:
+                    if func == "wmean":
+                        # weighted mean sum(w*x)/sum(w): integer-valued
+                        # float sums are exact, so the 6-decimal round
+                        # matches the SQL twin regardless of sum order
+                        s = gb.apply(lambda grp: float(sql_round(
+                            (grp[fld].to_numpy(np.float64)
+                             * grp[weight].to_numpy(np.float64)).sum()
+                            / grp[weight].to_numpy(np.float64).sum(), 6)))
+                    elif func in _INDEX_FUNCS:
                         fn = _INDEX_FUNCS[func]
                         s = gb_ordered.apply(
                             lambda grp: fn(

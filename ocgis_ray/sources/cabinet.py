@@ -128,12 +128,37 @@ def _us_states48() -> list[Polygon]:
     return polys
 
 
+#: the reference's REAL GeomCabinet fixture (51 states, 134 parts,
+#: mostly non-convex) — read with the pure-stdlib shapefile loader
+REFERENCE_STATES_SHP = ("/root/reference/src/ocgis/test/bin/shp/"
+                        "state_boundaries/state_boundaries.shp")
+_STATES_CACHE: list | None = None
+
+
+def _state_boundaries() -> list[Polygon]:
+    """Load (once per process) the reference's state_boundaries
+    shapefile — the fixture its own GeomCabinet tests select from
+    (``test/test_ocgis/test_util/test_shp_cabinet.py``)."""
+    global _STATES_CACHE
+    if _STATES_CACHE is None:
+        import os
+
+        if not os.path.exists(REFERENCE_STATES_SHP):
+            raise FileNotFoundError(
+                f"reference fixture not present: {REFERENCE_STATES_SHP}")
+        from ocgis_ray.sources.geojson import load_shapefile
+
+        _STATES_CACHE = load_shapefile(REFERENCE_STATES_SHP)
+    return _STATES_CACHE
+
+
 _LAYERS = {
     "world_regions": _world_regions,
     "quadrants": _quadrants,
     "hard_cases": _hard_cases,
     "nonconvex_holes": _nonconvex_holes,
     "us_states48": _us_states48,
+    "state_boundaries": _state_boundaries,
 }
 
 

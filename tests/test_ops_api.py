@@ -209,3 +209,36 @@ def test_ops_select_name(ray_session, sf_dir):
     with pytest.raises(ValueError, match="select_name"):
         OcgRayOperations(sf_dir, geom="world_regions",
                          select_name=["atlantis"]).execute()
+
+
+def test_wmean_calc_and_reference_states(ray_session, sf_dir):
+    """The cross-engine integration scenario: intersects + aggregate +
+    calc (count/sum/weighted-mean) through the public API over the
+    reference's REAL state_boundaries shapefile — NYC hot pages land
+    in New York (ugid 17), SF hot pages in California (ugid 25)."""
+    import os
+
+    from ocgis_ray.sources.cabinet import REFERENCE_STATES_SHP
+
+    if not os.path.exists(REFERENCE_STATES_SHP):
+        pytest.skip("reference fixture not present")
+    calc = [
+        {"func": "count", "field": "n_chars", "name": "n_pages"},
+        {"func": "sum", "field": "n_chars", "name": "sum_chars"},
+        {"func": "wmean", "field": "rep", "weight": "n_chars",
+         "name": "wmean_rep"},
+    ]
+    out = OcgRayOperations(sf_dir, geom="state_boundaries",
+                           select_ugid=[17, 25], aggregate=True,
+                           calc=calc, output_format="pandas").execute()
+    out = out.set_index("ugid")
+    # the hot-city clusters dominate (the NYC box straddles the NJ
+    # border and the SF box the coastline, so ~half of each city's
+    # 160 hot pages falls inside the state polygon)
+    assert out.loc[17, "n_pages"] >= 50
+    assert out.loc[25, "n_pages"] >= 50
+    # weighted mean of rep (0..3) must sit inside the rep range
+    assert ((out["wmean_rep"] >= 0) & (out["wmean_rep"] <= 3)).all()
+    # wmean validation: missing weight raises eagerly
+    with pytest.raises(ValueError, match="wmean"):
+        OcgRayOperations(sf_dir, calc=[{"func": "wmean", "field": "rep"}])
