@@ -30,6 +30,8 @@ import logging
 
 
 def tune_data_context() -> None:
+    import warnings
+
     from ray.data import DataContext
 
     ctx = DataContext.get_current()
@@ -37,6 +39,12 @@ def tune_data_context() -> None:
     ctx.op_resource_reservation_enabled = False
     ctx.target_max_block_size = 32 * 1024 * 1024
     logging.getLogger("ray.data").setLevel(logging.ERROR)
+    # driver-side hint that fires whenever a fixed actor pool sits
+    # behind a 1-block input — spurious at the small test scales (the
+    # pool sizes are deliberate, auto_pool documents the measurements)
+    # and it drowns real warnings in gate/bench logs
+    warnings.filterwarnings(
+        "ignore", message=".*minimum number of concurrent actors.*")
 
 
 def auto_pool(n_max: int | None = None) -> int:
