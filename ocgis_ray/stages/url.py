@@ -143,7 +143,11 @@ def dedup_by_url(ds, col: str = "url", id_col: str = "page_id"):
     from ocgis_ray.sources.io import distinct_rows
 
     def _is_null(t):
-        return t.filter(pc.is_null(t[col]))
+        # pandas block format: the deduped side comes back as pandas
+        # blocks (map_groups), and Ray's batcher asserts on MIXED
+        # block types when a downstream stage bundles blocks from both
+        # union branches into one batch
+        return t.filter(pc.is_null(t[col])).to_pandas()
 
     def _not_null(t):
         return t.filter(pc.is_valid(t[col]))

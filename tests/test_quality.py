@@ -797,3 +797,46 @@ def test_clean_corpus_embedding_near_dup(ray_session):
     assert out["doc_id"].is_unique
     with pytest.raises(ValueError, match="embeddings Dataset"):
         clean_corpus(docs, steps=("near_dup",), near_dup_method="embedding")
+
+
+def test_clean_corpus_null_urls_through_full_cascade(ray_session):
+    """Null urls + url_dedup + downstream bucketed stages: the
+    dedup_by_url union mixes map_groups pandas blocks with the
+    null-branch blocks, and Ray's batcher asserts on MIXED block
+    types when a later stage bundles blocks from both branches
+    (regression: the null branch now emits pandas blocks too).
+    Survivor semantics checked end to end: url dup, gopher gate,
+    content dup, PII rewrite."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ocgis_ray.pipelines.cleaning import clean_corpus
+    from ocgis_ray.stages.quality import quality_stats_arrays
+
+    docs = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                         columns=["text"])
+    keep = quality_stats_arrays(docs["text"])["gopher_keep"].astype(bool)
+    g = docs["text"].to_pandas()[keep].tolist()[:9]
+    assert len(g) == 9
+    df = pd.DataFrame({
+        "doc_id": np.arange(12, dtype=np.int64),
+        "url": ["https://a.com/x", "https://a.com/x",  # url dup: 1 loses
+                "https://b.com/y", None, None,          # nulls pass through
+                "https://c.com/z", "https://d.com/z",
+                "https://e.com/1", "https://e.com/2",
+                "https://f.com/3", "https://g.com/4", "https://h.com/5"],
+        "text": [g[0], g[1],
+                 "tiny",                                 # gopher-gated
+                 g[2], g[2],                             # content dup: 4 loses
+                 g[3] + " call 555-123-4567 now", g[4],
+                 g[0],                                   # dup of id 0
+                 "tiny too",                             # gopher-gated
+                 g[5], g[6], g[7]],
+    })
+    steps = ("url_dedup", "gopher", "exact_dedup", "pii")
+    out = clean_corpus(rd.from_pandas(df), url_col="url", steps=steps,
+                       num_buckets=4).to_pandas().sort_values("doc_id")
+    ids = set(out["doc_id"])
+    assert {1, 2, 4, 7, 8} & ids == set()  # url dup, gated, content dups
+    assert {0, 3, 9, 10, 11} <= ids        # survivors incl. null urls
+    assert not out["text"].str.contains("555-123-4567").any()  # PII gone
