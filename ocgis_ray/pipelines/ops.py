@@ -31,7 +31,8 @@ from typing import Any
 _CALC_FUNCS = {"mean", "min", "max", "sum", "count", "std", "median",
                "wmean"}
 _SPATIAL_OPS = {"intersects", "clip"}
-_OUTPUT_FORMATS = {"dataset", "pandas", "parquet", "csv"}
+_OUTPUT_FORMATS = {"dataset", "pandas", "parquet", "csv", "geojson",
+                   "csv-shp"}
 _GROUPINGS = {"year", "month", "day", "hour", "season"}
 
 
@@ -153,19 +154,9 @@ class OcgRayOperations:
             ds = temporal.time_region_filter(ds, "warc_ts", self.time_region)
         ds = geocode(ds)
         if self.geom is not None:
-            from ocgis_ray.sources import cabinet
             from ocgis_ray.stages.spatial_join import spatial_join
 
-            polys = cabinet.layer(self.geom)
-            if self.select_ugid is not None:
-                polys = [p for p in polys if p.ugid in self.select_ugid]
-                if not polys:
-                    raise ValueError("select_ugid matched no geometries")
-            if self.select_name is not None:
-                wanted = set(self.select_name)
-                polys = [p for p in polys if p.name in wanted]
-                if not polys:
-                    raise ValueError("select_name matched no geometries")
+            polys = self._selection_polys()
             # for point data, clip == intersects (SURVEY §2.2)
             if self.agg_selection:
                 from ocgis_ray.stages.spatial_join import semi_join_tagged
@@ -187,6 +178,23 @@ class OcgRayOperations:
                 # calc_grouping=[[12,1,2],...]); out-of-group rows drop
                 ds = temporal.add_month_groups(ds, "warc_ts", month_groups)
         return ds
+
+    def _selection_polys(self):
+        """The selection geometries after select_ugid / select_name
+        filtering (shared by the join stage and the vector sinks)."""
+        from ocgis_ray.sources import cabinet
+
+        polys = cabinet.layer(self.geom)
+        if self.select_ugid is not None:
+            polys = [p for p in polys if p.ugid in self.select_ugid]
+            if not polys:
+                raise ValueError("select_ugid matched no geometries")
+        if self.select_name is not None:
+            wanted = set(self.select_name)
+            polys = [p for p in polys if p.name in wanted]
+            if not polys:
+                raise ValueError("select_name matched no geometries")
+        return polys
 
     def _group_keys(self) -> list[str]:
         keys: list[str] = []
@@ -328,6 +336,55 @@ class OcgRayOperations:
         os.makedirs(self.output_dir, exist_ok=True)
         if self.output_format == "parquet":
             result.write_parquet(out)
+        elif self.output_format == "geojson":
+            return self._write_geojson(result, out + ".geojson")
+        elif self.output_format == "csv-shp":
+            return self._write_csv_shp(result, out)
         else:
             result.write_csv(out)
         return out
+
+    def _write_geojson(self, result, path: str) -> str:
+        """Vector output (reference ``GeoJsonConverter``): aggregate
+        results become the SELECTION polygons with the computed values
+        as feature properties (requires one row per ugid — grouped
+        results would duplicate geometry per group row; the reference's
+        melted csv-shp is the format for those); row results become
+        streamed POINT features."""
+        from ocgis_ray.sources.geojson import (write_geojson,
+                                               write_geojson_points)
+
+        cols = set(result.schema().names)
+        if self.geom is not None and "ugid" in cols and "lon" not in cols:
+            pdf = result.to_pandas()
+            if pdf["ugid"].duplicated().any():
+                raise ValueError(
+                    "geojson output needs one row per ugid (aggregate "
+                    "without calc_grouping); grouped rows melt into "
+                    "csv-shp instead")
+            extra = {
+                int(r["ugid"]): {k: (v.item() if hasattr(v, "item") else v)
+                                 for k, v in r.items() if k != "ugid"}
+                for _, r in pdf.iterrows()
+            }
+            polys = [p for p in self._selection_polys()
+                     if int(p.ugid) in extra]
+            return write_geojson(polys, path, extra_props=extra)
+        if "lon" not in cols or "lat" not in cols:
+            raise ValueError(
+                "geojson row output needs lon/lat columns (point "
+                "features); this result has neither geometry nor points")
+        return write_geojson_points(result, path)
+
+    def _write_csv_shp(self, result, out_base: str) -> str:
+        """The reference's ``csv-shp`` combo (``conv/csv_.py``
+        CsvShapefileConverter): the tabular result as CSV plus the
+        selection geometries as a UGID-linked ESRI shapefile — the
+        melted format for grouped/calc outputs."""
+        from ocgis_ray.sources.geojson import write_shapefile
+
+        if self.geom is None:
+            raise ValueError("csv-shp needs a selection geometry (geom=)")
+        result.write_csv(out_base)
+        write_shapefile(self._selection_polys(), out_base + "_gid.shp")
+        return out_base

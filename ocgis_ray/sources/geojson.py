@@ -316,22 +316,69 @@ def _closed(ring: np.ndarray) -> list[list[float]]:
     return out
 
 
-def write_geojson(polys: list[Polygon], path: str) -> str:
+def write_geojson(polys: list[Polygon], path: str,
+                  extra_props: dict[int, dict] | None = None) -> str:
     """Polygon list -> GeoJSON FeatureCollection file — the
     ``GeoJsonConverter`` analog (reference ``conv/fiona_.py`` via
     Fiona; here pure json).  Exterior CCW + holes as written by the
     engine's normalized rings; round-trips through
-    :func:`load_geojson`."""
+    :func:`load_geojson`.  ``extra_props`` merges per-ugid attribute
+    dicts into each feature's properties (the ops-API aggregate
+    output: selection geometry + its computed values)."""
     feats = []
     for p in polys:
         rings = [_closed(p.verts)] + [_closed(h) for h in p.holes]
+        props = {"UGID": int(p.ugid), "name": p.name}
+        if extra_props and int(p.ugid) in extra_props:
+            props.update(extra_props[int(p.ugid)])
         feats.append({
             "type": "Feature",
-            "properties": {"UGID": int(p.ugid), "name": p.name},
+            "properties": props,
             "geometry": {"type": "Polygon", "coordinates": rings},
         })
     with open(path, "w") as f:
         json.dump({"type": "FeatureCollection", "features": feats}, f)
+    return path
+
+
+def write_geojson_points(ds, path: str, lon_col: str = "lon",
+                         lat_col: str = "lat",
+                         batch_size: int = 65536) -> str:
+    """Row Dataset -> GeoJSON FeatureCollection of POINT features,
+    streamed batch-at-a-time (the row output never materializes on
+    the driver; the FILE is inherently single-writer, which is the
+    GeoJSON format's own scale ceiling — partitioned parquet/csv are
+    the big-output sinks)."""
+    import numpy as np
+    import pandas as pd
+
+    first = True
+    with open(path, "w") as f:
+        f.write('{"type": "FeatureCollection", "features": [\n')
+        for batch in ds.iter_batches(batch_size=batch_size,
+                                     batch_format="pandas"):
+            prop_cols = [c for c in batch.columns
+                         if c not in (lon_col, lat_col)]
+            lon = batch[lon_col].to_numpy(np.float64)
+            lat = batch[lat_col].to_numpy(np.float64)
+            for i in range(len(batch)):
+                props = {}
+                for c in prop_cols:
+                    v = batch[c].iloc[i]
+                    if isinstance(v, (np.integer,)):
+                        v = int(v)
+                    elif isinstance(v, (np.floating,)):
+                        v = float(v)
+                    elif isinstance(v, pd.Timestamp):
+                        v = v.isoformat()
+                    props[c] = v
+                feat = {"type": "Feature", "properties": props,
+                        "geometry": {"type": "Point",
+                                     "coordinates": [float(lon[i]),
+                                                     float(lat[i])]}}
+                f.write(("" if first else ",\n") + json.dumps(feat))
+                first = False
+        f.write("\n]}\n")
     return path
 
 

@@ -242,3 +242,55 @@ def test_wmean_calc_and_reference_states(ray_session, sf_dir):
     # wmean validation: missing weight raises eagerly
     with pytest.raises(ValueError, match="wmean"):
         OcgRayOperations(sf_dir, calc=[{"func": "wmean", "field": "rep"}])
+
+
+def test_geojson_and_csv_shp_output(ray_session, sf_dir, tmp_path):
+    """Vector output formats (reference GeoJsonConverter /
+    CsvShapefileConverter): aggregate -> polygons with computed
+    properties; rows -> point features; grouped -> csv + UGID-linked
+    shapefile."""
+    import json
+
+    from ocgis_ray.sources.geojson import load_shapefile
+
+    # aggregate -> polygon features with attributes
+    out = OcgRayOperations(
+        sf_dir, geom="world_regions", aggregate=True,
+        output_format="geojson", output_dir=str(tmp_path),
+        prefix="agg").execute()
+    gj = json.load(open(out))
+    assert gj["type"] == "FeatureCollection"
+    feats = gj["features"]
+    assert len(feats) > 0
+    assert {"UGID", "n_pages", "sum_chars"} <= set(
+        feats[0]["properties"].keys())
+    assert feats[0]["geometry"]["type"] == "Polygon"
+
+    # row output -> streamed point features
+    out2 = OcgRayOperations(
+        sf_dir, geom="world_regions", select_ugid=[1],
+        output_format="geojson", output_dir=str(tmp_path),
+        prefix="rows").execute()
+    gj2 = json.load(open(out2))
+    assert all(f["geometry"]["type"] == "Point" for f in gj2["features"])
+    assert len(gj2["features"]) > 0
+
+    # grouped calc -> geojson refuses (duplicate ugid rows), csv-shp works
+    grouped = OcgRayOperations(
+        sf_dir, geom="world_regions",
+        calc=[{"func": "count", "field": "n_chars", "name": "n"}],
+        calc_grouping=("month",), aggregate=True,
+        output_format="geojson", output_dir=str(tmp_path), prefix="bad")
+    with pytest.raises(ValueError, match="one row per ugid"):
+        grouped.execute()
+    out3 = OcgRayOperations(
+        sf_dir, geom="world_regions",
+        calc=[{"func": "count", "field": "n_chars", "name": "n"}],
+        calc_grouping=("month",), aggregate=True,
+        output_format="csv-shp", output_dir=str(tmp_path),
+        prefix="melted").execute()
+    import os
+
+    assert os.path.isdir(out3)  # the csv directory
+    polys = load_shapefile(out3 + "_gid.shp")
+    assert len({p.ugid for p in polys}) == 9  # UGID-linked sidecar
