@@ -362,8 +362,13 @@ class OcgRayOperations:
                     "geojson output needs one row per ugid (aggregate "
                     "without calc_grouping); grouped rows melt into "
                     "csv-shp instead")
+            def jsonable(v):
+                if hasattr(v, "isoformat"):  # Timestamp/datetime columns
+                    return v.isoformat()
+                return v.item() if hasattr(v, "item") else v
+
             extra = {
-                int(r["ugid"]): {k: (v.item() if hasattr(v, "item") else v)
+                int(r["ugid"]): {k: jsonable(v)
                                  for k, v in r.items() if k != "ugid"}
                 for _, r in pdf.iterrows()
             }
