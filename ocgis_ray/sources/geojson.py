@@ -365,10 +365,13 @@ def write_geojson_points(ds, path: str, lon_col: str = "lon",
                 props = {}
                 for c in prop_cols:
                     v = batch[c].iloc[i]
-                    if isinstance(v, (np.integer,)):
+                    if isinstance(v, (bool, np.bool_)):
+                        v = bool(v)
+                    elif isinstance(v, (np.integer,)):
                         v = int(v)
                     elif isinstance(v, (np.floating,)):
-                        v = float(v)
+                        # bare NaN is not valid JSON — emit null
+                        v = None if np.isnan(v) else float(v)
                     elif isinstance(v, pd.Timestamp):
                         v = v.isoformat()
                     props[c] = v

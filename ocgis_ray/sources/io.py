@@ -33,6 +33,26 @@ import pandas as pd
 DEFAULT_BLOCK_BYTES = 32 * 1024 * 1024
 
 
+def stripped_schema(first_file: str, columns: list[str] | None = None):
+    """File schema with pandas metadata removed (None when the file
+    carries none): schemas holding the b'pandas' dict are unhashable
+    to Ray's schema-dedup fast path ("Failed to hash the schemas" on
+    every block).  When ``columns`` is given the schema is subset to
+    them in order — Ray validates blocks against the USER schema
+    as-is, so it must match the projected layout exactly.  Shared by
+    :func:`read_parquet_sized` and ``stages.reorder.read_morton_pruned``."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    file_schema = pq.read_schema(first_file)
+    if not file_schema.metadata:
+        return None
+    schema = file_schema.remove_metadata()
+    if columns is not None:
+        schema = pa.schema([schema.field(c) for c in columns])
+    return schema
+
+
 def read_parquet_sized(
     path: str,
     columns: list[str] | None = None,
@@ -68,6 +88,9 @@ def read_parquet_sized(
         path = list(path)
         size = sum(uncompressed(p) for p in path if os.path.isfile(p)) or None
         first_file = next((p for p in path if os.path.isfile(p)), None)
+        # a list drawn from part=*/ dirs is hive-partitioned too — a
+        # user schema would drop the partition columns
+        hive_layout = any("=" in os.path.dirname(p) for p in path)
     elif os.path.isfile(path):
         size = uncompressed(path)
         first_file = path
@@ -88,23 +111,12 @@ def read_parquet_sized(
             size = None  # no files found: fall back to Ray's heuristic
     else:
         size = None
-    # Strip pandas metadata from the read schema: schemas carrying the
-    # b'pandas' dict are unhashable to Ray's schema-dedup fast path
-    # ("Failed to hash the schemas" on every block — round-2 log spam,
-    # disabled fast path).  Skipped for hive layouts, where a
-    # user-supplied schema would drop the partition columns.
+    # Strip pandas metadata from the read schema (see stripped_schema).
+    # Skipped for hive layouts, where a user-supplied schema would drop
+    # the partition columns.
     schema = None
     if first_file is not None and not hive_layout:
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        file_schema = pq.read_schema(first_file)
-        if file_schema.metadata:
-            schema = file_schema.remove_metadata()
-            if columns is not None:
-                # a user schema must match the projected block layout
-                # exactly (Ray validates block schemas against it)
-                schema = pa.schema([schema.field(c) for c in columns])
+        schema = stripped_schema(first_file, columns)
     kwargs = {}
     if size is not None:
         if min_blocks is None:

@@ -263,6 +263,9 @@ def _aea_q(sinp: np.ndarray | float, e2: float = WGS84_E2):
     equal-area kernel).  Exact identity: the ellipsoid's surface area
     between two parallels over Δλ is a²·Δλ·(q2−q1)/2 — the equal-area
     test in tests/test_crs.py leans on this."""
+    if e2 == 0.0:
+        # spherical limit of Snyder 3-12: q -> 2 sin(phi)
+        return 2.0 * np.asarray(sinp, dtype=np.float64)
     e = float(np.sqrt(e2))
     return (1.0 - e2) * (
         sinp / (1.0 - e2 * sinp ** 2)
@@ -323,8 +326,10 @@ def aea_inverse(x, y, lon0: float = -96.0, lat0: float = 23.0,
 def _phi_from_q(q, e2: float = WGS84_E2, iters: int = 10):
     """Snyder 3-16: latitude from the authalic q by fixed point —
     shared by the AEA and LAEA inverses."""
-    e = float(np.sqrt(e2))
     phi = np.arcsin(np.clip(np.asarray(q, dtype=np.float64) / 2.0, -1.0, 1.0))
+    if e2 == 0.0:
+        return phi  # spherical: q = 2 sin(phi) exactly, no iteration
+    e = float(np.sqrt(e2))
     for _ in range(iters):
         sinp = np.sin(phi)
         phi = phi + (1.0 - e2 * sinp ** 2) ** 2 / (2.0 * np.cos(phi)) * (
@@ -454,7 +459,13 @@ def _ellipsoid(params: dict) -> tuple[float, float]:
     sphere of that radius."""
     if "R" in params:
         return float(params["R"]), 0.0
-    a, rf = ELLIPSOIDS.get(params.get("ellps", "WGS84"), ELLIPSOIDS["WGS84"])
+    name = params.get("ellps", "WGS84")
+    if name not in ELLIPSOIDS:
+        # silently substituting WGS84 for e.g. clrk66 (legacy NAD27
+        # proj strings) would be hundreds of meters off with no signal
+        raise KeyError(f"unknown ellps {name!r}; have "
+                       f"{sorted(ELLIPSOIDS)} (or pass a/rf or R)")
+    a, rf = ELLIPSOIDS[name]
     a = float(params.get("a", a))
     rf = float(params.get("rf", rf))
     if rf == 0.0:
@@ -468,7 +479,7 @@ def crs_from_params(params: dict):
     generic constructor the reference gets from proj4/EPSG
     (``/root/reference/src/ocgis/variable/crs.py:160-240`` accepts any
     proj4 string / EPSG code).  Supported ``proj`` families: longlat,
-    webmerc/merc, lcc (2SP), tmerc, utm, aea, laea, sinu, ob_tran
+    webmerc, lcc (2SP), tmerc, utm, aea, laea, sinu, ob_tran
     (rotated pole).  ``x_0``/``y_0`` are false easting/northing in
     METERS; ``to_meter`` converts the native unit (e.g. US survey feet
     1200/3937) so outputs are in the CRS's own unit, matching proj.
@@ -484,8 +495,22 @@ def crs_from_params(params: dict):
 
     if proj in ("longlat", "latlong"):
         fwd0, inv0 = _ident, _ident
-    elif proj in ("webmerc", "merc"):
-        fwd0, inv0 = to_web_mercator, from_web_mercator
+    elif proj == "webmerc":
+        # honor false easting/northing (dropped silently before —
+        # to_web_mercator has no fe/fn slots)
+        def fwd0(lon, lat, _f=to_web_mercator):
+            x, y = _f(lon, lat)
+            return x + fe, y + fn
+
+        def inv0(x, y, _f=from_web_mercator):
+            return _f(np.asarray(x, np.float64) - fe,
+                      np.asarray(y, np.float64) - fn)
+    elif proj == "merc":
+        raise KeyError(
+            "proj 'merc' (ellipsoidal Mercator) is not implemented — "
+            "it silently differs from spherical web mercator by ~0.3% "
+            "in y (tens of km); use proj 'webmerc' for EPSG:3857 "
+            "semantics or an implemented family")
     elif proj == "lcc":
         lat1, lat2 = g("lat_1"), g("lat_2", params.get("lat_1", 0.0))
         lat0, lon0 = g("lat_0"), g("lon_0")
@@ -530,7 +555,7 @@ def crs_from_params(params: dict):
                                                      inverse=True)  # noqa: E731
     else:
         raise KeyError(
-            f"unsupported proj {proj!r}; supported: longlat webmerc merc "
+            f"unsupported proj {proj!r}; supported: longlat webmerc "
             "lcc tmerc utm aea laea sinu ob_tran")
 
     if to_m == 1.0:

@@ -46,6 +46,52 @@ def _binary_view(arr) -> tuple[np.ndarray, np.ndarray]:
     return np.frombuffer(bufs[2], dtype=np.uint8), off.astype(np.int64)
 
 
+def _first_bytes(data: np.ndarray, off: np.ndarray, k: int) -> np.ndarray:
+    """(n, k) array of each payload's first k bytes, with rows shorter
+    than k zero-padded — a SAFE gather: ``data[off[:-1]]`` indexes one
+    past the buffer when a trailing payload is empty (off[-2] ==
+    len(data)), an IndexError before any per-row validation runs."""
+    n = len(off) - 1
+    lens = off[1:] - off[:-1]
+    out = np.zeros((n, k), dtype=np.uint8)
+    for j in range(k):
+        ok = lens > j
+        out[ok, j] = data[off[:-1][ok] + j]
+    return out
+
+
+def _media_table(media_id: np.ndarray, kind: str, payload: pa.Array,
+                 n_bytes, meta_w, meta_h) -> pa.Table:
+    """The MEDIA_SCHEMA row builder shared by every synth path —
+    scalars broadcast, arrays pass through (one place to touch when
+    the media schema grows a column)."""
+    n = len(media_id)
+
+    def col(v):
+        v = np.asarray(v, dtype=np.int64)
+        return pa.array(np.full(n, v, np.int64) if v.ndim == 0 else v)
+
+    return pa.table({
+        "media_id": pa.array(media_id),
+        "kind": pa.array(np.full(n, kind, dtype=object)),
+        "payload": payload,
+        "n_bytes": col(n_bytes),
+        "meta_w": col(meta_w),
+        "meta_h": col(meta_h),
+    })
+
+
+def _docs_media(sf_dir: str, make, columns: tuple[str, ...] = ("doc_id",)):
+    """documents.parquet -> media Dataset via one synth kernel (the
+    shared read + small-batch map every synth path uses)."""
+    from ocgis_ray.sources.io import read_parquet_sized
+
+    docs = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                              columns=list(columns))
+    return docs.map_batches(make, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=1024)
+
+
 def synth_media_batch(batch: pa.Table, kind: str = "image") -> pa.Table:
     """Deterministic fake media derived from documents (payload bytes =
     text repeated 4x, utf-8) — plumbing fixture, not content.
@@ -102,20 +148,9 @@ def synth_ppm_media(sf_dir: str, w: int = 32, h: int = 24):
             pa.binary(), n,
             [None, pa.py_buffer(off.tobytes()),
              pa.py_buffer(flat.tobytes())])
-        return pa.table({
-            "media_id": pa.array(doc_id),
-            "kind": pa.array(np.full(n, "image", dtype=object)),
-            "payload": payload,
-            "n_bytes": pa.array(np.full(n, row_len, dtype=np.int64)),
-            "meta_w": pa.array(np.full(n, w, dtype=np.int64)),
-            "meta_h": pa.array(np.full(n, h, dtype=np.int64)),
-        })
+        return _media_table(doc_id, "image", payload, row_len, w, h)
 
-    from ocgis_ray.sources.io import read_parquet_sized
-
-    docs = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id"])
-    return docs.map_batches(make, batch_format="pyarrow",
-                            zero_copy_batch=True, batch_size=1024)
+    return _docs_media(sf_dir, make)
 
 
 def decode_ppm_stats(batch: pa.Table) -> pa.Table:
@@ -132,12 +167,16 @@ def decode_ppm_stats(batch: pa.Table) -> pa.Table:
     h = batch["meta_h"].to_numpy(zero_copy_only=False).astype(np.int64)
     npx = w * h * 3
     L = off[1:] - off[:-1]
+    if n and (L < npx + 7).any():
+        # validated BEFORE the len(data) gate: a batch of all-empty
+        # payloads has an empty buffer and would otherwise fall through
+        # to silent zero stats
+        raise ValueError("payload shorter than meta_w*meta_h*3 pixels")
     if n and len(data):
-        magic_ok = (data[off[:-1]] == ord("P")) & (data[off[:-1] + 1] == ord("6"))
+        fb = _first_bytes(data, off, 2)
+        magic_ok = (fb[:, 0] == ord("P")) & (fb[:, 1] == ord("6"))
         if not magic_ok.all():
             raise ValueError("not a P6 PPM payload")
-        if (L < npx + 7).any():
-            raise ValueError("payload shorter than meta_w*meta_h*3 pixels")
         starts = off[1:] - npx  # pixel data is the payload tail
         total = int(npx.sum())
         within = np.arange(total) - np.repeat(np.cumsum(npx) - npx, npx)
@@ -285,20 +324,9 @@ def synth_png_media(sf_dir: str, w: int = 32, h: int = 24):
         payloads = [_png_encode_rgb(px[i]) for i in range(n)]  # zlib is per-stream
         payload = pa.array(payloads, pa.binary())
         n_bytes = np.asarray([len(b) for b in payloads], np.int64)
-        return pa.table({
-            "media_id": pa.array(doc_id),
-            "kind": pa.array(np.full(n, "image", dtype=object)),
-            "payload": payload,
-            "n_bytes": pa.array(n_bytes),
-            "meta_w": pa.array(np.full(n, w, dtype=np.int64)),
-            "meta_h": pa.array(np.full(n, h, dtype=np.int64)),
-        })
+        return _media_table(doc_id, "image", payload, n_bytes, w, h)
 
-    from ocgis_ray.sources.io import read_parquet_sized
-
-    docs = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id"])
-    return docs.map_batches(make, batch_format="pyarrow",
-                            zero_copy_batch=True, batch_size=1024)
+    return _docs_media(sf_dir, make)
 
 
 def synth_image_media(sf_dir: str, w: int = 32, h: int = 24):
@@ -319,20 +347,9 @@ def synth_image_media(sf_dir: str, w: int = 32, h: int = 24):
         ]
         payload = pa.array(payloads, pa.binary())
         n_bytes = np.asarray([len(b) for b in payloads], np.int64)
-        return pa.table({
-            "media_id": pa.array(doc_id),
-            "kind": pa.array(np.full(n, "image", dtype=object)),
-            "payload": payload,
-            "n_bytes": pa.array(n_bytes),
-            "meta_w": pa.array(np.full(n, w, dtype=np.int64)),
-            "meta_h": pa.array(np.full(n, h, dtype=np.int64)),
-        })
+        return _media_table(doc_id, "image", payload, n_bytes, w, h)
 
-    from ocgis_ray.sources.io import read_parquet_sized
-
-    docs = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id"])
-    return docs.map_batches(make, batch_format="pyarrow",
-                            zero_copy_batch=True, batch_size=1024)
+    return _docs_media(sf_dir, make)
 
 
 def _pixel_stats(px: np.ndarray):
@@ -355,7 +372,7 @@ def decode_image_stats(batch: pa.Table) -> pa.Table:
     n = batch.num_rows
     if n == 0 or not len(data):
         return decode_ppm_stats(batch)
-    is_png = (off[1:] - off[:-1] >= 8) & (data[off[:-1]] == 0x89)
+    is_png = (off[1:] - off[:-1] >= 8) & (_first_bytes(data, off, 1)[:, 0] == 0x89)
     if not is_png.any():
         return decode_ppm_stats(batch)
     if is_png.all():
@@ -422,20 +439,10 @@ def synth_wav_media(sf_dir: str, n_samples: int = 2048,
             pa.binary(), n,
             [None, pa.py_buffer(off.tobytes()),
              pa.py_buffer(flat.tobytes())])
-        return pa.table({
-            "media_id": pa.array(doc_id),
-            "kind": pa.array(np.full(n, "audio", dtype=object)),
-            "payload": payload,
-            "n_bytes": pa.array(np.full(n, row_len, dtype=np.int64)),
-            "meta_w": pa.array(np.full(n, rate, dtype=np.int64)),
-            "meta_h": pa.array(np.full(n, n_samples, dtype=np.int64)),
-        })
+        return _media_table(doc_id, "audio", payload, row_len, rate,
+                            n_samples)
 
-    from ocgis_ray.sources.io import read_parquet_sized
-
-    docs = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id"])
-    return docs.map_batches(make, batch_format="pyarrow",
-                            zero_copy_batch=True, batch_size=1024)
+    return _docs_media(sf_dir, make)
 
 
 def decode_wav_stats(batch: pa.Table) -> pa.Table:
@@ -447,13 +454,14 @@ def decode_wav_stats(batch: pa.Table) -> pa.Table:
     n = batch.num_rows
     ns = batch["meta_h"].to_numpy(zero_copy_only=False).astype(np.int64)
     nbytes = ns * 2
+    L = off[1:] - off[:-1]
+    if n and (L < nbytes + 44).any():  # 44 = minimal RIFF/fmt/data header
+        raise ValueError("payload shorter than meta_h PCM16 samples")
     if n and len(data):
         s0 = off[:-1]
-        L = off[1:] - off[:-1]
-        if (L < nbytes + 44).any():  # 44 = minimal RIFF/fmt/data header
-            raise ValueError("payload shorter than meta_h PCM16 samples")
-        if not ((data[s0] == ord("R")) & (data[s0 + 1] == ord("I"))
-                & (data[s0 + 8] == ord("W")) & (data[s0 + 9] == ord("A"))).all():
+        fb = _first_bytes(data, off, 10)
+        if not ((fb[:, 0] == ord("R")) & (fb[:, 1] == ord("I"))
+                & (fb[:, 8] == ord("W")) & (fb[:, 9] == ord("A"))).all():
             raise ValueError("not a RIFF/WAVE payload")
         starts = off[1:] - nbytes
         total = int(nbytes.sum())

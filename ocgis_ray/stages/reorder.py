@@ -232,12 +232,12 @@ def read_morton_pruned(path, x0: float, y0: float, x1: float, y1: float,
     if "schema" not in read_kwargs and isinstance(path, str) \
             and os.path.isfile(path):
         # strip pandas metadata: unhashable-schema warning + disabled
-        # Ray schema-dedup fast path (see sources/io.read_parquet_sized)
-        import pyarrow.parquet as pq
+        # Ray schema-dedup fast path (shared helper in sources/io)
+        from ocgis_ray.sources.io import stripped_schema
 
-        fs = pq.read_schema(path)
-        if fs.metadata:
-            read_kwargs["schema"] = fs.remove_metadata()
+        sch = stripped_schema(path, read_kwargs.get("columns"))
+        if sch is not None:
+            read_kwargs["schema"] = sch
     ranges = morton_ranges(x0, y0, x1, y1, res, max_ranges=max_ranges)
     ds = rd.read_parquet(path,
                          filter=morton_filter_expr(ranges, key_col),
