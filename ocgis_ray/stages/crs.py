@@ -592,6 +592,10 @@ EPSG_PARAMS: dict[int, dict] = {
     3347: {"proj": "lcc", "lat_1": 49.0, "lat_2": 77.0, "lat_0": 63.390675,
            "lon_0": -91.866666666666667, "x_0": 6200000.0,
            "y_0": 3000000.0, "ellps": "GRS80"},       # Statistics Canada LCC
+    2154: {"proj": "lcc", "lat_1": 49.0, "lat_2": 44.0, "lat_0": 46.5,
+           "lon_0": 3.0, "x_0": 700000.0, "y_0": 6600000.0,
+           "ellps": "GRS80"},                          # RGF93 / Lambert-93
+    25832: {"proj": "utm", "zone": 32, "ellps": "GRS80"},  # ETRS89 UTM 32N
     32615: {"proj": "utm", "zone": 15},                     # WGS84 UTM 15N
     32733: {"proj": "utm", "zone": 33, "south": True},      # WGS84 UTM 33S
     54008: {"proj": "sinu", "lon_0": 0.0, "R": 6371007.181},  # ESRI sinu (MODIS)

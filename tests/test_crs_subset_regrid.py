@@ -369,6 +369,11 @@ def test_crs_from_epsg_known_points():
     assert abs(x[0] - 4321000.0) < 1e-6
     assert abs(y[0] - 3210000.0) < 1e-6
 
+    fwd, _ = crs_from_epsg(2154)  # RGF93 / Lambert-93
+    x, y = fwd(np.array([3.0]), np.array([46.5]))
+    assert abs(x[0] - 700000.0) < 1e-6   # natural origin -> false origin
+    assert abs(y[0] - 6600000.0) < 1e-6
+
     fwd, _ = crs_from_epsg(32615)  # WGS84 UTM 15N
     x, y = fwd(np.array([-93.0]), np.array([0.0]))
     assert abs(x[0] - 500000.0) < 1e-6 and abs(y[0]) < 1e-6
@@ -386,6 +391,8 @@ def test_crs_from_epsg_roundtrips():
 
     probe = {
         4326: ([-120.0, 30.0], [35.0, -20.0]),
+        2154: ([2.35, -1.55], [48.85, 47.22]),
+        25832: ([9.0, 11.5], [48.0, 54.0]),
         3857: ([-120.0, 30.0], [35.0, -20.0]),
         5070: ([-120.0, -80.0], [30.0, 45.0]),
         2230: ([-117.2, -116.0], [32.7, 33.5]),
@@ -607,3 +614,34 @@ def test_albers_equal_area():
         d = np.hypot(ax[1] - ax[0], ay[1] - ay[0])
         want = WGS84_A * m * np.radians(0.01)
         assert abs(d - want) / want < 1e-6, sp
+
+
+def test_crs_from_params_sphere_and_strictness():
+    """Review-pass regressions: spherical aea/laea work (the authalic
+    q has a 1/(2e) term that divided by zero), webmerc honors false
+    easting, and wrong-but-plausible params fail loudly ('merc',
+    unknown ellps) instead of silently transforming wrong."""
+    from ocgis_ray.stages.crs import crs_from_params
+
+    fwd, inv = crs_from_params({"proj": "laea", "lat_0": 52.0,
+                                "lon_0": 10.0, "R": 6371007.181})
+    lon, lat = inv(*fwd(np.array([2.35]), np.array([48.85])))
+    assert abs(lon[0] - 2.35) < 1e-9 and abs(lat[0] - 48.85) < 1e-9
+
+    fwd, inv = crs_from_params({"proj": "aea", "lat_0": 23.0,
+                                "lon_0": -96.0, "lat_1": 29.5,
+                                "lat_2": 45.5, "ellps": "sphere"})
+    lon, lat = inv(*fwd(np.array([-100.0]), np.array([38.0])))
+    assert abs(lon[0] + 100.0) < 1e-9 and abs(lat[0] - 38.0) < 1e-9
+
+    fwd, inv = crs_from_params({"proj": "webmerc", "x_0": 500000.0})
+    x, y = fwd(np.array([0.0]), np.array([0.0]))
+    assert x[0] == 500000.0 and abs(y[0]) < 1e-6
+    lon, lat = inv(x, y)
+    assert abs(lon[0]) < 1e-9 and abs(lat[0]) < 1e-9
+
+    with pytest.raises(KeyError, match="merc"):
+        crs_from_params({"proj": "merc"})
+    with pytest.raises(KeyError, match="ellps"):
+        crs_from_params({"proj": "aea", "lat_1": 29.5, "lat_2": 45.5,
+                         "ellps": "clrk66"})
