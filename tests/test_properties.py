@@ -354,3 +354,39 @@ def test_bpe_token_count_duckdb_parity_property(texts):
     ).fetchdf()["n"].to_numpy(np.int64)
     con.close()
     assert (counts == sql).all()
+
+
+# ------------------------------------------------------------- CRS registry
+
+#: per-code service areas (lon_lo, lon_hi, lat_lo, lat_hi) — random
+#: points inside each must round-trip through the generic constructor
+_CRS_AREAS = {
+    3857: (-179.0, 179.0, -84.0, 84.0),
+    5070: (-124.0, -67.0, 25.0, 49.0),
+    2230: (-118.0, -115.0, 32.2, 34.5),
+    2154: (-4.5, 8.0, 42.0, 51.0),
+    3035: (-10.0, 30.0, 35.0, 70.0),
+    3347: (-140.0, -52.0, 42.0, 83.0),
+    25832: (6.0, 12.0, 38.0, 83.0),
+    32615: (-96.0, -90.0, -80.0, 84.0),
+    32733: (12.0, 18.0, -80.0, 0.0),
+    54008: (-179.0, 179.0, -85.0, 85.0),
+}
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.sampled_from(sorted(_CRS_AREAS)),
+       st.floats(0.0, 1.0), st.floats(0.0, 1.0))
+def test_crs_registry_roundtrip_property(code, fx, fy):
+    """Hypothesis sweep: any point in a CRS's service area round-trips
+    forward->inverse to <1e-7 deg (~1 cm; TM is a truncated series)
+    through the data-driven EPSG registry."""
+    from ocgis_ray.stages.crs import crs_from_epsg
+
+    x0, x1, y0, y1 = _CRS_AREAS[code]
+    lon = np.array([x0 + fx * (x1 - x0)])
+    lat = np.array([y0 + fy * (y1 - y0)])
+    fwd, inv = crs_from_epsg(code)
+    lo, la = inv(*fwd(lon, lat))
+    assert abs(lo[0] - lon[0]) < 1e-7, code
+    assert abs(la[0] - lat[0]) < 1e-7, code
