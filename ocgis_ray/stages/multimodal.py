@@ -5,11 +5,16 @@ metadata columns alongside (kind, width/height or duration, codec) —
 the Arrow-native answer to the reference's VLEN ``ObjectType`` payloads
 (``/root/reference/src/ocgis/variable/base.py:202-219``).
 
-The container has NO image/audio libraries, so the decode kernels are
-STUBS behind ``fake=True``: the Ray-side plumbing — schemas, actor-pool
-signatures, small-batch sizing for fat rows, flat frame expansion — is
-real and tested; the pixel math is a clearly-marked deterministic fake
-(or ``NotImplementedError`` when ``fake=False``).
+The container has NO image/audio libraries, so decode is real where a
+format is numpy/stdlib-decodable and an honest stub otherwise:
+
+- REAL: PPM (P6) pixels, PNG (stdlib zlib, all five scanline
+  filters), PCM/WAV samples, and motion-PPM video (concatenated P6
+  frames — header-validated frame sampling to standalone decodable
+  images, the MJPEG shape).
+- STUBS behind ``fake=True``: JPEG/MP4 codecs (``MediaDecoder`` /
+  ``FrameSampler`` raise ``NotImplementedError`` when ``fake=False``;
+  a real deployment plugs PIL/ffmpeg into the same batch signature).
 
 Memory rule for fat binary rows (ray_guide "Memory-aware"): batches of
 256-1024 rows, ``batch_format="pyarrow"`` (binary columns do NOT
@@ -556,6 +561,110 @@ def decode_features(ds, concurrency=None, batch_size: int = 512,
         concurrency=concurrency, batch_size=batch_size,
         fn_constructor_kwargs={"fake": fake},
     )
+
+
+def synth_ppm_video(sf_dir: str, w: int = 16, h: int = 12,
+                    n_frames: int = 6):
+    """REAL video payloads: a concatenated-PPM stream (motion-PPM —
+    every frame is a complete P6 image; the concatenation IS the
+    container, like MJPEG is concatenated JPEGs).  Frame f of doc d
+    carries the deterministic gradient of seed ``d * 131 + f`` so each
+    sampled frame's pixel statistics are closed-form checkable."""
+    header = f"P6\n{w} {h}\n255\n".encode()
+    frame_len = len(header) + w * h * 3
+
+    def make(batch: pa.Table) -> pa.Table:
+        doc_id = batch["doc_id"].to_numpy(zero_copy_only=False)
+        n = len(doc_id)
+        # (n, n_frames, h, w, 3) via the shared gradient on per-frame seeds
+        seeds = (doc_id[:, None] * 131
+                 + np.arange(n_frames, dtype=np.int64)[None, :]).ravel()
+        px = _gradient_pixels(seeds, w, h).reshape(n, n_frames, h, w, 3)
+        hdr = np.frombuffer(header, dtype=np.uint8)
+        frames = np.concatenate(
+            [np.broadcast_to(hdr, (n, n_frames, len(hdr))),
+             px.reshape(n, n_frames, -1)], axis=2)
+        flat = frames.reshape(-1)
+        row_len = n_frames * frame_len
+        off = (np.arange(n + 1, dtype=np.int32) * row_len)
+        payload = pa.BinaryArray.from_buffers(
+            pa.binary(), n,
+            [None, pa.py_buffer(off.tobytes()),
+             pa.py_buffer(flat.tobytes())])
+        return _media_table(doc_id, "video", payload, row_len, w, h)
+
+    return _docs_media(sf_dir, make)
+
+
+def sample_ppm_frames_batch(batch: pa.Table, n_sample: int = 3) -> pa.Table:
+    """REAL frame sampling from motion-PPM payloads: parse the stream
+    (P6 magic + dimensions from the first header — validated on every
+    sampled frame boundary), pick ``n_sample`` evenly spaced frames,
+    and emit each as a COMPLETE standalone PPM row decodable by
+    :func:`decode_ppm_stats`.  One vectorized gather; no per-row
+    Python."""
+    data, off = _binary_view(batch["payload"])
+    ids = batch["media_id"].to_numpy(zero_copy_only=False)
+    w = batch["meta_w"].to_numpy(zero_copy_only=False).astype(np.int64)
+    h = batch["meta_h"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = batch.num_rows
+    if n == 0 or not len(data):
+        return pa.table({
+            "media_id": pa.array([], pa.int64()),
+            "frame_idx": pa.array([], pa.int64()),
+            "kind": pa.array([], pa.string()),
+            "payload": pa.array([], pa.binary()),
+            "n_bytes": pa.array([], pa.int64()),
+            "meta_w": pa.array([], pa.int64()),
+            "meta_h": pa.array([], pa.int64()),
+        })
+    if not ((w == w[0]) & (h == h[0])).all():
+        raise ValueError("sample_ppm_frames expects uniform frame dims "
+                         "per batch (repartition by dims upstream)")
+    header = f"P6\n{int(w[0])} {int(h[0])}\n255\n".encode()
+    frame_len = len(header) + int(w[0]) * int(h[0]) * 3
+    L = off[1:] - off[:-1]
+    if (L % frame_len != 0).any() or (L == 0).any():
+        raise ValueError("payload is not a whole number of PPM frames")
+    n_frames = L // frame_len
+    k = np.minimum(n_sample, n_frames)
+    # evenly spaced frame indices per row: floor(i * nf / k)
+    total = int(k.sum())
+    row = np.repeat(np.arange(n, dtype=np.int64), k)
+    within = np.arange(total, dtype=np.int64) \
+        - np.repeat(np.cumsum(k) - k, k)
+    fidx = within * n_frames[row] // k[row]
+    starts = off[:-1][row] + fidx * frame_len
+    # validate every sampled boundary is a P6 header (stream integrity)
+    if not ((data[starts] == ord("P")) & (data[starts + 1] == ord("6"))).all():
+        raise ValueError("frame boundary does not start with a P6 header")
+    gwithin = np.arange(total * frame_len, dtype=np.int64) % frame_len
+    gathered = data[np.repeat(starts, frame_len) + gwithin]
+    out_off = (np.arange(total + 1, dtype=np.int32) * frame_len)
+    frame_arr = pa.BinaryArray.from_buffers(
+        pa.binary(), total,
+        [None, pa.py_buffer(out_off.tobytes()),
+         pa.py_buffer(gathered.tobytes())])
+    return pa.table({
+        "media_id": pa.array(ids[row]),
+        "frame_idx": pa.array(fidx),
+        "kind": pa.array(np.full(total, "image", dtype=object)),
+        "payload": frame_arr,
+        "n_bytes": pa.array(np.full(total, frame_len, dtype=np.int64)),
+        "meta_w": pa.array(w[row]),
+        "meta_h": pa.array(h[row]),
+    })
+
+
+def sample_ppm_frames(ds, n_sample: int = 3, batch_size: int = 256):
+    """Distributed REAL frame sampling (motion-PPM): video rows ->
+    ``n_sample`` decodable image rows each — chain with
+    :func:`decode_ppm` for per-frame features.  Small batches: each
+    input row fans out n_sample full frames."""
+    return ds.map_batches(
+        lambda b: sample_ppm_frames_batch(b, n_sample),
+        batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size)
 
 
 class FrameSampler:

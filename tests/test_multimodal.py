@@ -233,3 +233,63 @@ def test_mixed_container_decode_matches(ray_session, sf_dir):
                                rtol=0, atol=0)
     # both containers present
     assert (ids % 2 == 0).any() and (ids % 2 == 1).any()
+
+
+def test_video_frame_sampling_real(ray_session, sf_dir):
+    """Motion-PPM video: REAL frame sampling (header-validated stream
+    parse) -> complete standalone PPM rows -> REAL pixel decode; the
+    decoded means reproduce the per-frame gradient formula exactly."""
+    import numpy as np
+
+    from ocgis_ray.stages.multimodal import (_gradient_pixels, decode_ppm,
+                                             sample_ppm_frames,
+                                             synth_ppm_video)
+
+    vids = synth_ppm_video(sf_dir, w=16, h=12, n_frames=6)
+    frames = sample_ppm_frames(vids, n_sample=3)
+    out = decode_ppm(frames).to_pandas()
+    assert len(out) == 500 * 3
+    # evenly spaced: frames 0, 2, 4 of 6
+    assert sorted(out["frame_idx"].unique()) == [0, 2, 4]
+    # decoded channel means == the gradient formula for seed d*131+f
+    sub = out.sort_values(["media_id", "frame_idx"]).head(50)
+    seeds = (sub["media_id"].to_numpy() * 131
+             + sub["frame_idx"].to_numpy()).astype(np.int64)
+    px = _gradient_pixels(seeds, 16, 12).reshape(len(seeds), -1, 3) \
+        .astype(np.float64)
+    np.testing.assert_array_equal(sub["mean_r"].to_numpy(),
+                                  px[:, :, 0].mean(axis=1))
+    np.testing.assert_array_equal(sub["mean_g"].to_numpy(),
+                                  px[:, :, 1].mean(axis=1))
+
+
+def test_video_frame_sampling_validates_stream(ray_session):
+    """Corrupt frame boundaries and ragged payloads fail loudly."""
+    import numpy as np
+    import ray.data as rd
+
+    from ocgis_ray.stages.multimodal import sample_ppm_frames_batch
+
+    header = b"P6\n2 2\n255\n"
+    frame = header + bytes(range(12))
+    good = pa.table({
+        "media_id": pa.array([1], pa.int64()),
+        "kind": pa.array(["video"]),
+        "payload": pa.array([frame * 3], pa.binary()),
+        "n_bytes": pa.array([len(frame) * 3], pa.int64()),
+        "meta_w": pa.array([2], pa.int64()),
+        "meta_h": pa.array([2], pa.int64()),
+    })
+    out = sample_ppm_frames_batch(good, n_sample=2)
+    assert out.num_rows == 2
+
+    ragged = good.set_column(2, "payload",
+                             pa.array([frame * 3 + b"x"], pa.binary()))
+    with pytest.raises(ValueError, match="whole number"):
+        sample_ppm_frames_batch(ragged, n_sample=2)
+
+    corrupt = good.set_column(2, "payload",
+                              pa.array([frame + b"X6" + frame[2:] + frame],
+                                       pa.binary()))
+    with pytest.raises(ValueError, match="P6 header"):
+        sample_ppm_frames_batch(corrupt, n_sample=3)
