@@ -848,13 +848,29 @@ def q_media_features(sf_dir: str):
     are raw P6/PPM (vectorized numpy tail decode), odd are
     zlib-compressed PNG (stdlib chunk walk + de-filter) — same
     deterministic raster, one dispatching decode stage (see
-    stages/multimodal.py); the byte-stat fake path stays covered by
-    tests."""
-    from ocgis_ray.stages.multimodal import decode_images, synth_image_media
+    stages/multimodal.py).  PLUS real VIDEO frame sampling: each doc's
+    motion-PPM stream (6 concatenated P6 frames) is sampled at frames
+    0/2/4, each sampled frame pixel-decoded, and the mean sampled-frame
+    luma joins as ``video_luma`` — the whole video path sits inside
+    this hash-checked oracle.  The byte-stat fake path stays covered
+    by tests."""
+    from ocgis_ray.stages.multimodal import (decode_images, decode_ppm,
+                                             sample_ppm_frames,
+                                             synth_image_media,
+                                             synth_ppm_video)
+    from ocgis_ray.stages.tiles import grouped_aggregate
 
     media = synth_image_media(sf_dir)
-    return decode_images(media).select_columns(
-        ["media_id", "kind", "mean_r", "mean_g", "luma"])
+    img = decode_images(media).select_columns(
+        ["media_id", "kind", "mean_r", "mean_g", "luma"]).to_pandas()
+
+    frames = sample_ppm_frames(synth_ppm_video(sf_dir, w=16, h=12,
+                                               n_frames=6), n_sample=3)
+    vagg = grouped_aggregate(
+        decode_ppm(frames), ["media_id"],
+        {"sl": ("luma", "sum"), "nf": (None, "count")}).to_pandas()
+    vagg["video_luma"] = sql_round(vagg["sl"] / vagg["nf"], 6)
+    return img.merge(vagg[["media_id", "video_luma"]], on="media_id")
 
 
 def q_knn_cells(sf_dir: str):
@@ -1503,10 +1519,34 @@ WITH px AS (
 m AS (
   SELECT doc_id, avg(r) AS mean_r, avg(g) AS mean_g, avg(b) AS mean_b
   FROM px GROUP BY doc_id
+),
+vpx AS (
+  -- the motion-PPM frames sampled at 0/2/4: frame f of doc d carries
+  -- the 16x12 gradient of seed d*131+f (stages/multimodal.py
+  -- synth_ppm_video); integer-valued float means are exact, the
+  -- 3-frame average rounds at 6 on both sides (sum-order ulp)
+  SELECT d.doc_id, tf.f,
+         CAST(((d.doc_id * 131 + tf.f) * 31 + tx.x * 8) % 256 AS DOUBLE) AS r,
+         CAST(((d.doc_id * 131 + tf.f) * 17 + ty.y * 11) % 256 AS DOUBLE) AS g,
+         CAST(((d.doc_id * 131 + tf.f) * 7 + tx.x * 3 + ty.y * 5) % 256 AS DOUBLE) AS b
+  FROM documents d
+  CROSS JOIN (SELECT unnest([0, 2, 4]) AS f) tf
+  CROSS JOIN (SELECT unnest(range(0, 16)) AS x) tx
+  CROSS JOIN (SELECT unnest(range(0, 12)) AS y) ty
+),
+vm AS (
+  SELECT doc_id, f, avg(r) AS mr, avg(g) AS mg, avg(b) AS mb
+  FROM vpx GROUP BY doc_id, f
+),
+vl AS (
+  SELECT doc_id,
+         round(avg(0.299 * mr + 0.587 * mg + 0.114 * mb), 6) AS video_luma
+  FROM vm GROUP BY doc_id
 )
-SELECT doc_id AS media_id, 'image' AS kind, mean_r, mean_g,
-       0.299 * mean_r + 0.587 * mean_g + 0.114 * mean_b AS luma
-FROM m"""
+SELECT m.doc_id AS media_id, 'image' AS kind, mean_r, mean_g,
+       0.299 * mean_r + 0.587 * mean_g + 0.114 * mean_b AS luma,
+       video_luma
+FROM m JOIN vl ON m.doc_id = vl.doc_id"""
 
 
 def sql_ann_lsh() -> str:
