@@ -94,6 +94,24 @@ def index_names() -> list[str]:
     return sorted(_INDEX_FUNCS)
 
 
+def _pctl(v: np.ndarray, q: float, p: dict | None) -> float:
+    """np.percentile with the same per-entity memo discipline as
+    :func:`_daily`: q90/q10/q95/q99 are each read by two kernels, so
+    the memo halves the percentile work per entity (the sort inside
+    percentile dominates the small per-entity kernels)."""
+    if p is None:
+        return np.percentile(v, q)
+    cache = p.setdefault("_pctl_cache", {})
+    key = (id(v), q)
+    hit = cache.get(key)
+    if hit is None:
+        # the array rides in the value so its id() stays pinned for
+        # the cache's (per-entity) lifetime; multiple base arrays
+        # (whole series, daily mean, daily total) coexist
+        hit = cache[key] = (v, np.percentile(v, q))
+    return hit[1]
+
+
 def _max_run(mask: np.ndarray) -> int:
     """Longest consecutive True run (vectorized RLE)."""
     if mask.size == 0 or not mask.any():
@@ -141,12 +159,12 @@ def _dtr(v: np.ndarray, d: np.ndarray, p: dict) -> float:
 
 
 def _r95ptot(v: np.ndarray, d: np.ndarray, p: dict) -> float:
-    q = np.percentile(v, 95.0)
+    q = _pctl(v, 95.0, p)
     return float(sql_round(_cents(v[v > q]).sum() / 100.0, ROUND))
 
 
 def _tx90p(v: np.ndarray, d: np.ndarray, p: dict) -> int:
-    return int((v > np.percentile(v, 90.0)).sum())
+    return int((v > _pctl(v, 90.0, p)).sum())
 
 
 def _spell_total(mask: np.ndarray, min_len: int) -> int:
@@ -218,11 +236,11 @@ register_index("sdii", _sdii)
 register_index("csu", lambda v, d, p: _max_run(v > p["su_thr"]))
 register_index("cfd", lambda v, d, p: _max_run(v < p["fd_thr"]))
 register_index("vdtr", _vdtr)
-register_index("tg10p", lambda v, d, p: int((v < np.percentile(v, 10.0)).sum()))
+register_index("tg10p", lambda v, d, p: int((v < _pctl(v, 10.0, p)).sum()))
 register_index("wsdi", lambda v, d, p: _spell_total(
-    v > np.percentile(v, 90.0), p["spell_min"]))
+    v > _pctl(v, 90.0, p), p["spell_min"]))
 register_index("csdi", lambda v, d, p: _spell_total(
-    v < np.percentile(v, 10.0), p["spell_min"]))
+    v < _pctl(v, 10.0, p), p["spell_min"]))
 
 
 # third ECA&D tranche: daily-total precipitation family + day-extreme
@@ -282,7 +300,7 @@ def _r_nn(thr_key: str):
 
 
 def _r99ptot(v: np.ndarray, d: np.ndarray, p: dict) -> float:
-    q = np.percentile(v, 99.0)
+    q = _pctl(v, 99.0, p)
     return float(sql_round(_cents(v[v > q]).sum() / 100.0, ROUND))
 
 
@@ -301,7 +319,7 @@ register_index("rx5day", _rx5day)
 register_index("r10mm", _r_nn("r10_thr"))
 register_index("r20mm", _r_nn("r20_thr"))
 register_index("r99ptot", _r99ptot)
-register_index("r75p", lambda v, d, p: int((v > np.percentile(v, 75.0)).sum()))
+register_index("r75p", lambda v, d, p: int((v > _pctl(v, 75.0, p)).sum()))
 register_index("txn", _txn)
 register_index("tnx", _tnx)
 
@@ -323,9 +341,19 @@ DEFAULTS["sd50_thr"] = 250.0  # SD50cm analog
 def _day_mean_tot(v: np.ndarray, d: np.ndarray, p: dict):
     """(day_mean, day_total) as float64 — both derived from the exact
     integer-cent daily sums with the same IEEE ops as the SQL twin
-    (``(sum_c / 100.0) / dcnt`` and ``sum_c / 100.0``)."""
+    (``(sum_c / 100.0) / dcnt`` and ``sum_c / 100.0``).  Memoized like
+    :func:`_daily` so the arrays keep a stable identity — that is what
+    lets :func:`_pctl` share the compound indices' median work (cd/cw/
+    wd/ww each read the same two medians)."""
+    if p is not None:
+        hit = p.get("_dmt_cache")
+        if hit is not None and hit[0] is v:
+            return hit[1]
     _, sums, _, _, cnt = _daily(v, d, p)
-    return (sums / 100.0) / cnt, sums / 100.0
+    out = ((sums / 100.0) / cnt, sums / 100.0)
+    if p is not None:
+        p["_dmt_cache"] = (v, out)
+    return out
 
 
 def _txm(v, d, p):
@@ -356,10 +384,10 @@ def _day_pctl_count(which: str, q: float, above: bool):
     """Count of days whose daily min/max/mean is above/below the
     entity's own q-th percentile of that daily series."""
     def fn(v, d, p):
-        _, sums, dmax, dmin, cnt = _daily(v, d, p)
+        _, _, dmax, dmin, _ = _daily(v, d, p)
         series = {"min": dmin, "max": dmax}.get(which)
         if series is None:
-            series = (sums / 100.0) / cnt
+            series = _day_mean_tot(v, d, p)[0]
         thr = np.percentile(series, q)
         return int((series > thr).sum() if above else (series < thr).sum())
     return fn
@@ -370,8 +398,8 @@ def _compound(cold: bool, wet: bool):
     dry/wet (daily total vs its median)."""
     def fn(v, d, p):
         dmean, dtot = _day_mean_tot(v, d, p)
-        med_mean = np.percentile(dmean, 50.0)
-        med_tot = np.percentile(dtot, 50.0)
+        med_mean = _pctl(dmean, 50.0, p)
+        med_tot = _pctl(dtot, 50.0, p)
         t = (dmean < med_mean) if cold else (dmean >= med_mean)
         r = (dtot >= med_tot) if wet else (dtot < med_tot)
         return int((t & r).sum())
@@ -390,8 +418,8 @@ register_index("tn10p", _day_pctl_count("min", 10.0, above=False))
 register_index("tn90p", _day_pctl_count("min", 90.0, above=True))
 register_index("tx10p", _day_pctl_count("max", 10.0, above=False))
 register_index("tg90p", _day_pctl_count("mean", 90.0, above=True))
-register_index("r95p", lambda v, d, p: int((v > np.percentile(v, 95.0)).sum()))
-register_index("r99p", lambda v, d, p: int((v > np.percentile(v, 99.0)).sum()))
+register_index("r95p", lambda v, d, p: int((v > _pctl(v, 95.0, p)).sum()))
+register_index("r99p", lambda v, d, p: int((v > _pctl(v, 99.0, p)).sum()))
 register_index("cd", _compound(cold=True, wet=False))
 register_index("cw", _compound(cold=True, wet=True))
 register_index("wd", _compound(cold=False, wet=False))
