@@ -9,12 +9,14 @@ The container has NO image/audio libraries, so decode is real where a
 format is numpy/stdlib-decodable and an honest stub otherwise:
 
 - REAL: PPM (P6) pixels, PNG (stdlib zlib, all five scanline
-  filters), PCM/WAV samples, and motion-PPM video (concatenated P6
-  frames — header-validated frame sampling to standalone decodable
-  images, the MJPEG shape).
-- STUBS behind ``fake=True``: JPEG/MP4 codecs (``MediaDecoder`` /
-  ``FrameSampler`` raise ``NotImplementedError`` when ``fake=False``;
-  a real deployment plugs PIL/ffmpeg into the same batch signature).
+  filters), baseline JPEG (in-repo T.81 codec,
+  :mod:`ocgis_ray.stages.jpeg` — Huffman entropy decode, IDCT, 4:2:0
+  upsampling, restart markers), PCM/WAV samples, and motion-PPM video
+  (concatenated P6 frames — header-validated frame sampling to
+  standalone decodable images, the MJPEG shape).
+- STUBS behind ``fake=True``: MP4/ffmpeg video codecs (``MediaDecoder``
+  / ``FrameSampler`` raise ``NotImplementedError`` when ``fake=False``;
+  a real deployment plugs ffmpeg into the same batch signature).
 
 Memory rule for fat binary rows (ray_guide "Memory-aware"): batches of
 256-1024 rows, ``batch_format="pyarrow"`` (binary columns do NOT
@@ -357,6 +359,28 @@ def synth_image_media(sf_dir: str, w: int = 32, h: int = 24):
     return _docs_media(sf_dir, make)
 
 
+def synth_jpeg_media(sf_dir: str, w: int = 32, h: int = 24,
+                     quality: int = 95, subsample: bool = False):
+    """REAL JPEG image payloads (in-repo baseline T.81 codec,
+    :mod:`ocgis_ray.stages.jpeg`): same deterministic gradient raster,
+    lossy-compressed — so JPEG rows are pytest-verified (decoded stats
+    within codec tolerance of the raster's), NOT oracle rows (a lossy
+    stream's pixels are not SQL-derivable)."""
+    from ocgis_ray.stages.jpeg import jpeg_encode
+
+    def make(batch: pa.Table) -> pa.Table:
+        doc_id = batch["doc_id"].to_numpy(zero_copy_only=False)
+        n = len(doc_id)
+        px = _gradient_pixels(doc_id, w, h)
+        payloads = [jpeg_encode(px[i], quality=quality, subsample=subsample)
+                    for i in range(n)]
+        payload = pa.array(payloads, pa.binary())
+        n_bytes = np.asarray([len(b) for b in payloads], np.int64)
+        return _media_table(doc_id, "image", payload, n_bytes, w, h)
+
+    return _docs_media(sf_dir, make)
+
+
 def _pixel_stats(px: np.ndarray):
     """(mean_rgb(3,), luma, contrast) from an (h, w, 3) uint8 raster —
     shared by the PPM tail path and the PNG decode path so mixed
@@ -368,37 +392,59 @@ def _pixel_stats(px: np.ndarray):
     return means, luma, float(np.sqrt(np.maximum(var, 0.0).mean()))
 
 
+def _codec_stats(batch: pa.Table, data: np.ndarray, off: np.ndarray,
+                 decode) -> pa.Table:
+    """Per-payload codec decode (PNG zlib / JPEG entropy streams don't
+    vectorize across rows) -> the shared stats columns."""
+    n = batch.num_rows
+    means = np.zeros((n, 3))
+    luma = np.zeros(n)
+    contrast = np.zeros(n)
+    for i in range(n):
+        px = decode(data[off[i]:off[i + 1]].tobytes())
+        means[i], luma[i], contrast[i] = _pixel_stats(px)
+    out = batch.drop_columns(["payload"])
+    out = out.append_column("mean_r", pa.array(means[:, 0]))
+    out = out.append_column("mean_g", pa.array(means[:, 1]))
+    out = out.append_column("mean_b", pa.array(means[:, 2]))
+    out = out.append_column("luma", pa.array(luma))
+    return out.append_column("contrast", pa.array(contrast))
+
+
 def decode_image_stats(batch: pa.Table) -> pa.Table:
     """Format-dispatching REAL image decode: P6/PPM rows take the
     vectorized tail path (:func:`decode_ppm_stats`), PNG rows the
-    stdlib zlib chunk decode — one mixed batch in, one stats table out
-    in the original row order."""
+    stdlib zlib chunk decode, JPEG rows the in-repo baseline T.81
+    decoder (:mod:`ocgis_ray.stages.jpeg`) — one mixed batch in, one
+    stats table out in the original row order."""
+    from ocgis_ray.stages.jpeg import jpeg_decode
+
     data, off = _binary_view(batch["payload"])
     n = batch.num_rows
     if n == 0 or not len(data):
         return decode_ppm_stats(batch)
-    is_png = (off[1:] - off[:-1] >= 8) & (_first_bytes(data, off, 1)[:, 0] == 0x89)
-    if not is_png.any():
+    head = _first_bytes(data, off, 2)
+    lens = off[1:] - off[:-1]
+    is_png = (lens >= 8) & (head[:, 0] == 0x89)
+    is_jpg = (lens >= 4) & (head[:, 0] == 0xFF) & (head[:, 1] == 0xD8)
+    if not is_png.any() and not is_jpg.any():
         return decode_ppm_stats(batch)
     if is_png.all():
-        means = np.zeros((n, 3))
-        luma = np.zeros(n)
-        contrast = np.zeros(n)
-        for i in range(n):
-            px = _png_decode_rgb(data[off[i]:off[i + 1]].tobytes())
-            means[i], luma[i], contrast[i] = _pixel_stats(px)
-        out = batch.drop_columns(["payload"])
-        out = out.append_column("mean_r", pa.array(means[:, 0]))
-        out = out.append_column("mean_g", pa.array(means[:, 1]))
-        out = out.append_column("mean_b", pa.array(means[:, 2]))
-        out = out.append_column("luma", pa.array(luma))
-        return out.append_column("contrast", pa.array(contrast))
+        return _codec_stats(batch, data, off, _png_decode_rgb)
+    if is_jpg.all():
+        return _codec_stats(batch, data, off, jpeg_decode)
     idx = np.arange(n, dtype=np.int64)
-    png_part = decode_image_stats(batch.take(pa.array(idx[is_png])))
-    ppm_part = decode_ppm_stats(batch.take(pa.array(idx[~is_png])))
-    both = pa.concat_tables([png_part, ppm_part])
+    is_ppm = ~(is_png | is_jpg)
+    parts = []
+    for mask in (is_png, is_jpg, is_ppm):
+        if mask.any():
+            sub = batch.take(pa.array(idx[mask]))
+            parts.append(decode_ppm_stats(sub) if mask is is_ppm
+                         else decode_image_stats(sub))
+    both = pa.concat_tables(parts)
     # restore the original row order
-    src = np.concatenate([idx[is_png], idx[~is_png]])
+    src = np.concatenate([idx[m] for m in (is_png, is_jpg, is_ppm)
+                          if m.any()])
     return both.take(pa.array(np.argsort(src, kind="stable")))
 
 
@@ -506,18 +552,19 @@ class MediaDecoder:
 
     ``fake=True``: deterministic 16-dim feature from payload byte
     statistics (pure function — resume-safe).  ``fake=False`` raises
-    ``NotImplementedError`` — a real deployment plugs PIL/ffmpeg here
-    for CODEC formats (jpeg/png/mp4); container-decodable formats
-    already have a REAL path (:func:`decode_ppm`); only ``__init__``
-    (model/codec load) and ``__call__`` (batch decode) change, the
-    pipeline shape does not."""
+    ``NotImplementedError`` — a real deployment plugs ffmpeg here for
+    the remaining CODEC format (mp4); image/audio formats already have
+    REAL paths (:func:`decode_images` for PPM/PNG/JPEG,
+    :func:`decode_wav`); only ``__init__`` (model/codec load) and
+    ``__call__`` (batch decode) change, the pipeline shape does not."""
 
     FEATURE_DIM = 16
 
     def __init__(self, fake: bool = True):
         if not fake:
             raise NotImplementedError(
-                "real image/audio decoding requires PIL/ffmpeg, absent in this container"
+                "real mp4 decoding requires ffmpeg, absent in this container; "
+                "image (PPM/PNG/JPEG) and WAV payloads have real decode paths"
             )
         self.fake = fake
 
