@@ -23,3 +23,80 @@ def sql_round(x: np.ndarray | float, digits: int) -> np.ndarray:
     p = 10.0 ** digits
     scaled = x * p
     return np.trunc(scaled + np.copysign(0.5, scaled)) / p
+
+
+# ------------------------------------------------------------------
+# uint64 hash parity: SQL fragments that reproduce the engine's
+# FNV-Horner + splitmix64 hashing (stages/text.py `_tokenize_hash` /
+# `_mix64`, stages/dedup.py shingles) BIT-EXACTLY in DuckDB.
+#
+# DuckDB integers raise on overflow instead of wrapping, so all
+# arithmetic runs in HUGEINT (int128) with explicit `% 2^64`.  A
+# uint64 x uint64 product can overflow int128; `sql_umul64` splits the
+# left operand into 32-bit halves so every partial product stays under
+# 2^96.  `xor` and `>>` work on HUGEINT natively (verified on DuckDB
+# 1.0).  These fragments turn "content-hash operators are not
+# SQL-expressible" into ordinary oracle rows.
+
+SQL_P64 = 1 << 64
+SQL_P32 = 1 << 32
+SQL_FNV = 1099511628211            # matches stages/text.py _FNV
+_MIX_M1 = 0xBF58476D1CE4E5B9       # splitmix64 multipliers
+_MIX_M2 = 0x94D049BB133111EB
+
+# ASCII-whitespace token split, identical to stages/text.py _WS_BYTES
+SQL_WS_CLASS = r"[ \t\n\r\x0b\x0c]+"
+
+
+def sql_umul64(h: str, c: str | int) -> str:
+    """SQL for ``(h * c) % 2**64`` with both operands < 2**64.
+
+    ``h`` is referenced twice — pass a VARIABLE (lambda arg / column),
+    not a large expression."""
+    return (f"((({h}) % {SQL_P32}) * ({c}) "
+            f"+ (((({h}) // {SQL_P32}) * ({c})) % {SQL_P32}) * {SQL_P32}) "
+            f"% {SQL_P64}")
+
+
+def sql_mix64_list(list_expr: str) -> str:
+    """splitmix64 finalizer applied to every element of a HUGEINT list
+    (staged ``list_transform`` chain so the input expression is never
+    duplicated — each stage's lambda only repeats its variable)."""
+    s1 = sql_umul64("xor(h, h >> 30)", _MIX_M1)
+    s2 = sql_umul64("xor(h, h >> 27)", _MIX_M2)
+    return ("list_transform(list_transform(list_transform("
+            f"{list_expr}, h -> {s1}), h -> {s2}), h -> xor(h, h >> 31))")
+
+
+def sql_hexpair_byte(hx: str, p: str) -> str:
+    """SQL for byte ``p`` (1-based) of the hex string ``hx`` (DuckDB
+    ``hex(encode(..))`` output, uppercase)."""
+    d = "'0123456789ABCDEF'"
+    return (f"(strpos({d}, substr({hx}, 2*({p})-1, 1)) - 1) * 16 "
+            f"+ strpos({d}, substr({hx}, 2*({p}), 1)) - 1")
+
+
+def sql_tokens(col: str) -> str:
+    """SQL for the engine's ASCII-whitespace tokenizer (byte-level and
+    char-level splits agree: UTF-8 continuation bytes are never ASCII
+    whitespace)."""
+    return (f"list_filter(string_split_regex(coalesce({col}, ''), "
+            f"'{SQL_WS_CLASS}'), t -> t <> '')")
+
+
+def sql_token_hash_list(tokens_expr: str, lower: bool = True,
+                        max_len: int = 64) -> str:
+    """SQL list of the engine's per-token hashes: optional ASCII-only
+    lowercase, Horner over the first ``max_len`` UTF-8 bytes, then
+    splitmix64 (``_tokenize_hash`` twin).  ``list_reduce`` seeds with
+    the first element, which equals Horner's ``0*FNV + b0`` first
+    step; tokens are non-empty by construction."""
+    t = ("translate(t, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', "
+         "'abcdefghijklmnopqrstuvwxyz')" if lower else "t")
+    byte_p = sql_hexpair_byte(f"hex(encode({t}))", "p")
+    horner = (f"list_reduce(list_transform("
+              f"range(1, least(octet_length(encode({t})), {max_len}) + 1), "
+              f"p -> ({byte_p})::HUGEINT), "
+              f"(a, b) -> (a * {SQL_FNV} + b) % {SQL_P64})")
+    return sql_mix64_list(
+        f"list_transform({tokens_expr}, t -> {horner})")

@@ -1474,6 +1474,32 @@ IDW_TARGETS = pd.DataFrame({
 })
 
 
+def sql_simhash_pairs() -> str:
+    # the engine's pigeonhole banding is lossless, so the twin is the
+    # exact all-pairs Hamming predicate over recomputed signatures
+    from ocgis_ray.stages.dedup import simhash_pairs_sql
+
+    return simhash_pairs_sql(max_hamming=6)
+
+
+def sql_langid_documents() -> str:
+    # stopword-profile language ID with membership tested against the
+    # SAME token-hash values the stage computes (hash literals baked
+    # at generation time) — bit-exact including collisions
+    from ocgis_ray.stages.text import langid_sql
+
+    return langid_sql()
+
+
+def sql_fingerprint_documents() -> str:
+    # the uint64 FNV-Horner + splitmix64 winnowing hash, reproduced
+    # bit-exactly in HUGEINT SQL (parity.sql_umul64 fragments) — this
+    # was a rows-only query until round 3
+    from ocgis_ray.stages.text import fingerprint_sql
+
+    return fingerprint_sql()
+
+
 def sql_idw_interpolate() -> str:
     vals = ", ".join(
         f"({int(t.target_id)}, {t.lon!r}, {t.lat!r})" for t in IDW_TARGETS.itertuples()
@@ -1617,8 +1643,9 @@ QUERIES = {
     "value_histogram_events": q_value_histogram_events,
     "asof_join_events": q_asof_join_events,
     "idw_interpolate": q_idw_interpolate,
-    # rows-only (no SQL twin: content-hash LSH banding / heuristic
-    # language ID / winnowing fingerprints are not SQL-expressible)
+    # content-hash queries: round 3 gave these real oracles by
+    # reproducing the uint64 FNV-Horner/splitmix64 math in HUGEINT SQL
+    # (parity.sql_umul64 / sql_token_hash_list)
     "minhash_near_dup": q_minhash_near_dup,
     "simhash_pairs": q_simhash_pairs,
     "langid_documents": q_langid_documents,
@@ -1674,4 +1701,7 @@ ORACLES = {
     "value_histogram_events": sql_value_histogram_events,
     "asof_join_events": sql_asof_join_events,
     "idw_interpolate": sql_idw_interpolate,
+    "fingerprint_documents": sql_fingerprint_documents,
+    "langid_documents": sql_langid_documents,
+    "simhash_pairs": sql_simhash_pairs,
 }

@@ -626,3 +626,52 @@ def simhash_near_duplicates(sig_ds, max_hamming: int = 3):
 
     cand = bucketed_group_apply(banded, ["band", "band_val"], pairs)
     return distinct_rows(cand, ["doc_a", "doc_b"])
+
+
+def simhash_pairs_sql(max_hamming: int = 6, col: str = "text",
+                      table: str = "documents",
+                      id_col: str = "doc_id") -> str:
+    """DuckDB twin of ``simhash_near_duplicates(simhash_signatures(
+    docs), max_hamming)``, BIT-EXACT.
+
+    The engine's pigeonhole banding (``max_hamming + 1`` bands) is
+    LOSSLESS — any pair within the Hamming bound shares at least one
+    band — so its output equals the exact all-pairs predicate, which
+    is what the twin states directly: recompute every 64-bit signature
+    (token hashes via ``parity.sql_token_hash_list``, per-bit majority
+    votes as 64 sums over the unnested token rows), then
+    ``bit_count(xor(sig_a, sig_b)) <= max_hamming`` over ``a < b``.
+    Zero-token docs keep signature 0 via the LEFT JOIN."""
+    from ocgis_ray.parity import sql_token_hash_list, sql_tokens
+
+    bit_sums = ",\n           ".join(
+        f"SUM((h >> {b}) & 1) AS b{b}" for b in range(64))
+    sig_terms = " + ".join(
+        f"(CASE WHEN 2 * coalesce(b{b}, 0) > ntok "
+        f"THEN {1 << b}::HUGEINT ELSE 0::HUGEINT END)"
+        for b in range(64))
+    return f"""
+WITH sh_tok AS (
+  SELECT {id_col}, {sql_token_hash_list(sql_tokens(col), lower=False)} AS hs
+  FROM {table}
+), sh_cnt AS (
+  SELECT {id_col}, len(hs) AS ntok FROM sh_tok
+), sh_bits AS (
+  SELECT {id_col}, {bit_sums}
+  FROM (SELECT {id_col}, unnest(hs) AS h FROM sh_tok)
+  GROUP BY {id_col}
+), sh_sig AS (
+  SELECT c.{id_col},
+         ({sig_terms}) AS sig_u
+  FROM sh_cnt c LEFT JOIN sh_bits b USING ({id_col})
+), sh_s AS (
+  SELECT {id_col},
+         CAST(CASE WHEN sig_u >= {1 << 63} THEN sig_u - {1 << 64}
+              ELSE sig_u END AS BIGINT) AS sig
+  FROM sh_sig
+)
+SELECT a.{id_col} AS doc_a, b.{id_col} AS doc_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+FROM sh_s a JOIN sh_s b ON a.{id_col} < b.{id_col}
+WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
+"""

@@ -345,6 +345,105 @@ def add_fingerprint(ds, col: str = "text", k: int = 8, out: str = "fingerprint")
                         batch_size=KERNEL_BATCH_SIZE)
 
 
+def fingerprint_sql(col: str = "text", k: int = 8,
+                    table: str = "documents",
+                    id_col: str = "doc_id",
+                    out: str = "fingerprint") -> str:
+    """DuckDB twin of :func:`add_fingerprint`, BIT-EXACT.
+
+    Reproduces the uint64 FNV-Horner window hash + splitmix64 + min
+    in SQL via the HUGEINT fragments in :mod:`ocgis_ray.parity`
+    (``% 2**64`` after every step; split multiplies for the 64x64-bit
+    products).  The guarded Horner covers the short-row tail exactly
+    like the kernel: rows with fewer than ``k`` bytes hash their full
+    byte sequence, empty rows hash to ``mix(0) == 0``."""
+    from ocgis_ray.parity import (
+        SQL_FNV,
+        SQL_P64,
+        sql_hexpair_byte,
+        sql_mix64_list,
+    )
+
+    byte_p = sql_hexpair_byte("hx", "p")
+    # guarded Horner over bytes i..i+k-1 (guards only bind on the
+    # single short-row window i=1, where i+u <= L trims the tail)
+    horner = "0::HUGEINT"
+    for u in range(k):
+        horner = (f"(CASE WHEN i + {u} <= L THEN "
+                  f"(({horner}) * {SQL_FNV} + bs[i + {u}]) % {SQL_P64} "
+                  f"ELSE ({horner}) END)")
+    windows = f"list_transform(range(1, greatest(L - {k - 2}, 2)), i -> {horner})"
+    return f"""
+WITH fph AS (
+  SELECT {id_col},
+         octet_length(encode(coalesce({col}, ''))) AS L,
+         hex(encode(coalesce({col}, ''))) AS hx
+  FROM {table}
+), fpb AS (
+  SELECT {id_col}, L,
+         list_transform(range(1, L + 1), p -> ({byte_p})::HUGEINT) AS bs
+  FROM fph
+), fpm AS (
+  SELECT {id_col}, list_min({sql_mix64_list(windows)}) AS fp
+  FROM fpb
+)
+SELECT {id_col},
+       CAST(CASE WHEN fp >= {1 << 63} THEN fp - {SQL_P64} ELSE fp END
+            AS BIGINT) AS {out}
+FROM fpm
+"""
+
+
+def langid_sql(col: str = "text", table: str = "documents",
+               id_col: str = "doc_id") -> str:
+    """DuckDB twin of :class:`LangIdStage`, BIT-EXACT.
+
+    Token hashes are recomputed in SQL (``parity.sql_token_hash_list``,
+    the proven ``_tokenize_hash`` twin) and membership is tested
+    against the per-language stopword HASH literals generated here
+    with the same ``_horner_hash_bytes`` the stage uses — so even a
+    hash collision (non-stopword token colliding into a profile)
+    scores identically on both sides.  Scores are
+    ``hits / max(ntok, 1)`` in DOUBLE (same IEEE division), argmax
+    with the stage's lexicographic-first tiebreak, ``'und'`` on zero."""
+    from ocgis_ray.parity import sql_token_hash_list, sql_tokens
+
+    langs = sorted(STOPWORDS)
+    hash_lits = {
+        lang: sorted(int(_horner_hash_bytes(w.encode("utf-8")))
+                     for w in STOPWORDS[lang])
+        for lang in langs
+    }
+    score_cols = ",\n         ".join(
+        f"CAST(len(list_filter(hs, h -> h IN "
+        f"({', '.join(f'{v}::HUGEINT' for v in hash_lits[lang])}))) AS DOUBLE)"
+        f" / greatest(len(hs), 1) AS s_{lang}"
+        for lang in langs
+    )
+    # first lang (sorted order) attaining the max == argmax tiebreak
+    pred = "CASE "
+    for i, lang in enumerate(langs):
+        conds = [f"s_{lang} >= s_{other}" for other in langs[i + 1:]]
+        cond = " AND ".join(conds) if conds else "TRUE"
+        pred += f"WHEN {cond} THEN '{lang}' "
+    pred += "END"
+    best = f"greatest({', '.join(f's_{lang}' for lang in langs)})"
+    return f"""
+WITH toks AS (
+  SELECT {id_col},
+         {sql_token_hash_list(sql_tokens(col), lower=True)} AS hs
+  FROM {table}
+), scored AS (
+  SELECT {id_col},
+         {score_cols}
+  FROM toks
+)
+SELECT {id_col},
+       CASE WHEN {best} > 0.0 THEN {pred} ELSE 'und' END AS lang_pred
+FROM scored
+"""
+
+
 # ------------------------------------------------- BPE-ish token count
 
 # GPT-2-family pre-tokenizer, RE2-compatible (no lookahead): an
