@@ -4,9 +4,11 @@ This is the driver contract behind ``__ray_entry__.py``: each entry in
 :func:`queries` is a named pipeline over the driver's parquet tables at
 ``sf_dir``; :func:`oracle_sql` carries the ANSI-SQL twin DuckDB runs on
 the same tables.  Column names and numeric conventions are matched
-exactly (see NUMERIC CONVENTIONS below); non-SQL-expressible operators
-(minhash/simhash LSH, langid, LSH ANN, multimodal stubs) have queries
-but no oracle entry — the driver records rows-only checks for those.
+exactly (see NUMERIC CONVENTIONS below).  As of round 3 ALL 50 queries
+carry oracles: the content-hash family (minhash/simhash LSH, langid,
+winnowing fingerprints) reproduces the engine's uint64 FNV-Horner +
+splitmix64 math bit-exactly in DuckDB HUGEINT SQL
+(:mod:`ocgis_ray.parity` fragments).
 
 NUMERIC CONVENTIONS (both sides):
 - counts -> BIGINT/int64
@@ -1474,6 +1476,15 @@ IDW_TARGETS = pd.DataFrame({
 })
 
 
+def sql_minhash_near_dup() -> str:
+    # full replay of the probabilistic LSH pipeline in HUGEINT SQL —
+    # the stage's own permutation (a, b) literals, same shingle/band
+    # Horner chains, same matches/128 estimate
+    from ocgis_ray.stages.dedup import minhash_pairs_sql
+
+    return minhash_pairs_sql(threshold=0.5)
+
+
 def sql_simhash_pairs() -> str:
     # the engine's pigeonhole banding is lossless, so the twin is the
     # exact all-pairs Hamming predicate over recomputed signatures
@@ -1702,6 +1713,7 @@ ORACLES = {
     "asof_join_events": sql_asof_join_events,
     "idw_interpolate": sql_idw_interpolate,
     "fingerprint_documents": sql_fingerprint_documents,
+    "minhash_near_dup": sql_minhash_near_dup,
     "langid_documents": sql_langid_documents,
     "simhash_pairs": sql_simhash_pairs,
 }

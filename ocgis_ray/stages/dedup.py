@@ -675,3 +675,96 @@ SELECT a.{id_col} AS doc_a, b.{id_col} AS doc_b,
 FROM sh_s a JOIN sh_s b ON a.{id_col} < b.{id_col}
 WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
 """
+
+
+def minhash_pairs_sql(threshold: float = 0.5, num_perm: int = 128,
+                      k: int = 3, col: str = "text",
+                      table: str = "documents",
+                      id_col: str = "doc_id") -> str:
+    """DuckDB twin of :func:`minhash_near_duplicates`, BIT-EXACT.
+
+    Reproduces the whole pipeline in HUGEINT SQL: token hashes
+    (``parity.sql_token_hash_list``, the proven ``_tokenize_hash``
+    twin), k-window shingle Horner + splitmix64 (guarded tail exactly
+    like :func:`_shingle_hashes_batch` — short rows hash their full
+    token run, empty rows hash to ``mix(0) == 0``), the 128 universal
+    permutation minima with the STAGE'S OWN ``(a, b)`` parameters
+    baked as literals (``a * x`` needs the split 32-bit multiply —
+    both operands reach 2**64 — while ``h * FNV`` in the Horner chains
+    stays under 2**104 and multiplies directly), threshold-tuned
+    banded LSH with the same FNV band combine, candidate pairs as a
+    self-join on ``(band, band_hash)``, and the matching-minima
+    Jaccard estimate ``matches / num_perm`` (division by a power of
+    two — exact in IEEE double on both sides).
+
+    The banding is probabilistic (NOT lossless like simhash's
+    pigeonhole), so the twin replays the banding itself rather than
+    stating an exact predicate; since every hash is a pure function of
+    content, both sides drop/keep identical pairs.  ``max_bucket``
+    truncation (2000) is unreachable at oracle scale and is not
+    mirrored."""
+    from ocgis_ray.parity import (
+        SQL_P64,
+        sql_mix64_list,
+        sql_token_hash_list,
+        sql_tokens,
+        sql_umul64,
+    )
+
+    stage = MinHashStage(num_perm=num_perm, k=k)
+    bands, rows = pick_lsh_bands(num_perm, threshold)
+    fnv = int(_FNV_SHINGLE)
+
+    # k-window shingle Horner over the token-hash list (guards bind
+    # only on the single short-row window i=1)
+    horner = "0::HUGEINT"
+    for u in range(k):
+        horner = (f"(CASE WHEN i + {u} <= len(hs) THEN "
+                  f"(({horner}) * {fnv} + hs[i + {u}]) % {SQL_P64} "
+                  f"ELSE ({horner}) END)")
+    windows = (f"list_transform(range(1, greatest(len(hs) - {k - 2}, 2)), "
+               f"i -> {horner})")
+
+    perm_rows = ",\n    ".join(
+        f"({p}, {int(stage.a[p])}::HUGEINT, {int(stage.b[p])}::HUGEINT)"
+        for p in range(num_perm))
+    band_h = "0::HUGEINT"
+    for j in range(rows):
+        band_h = (f"(({band_h}) * {fnv} + sig[{rows} * band + {j + 1}]) "
+                  f"% {SQL_P64}")
+
+    return f"""
+WITH mh_sh AS (
+  SELECT {id_col}, {sql_mix64_list(windows)} AS xs
+  FROM (SELECT {id_col},
+               {sql_token_hash_list(sql_tokens(col), lower=False)} AS hs
+        FROM {table})
+), mh_perm AS (
+  SELECT * FROM (VALUES
+    {perm_rows}) perms(p, pa, pb)
+), mh_min AS (
+  SELECT {id_col}, p,
+         list_min(list_transform(xs,
+           x -> ({sql_umul64('x', 'pa')} + pb) % {SQL_P64})) AS m
+  FROM mh_sh CROSS JOIN mh_perm
+), mh_sig AS (
+  SELECT {id_col}, list(m ORDER BY p) AS sig FROM mh_min GROUP BY {id_col}
+), mh_band AS (
+  SELECT {id_col}, band, {band_h} AS bh
+  FROM mh_sig CROSS JOIN (SELECT unnest(range(0, {bands})) AS band) bnd
+), mh_pairs AS (
+  SELECT DISTINCT a.{id_col} AS doc_a, b.{id_col} AS doc_b
+  FROM mh_band a JOIN mh_band b
+    ON a.band = b.band AND a.bh = b.bh AND a.{id_col} < b.{id_col}
+), mh_est AS (
+  SELECT doc_a, doc_b,
+         CAST(len(list_filter(range(1, {num_perm} + 1),
+              i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / {num_perm}
+           AS est_jaccard
+  FROM mh_pairs
+  JOIN mh_sig sa ON sa.{id_col} = doc_a
+  JOIN mh_sig sb ON sb.{id_col} = doc_b
+)
+SELECT doc_a, doc_b, est_jaccard FROM mh_est
+WHERE est_jaccard >= {threshold!r}
+"""
