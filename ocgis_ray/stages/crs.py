@@ -444,6 +444,165 @@ def sinu_inverse(x, y, lon0: float = 0.0, R: float = WGS84_A,
     return np.degrees(dl + np.radians(lon0)), np.degrees(p)
 
 
+# ----------------------------- polar stereographic / oblique Mercator
+
+def _conformal_t(phi: np.ndarray | float, e: float):
+    """Snyder 15-9: the conformal colatitude function
+    ``t = tan(pi/4 - phi/2) / [(1 - e sin phi)/(1 + e sin phi)]^(e/2)``
+    (shared by polar stereographic and Hotine oblique Mercator)."""
+    sp = np.sin(phi)
+    return (np.tan(np.pi / 4.0 - np.asarray(phi, np.float64) / 2.0)
+            / ((1.0 - e * sp) / (1.0 + e * sp)) ** (e / 2.0))
+
+
+def _wrap_lon_deg(lon: np.ndarray) -> np.ndarray:
+    """Wrap degrees longitude to [-180, 180) (the polar inverse's
+    ``atan2`` plus a lon_0 offset can leave the principal branch)."""
+    return (np.asarray(lon, np.float64) + 180.0) % 360.0 - 180.0
+
+
+def _phi_from_t(t: np.ndarray, e: float, iters: int = 10) -> np.ndarray:
+    """Invert :func:`_conformal_t` by fixed point (Snyder 7-9 /
+    15-13): ``phi = pi/2 - 2 atan(t ((1-e sin phi)/(1+e sin phi))^(e/2))``."""
+    phi = np.pi / 2.0 - 2.0 * np.arctan(t)
+    if e == 0.0:
+        return phi
+    for _ in range(iters):
+        sp = np.sin(phi)
+        phi = np.pi / 2.0 - 2.0 * np.arctan(
+            t * ((1.0 - e * sp) / (1.0 + e * sp)) ** (e / 2.0))
+    return phi
+
+
+def ps_forward(lon, lat, lon0: float = 0.0, lat_ts: float | None = None,
+               k0: float = 1.0, south: bool = False,
+               fe: float = 0.0, fn: float = 0.0,
+               a: float = WGS84_A, e2: float = WGS84_E2):
+    """Ellipsoidal polar stereographic (Snyder 21-30..21-35; EPSG 9810
+    variant A via ``k0``, 9829 variant B via ``lat_ts``) — the
+    ``CFPolarStereographic`` analog (reference
+    ``variable/crs.py:1100-1115``: grid_mapping ``polar_stereographic``
+    with ``standard_parallel``/``scale_factor``).
+
+    The south aspect is the north equations at ``(-phi, -dlam)`` with
+    both outputs negated (EPSG 9829's ``E = rho sin dl, N = rho cos
+    dl`` follows)."""
+    e = float(np.sqrt(e2))
+    phi = np.radians(np.asarray(lat, np.float64))
+    dl = np.radians(np.asarray(lon, np.float64)) - np.radians(lon0)
+    if south:
+        phi, dl = -phi, -dl
+    t = _conformal_t(phi, e)
+    if lat_ts is None or abs(lat_ts) >= 90.0 - 1e-12:
+        rho = (2.0 * a * k0 * t
+               / np.sqrt((1.0 + e) ** (1.0 + e) * (1.0 - e) ** (1.0 - e)))
+    else:
+        pc = np.radians(abs(lat_ts))
+        mc = np.cos(pc) / np.sqrt(1.0 - e2 * np.sin(pc) ** 2)
+        rho = a * mc * t / float(_conformal_t(pc, e))
+    x, y = rho * np.sin(dl), -rho * np.cos(dl)
+    if south:
+        x, y = -x, -y
+    return fe + x, fn + y
+
+
+def ps_inverse(x, y, lon0: float = 0.0, lat_ts: float | None = None,
+               k0: float = 1.0, south: bool = False,
+               fe: float = 0.0, fn: float = 0.0,
+               a: float = WGS84_A, e2: float = WGS84_E2):
+    """Snyder 21-39/21-40 + the iterated 7-9 latitude recovery."""
+    e = float(np.sqrt(e2))
+    xs = np.asarray(x, np.float64) - fe
+    ys = np.asarray(y, np.float64) - fn
+    if south:
+        xs, ys = -xs, -ys
+    rho = np.hypot(xs, ys)
+    if lat_ts is None or abs(lat_ts) >= 90.0 - 1e-12:
+        t = (rho * np.sqrt((1.0 + e) ** (1.0 + e) * (1.0 - e) ** (1.0 - e))
+             / (2.0 * a * k0))
+    else:
+        pc = np.radians(abs(lat_ts))
+        mc = np.cos(pc) / np.sqrt(1.0 - e2 * np.sin(pc) ** 2)
+        t = rho * float(_conformal_t(pc, e)) / (a * mc)
+    phi = _phi_from_t(t, e)
+    dl = np.arctan2(xs, -ys)
+    if south:
+        phi, dl = -phi, -dl
+    return _wrap_lon_deg(np.degrees(dl + np.radians(lon0))), np.degrees(phi)
+
+
+def omerc_consts(lat0: float, lonc: float, alpha: float,
+                 k0: float = 1.0, gamma: float | None = None,
+                 a: float = WGS84_A, e2: float = WGS84_E2) -> dict:
+    """Hotine oblique Mercator constants (Snyder 9-11..9-19) — the
+    ``CFNarccapObliqueMercator`` analog (reference
+    ``variable/crs.py:1117-1132``: proj ``omerc`` with ``lonc``,
+    ``lat_0``, ``alpha``, ``k_0``; ``gamma`` is the rectified grid
+    angle, defaulting to ``alpha`` as in proj)."""
+    e = float(np.sqrt(e2))
+    p0 = np.radians(lat0)
+    sp0 = np.sin(p0)
+    B = float(np.sqrt(1.0 + e2 * np.cos(p0) ** 4 / (1.0 - e2)))
+    A = a * B * k0 * float(np.sqrt(1.0 - e2)) / (1.0 - e2 * sp0 ** 2)
+    t0 = float(_conformal_t(p0, e))
+    D = B * float(np.sqrt(1.0 - e2)) / (np.cos(p0) * np.sqrt(1.0 - e2 * sp0 ** 2))
+    D2 = max(D * D, 1.0)
+    F = D + np.copysign(np.sqrt(D2 - 1.0), lat0)
+    E = F * t0 ** B
+    G = (F - 1.0 / F) / 2.0
+    g0 = float(np.arcsin(np.clip(np.sin(np.radians(alpha)) / D, -1.0, 1.0)))
+    lam0 = np.radians(lonc) - float(np.arcsin(np.clip(G * np.tan(g0), -1.0, 1.0))) / B
+    grot = np.radians(alpha if gamma is None else gamma)
+    return {"A": A, "B": B, "E": E, "g0": g0, "lam0": lam0, "grot": grot,
+            "e": e}
+
+
+def omerc_forward(lon, lat, lat0: float, lonc: float, alpha: float,
+                  k0: float = 1.0, gamma: float | None = None,
+                  fe: float = 0.0, fn: float = 0.0,
+                  a: float = WGS84_A, e2: float = WGS84_E2):
+    """Hotine oblique Mercator forward (Snyder 9-25..9-34 + the
+    ``gamma`` rectification 9-35/9-36)."""
+    c = omerc_consts(lat0, lonc, alpha, k0, gamma, a, e2)
+    A, B, E, g0 = c["A"], c["B"], c["E"], c["g0"]
+    phi = np.radians(np.asarray(lat, np.float64))
+    dl = np.radians(np.asarray(lon, np.float64)) - c["lam0"]
+    t = _conformal_t(phi, c["e"])
+    Q = E / t ** B
+    S = (Q - 1.0 / Q) / 2.0
+    T = (Q + 1.0 / Q) / 2.0
+    V = np.sin(B * dl)
+    U = (-V * np.cos(g0) + S * np.sin(g0)) / T
+    v = A * np.log((1.0 - U) / (1.0 + U)) / (2.0 * B)
+    u = A * np.arctan2(S * np.cos(g0) + V * np.sin(g0), np.cos(B * dl)) / B
+    cg, sg = np.cos(c["grot"]), np.sin(c["grot"])
+    return fe + v * cg + u * sg, fn + u * cg - v * sg
+
+
+def omerc_inverse(x, y, lat0: float, lonc: float, alpha: float,
+                  k0: float = 1.0, gamma: float | None = None,
+                  fe: float = 0.0, fn: float = 0.0,
+                  a: float = WGS84_A, e2: float = WGS84_E2):
+    """Snyder 9-42..9-47 + the iterated 7-9 latitude recovery."""
+    c = omerc_consts(lat0, lonc, alpha, k0, gamma, a, e2)
+    A, B, E, g0 = c["A"], c["B"], c["E"], c["g0"]
+    cg, sg = np.cos(c["grot"]), np.sin(c["grot"])
+    xs = np.asarray(x, np.float64) - fe
+    ys = np.asarray(y, np.float64) - fn
+    v = xs * cg - ys * sg
+    u = ys * cg + xs * sg
+    Q = np.exp(-B * v / A)
+    S = (Q - 1.0 / Q) / 2.0
+    T = (Q + 1.0 / Q) / 2.0
+    V = np.sin(B * u / A)
+    U = (V * np.cos(g0) + S * np.sin(g0)) / T
+    t = (E / np.sqrt((1.0 + U) / (1.0 - U))) ** (1.0 / B)
+    phi = _phi_from_t(t, c["e"])
+    lam = c["lam0"] - np.arctan2(S * np.cos(g0) - V * np.sin(g0),
+                                 np.cos(B * u / A)) / B
+    return _wrap_lon_deg(np.degrees(lam)), np.degrees(phi)
+
+
 # --------------------------------------- generic proj-param entry point
 
 #: named ellipsoids (+ellps / +datum): (a, 1/f); rf=0 means a sphere
@@ -479,8 +638,10 @@ def crs_from_params(params: dict):
     generic constructor the reference gets from proj4/EPSG
     (``/root/reference/src/ocgis/variable/crs.py:160-240`` accepts any
     proj4 string / EPSG code).  Supported ``proj`` families: longlat,
-    webmerc, lcc (2SP), tmerc, utm, aea, laea, sinu, ob_tran
-    (rotated pole).  ``x_0``/``y_0`` are false easting/northing in
+    webmerc, lcc (2SP), tmerc, utm, aea, laea, sinu, stere (polar
+    aspects), omerc (Hotine/NARCCAP), ob_tran (rotated pole) — the
+    full reference CF grid-mapping family
+    (``variable/crs.py:1031-1146``).  ``x_0``/``y_0`` are false easting/northing in
     METERS; ``to_meter`` converts the native unit (e.g. US survey feet
     1200/3937) so outputs are in the CRS's own unit, matching proj.
 
@@ -547,6 +708,31 @@ def crs_from_params(params: dict):
         lon0 = g("lon_0")
         fwd0 = lambda lon, lat: sinu_forward(lon, lat, lon0, a, fe, fn)  # noqa: E731
         inv0 = lambda x, y: sinu_inverse(x, y, lon0, a, fe, fn)  # noqa: E731
+    elif proj == "stere":
+        lat0 = g("lat_0", 90.0)
+        if abs(lat0) < 90.0 - 1e-9:
+            raise KeyError(
+                "proj 'stere' is implemented for the POLAR aspects only "
+                "(lat_0 = +-90, the CF polar_stereographic mapping); "
+                "oblique stereographic is not a reference fixture")
+        south = lat0 < 0.0
+        lat_ts = params.get("lat_ts")
+        lat_ts = None if lat_ts is None else float(lat_ts)
+        k0 = float(params.get("k", params.get("k_0", 1.0)))
+        fwd0 = lambda lon, lat: ps_forward(lon, lat, g("lon_0"), lat_ts, k0,
+                                           south, fe, fn, a, e2)  # noqa: E731
+        inv0 = lambda x, y: ps_inverse(x, y, g("lon_0"), lat_ts, k0,
+                                       south, fe, fn, a, e2)  # noqa: E731
+    elif proj == "omerc":
+        lat0, lonc = g("lat_0"), g("lonc")
+        alpha = float(params.get("alpha", 360.0))  # NARCCAP default
+        gamma = params.get("gamma")
+        gamma = None if gamma is None else float(gamma)
+        k0 = float(params.get("k", params.get("k_0", 1.0)))
+        fwd0 = lambda lon, lat: omerc_forward(lon, lat, lat0, lonc, alpha,
+                                              k0, gamma, fe, fn, a, e2)  # noqa: E731
+        inv0 = lambda x, y: omerc_inverse(x, y, lat0, lonc, alpha,
+                                          k0, gamma, fe, fn, a, e2)  # noqa: E731
     elif proj == "ob_tran":
         plon = g("o_lon_p", params.get("pole_lon", 0.0))
         plat = g("o_lat_p", params.get("pole_lat", 90.0))
@@ -556,7 +742,7 @@ def crs_from_params(params: dict):
     else:
         raise KeyError(
             f"unsupported proj {proj!r}; supported: longlat webmerc "
-            "lcc tmerc utm aea laea sinu ob_tran")
+            "lcc tmerc utm aea laea sinu stere omerc ob_tran")
 
     if to_m == 1.0:
         return fwd0, inv0
@@ -599,6 +785,16 @@ EPSG_PARAMS: dict[int, dict] = {
     32615: {"proj": "utm", "zone": 15},                     # WGS84 UTM 15N
     32733: {"proj": "utm", "zone": 33, "south": True},      # WGS84 UTM 33S
     54008: {"proj": "sinu", "lon_0": 0.0, "R": 6371007.181},  # ESRI sinu (MODIS)
+    3413: {"proj": "stere", "lat_0": 90.0, "lat_ts": 70.0,
+           "lon_0": -45.0},                     # NSIDC Sea Ice Polar Stereo N
+    3031: {"proj": "stere", "lat_0": -90.0, "lat_ts": -71.0,
+           "lon_0": 0.0},                        # Antarctic Polar Stereographic
+    5041: {"proj": "stere", "lat_0": 90.0, "k_0": 0.994, "lon_0": 0.0,
+           "x_0": 2000000.0, "y_0": 2000000.0},  # UPS North (scale-factor form)
+    3375: {"proj": "omerc", "lat_0": 4.0, "lonc": 102.25,
+           "alpha": 323.0257964666666, "gamma": 323.1301023611111,
+           "k_0": 0.99984, "x_0": 804671.0,
+           "ellps": "GRS80"},                    # GDM2000 / Peninsular RSO
 }
 
 

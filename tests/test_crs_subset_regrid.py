@@ -401,6 +401,10 @@ def test_crs_from_epsg_roundtrips():
         32615: ([-95.0, -91.0], [10.0, 45.0]),
         32733: ([14.0, 16.5], [-30.0, -5.0]),
         54008: ([-60.0, 130.0], [-45.0, 70.0]),
+        3413: ([-45.0, 100.0], [70.0, 85.0]),
+        3031: ([0.0, -130.0], [-71.0, -85.0]),
+        5041: ([20.0, -170.0], [84.0, 61.0]),
+        3375: ([100.0, 104.0], [2.0, 6.5]),
     }
     assert set(probe) == set(EPSG_PARAMS)
     for code, (lons, lats) in probe.items():
@@ -645,3 +649,68 @@ def test_crs_from_params_sphere_and_strictness():
     with pytest.raises(KeyError, match="ellps"):
         crs_from_params({"proj": "aea", "lat_1": 29.5, "lat_2": 45.5,
                          "ellps": "clrk66"})
+
+
+def test_polar_stereographic_snyder_example():
+    """Snyder p. 315 numerical example: International ellipsoid, south
+    polar aspect, lat_ts=-71, lon_0=-100, point (150E, 75S) ->
+    (-1540033.6, -560526.4)."""
+    from ocgis_ray.stages.crs import ps_forward, ps_inverse
+
+    a, e2 = 6378388.0, 0.00672267
+    x, y = ps_forward(np.array([150.0]), np.array([-75.0]), lon0=-100.0,
+                      lat_ts=-71.0, south=True, a=a, e2=e2)
+    assert abs(x[0] - -1540033.6) < 0.1
+    assert abs(y[0] - -560526.4) < 0.1
+    lon, lat = ps_inverse(x, y, lon0=-100.0, lat_ts=-71.0, south=True,
+                          a=a, e2=e2)
+    assert abs(lon[0] - 150.0) < 1e-9 and abs(lat[0] - -75.0) < 1e-9
+
+
+def test_polar_stereographic_scale_invariants():
+    """k = 1 exactly at the standard parallel (lat_ts form, EPSG 3413)
+    and k = k0 at the pole (scale-factor form, EPSG 5041), measured by
+    finite differences along a parallel."""
+    from ocgis_ray.stages.crs import WGS84_A, WGS84_E2, crs_from_epsg
+
+    def k_along_parallel(fwd, lon0, lat, d=1e-6):
+        x, y = fwd(np.array([lon0, lon0 + d]), np.array([lat, lat]))
+        proj_len = float(np.hypot(x[1] - x[0], y[1] - y[0]))
+        m = np.cos(np.radians(lat)) / np.sqrt(
+            1.0 - WGS84_E2 * np.sin(np.radians(lat)) ** 2)
+        return proj_len / (WGS84_A * m * np.radians(d))
+
+    fwd, _ = crs_from_epsg(3413)
+    assert abs(k_along_parallel(fwd, 30.0, 70.0) - 1.0) < 1e-6
+    # k0 form: k = rho / (a m) analytically (a finite-difference probe
+    # at 89.999 deg drowns in the 2e6 m false easting), within 1e-9 of
+    # k0 at 89.999 deg (theoretical deviation ~ colat^2/4 ~ 8e-11)
+    fwd, _ = crs_from_epsg(5041)
+    x, y = fwd(np.array([10.0]), np.array([89.999]))
+    rho = float(np.hypot(x[0] - 2000000.0, y[0] - 2000000.0))
+    m = np.cos(np.radians(89.999)) / np.sqrt(
+        1.0 - WGS84_E2 * np.sin(np.radians(89.999)) ** 2)
+    assert abs(rho / (WGS84_A * m) - 0.994) < 1e-9
+
+
+def test_omerc_narccap_params_and_central_scale():
+    """The CFNarccapObliqueMercator parameterization (proj omerc,
+    alpha default 360 per reference variable/crs.py:1117-1132) builds
+    through crs_from_params, round-trips, and holds k = k0 at the
+    projection center."""
+    from ocgis_ray.stages.crs import WGS84_A, WGS84_E2, crs_from_params
+
+    params = {"proj": "omerc", "lat_0": 47.5, "lonc": -97.0, "k_0": 1.0}
+    fwd, inv = crs_from_params(params)  # alpha defaults to 360
+    lons = np.array([-103.0, -97.0, -90.0])
+    lats = np.array([42.0, 47.5, 52.0])
+    lo, la = inv(*fwd(lons, lats))
+    assert np.abs(lo - lons).max() < 1e-8
+    assert np.abs(la - lats).max() < 1e-8
+    # local scale at the center point via a tiny eastward step
+    d = 1e-6
+    x, y = fwd(np.array([-97.0, -97.0 + d]), np.array([47.5, 47.5]))
+    m = np.cos(np.radians(47.5)) / np.sqrt(
+        1.0 - WGS84_E2 * np.sin(np.radians(47.5)) ** 2)
+    k = float(np.hypot(x[1] - x[0], y[1] - y[0])) / (WGS84_A * m * np.radians(d))
+    assert abs(k - 1.0) < 1e-6

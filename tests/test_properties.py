@@ -371,6 +371,10 @@ _CRS_AREAS = {
     32615: (-96.0, -90.0, -80.0, 84.0),
     32733: (12.0, 18.0, -80.0, 0.0),
     54008: (-179.0, 179.0, -85.0, 85.0),
+    3413: (-179.0, 179.0, 55.0, 89.9),
+    3031: (-179.0, 179.0, -89.9, -55.0),
+    5041: (-179.0, 179.0, 60.0, 89.9),
+    3375: (99.0, 105.0, 1.0, 7.5),
 }
 
 
