@@ -532,3 +532,237 @@ SELECT query_id, {id_col}, rank FROM (
 ) WHERE rank <= {int(k)}
 ORDER BY query_id, rank
 """
+
+
+# ---------------------------------------------------- product quantization
+
+def _kmeans_l2(mat: np.ndarray, k: int, iters: int = 15,
+               seed: int = 29) -> np.ndarray:
+    """Deterministic L2 Lloyd's for the PQ sub-codebooks (runs on a
+    bounded driver-side sample).  Distances use the expanded
+    ``|c|^2 - 2 x.c`` form — one (n, k) matmul per iteration, no
+    (n, k, d) broadcast temporaries."""
+    rng = np.random.default_rng(seed)
+    n = mat.shape[0]
+    cent = mat[rng.choice(n, size=min(k, n), replace=False)].copy()
+    for _ in range(iters):
+        d2 = (cent ** 2).sum(axis=1)[None, :] - 2.0 * (mat @ cent.T)
+        assign = np.argmin(d2, axis=1)
+        for c in range(cent.shape[0]):
+            rows = assign == c
+            if rows.any():
+                cent[c] = mat[rows].mean(axis=0)
+    return cent
+
+
+def pq_train(ds, m: int = 8, ksub: int = 256, col: str = "embedding",
+             train_n: int = 4096, iters: int = 15,
+             seed: int = 29) -> np.ndarray:
+    """Train product-quantization codebooks (Jegou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search") on a bounded sample:
+    normalized vectors split into ``m`` subspaces, L2 k-means with
+    ``ksub`` centroids per subspace.  Returns ``(m, ksub', dsub)``
+    codebooks — driver-side small (m * ksub * dsub floats), broadcast
+    to the encode/search stages via ``ray.put``."""
+    pdf = ds.limit(train_n).to_pandas()
+    if len(pdf) == 0:
+        raise ValueError("pq_train: empty vector dataset (no training sample)")
+    mat = _normalize(np.stack(pdf[col].to_numpy()).astype(np.float64))
+    dim = mat.shape[1]
+    if dim % m:
+        raise ValueError(f"pq_train: dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    return np.stack([
+        _kmeans_l2(mat[:, j * dsub:(j + 1) * dsub], ksub, iters, seed + j)
+        for j in range(m)
+    ])
+
+
+def _pack_codes(codes: np.ndarray) -> pa.Array:
+    """(N, m) uint8 code matrix -> fixed-width binary column."""
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    n, m = codes.shape
+    if n == 0:
+        return pa.array([], type=pa.binary())
+    offsets = np.arange(0, (n + 1) * m, m, dtype=np.int32)
+    return pa.BinaryArray.from_buffers(
+        pa.binary(), n,
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(codes.tobytes())])
+
+
+def _unpack_codes(col, m: int) -> np.ndarray:
+    """Binary code column -> (N, m) uint8 (zero-copy view)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if len(col) == 0:
+        return np.empty((0, m), dtype=np.uint8)
+    bufs = col.buffers()
+    off = np.frombuffer(bufs[1], dtype=np.int32)[col.offset: col.offset + len(col) + 1]
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    return data[off[0]: off[0] + len(col) * m].reshape(len(col), m)
+
+
+class _PqEncodeStage:
+    """Actor: vectors -> m-byte PQ codes (the compact index column).
+
+    At 100 TB this is the whole point: an 8-byte code per vector in
+    place of a multi-KB float list — the codes table is the
+    materialized ANN index every production deployment checkpoints."""
+
+    def __init__(self, cb_ref, id_col: str, col: str):
+        import ray
+
+        cb = ray.get(cb_ref) if not isinstance(cb_ref, np.ndarray) else cb_ref
+        self.cb = cb                       # (m, ksub, dsub)
+        self.cnorm = (cb ** 2).sum(axis=2)  # (m, ksub)
+        self.id_col = id_col
+        self.col = col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({self.id_col: pa.array([], pa.int64()),
+                             "pq_code": pa.array([], pa.binary())})
+        mat = _normalize(_batch_matrix(batch, self.col).astype(np.float64))
+        m, _, dsub = self.cb.shape
+        codes = np.empty((mat.shape[0], m), dtype=np.uint8)
+        for j in range(m):
+            x = mat[:, j * dsub:(j + 1) * dsub]
+            d2 = self.cnorm[j][None, :] - 2.0 * (x @ self.cb[j].T)
+            codes[:, j] = np.argmin(d2, axis=1).astype(np.uint8)
+        return pa.table({
+            self.id_col: batch[self.id_col],
+            "pq_code": _pack_codes(codes),
+        })
+
+
+def pq_encode(ds, codebooks: np.ndarray, id_col: str = "vec_id",
+              col: str = "embedding", batch_size: int = 4096):
+    """Dataset of ``(id, pq_code)`` — the m-bytes-per-vector compact
+    index (write it to parquet as the reusable ANN checkpoint)."""
+    import ray
+
+    cb_ref = ray.put(codebooks)
+    return ds.map_batches(
+        _PqEncodeStage, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=_ap(), batch_size=batch_size,
+        fn_constructor_kwargs={"cb_ref": cb_ref, "id_col": id_col,
+                               "col": col})
+
+
+class _AdcTopK:
+    """Asymmetric-distance (ADC) partial top-k over PQ codes: the
+    query stays exact, the database side is its code — score is the
+    sum of per-subspace LUT entries, one fancy-gather per batch."""
+
+    def __init__(self, bundle_ref, k: int, id_col: str):
+        import ray
+
+        b = ray.get(bundle_ref) if isinstance(bundle_ref,
+                                              ray.ObjectRef) else bundle_ref
+        self.qid = b["qid"]
+        # (Q, m*ksub) flattened LUT: entry [q, j*ksub + c] = q_j . cb[j, c]
+        self.lut = b["lut"]
+        self.ksub = b["ksub"]
+        self.m = b["m"]
+        self.k = k
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             self.id_col: pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        codes = _unpack_codes(batch["pq_code"], self.m)
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        idx = (np.arange(self.m, dtype=np.int64) * self.ksub)[None, :] + codes
+        sims = self.lut[:, idx].sum(axis=2)  # (Q, N)
+        k = min(self.k, sims.shape[1])
+        part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        return pa.table({
+            "query_id": pa.array(np.repeat(self.qid, k)),
+            self.id_col: pa.array(ids[part.ravel()]),
+            "sim": pa.array(np.take_along_axis(sims, part, axis=1).ravel()),
+        })
+
+
+def ann_pq(ds, queries: pd.DataFrame, k: int, id_col: str = "vec_id",
+           col: str = "embedding", m: int = 8, ksub: int = 256,
+           train_n: int = 4096, refine: int = 0, codebooks=None,
+           codes=None, batch_size: int = 4096):
+    """Product-quantization approximate cosine top-k (ADC search) —
+    the MEMORY scale path next to :func:`ann_lsh`/:func:`ann_ivf`:
+    the scan reads ``m`` bytes per vector instead of the raw floats.
+
+    ``refine > 0`` keeps ``refine * k`` ADC candidates per query and
+    exactly re-ranks them against the true vectors (one hash join on
+    the candidate ids — the standard PQ re-rank stage; candidates are
+    a tiny fraction of the corpus, so the join's working set is
+    queries x refine x k rows).
+
+    Pass ``codebooks``/``codes`` to reuse a trained + encoded index
+    (the checkpoint path); by default both are built here."""
+    import ray
+
+    if codebooks is None:
+        codebooks = pq_train(ds, m=m, ksub=ksub, col=col, train_n=train_n)
+    m, ksub_eff, dsub = codebooks.shape
+    if codes is None:
+        codes = pq_encode(ds, codebooks, id_col=id_col, col=col,
+                          batch_size=batch_size)
+    qmat = _normalize(np.stack(queries["embedding"].to_numpy()).astype(np.float64))
+    qid = queries["query_id"].to_numpy(np.int64)
+    lut = np.einsum("qjd,jcd->qjc",
+                    qmat.reshape(qmat.shape[0], m, dsub),
+                    codebooks).reshape(qmat.shape[0], m * ksub_eff)
+    bundle_ref = ray.put({"qid": qid, "lut": lut, "ksub": ksub_eff, "m": m})
+    partial = codes.map_batches(
+        _AdcTopK, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=_ap(), batch_size=batch_size,
+        fn_constructor_kwargs={"bundle_ref": bundle_ref, "k": k,
+                               "id_col": id_col})
+
+    from ocgis_ray.sources.io import join_datasets, topk_by_group
+
+    if not refine:
+        return topk_by_group(partial, "query_id", ["sim", id_col],
+                             [False, True], k)
+    cand = topk_by_group(partial, "query_id", ["sim", id_col],
+                         [False, True], refine * k).drop_columns(["sim"])
+
+    def pack_side(batch: pa.Table) -> pa.Table:
+        # Acero joins reject list non-key fields — ship the vector as
+        # fixed-width binary (normalized once here, decoded zero-copy)
+        v = _normalize(_batch_matrix(batch, col).astype(np.float64))
+        return pa.table({id_col: batch[id_col], "vec_bin": pack_vectors(v)})
+
+    packed = ds.select_columns([id_col, col]).map_batches(
+        pack_side, batch_format="pyarrow", zero_copy_batch=True)
+    joined = join_datasets(cand, packed, on=(id_col,))
+    dim = m * dsub
+    qref = ray.put({"qid": qid, "qmat": qmat})
+
+    class _Rerank:
+        def __init__(self):
+            b = ray.get(qref)
+            self.qrow = {int(q): i for i, q in enumerate(b["qid"])}
+            self.qmat = b["qmat"]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table({"query_id": pa.array([], pa.int64()),
+                                 id_col: pa.array([], pa.int64()),
+                                 "sim": pa.array([], pa.float64())})
+            v = unpack_vectors(batch["vec_bin"], dim)
+            q = batch["query_id"].to_numpy(zero_copy_only=False)
+            rows = np.fromiter((self.qrow[int(x)] for x in q), np.int64,
+                               len(q))
+            sims = np.einsum("ij,ij->i", self.qmat[rows], v)
+            return pa.table({"query_id": pa.array(q),
+                             id_col: batch[id_col],
+                             "sim": pa.array(sims)})
+
+    exact = joined.map_batches(_Rerank, batch_format="pyarrow",
+                               zero_copy_batch=True, concurrency=_ap(),
+                               batch_size=batch_size)
+    return topk_by_group(exact, "query_id", ["sim", id_col],
+                         [False, True], k)

@@ -104,3 +104,66 @@ def test_ivf_recall_and_exact_sims(emb, queries):
     qv = _normalize(np.asarray(qrow["embedding"], float)[None, :])[0]
     assert row["sim"] == pytest.approx(
         float(mat[ids == row["vec_id"]][0] @ qv), abs=1e-12)
+
+
+def test_pq_exact_when_codebook_holds_every_point(ray_session):
+    """PQ correctness floor: with m=1 and ksub >= n the k-means
+    codebook converges to the data points themselves, so ADC == exact
+    cosine and ann_pq must equal brute force (same tie-break sort)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ocgis_ray.stages.ann import ann_bruteforce, ann_pq
+
+    rng = np.random.default_rng(4)
+    n, dim = 120, 16
+    mat = rng.normal(size=(n, dim))
+    pdf = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                        "embedding": list(mat.astype(np.float32))})
+    ds = rd.from_pandas(pdf).materialize()
+    queries = pdf.iloc[:3].rename(columns={"vec_id": "query_id"})
+    bf = ann_bruteforce(ds, queries, k=5).to_pandas()
+    pq = ann_pq(ds, queries, k=5, m=1, ksub=n, train_n=n).to_pandas()
+    for q in queries["query_id"]:
+        want = bf[bf["query_id"] == q].sort_values("rank")["vec_id"].tolist()
+        got = pq[pq["query_id"] == q].sort_values("sim", ascending=False)[
+            "vec_id"].tolist()
+        assert got == want
+
+
+def test_pq_recall_and_refine(emb, queries):
+    """Real PQ compression (m=8 bytes/vector on the 64-dim fixture):
+    ADC recall holds a floor, exact re-rank (refine) only improves it,
+    and re-ranked sims are true cosines."""
+    from ocgis_ray.stages.ann import _normalize, ann_bruteforce, ann_pq
+
+    bf = ann_bruteforce(emb, queries, k=10).to_pandas()
+    pq = ann_pq(emb, queries, k=10, m=8, ksub=64).to_pandas()
+    ref = ann_pq(emb, queries, k=10, m=8, ksub=64, refine=4).to_pandas()
+
+    def recall(out):
+        rs = []
+        for q in queries["query_id"]:
+            truth = set(bf[bf["query_id"] == q]["vec_id"])
+            rs.append(len(truth & set(out[out["query_id"] == q]["vec_id"]))
+                      / len(truth))
+        return float(np.mean(rs))
+
+    r_adc, r_ref = recall(pq), recall(ref)
+    assert r_adc >= 0.4, r_adc
+    assert r_ref >= r_adc - 1e-9, (r_adc, r_ref)
+    # self-match survives refine and carries an exact sim of 1.0
+    top = ref.sort_values("sim", ascending=False).groupby("query_id").head(1)
+    for _, row in top.iterrows():
+        assert row["sim"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pq_codes_are_m_bytes(emb):
+    """The encoded index is m bytes per vector (the 100-TB memory
+    story: 8 bytes vs the 256-byte raw float32 embedding)."""
+    from ocgis_ray.stages.ann import pq_encode, pq_train
+
+    cb = pq_train(emb, m=8, ksub=16)
+    codes = pq_encode(emb, cb).to_pandas()
+    assert len(codes) == emb.count()
+    assert {len(c) for c in codes["pq_code"]} == {8}
