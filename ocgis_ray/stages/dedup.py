@@ -768,3 +768,140 @@ WITH mh_sh AS (
 SELECT doc_a, doc_b, est_jaccard FROM mh_est
 WHERE est_jaccard >= {threshold!r}
 """
+
+
+# ------------------------------------------- incremental (crawl-over-crawl)
+
+def minhash_dedup_incremental(new_ds, store_dir: str, threshold: float = 0.7,
+                              num_perm: int = 128, k: int = 3,
+                              bands: int | None = None,
+                              rows: int | None = None,
+                              run_id: str = "run0",
+                              num_partitions: int | None = None):
+    """Dedup a NEW document batch against a persisted corpus signature
+    store — the production crawl-over-crawl shape: every earlier run's
+    ACCEPTED signatures live as parquet partitions under ``store_dir``
+    (written by this function via the lineage manifest), the new batch
+    is signed once, LSH-banded TOGETHER with the store, and a new doc
+    is dropped when it near-matches any stored doc or a smaller-id doc
+    of its own batch.  Old docs never lose (they are already corpus).
+
+    Orientation trick: buckets emit candidate pairs with the POTENTIAL
+    LOSER always in ``doc_b`` (new-vs-old: the new id; new-vs-new: the
+    max id), so after the symmetric signature-estimate verification the
+    loser set is simply the distinct confirmed ``doc_b`` — no flag
+    column has to survive the attach shuffle.
+
+    Survivor signatures are appended to the store ATOMICALLY
+    (``state.lineage.write_partition`` under ``part=<run_id>``); a
+    re-run with a completed ``run_id`` short-circuits to a semi-join
+    against the stored partition (idempotent resume).
+
+    Returns ``(survivors_ds, record)`` where ``record`` is the lineage
+    line (or the prior run's short-circuit marker)."""
+    import glob as _glob
+    import os
+
+    import ray.data as rd
+
+    from ocgis_ray.sources.io import (
+        bucketed_group_apply,
+        bucketed_pair_attach,
+        distinct_rows,
+        join_datasets,
+    )
+    from ocgis_ray.state import lineage
+
+    if bands is None and rows is None:
+        bands, rows = pick_lsh_bands(num_perm, threshold)
+    elif bands is None:
+        bands = num_perm // rows
+    elif rows is None:
+        rows = num_perm // bands
+
+    if run_id in lineage.completed_partitions(store_dir):
+        kept = rd.read_parquet(os.path.join(store_dir, f"part={run_id}"),
+                               columns=["doc_id"])
+        survivors = join_datasets(new_ds, kept, on=("doc_id",),
+                                  join_type="left_semi",
+                                  num_partitions=num_partitions)
+        return survivors, {"partition": run_id, "status": "resumed"}
+
+    new_sigs = minhash_signatures(new_ds, num_perm=num_perm, k=k).materialize()
+    old_files = sorted(_glob.glob(os.path.join(store_dir, "part=*",
+                                               "*.parquet")))
+
+    def band_new(df: pd.DataFrame) -> pd.DataFrame:
+        out = _band_rows(df, bands, rows)
+        out["is_new"] = np.int8(1)
+        return out
+
+    def band_old(df: pd.DataFrame) -> pd.DataFrame:
+        out = _band_rows(df, bands, rows)
+        out["is_new"] = np.int8(0)
+        return out
+
+    banded = new_sigs.map_batches(band_new, batch_format="pandas")
+    union_sigs = new_sigs
+    if old_files:
+        old_sigs = rd.read_parquet(old_files, columns=["doc_id", "sig"])
+        banded = banded.union(old_sigs.map_batches(band_old,
+                                                   batch_format="pandas"))
+        union_sigs = new_sigs.union(old_sigs)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["band", "band_hash", "doc_id"])
+        sizes = g.groupby(["band", "band_hash"], sort=False)[
+            "doc_id"].transform("size")
+        g = g[sizes >= 2]
+        out_a, out_b = [], []
+        for _, grp in g.groupby(["band", "band_hash"], sort=False):
+            order = np.argsort(grp["doc_id"].to_numpy())
+            ids = grp["doc_id"].to_numpy()[order]
+            fl = grp["is_new"].to_numpy(bool)[order]
+            ia, ib = np.triu_indices(ids.size, k=1)
+            keep = fl[ia] | fl[ib]       # old-vs-old: already resolved
+            a, b = ids[ia][keep], ids[ib][keep]
+            swap = fl[ia][keep] & ~fl[ib][keep]   # new(a) vs old(b)
+            out_a.append(np.where(swap, b, a))
+            out_b.append(np.where(swap, a, b))    # potential loser
+        if not out_a:
+            return pd.DataFrame({"doc_a": pd.Series(dtype=np.int64),
+                                 "doc_b": pd.Series(dtype=np.int64)})
+        return pd.DataFrame({"doc_a": np.concatenate(out_a),
+                             "doc_b": np.concatenate(out_b)})
+
+    cand = bucketed_group_apply(banded, ["band", "band_hash"], pairs)
+    joined = bucketed_pair_attach(cand, union_sigs, "doc_a", "doc_b",
+                                  "doc_id", "sig",
+                                  num_buckets=num_partitions)
+
+    def losers(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"loser_id": pa.array([], pa.int64())})
+        sa = _unpack_sigs(batch["sig_a"], num_perm)
+        sb = _unpack_sigs(batch["sig_b"], num_perm)
+        est = (sa == sb).mean(axis=1)
+        keep = est >= threshold
+        return pa.table({"loser_id": batch["doc_b"].filter(pa.array(keep))})
+
+    loser_ds = joined.map_batches(losers, batch_format="pyarrow",
+                                  zero_copy_batch=True).materialize()
+    if loser_ds.count() == 0:
+        survivors = new_ds
+        kept_sigs = new_sigs
+    else:
+        loser_ds = distinct_rows(loser_ds, "loser_id").repartition(
+            max(2, num_partitions or 2))
+        survivors = join_datasets(new_ds, loser_ds, on=("doc_id",),
+                                  right_on=("loser_id",),
+                                  join_type="left_anti",
+                                  num_partitions=num_partitions)
+        kept_sigs = join_datasets(new_sigs, loser_ds, on=("doc_id",),
+                                  right_on=("loser_id",),
+                                  join_type="left_anti",
+                                  num_partitions=num_partitions)
+    rec = lineage.write_partition(kept_sigs, store_dir, run_id,
+                                  meta={"op": "minhash_dedup_incremental",
+                                        "threshold": threshold})
+    return survivors, rec

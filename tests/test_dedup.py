@@ -268,3 +268,51 @@ def test_cluster_survivors_on_minhash_pairs(ray_session, sf_dir):
     got = set(surv["doc_id"])
     assert mins <= got and not (dropped & got)
     assert len(surv) == n_docs - len(dropped)
+
+
+def test_minhash_dedup_incremental(ray_session, tmp_path):
+    """Crawl-over-crawl dedup against a persisted signature store:
+    run 1 dedups within its own batch and seeds the store; run 2 drops
+    new docs matching STORED survivors (old never loses); a re-run of
+    a completed run_id short-circuits idempotently via the manifest."""
+    import ray.data as rd
+
+    from ocgis_ray.stages.dedup import minhash_dedup_incremental
+
+    store = str(tmp_path / "sigstore")
+    # NEAR edits 3 tokens of BASE (est ~0.59, unluckily zero aligned
+    # 4-row bands in the fixed 32x4 banding) -- use an append-only
+    # near-dup (est ~0.77, 8 colliding bands) for the LSH-recall legs
+    near2 = BASE + "one extra trailing sentence"
+    batch1 = pd.DataFrame({
+        "doc_id": np.array([0, 1, 2], dtype=np.int64),
+        "text": [BASE, near2, FAR],  # 0~1 near-dups, 2 distinct
+    })
+    surv1, rec1 = minhash_dedup_incremental(
+        rd.from_pandas(batch1), store, threshold=0.5, run_id="r1")
+    ids1 = sorted(surv1.to_pandas()["doc_id"])
+    assert ids1 == [0, 2]            # 1 lost to smaller-id 0
+    assert rec1["status"] == "complete" and rec1["rows"] == 2
+
+    batch2 = pd.DataFrame({
+        "doc_id": np.array([10, 11], dtype=np.int64),
+        "text": [near2, "fresh unseen content entirely new tokens " * 4],
+    })
+    surv2, rec2 = minhash_dedup_incremental(
+        rd.from_pandas(batch2), store, threshold=0.5, run_id="r2")
+    ids2 = sorted(surv2.to_pandas()["doc_id"])
+    assert ids2 == [11]              # 10 lost to STORED doc 0
+    assert rec2["rows"] == 1
+
+    # idempotent resume: same run_id -> stored partition, same answer
+    surv2b, rec2b = minhash_dedup_incremental(
+        rd.from_pandas(batch2), store, threshold=0.5, run_id="r2")
+    assert sorted(surv2b.to_pandas()["doc_id"]) == [11]
+    assert rec2b["status"] == "resumed"
+
+    # the store now holds exactly the three survivor signatures
+    import glob
+
+    stored = rd.read_parquet(
+        sorted(glob.glob(f"{store}/part=*/*.parquet"))).to_pandas()
+    assert sorted(stored["doc_id"]) == [0, 2, 11]
