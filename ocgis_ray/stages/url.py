@@ -135,26 +135,25 @@ def dedup_by_url(ds, col: str = "url", id_col: str = "page_id"):
     """Keep the first (min ``id_col``) row per exact URL — the standard
     crawl-dedup first pass; hash-bucketed shuffle, no driver state.
 
-    NULL urls pass through untouched: pandas ``drop_duplicates``
+    NULL urls pass through untouched (pandas ``drop_duplicates``
     treats NaN keys as equal, which would silently collapse every
-    missing-metadata document into one survivor."""
+    missing-metadata document into one survivor): each NULL row gets a
+    per-row sentinel key ``"\\x00" + id`` — URLs cannot contain NUL —
+    so ONE distinct pass handles both populations.  The former
+    union-of-branches shape left empty pandas blocks on the null side
+    (Ray's size estimator warns per batch on 0-row object columns) and
+    mixed arrow/pandas block types downstream."""
     import pyarrow.compute as pc
 
     from ocgis_ray.sources.io import distinct_rows
 
-    def _is_null(t):
-        # pandas block format: the deduped side comes back as pandas
-        # blocks (map_groups), and Ray's batcher asserts on MIXED
-        # block types when a downstream stage bundles blocks from both
-        # union branches into one batch
-        return t.filter(pc.is_null(t[col])).to_pandas()
+    def add_key(t: pa.Table) -> pa.Table:
+        sentinel = pc.binary_join_element_wise(
+            pa.scalar("\x00"), pc.cast(t[id_col], pa.string()), "")
+        return t.append_column(
+            "_url_key", pc.if_else(pc.is_valid(t[col]), t[col], sentinel))
 
-    def _not_null(t):
-        return t.filter(pc.is_valid(t[col]))
-
-    nulls = ds.map_batches(_is_null, batch_format="pyarrow",
+    keyed = ds.map_batches(add_key, batch_format="pyarrow",
                            zero_copy_batch=True)
-    deduped = distinct_rows(
-        ds.map_batches(_not_null, batch_format="pyarrow",
-                       zero_copy_batch=True), col, order_col=id_col)
-    return deduped.union(nulls)
+    return distinct_rows(keyed, "_url_key",
+                         order_col=id_col).drop_columns(["_url_key"])
