@@ -1,0 +1,180 @@
+"""Model-based quality scoring: corpus-trained unigram LM perplexity.
+
+The CCNet/RefinedWeb pipelines gate documents on the perplexity of a
+language model trained on a reference corpus (KenLM over Wikipedia).
+No model libraries exist in this container, so the same shape runs
+with an in-repo deterministic unigram model:
+
+- **train** (:func:`train_unigram_lm`): one distributed pass counts
+  token hashes per batch (the shared ``_tokenize_hash`` kernel), a
+  bucketed shuffle sums them per token, and the global top-``vocab``
+  rows come back to the driver as the MODEL — a small (hash, logp)
+  table, add-half smoothed, with every out-of-vocab token sharing one
+  OOV log-probability.  Only the model (vocab_size rows) ever reaches
+  the driver.
+- **score** (:func:`score_perplexity`): the model is broadcast once
+  (``ray.put``) and each batch scores vectorized — token hashes,
+  ``searchsorted`` membership against the sorted vocab, mean log prob
+  per doc, ``ppl = exp(-mean)``.
+- **gate** (:func:`perplexity_filter`): keep docs with ``ppl <=
+  max_ppl`` (low perplexity = close to the training distribution).
+
+Reference seam: the ocgis calculation-plugin registry
+(``/root/reference/src/ocgis/calc/engine.py``) is the analog surface —
+a trained artifact applied per element; here the artifact is built by
+the engine itself.  At warehouse scale swap the exact count aggregate
+for ``sketch.heavy_hitters`` (bounded memory, approximate counts) —
+the scoring side is unchanged.
+
+Determinism: token hashing, count summation (int), and the top-k
+tiebreak (count desc, hash asc) are all order-independent, so the
+same corpus always yields the same model and scores.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _token_counts_partial(arr: pa.Array) -> pd.DataFrame:
+    from ocgis_ray.stages.text import _tokenize_hash
+
+    h, _, _ = _tokenize_hash(arr, lower=True)
+    if h.size == 0:
+        return pd.DataFrame({"tok": pd.Series(dtype=np.int64),
+                             "cnt": pd.Series(dtype=np.int64)})
+    tok, cnt = np.unique(h, return_counts=True)
+    return pd.DataFrame({"tok": tok.view(np.int64),
+                         "cnt": cnt.astype(np.int64)})
+
+
+def train_unigram_lm(ds, col: str = "text", vocab_size: int = 65536,
+                     min_count: int = 1) -> dict:
+    """Train the unigram model: distributed count -> bucketed combine
+    -> global top-``vocab_size`` (count desc, hash asc tiebreak).
+
+    Returns ``{"hashes": sorted uint64, "logp": float64, "logp_oov":
+    float, "total": int}`` — driver-side small by construction."""
+    from ocgis_ray.sources.io import bucketed_group_apply
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        return _token_counts_partial(t[col].combine_chunks()
+                                     if isinstance(t[col], pa.ChunkedArray)
+                                     else t[col])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("tok", sort=False, as_index=False)["cnt"].sum()
+        out = out[out["cnt"] >= min_count].copy()
+        # order-preserving uint64 -> int64 map (tok is an int64 VIEW;
+        # sorting it signed would rank hashes >= 2^63 first), so the
+        # tiebreak is true unsigned-hash ascending
+        out["tok_sort"] = (out["tok"].to_numpy(np.int64).view(np.uint64)
+                           ^ np.uint64(1 << 63)).view(np.int64)
+        return out
+
+    combined = bucketed_group_apply(partials, "tok", combine)
+    # global top-k: sort the (distinct-token) table, take vocab_size.
+    # The sorted side is #distinct-tokens rows of 16 bytes — tiny next
+    # to the corpus; at true warehouse scale use sketch.heavy_hitters.
+    combined = combined.materialize()  # two consumers: top-k + total
+    top = (combined.sort(["cnt", "tok_sort"], descending=[True, False])
+           .limit(vocab_size).to_pandas())
+    # total tokens INCLUDING the tail that fell outside the vocab —
+    # one tiny aggregate pass over the distinct-token table
+    import ray.data.aggregate as agg
+
+    total = int(combined.aggregate(agg.Sum("cnt"))["sum(cnt)"])
+    hashes = top["tok"].to_numpy(np.int64).view(np.uint64)
+    counts = top["cnt"].to_numpy(np.float64)
+    order = np.argsort(hashes)
+    hashes, counts = hashes[order], counts[order]
+    v = counts.size
+    denom = total + 0.5 * (v + 1)
+    logp = np.log((counts + 0.5) / denom)
+    logp_oov = float(np.log(0.5 / denom))
+    return {"hashes": hashes, "logp": logp, "logp_oov": logp_oov,
+            "total": total}
+
+
+class PerplexityStage:
+    """Actor: per-doc unigram perplexity from the broadcast model.
+
+    Model decode once per actor in ``__init__``; per batch one
+    tokenize pass + one ``searchsorted`` gather."""
+
+    def __init__(self, model_ref, col: str, out: str):
+        import ray
+
+        m = ray.get(model_ref) if not isinstance(model_ref, dict) else model_ref
+        self.hashes = m["hashes"]
+        self.logp = m["logp"]
+        self.logp_oov = m["logp_oov"]
+        self.col = col
+        self.out = out
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from ocgis_ray.stages.text import _tokenize_hash
+
+        arr = t[self.col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        h, _, per_row = _tokenize_hash(arr, lower=True)
+        if h.size == 0:
+            ppl = np.full(t.num_rows, np.inf)
+            return t.append_column(self.out, pa.array(ppl))
+        if self.hashes.size:
+            pos = np.searchsorted(self.hashes, h)
+            pos_c = np.minimum(pos, self.hashes.size - 1)
+            lp = np.where(self.hashes[pos_c] == h, self.logp[pos_c],
+                          self.logp_oov)
+        else:  # empty-vocab model: every token is OOV
+            lp = np.full(h.size, self.logp_oov)
+        sums = np.zeros(t.num_rows)
+        row_ends = np.cumsum(per_row)
+        starts = np.concatenate([[0], row_ends[:-1]])
+        # reduceat over only the non-empty rows' starts (an empty row's
+        # start would alias the next row's segment)
+        nz = per_row > 0
+        if nz.any():
+            sums[nz] = np.add.reduceat(lp, starts[nz])
+        mean = np.where(nz, sums / np.maximum(per_row, 1), -np.inf)
+        ppl = np.exp(-mean)  # empty doc -> exp(inf) = inf (worst score)
+        return t.append_column(self.out, pa.array(ppl))
+
+
+def score_perplexity(ds, model: dict, col: str = "text",
+                     out: str = "ppl", concurrency=None,
+                     batch_size: int = 4096):
+    import ray
+
+    from ocgis_ray.tuning import auto_pool
+
+    concurrency = auto_pool() if concurrency is None else concurrency
+    model_ref = ray.put(model)
+    return ds.map_batches(
+        PerplexityStage, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=concurrency, batch_size=batch_size,
+        fn_constructor_kwargs={"model_ref": model_ref, "col": col,
+                               "out": out})
+
+
+def perplexity_filter(ds, model: dict, max_ppl: float,
+                      col: str = "text", concurrency=None):
+    """Keep docs whose unigram perplexity is at most ``max_ppl`` (the
+    CCNet 'head/middle' gate shape).  The score column is dropped."""
+    import pyarrow.compute as pc
+
+    scored = score_perplexity(ds, model, col=col, out="_ppl",
+                              concurrency=concurrency)
+
+    def keep(t: pa.Table) -> pa.Table:
+        out = t.filter(pc.less_equal(t["_ppl"], pa.scalar(max_ppl)))
+        return out.drop_columns(["_ppl"])
+
+    return scored.map_batches(keep, batch_format="pyarrow",
+                              zero_copy_batch=True)

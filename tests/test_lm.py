@@ -1,0 +1,98 @@
+"""Unigram-LM perplexity scoring (the CCNet/KenLM gate shape)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+COMMON = "the cat sat on the mat and the dog sat on the rug "
+RARE = "zyzzyva qwertic plonk vexil grommet usuance "
+
+
+@pytest.fixture(scope="module")
+def corpus(ray_session):
+    import ray.data as rd
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(8, dtype=np.int64),
+        "text": [COMMON * 4] * 6 + [COMMON * 3 + RARE, RARE * 4],
+    })
+    return rd.from_pandas(df), df
+
+
+def test_train_counts_match_pandas(corpus):
+    """Distributed counts == a local pandas count; vocab is the
+    count-desc top-k with deterministic tiebreak."""
+    from ocgis_ray.stages.lm import train_unigram_lm
+    from ocgis_ray.stages.text import _horner_hash_bytes
+
+    ds, df = corpus
+    model = train_unigram_lm(ds, vocab_size=5)
+    toks = " ".join(df["text"]).lower().split()
+    counts = pd.Series(toks).value_counts()
+    assert model["total"] == len(toks)
+    # the five most common words are the vocab, under the model's own
+    # deterministic tiebreak (count desc, hash asc — six words tie at
+    # the third count level here)
+    ranked = sorted(
+        ((int(c), int(_horner_hash_bytes(w.encode())))
+         for w, c in counts.items()),
+        key=lambda t: (-t[0], t[1]))
+    top5 = {h for _, h in ranked[:5]}
+    assert set(model["hashes"].tolist()) == top5
+    # sorted-hash invariant for the searchsorted scorer
+    assert (np.diff(model["hashes"]) > 0).all()
+
+
+def test_score_orders_common_before_rare(corpus):
+    """In-distribution docs score lower perplexity than OOV-heavy
+    docs; the filter keeps exactly the low-ppl population."""
+    from ocgis_ray.stages.lm import (perplexity_filter, score_perplexity,
+                                     train_unigram_lm)
+
+    ds, df = corpus
+    model = train_unigram_lm(ds, vocab_size=16)
+    out = score_perplexity(ds, model).to_pandas().set_index("doc_id")
+    common_ppl = out.loc[0, "ppl"]
+    mixed_ppl = out.loc[6, "ppl"]
+    rare_ppl = out.loc[7, "ppl"]
+    assert common_ppl < mixed_ppl < rare_ppl
+    cut = (common_ppl + rare_ppl) / 2.0
+    kept = perplexity_filter(ds, model, max_ppl=cut).to_pandas()
+    assert set(kept["doc_id"]) == set(out.index[out["ppl"] <= cut])
+    assert 7 not in set(kept["doc_id"])
+
+
+def test_score_matches_local_model(corpus):
+    """The distributed score equals a local numpy recomputation from
+    the model's own (hash, logp) table — exact float equality."""
+    from ocgis_ray.stages.lm import score_perplexity, train_unigram_lm
+    from ocgis_ray.stages.text import _horner_hash_bytes
+
+    ds, df = corpus
+    model = train_unigram_lm(ds, vocab_size=16)
+    out = score_perplexity(ds, model).to_pandas().set_index("doc_id")
+    lut = dict(zip(model["hashes"].tolist(), model["logp"].tolist()))
+    for _, row in df.iterrows():
+        toks = row["text"].lower().split()
+        lps = np.array([lut.get(int(_horner_hash_bytes(w.encode())),
+                                model["logp_oov"]) for w in toks])
+        # same summation order: np.add.reduceat == one left-to-right
+        # pairwise sum over the row's contiguous segment
+        expect = float(np.exp(-(np.add.reduceat(lps, [0])[0] / len(lps))))
+        assert out.loc[row["doc_id"], "ppl"] == pytest.approx(expect, rel=1e-12)
+
+
+def test_empty_and_oov_edge(ray_session):
+    """Empty docs score +inf (filtered by any gate); a fully-OOV doc
+    scores exp(-logp_oov)."""
+    import ray.data as rd
+
+    from ocgis_ray.stages.lm import score_perplexity, train_unigram_lm
+
+    df = pd.DataFrame({"doc_id": np.array([0, 1], np.int64),
+                       "text": [COMMON * 3, ""]})
+    ds = rd.from_pandas(df)
+    model = train_unigram_lm(ds, vocab_size=8)
+    out = score_perplexity(ds, model).to_pandas().set_index("doc_id")
+    assert np.isinf(out.loc[1, "ppl"])
+    assert np.isfinite(out.loc[0, "ppl"])
