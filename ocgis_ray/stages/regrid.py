@@ -476,3 +476,65 @@ def _make_awm_finalizer(wref, cell_col: str, out_col: str,
         return out
 
     return per_bucket
+
+
+def bilinear_weights(targets: pd.DataFrame, res: int) -> pd.DataFrame:
+    """Bilinear regrid weight generation — the ESMF
+    ``regrid_method=BILINEAR`` analog (the reference's default method,
+    ``/root/reference/src/ocgis/regrid/base.py:646-720`` drives ESMF;
+    here the four enclosing source CELL CENTERS and their fractional
+    weights are closed-form on the engine's regular grid).
+
+    ``targets`` columns: ``target_id`` (int64), ``lon``, ``lat``.
+    Output: up to 4 ``(src, dst, w)`` rows per target in the shared
+    :func:`apply_weights` schema; weights sum to 1 per target.
+    Longitude wraps modulo the grid; latitude rows clamp at the poles
+    (degenerating to linear interpolation along the boundary row,
+    ESMF's pole-option NONE shape).  Bilinear reproduces fields linear
+    in lon/lat exactly away from the clamped rows — property-tested.
+    """
+    from ocgis_ray import grid
+
+    cs = grid.cell_size(res)
+    nx = int(round(360.0 / cs))
+    ny = int(round(180.0 / cs))
+    lon = targets["lon"].to_numpy(np.float64)
+    lat = targets["lat"].to_numpy(np.float64)
+    tid = targets["target_id"].to_numpy(np.int64)
+    fx = (lon + 180.0) / cs - 0.5   # position in cell-center coords
+    fy = (lat + 90.0) / cs - 0.5
+    i0 = np.floor(fx).astype(np.int64)
+    j0 = np.floor(fy).astype(np.int64)
+    tx = fx - i0
+    ty = fy - j0
+    # latitude clamp: rows outside [0, ny-1] collapse both stencil rows
+    # onto the boundary row (weights still sum to 1)
+    j0c = np.clip(j0, 0, ny - 1)
+    j1c = np.clip(j0 + 1, 0, ny - 1)
+    i0w = np.mod(i0, nx)            # longitude wrap
+    i1w = np.mod(i0 + 1, nx)
+    src = np.concatenate([grid.pack(i0w, j0c), grid.pack(i1w, j0c),
+                          grid.pack(i0w, j1c), grid.pack(i1w, j1c)])
+    w = np.concatenate([(1.0 - tx) * (1.0 - ty), tx * (1.0 - ty),
+                        (1.0 - tx) * ty, tx * ty])
+    dst = np.tile(tid, 4)
+    out = pd.DataFrame({"src": src, "dst": dst, "w": w})
+    # clamped rows produce duplicate (src, dst) pairs — combine them so
+    # apply_weights sees one row per stencil point
+    out = out.groupby(["src", "dst"], as_index=False, sort=False)["w"].sum()
+    return out[out["w"] > 0.0].reset_index(drop=True)
+
+
+def nearest_stod_weights(targets: pd.DataFrame, res: int) -> pd.DataFrame:
+    """Nearest-source-to-destination weights (ESMF
+    ``regrid_method=NEAREST_STOD``): on a regular grid the nearest
+    source CELL CENTER to a point is the center of the cell containing
+    it, so the stencil is the containment cell with weight 1."""
+    from ocgis_ray import grid
+
+    return pd.DataFrame({
+        "src": grid.encode(targets["lon"].to_numpy(np.float64),
+                           targets["lat"].to_numpy(np.float64), res),
+        "dst": targets["target_id"].to_numpy(np.int64),
+        "w": np.ones(len(targets)),
+    })

@@ -714,3 +714,73 @@ def test_omerc_narccap_params_and_central_scale():
         1.0 - WGS84_E2 * np.sin(np.radians(47.5)) ** 2)
     k = float(np.hypot(x[1] - x[0], y[1] - y[0])) / (WGS84_A * m * np.radians(d))
     assert abs(k - 1.0) < 1e-6
+
+
+def test_bilinear_weights_reproduce_linear_fields(ray_session):
+    """Bilinear weights: per-target sum == 1; a field LINEAR in
+    lon/lat regrids exactly (the defining property of bilinear);
+    constants regrid exactly through apply_weights."""
+    import ray.data as rd
+
+    from ocgis_ray import grid
+    from ocgis_ray.stages.regrid import apply_weights, bilinear_weights
+
+    res = 5
+    targets = pd.DataFrame({
+        "target_id": np.arange(4, dtype=np.int64),
+        "lon": [12.31, -77.62, 151.2, 0.05],
+        "lat": [45.07, 38.91, -33.87, 51.48],
+    })
+    w = bilinear_weights(targets, res)
+    sums = w.groupby("dst")["w"].sum()
+    assert np.allclose(sums.to_numpy(), 1.0, atol=1e-12)
+
+    # source field on the stencil cells: value = 3*lon_c - 2*lat_c + 7
+    cs = grid.cell_size(res)
+    ix, iy = grid.split(w["src"].to_numpy())
+    lon_c = (ix.astype(np.float64) + 0.5) * cs - 180.0
+    lat_c = (iy.astype(np.float64) + 0.5) * cs - 90.0
+    cells = pd.DataFrame({"cell": w["src"].to_numpy(),
+                          "v": 3.0 * lon_c - 2.0 * lat_c + 7.0}
+                         ).drop_duplicates("cell")
+    out = apply_weights(rd.from_pandas(cells), w, src_col="cell",
+                        value_col="v").to_pandas().set_index("dst")
+    for _, t in targets.iterrows():
+        expect = 3.0 * t["lon"] - 2.0 * t["lat"] + 7.0
+        assert out.loc[int(t["target_id"]), "wsum"] == pytest.approx(
+            expect, abs=1e-9)
+
+
+def test_bilinear_pole_clamp_and_wrap():
+    """A target above the last center row clamps to it (weights still
+    sum to 1, 2-point stencil); a target straddling the antimeridian
+    wraps its east stencil column to ix=0."""
+    from ocgis_ray import grid
+    from ocgis_ray.stages.regrid import bilinear_weights
+
+    res = 4
+    cs = grid.cell_size(res)
+    t = pd.DataFrame({"target_id": np.array([0, 1], np.int64),
+                      "lon": [10.0, 180.0 - cs / 4.0],
+                      "lat": [90.0 - cs / 4.0, 0.3]})
+    w = bilinear_weights(t, res)
+    assert np.allclose(w.groupby("dst")["w"].sum().to_numpy(), 1.0)
+    polar = w[w["dst"] == 0]
+    iy = grid.split(polar["src"].to_numpy())[1]
+    assert (iy == int(180.0 / cs) - 1).all()      # clamped to top row
+    assert len(polar) == 2                         # collapsed stencil
+    wrap = w[w["dst"] == 1]
+    ix = grid.split(wrap["src"].to_numpy())[0]
+    assert 0 in set(ix)                            # wrapped column
+
+
+def test_nearest_stod_matches_containment():
+    from ocgis_ray import grid
+    from ocgis_ray.stages.regrid import nearest_stod_weights
+
+    t = pd.DataFrame({"target_id": np.array([0, 1], np.int64),
+                      "lon": [10.2, -123.9], "lat": [47.9, -5.2]})
+    w = nearest_stod_weights(t, 6)
+    assert (w["w"] == 1.0).all()
+    assert (w["src"].to_numpy()
+            == grid.encode(t["lon"].to_numpy(), t["lat"].to_numpy(), 6)).all()
