@@ -1076,13 +1076,52 @@ def sql_apply_weights_cells() -> str:
     ).format(c=f"({grid.encode_sql('lon', 'lat', 7)})")
 
 
-def q_idw_interpolate(sf_dir: str):
-    """IDW interpolation at target points (the regrid apply path) —
-    oracle-checked (window-ranked k nearest + identical weight math in
-    SQL) and verified against direct numpy in pytest."""
-    from ocgis_ray.stages.regrid import idw_interpolate
+BILINEAR_RES = 6  # 5.625-degree cells (exact binary cell size)
 
-    return idw_interpolate(_geo_pages(sf_dir), IDW_TARGETS, k=8)
+
+def q_idw_interpolate(sf_dir: str):
+    """Interpolation at target points (the regrid apply path), TWO
+    oracle-checked methods per target: IDW (window-ranked k nearest +
+    identical weight math in SQL) and BILINEAR over a per-cell mean
+    field (ESMF regrid_method=BILINEAR analog — the closed-form 4-point
+    stencel is reproduced in SQL; stencil cells with no pages
+    contribute nothing on both sides, missing stencils coalesce to
+    0)."""
+    from ocgis_ray import grid
+    from ocgis_ray.parity import sql_round
+    from ocgis_ray.stages.regrid import (apply_weights, bilinear_weights,
+                                         idw_interpolate)
+    from ocgis_ray.stages.tiles import grouped_aggregate
+
+    pages = _geo_pages(sf_dir)
+    idw = idw_interpolate(pages, IDW_TARGETS, k=8).to_pandas()
+
+    def add_cell(t: pa.Table) -> pa.Table:
+        cell = grid.encode(t["lon"].to_numpy(zero_copy_only=False),
+                           t["lat"].to_numpy(zero_copy_only=False),
+                           BILINEAR_RES)
+        return t.append_column("cell_bl", pa.array(cell))
+
+    cells = grouped_aggregate(
+        pages.select_columns(["lon", "lat", "n_chars"]).map_batches(
+            add_cell, batch_format="pyarrow", zero_copy_batch=True),
+        "cell_bl", {"s": ("n_chars", "sum"), "n": (None, "count")})
+
+    def mean_field(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"cell_bl": df["cell_bl"],
+                             "v": df["s"].to_numpy(np.float64)
+                             / df["n"].to_numpy(np.float64)})
+
+    field = cells.map_batches(mean_field, batch_format="pandas")
+    w = bilinear_weights(IDW_TARGETS, BILINEAR_RES)
+    bl = apply_weights(field, w, src_col="cell_bl", value_col="v",
+                       out_col="blv").to_pandas()
+    out = idw.merge(bl.rename(columns={"dst": "target_id"}),
+                    on="target_id", how="left")
+    out["bilinear_value"] = sql_round(
+        out["blv"].fillna(0.0).to_numpy(np.float64), 4)
+    return out.drop(columns=["blv"]).sort_values("target_id",
+                                                 ignore_index=True)
 
 
 
@@ -1521,19 +1560,48 @@ def sql_idw_interpolate() -> str:
         "cos(radians(q.qlat)) * cos(radians(g.lat)) * "
         "power(sin((radians(g.lon) - radians(q.qlon)) / 2.0), 2)))"
     )
+    from ocgis_ray import grid
+
+    cs = repr(grid.cell_size(BILINEAR_RES))
+    nx = 1 << BILINEAR_RES
+    ny = nx // 2
     return f"""{geo_cte(REPS)},
 q(target_id, qlon, qlat) AS (VALUES {vals}),
 d AS (SELECT q.target_id, CAST(g.n_chars AS DOUBLE) AS value, {dist} AS dist FROM geo g, q),
 r AS (SELECT target_id, value, dist,
              row_number() OVER (PARTITION BY target_id ORDER BY dist, value) AS rn
       FROM d),
-k AS (SELECT * FROM r WHERE rn <= 8)
-SELECT CAST(target_id AS BIGINT) AS target_id,
-       round(CASE WHEN min(dist) <= 1e-12
-                  THEN min(CASE WHEN dist <= 1e-12 THEN value END)
-                  ELSE sum(value * (1.0 / power(dist, 2.0))) / sum(1.0 / power(dist, 2.0))
-             END, 4) AS idw_value
-FROM k GROUP BY target_id"""
+k AS (SELECT * FROM r WHERE rn <= 8),
+idw_f AS (
+  SELECT CAST(target_id AS BIGINT) AS target_id,
+         round(CASE WHEN min(dist) <= 1e-12
+                    THEN min(CASE WHEN dist <= 1e-12 THEN value END)
+                    ELSE sum(value * (1.0 / power(dist, 2.0))) / sum(1.0 / power(dist, 2.0))
+               END, 4) AS idw_value
+  FROM k GROUP BY target_id),
+bl_cells AS (
+  SELECT {grid.encode_sql('g.lon', 'g.lat', BILINEAR_RES)} AS cell,
+         CAST(sum(g.n_chars) AS DOUBLE) / count(*) AS v
+  FROM geo g GROUP BY 1),
+bl_f AS (
+  SELECT target_id, (qlon + 180.0) / {cs} - 0.5 AS fx,
+         (qlat + 90.0) / {cs} - 0.5 AS fy
+  FROM q),
+bl_w AS (
+  SELECT target_id,
+         ((CAST(floor(fx) AS BIGINT) + d.dx) % {nx} + {nx}) % {nx} * 4294967296
+           + least(greatest(CAST(floor(fy) AS BIGINT) + d.dy, 0), {ny - 1}) AS src,
+         (CASE WHEN d.dx = 0 THEN 1.0 - (fx - floor(fx)) ELSE fx - floor(fx) END)
+         * (CASE WHEN d.dy = 0 THEN 1.0 - (fy - floor(fy)) ELSE fy - floor(fy) END) AS w
+  FROM bl_f CROSS JOIN (VALUES (0, 0), (1, 0), (0, 1), (1, 1)) d(dx, dy)),
+bl_v AS (
+  SELECT w.target_id, sum(w.w * c.v) AS blv
+  FROM bl_w w JOIN bl_cells c ON c.cell = w.src
+  GROUP BY w.target_id)
+SELECT i.target_id, i.idw_value,
+       round(coalesce(b.blv, 0.0), 4) AS bilinear_value
+FROM idw_f i LEFT JOIN bl_v b ON b.target_id = i.target_id
+ORDER BY i.target_id"""
 
 
 def sql_media_features() -> str:
