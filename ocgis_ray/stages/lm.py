@@ -178,3 +178,103 @@ def perplexity_filter(ds, model: dict, max_ppl: float,
 
     return scored.map_batches(keep, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+# -------------------------------------------- DSIR importance resampling
+
+class LogRatioStage:
+    """Actor: per-doc log importance ratio ``sum_t (log p_target(t) -
+    log p_raw(t))`` under two broadcast unigram models — ONE tokenize
+    pass, two searchsorted gathers (the DSIR hashed-feature likelihood
+    ratio, Xie et al. 2023, with unigram features)."""
+
+    def __init__(self, models_ref, col: str, out: str):
+        import ray
+
+        m = ray.get(models_ref) if not isinstance(models_ref, tuple) else models_ref
+        self.target, self.raw = m
+        self.col = col
+        self.out = out
+
+    @staticmethod
+    def _logp(model, h):
+        hs, lp = model["hashes"], model["logp"]
+        if not hs.size:
+            return np.full(h.size, model["logp_oov"])
+        pos = np.minimum(np.searchsorted(hs, h), hs.size - 1)
+        return np.where(hs[pos] == h, lp[pos], model["logp_oov"])
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from ocgis_ray.stages.text import _tokenize_hash
+
+        arr = t[self.col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        h, _, per_row = _tokenize_hash(arr, lower=True)
+        sums = np.zeros(t.num_rows)
+        if h.size:
+            diff = self._logp(self.target, h) - self._logp(self.raw, h)
+            starts = np.concatenate([[0], np.cumsum(per_row)[:-1]])
+            nz = per_row > 0
+            if nz.any():
+                sums[nz] = np.add.reduceat(diff, starts[nz])
+        return t.append_column(self.out, pa.array(sums))
+
+
+def score_log_ratio(ds, target_model: dict, raw_model: dict,
+                    col: str = "text", out: str = "dsir_logw",
+                    concurrency=None, batch_size: int = 4096):
+    import ray
+
+    from ocgis_ray.tuning import auto_pool
+
+    concurrency = auto_pool() if concurrency is None else concurrency
+    models_ref = ray.put((target_model, raw_model))
+    return ds.map_batches(
+        LogRatioStage, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=concurrency, batch_size=batch_size,
+        fn_constructor_kwargs={"models_ref": models_ref, "col": col,
+                               "out": out})
+
+
+def dsir_resample(ds, target_model: dict, raw_model: dict,
+                  keep_frac: float, col: str = "text",
+                  id_col: str = "doc_id", salt: int = 0,
+                  concurrency=None):
+    """DSIR resampling: keep ~``keep_frac`` of the corpus, biased
+    toward the target distribution — Gumbel-top-k over the importance
+    ratio, made DETERMINISTIC and resume-stable by deriving each doc's
+    Gumbel noise from its id hash (``g = -log(-log(u))``, ``u`` from
+    the shared multiplicative key hash) instead of an RNG.
+
+    The global top-k threshold comes from the bounded-memory reservoir
+    quantile sketch (one pass over the materialized scored table), so
+    the kept fraction is approximate to the sketch's rank error; the
+    selection itself is exact given the threshold.  Returns the
+    filtered Dataset with the score columns dropped."""
+    import pyarrow.compute as pc
+
+    from ocgis_ray.stages.reshape import _key_hash
+    from ocgis_ray.stages.sketch import quantile_reservoir
+
+    scored = score_log_ratio(ds, target_model, raw_model, col=col,
+                             out="_logw", concurrency=concurrency)
+
+    def add_gumbel(t: pa.Table) -> pa.Table:
+        h = _key_hash(t[id_col].to_numpy(zero_copy_only=False), salt,
+                      "dsir_resample")
+        u = (h.astype(np.float64) + 0.5) / 4294967296.0
+        g = -np.log(-np.log(u))
+        z = t["_logw"].to_numpy(zero_copy_only=False) + g
+        return t.append_column("_z", pa.array(z))
+
+    with_z = scored.map_batches(add_gumbel, batch_format="pyarrow",
+                                zero_copy_batch=True).materialize()
+    tau = quantile_reservoir(with_z, "_z", [1.0 - keep_frac])[1.0 - keep_frac]
+
+    def keep(t: pa.Table) -> pa.Table:
+        out = t.filter(pc.greater_equal(t["_z"], pa.scalar(float(tau))))
+        return out.drop_columns(["_logw", "_z"])
+
+    return with_z.map_batches(keep, batch_format="pyarrow",
+                              zero_copy_batch=True)

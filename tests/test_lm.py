@@ -82,6 +82,66 @@ def test_score_matches_local_model(corpus):
         assert out.loc[row["doc_id"], "ppl"] == pytest.approx(expect, rel=1e-12)
 
 
+def test_log_ratio_matches_local(corpus):
+    """score_log_ratio == a local numpy recomputation under both
+    models' (hash, logp) tables."""
+    from ocgis_ray.stages.lm import score_log_ratio, train_unigram_lm
+    from ocgis_ray.stages.text import _horner_hash_bytes
+
+    ds, df = corpus
+    # target = the common-only docs; raw = the whole corpus
+    target = train_unigram_lm(ds.filter(lambda r: r["doc_id"] < 6),
+                              vocab_size=16)
+    raw = train_unigram_lm(ds, vocab_size=16)
+    out = score_log_ratio(ds, target, raw).to_pandas().set_index("doc_id")
+
+    def logp(model, h):
+        lut = dict(zip(model["hashes"].tolist(), model["logp"].tolist()))
+        return lut.get(h, model["logp_oov"])
+
+    for _, row in df.iterrows():
+        toks = row["text"].lower().split()
+        diffs = np.array([logp(target, int(_horner_hash_bytes(w.encode())))
+                          - logp(raw, int(_horner_hash_bytes(w.encode())))
+                          for w in toks])
+        expect = float(np.add.reduceat(diffs, [0])[0]) if len(diffs) else 0.0
+        assert out.loc[row["doc_id"], "dsir_logw"] == pytest.approx(
+            expect, rel=1e-12, abs=1e-12)
+    # in-target docs carry a higher importance ratio than the OOV doc
+    assert out.loc[0, "dsir_logw"] > out.loc[7, "dsir_logw"]
+
+
+def test_dsir_resample_biases_and_is_deterministic(ray_session):
+    """dsir_resample keeps ~keep_frac, prefers target-like docs, and
+    is a pure function of (ids, models, salt)."""
+    import ray.data as rd
+
+    from ocgis_ray.stages.lm import dsir_resample, train_unigram_lm
+
+    n = 400
+    rng_texts = [(COMMON if i % 2 == 0 else RARE) * 3 for i in range(n)]
+    df = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                       "text": rng_texts})
+    ds = rd.from_pandas(df)
+    target = train_unigram_lm(
+        ds.filter(lambda r: r["doc_id"] % 2 == 0), vocab_size=32)
+    raw = train_unigram_lm(ds, vocab_size=32)
+    kept = dsir_resample(ds, target, raw, keep_frac=0.5).to_pandas()
+    # score columns dropped, schema preserved
+    assert set(kept.columns) == {"doc_id", "text"}
+    # ~keep_frac kept (reservoir-sketch threshold: allow slack)
+    assert 0.35 * n <= len(kept) <= 0.65 * n
+    # the kept set is overwhelmingly the target-like (even-id) docs:
+    # the log-ratio gap between populations dwarfs the Gumbel noise
+    even_frac = (kept["doc_id"] % 2 == 0).mean()
+    assert even_frac > 0.9
+    kept2 = dsir_resample(ds, target, raw, keep_frac=0.5).to_pandas()
+    assert sorted(kept2["doc_id"]) == sorted(kept["doc_id"])
+    # a different salt re-draws the Gumbel noise -> same size band
+    kept3 = dsir_resample(ds, target, raw, keep_frac=0.5, salt=7).to_pandas()
+    assert 0.35 * n <= len(kept3) <= 0.65 * n
+
+
 def test_empty_and_oov_edge(ray_session):
     """Empty docs score +inf (filtered by any gate); a fully-OOV doc
     scores exp(-logp_oov)."""
