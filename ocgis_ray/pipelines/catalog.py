@@ -815,11 +815,23 @@ def q_langid_documents(sf_dir: str):
     return text.add_lang_pred(docs).select_columns(["doc_id", "lang_pred"])
 
 
+# decontamination params carried by fingerprint_documents: benchmark
+# = the first CONTAM_BENCH_DOCS documents of the same table (so the
+# SQL twin needs no side-channel literals), CONTAM_N-token windows
+CONTAM_N = 8
+CONTAM_BENCH_DOCS = 5
+
+
 def q_fingerprint_documents(sf_dir: str):
     from ocgis_ray.sources.io import read_parquet_sized
+    from ocgis_ray.stages.decontam import add_contamination, build_bench_ngrams
 
     docs = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return text.add_fingerprint(docs).select_columns(["doc_id", "fingerprint"])
+    bench = build_bench_ngrams(
+        docs.filter(lambda r: r["doc_id"] < CONTAM_BENCH_DOCS), n=CONTAM_N)
+    out = text.add_fingerprint(docs)
+    out = add_contamination(out, bench, n=CONTAM_N)
+    return out.select_columns(["doc_id", "fingerprint", "contam_ngrams"])
 
 
 def q_ann_lsh(sf_dir: str):
@@ -1544,10 +1556,16 @@ def sql_langid_documents() -> str:
 def sql_fingerprint_documents() -> str:
     # the uint64 FNV-Horner + splitmix64 winnowing hash, reproduced
     # bit-exactly in HUGEINT SQL (parity.sql_umul64 fragments) — this
-    # was a rows-only query until round 3
+    # was a rows-only query until round 3; round-3 s3 merges in the
+    # decontamination count (benchmark = the table's own first
+    # CONTAM_BENCH_DOCS rows, so the oracle is self-contained)
+    from ocgis_ray.stages.decontam import contam_sql
     from ocgis_ray.stages.text import fingerprint_sql
 
-    return fingerprint_sql()
+    fp = fingerprint_sql()
+    ct = contam_sql(f"doc_id < {CONTAM_BENCH_DOCS}", n=CONTAM_N)
+    return (f"SELECT f.doc_id, f.fingerprint, c.contam_ngrams\n"
+            f"FROM ({fp}) f JOIN ({ct}) c ON f.doc_id = c.doc_id")
 
 
 def sql_idw_interpolate() -> str:
