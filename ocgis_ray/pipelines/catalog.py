@@ -808,11 +808,37 @@ def q_simhash_pairs(sf_dir: str):
     return simhash_near_duplicates(simhash_signatures(docs), max_hamming=6)
 
 
+# unigram-LM params carried by langid_documents: small vocab so OOV
+# smoothing is exercised; DSIR target = every third document
+LM_VOCAB = 16
+DSIR_TARGET_PRED = "doc_id % 3 = 0"
+
+
 def q_langid_documents(sf_dir: str):
+    import pyarrow as pa
+
+    from ocgis_ray.parity import sql_round
     from ocgis_ray.sources.io import read_parquet_sized
+    from ocgis_ray.stages.lm import (score_log_ratio, score_perplexity,
+                                     train_unigram_lm)
 
     docs = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return text.add_lang_pred(docs).select_columns(["doc_id", "lang_pred"])
+    raw = train_unigram_lm(docs, vocab_size=LM_VOCAB)
+    target = train_unigram_lm(docs.filter(lambda r: r["doc_id"] % 3 == 0),
+                              vocab_size=LM_VOCAB)
+    out = text.add_lang_pred(docs)
+    out = score_perplexity(out, raw, out="ppl")
+    out = score_log_ratio(out, target, raw, out="dsir_logw")
+
+    def rnd(t: pa.Table) -> pa.Table:
+        for c in ("ppl", "dsir_logw"):
+            idx = t.schema.get_field_index(c)
+            vals = sql_round(t[c].to_numpy(zero_copy_only=False), 6)
+            t = t.set_column(idx, c, pa.array(vals))
+        return t
+
+    out = out.map_batches(rnd, batch_format="pyarrow", zero_copy_batch=True)
+    return out.select_columns(["doc_id", "lang_pred", "ppl", "dsir_logw"])
 
 
 # decontamination params carried by fingerprint_documents: benchmark
@@ -1547,10 +1573,19 @@ def sql_simhash_pairs() -> str:
 def sql_langid_documents() -> str:
     # stopword-profile language ID with membership tested against the
     # SAME token-hash values the stage computes (hash literals baked
-    # at generation time) — bit-exact including collisions
+    # at generation time) — bit-exact including collisions; round-3 s3
+    # merges the unigram-LM columns: perplexity under a model TRAINED
+    # IN SQL (identical top-k vocab via exact counts + the engine's
+    # tiebreak) and the DSIR log importance ratio
+    from ocgis_ray.stages.lm import dsir_logw_sql, unigram_ppl_sql
     from ocgis_ray.stages.text import langid_sql
 
-    return langid_sql()
+    lid = langid_sql()
+    ppl = unigram_ppl_sql(LM_VOCAB)
+    dsir = dsir_logw_sql(DSIR_TARGET_PRED, LM_VOCAB)
+    return (f"SELECT l.doc_id, l.lang_pred, p.ppl, d.dsir_logw\n"
+            f"FROM ({lid}) l JOIN ({ppl}) p ON l.doc_id = p.doc_id\n"
+            f"JOIN ({dsir}) d ON l.doc_id = d.doc_id")
 
 
 def sql_fingerprint_documents() -> str:

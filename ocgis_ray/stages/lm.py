@@ -180,6 +180,88 @@ def perplexity_filter(ds, model: dict, max_ppl: float,
                               zero_copy_batch=True)
 
 
+def _vocab_ctes(prefix: str, pred: str, vocab_size: int, col: str,
+                table: str, id_col: str) -> str:
+    """Shared CTE block replaying :func:`train_unigram_lm` in SQL:
+    token-hash explode -> exact counts -> top-``vocab_size`` with the
+    engine's (count desc, unsigned-hash asc) tiebreak -> add-half
+    denominator.  ``pred`` restricts the training corpus (TRUE = all
+    rows)."""
+    from ocgis_ray.parity import sql_token_hash_list, sql_tokens
+
+    return f"""{prefix}toks AS (
+  SELECT {id_col}, {sql_token_hash_list(sql_tokens(col), lower=True)} AS hs
+  FROM {table} WHERE {pred}
+), {prefix}exp AS (
+  SELECT {id_col}, unnest(hs) AS h FROM {prefix}toks
+), {prefix}cnt AS (
+  SELECT h, count(*) AS cnt FROM {prefix}exp GROUP BY h
+), {prefix}voc AS (
+  SELECT h, cnt FROM {prefix}cnt ORDER BY cnt DESC, h ASC LIMIT {vocab_size}
+), {prefix}den AS (
+  SELECT (SELECT CAST(coalesce(sum(cnt), 0) AS DOUBLE) FROM {prefix}cnt)
+         + 0.5 * ((SELECT count(*) FROM {prefix}voc) + 1) AS denom
+)"""
+
+
+def _logp_expr(prefix: str) -> str:
+    """Per-token log-prob under the ``prefix`` model (NULL vocab join
+    = OOV), same operation order as the numpy kernel."""
+    return (f"CASE WHEN {prefix}voc.h IS NULL THEN ln(0.5 / {prefix}den.denom) "
+            f"ELSE ln((CAST({prefix}voc.cnt AS DOUBLE) + 0.5) / {prefix}den.denom) END")
+
+
+def unigram_ppl_sql(vocab_size: int, col: str = "text",
+                    table: str = "documents", id_col: str = "doc_id",
+                    out: str = "ppl", round_digits: int = 6) -> str:
+    """DuckDB twin of ``train_unigram_lm`` + ``score_perplexity`` over
+    the SAME table: exact integer counts and the engine's tiebreak
+    make the vocab identical; log/exp and the per-doc sum agree within
+    ``round_digits`` (both sides round — summation-order float drift
+    is ~1e-13, far inside round-6).  Empty docs score +infinity on
+    both sides."""
+    return f"""
+WITH {_vocab_ctes("lp", "TRUE", vocab_size, col, table, id_col)},
+lpsc AS (
+  SELECT e.{id_col}, {_logp_expr("lp")} AS lp
+  FROM lpexp e
+  LEFT JOIN lpvoc ON e.h = lpvoc.h
+  CROSS JOIN lpden
+), lpagg AS (
+  SELECT {id_col}, sum(lp) AS s, count(*) AS ntok
+  FROM lpsc GROUP BY {id_col}
+)
+SELECT t.{id_col},
+       round(CASE WHEN a.{id_col} IS NULL THEN 'infinity'::DOUBLE
+                  ELSE exp(-(a.s / a.ntok)) END, {round_digits}) AS {out}
+FROM {table} t LEFT JOIN lpagg a ON t.{id_col} = a.{id_col}
+"""
+
+
+def dsir_logw_sql(target_pred: str, vocab_size: int, col: str = "text",
+                  table: str = "documents", id_col: str = "doc_id",
+                  out: str = "dsir_logw", round_digits: int = 6) -> str:
+    """DuckDB twin of ``score_log_ratio`` with target model trained on
+    ``WHERE target_pred`` and raw model on the whole table.  Docs with
+    no tokens sum to 0.0 (the kernel's zero-initialized row sums)."""
+    return f"""
+WITH {_vocab_ctes("lt", target_pred, vocab_size, col, table, id_col)},
+{_vocab_ctes("lr", "TRUE", vocab_size, col, table, id_col)},
+ldsc AS (
+  SELECT e.{id_col}, ({_logp_expr("lt")}) - ({_logp_expr("lr")}) AS d
+  FROM lrexp e
+  LEFT JOIN ltvoc ON e.h = ltvoc.h
+  LEFT JOIN lrvoc ON e.h = lrvoc.h
+  CROSS JOIN ltden CROSS JOIN lrden
+), ldagg AS (
+  SELECT {id_col}, sum(d) AS s FROM ldsc GROUP BY {id_col}
+)
+SELECT t.{id_col},
+       round(coalesce(a.s, 0.0), {round_digits}) AS {out}
+FROM {table} t LEFT JOIN ldagg a ON t.{id_col} = a.{id_col}
+"""
+
+
 # -------------------------------------------- DSIR importance resampling
 
 class LogRatioStage:
