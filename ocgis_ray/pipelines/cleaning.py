@@ -7,12 +7,16 @@ citations):
 1. URL-level exact dedup          (first pass every crawl pipeline runs)
 2. C4 line cleaning               (terminal punct / min words / blocklist)
 3. Gopher quality gate            (repetition + stop-word signals)
-4. exact content dedup            (hash-bucketed keep-first)
-5. paragraph-level exact dedup    (cross-document, global keep-first)
-6. MinHash near-dup survivors     (LSH candidates -> estimated Jaccard
+4. benchmark decontamination      (n-token-gram overlap vs a broadcast
+                                   eval-set index — row-local, so it
+                                   runs with the filters, not after
+                                   the shuffles as some pipelines do)
+5. exact content dedup            (hash-bucketed keep-first)
+6. paragraph-level exact dedup    (cross-document, global keep-first)
+7. MinHash near-dup survivors     (LSH candidates -> estimated Jaccard
                                    -> connected components -> keep the
                                    min-id doc per cluster)
-7. PII redaction                  (Arrow RE2 kernel scrub)
+8. PII redaction                  (Arrow RE2 kernel scrub)
 
 Filters run BEFORE the dedup shuffles (the RefinedWeb order): the
 quality kernels then read zero-copy Arrow blocks straight off storage,
@@ -31,7 +35,7 @@ the canonical order above, independent of the tuple's order.
 
 from __future__ import annotations
 
-DEFAULT_STEPS = ("url_dedup", "c4", "gopher", "exact_dedup",
+DEFAULT_STEPS = ("url_dedup", "c4", "gopher", "decontam", "exact_dedup",
                  "paragraph_dedup", "near_dup", "pii")
 
 
@@ -42,6 +46,7 @@ def clean_corpus(ds, id_col: str = "doc_id", text_col: str = "text",
                  near_dup_method: str = "minhash",
                  max_hamming: int = 3,
                  embeddings=None, embedding_threshold: float = 0.95,
+                 bench_ngrams=None, decontam_n: int = 13,
                  num_buckets: int | None = None):
     """Run the cleaning cascade over a documents Dataset; returns the
     surviving documents (same schema, text possibly rewritten by the
@@ -51,7 +56,12 @@ def clean_corpus(ds, id_col: str = "doc_id", text_col: str = "text",
     ``"simhash"`` (Hamming-style, ``max_hamming`` bits), or
     ``"embedding"`` (cosine >= ``embedding_threshold`` over the
     ``embeddings`` Dataset — (vec_id, embedding) rows whose vec_id is
-    the document id; semantic near-dups that token hashing misses)."""
+    the document id; semantic near-dups that token hashing misses).
+    ``decontam`` drops docs sharing any ``decontam_n``-token window
+    with ``bench_ngrams`` (a ``decontam.build_bench_ngrams`` index);
+    it is skipped automatically when ``bench_ngrams`` is None (the
+    default steps include it so callers who pass an eval index get the
+    gate without re-ordering anything)."""
     if near_dup_method not in ("minhash", "simhash", "embedding"):
         raise ValueError(f"unknown near_dup_method {near_dup_method!r}")
     if near_dup_method == "embedding" and embeddings is None \
@@ -71,6 +81,10 @@ def clean_corpus(ds, id_col: str = "doc_id", text_col: str = "text",
         ds = quality.c4_line_filter(ds, col=text_col)
     if "gopher" in steps:
         ds = quality.gopher_filter(ds, col=text_col)
+    if "decontam" in steps and bench_ngrams is not None:
+        from ocgis_ray.stages.decontam import decontaminate
+
+        ds = decontaminate(ds, bench_ngrams, n=decontam_n, col=text_col)
     if "exact_dedup" in steps:
         ds = dedup.dedup_exact(ds, id_col=id_col, col=text_col)
     if "paragraph_dedup" in steps:
@@ -122,15 +136,18 @@ def clean_corpus_partitioned(in_dir: str, out_dir: str,
                              url_col: str | None = None,
                              n_partitions: int = 8, resume: bool = True,
                              filter_steps: tuple[str, ...] = ("c4", "gopher",
+                                                              "decontam",
                                                               "pii"),
                              dedup_steps: tuple[str, ...] = ("url_dedup",
                                                              "exact_dedup",
                                                              "near_dup"),
-                             minhash_threshold: float = 0.7):
+                             minhash_threshold: float = 0.7,
+                             bench_ngrams=None, decontam_n: int = 13):
     """Resumable two-phase cleaning job (the ``ray job submit`` shape):
 
     - **Phase A (per partition, resumable)**: the row-local steps
-      (c4/gopher/pii — pure maps, safe to run shard-at-a-time) over
+      (c4/gopher/decontam/pii — pure maps given the broadcast
+      benchmark index, safe to run shard-at-a-time) over
       ``id_col``-range partitions of the input, each written atomically
       with a lineage record; a re-submitted job skips completed
       partitions without reading their input (parquet range pushdown).
@@ -174,7 +191,9 @@ def clean_corpus_partitioned(in_dir: str, out_dir: str,
             in_dir, columns=cols,
             filter=(pads.field(id_col) >= plo) & (pads.field(id_col) < phi))
         return clean_corpus(ds, id_col=id_col, text_col=text_col,
-                            url_col=url_col, steps=filter_steps)
+                            url_col=url_col, steps=filter_steps,
+                            bench_ngrams=bench_ngrams,
+                            decontam_n=decontam_n)
 
     phase_a = f"{out_dir}/filtered"
     records = lineage.run_partitioned(

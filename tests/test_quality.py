@@ -489,6 +489,28 @@ def test_clean_corpus_end_to_end(ray_session):
     assert len(out) <= gopher_filter(docs).count()
 
 
+def test_clean_corpus_decontam_step(ray_session):
+    """The decontam step drops benchmark-overlapping docs inside the
+    cascade, and is a no-op when no index is passed."""
+    import ray.data as rd
+
+    from ocgis_ray.pipelines.cleaning import clean_corpus
+    from ocgis_ray.stages.decontam import build_bench_ngrams
+
+    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "text"])
+    bench = build_bench_ngrams(
+        docs.filter(lambda r: r["doc_id"] < 5), n=8)
+    steps = ("decontam", "exact_dedup")
+    with_gate = clean_corpus(docs, steps=steps, bench_ngrams=bench,
+                             decontam_n=8, num_buckets=4).to_pandas()
+    without = clean_corpus(docs, steps=steps, num_buckets=4).to_pandas()
+    assert len(with_gate) < len(without)
+    # the benchmark docs themselves are contaminated by construction
+    assert not (with_gate["doc_id"] < 5).any()
+    assert set(with_gate["doc_id"]) <= set(without["doc_id"])
+
+
 def test_clean_corpus_unknown_step():
     from ocgis_ray.pipelines.cleaning import clean_corpus
 
