@@ -37,6 +37,9 @@ from __future__ import annotations
 
 DEFAULT_STEPS = ("url_dedup", "c4", "gopher", "decontam", "exact_dedup",
                  "paragraph_dedup", "near_dup", "pii")
+# recognized but not default: ExactSubstr-style span cutting is the
+# expensive alternative/complement to paragraph_dedup (3 shuffles)
+ALL_STEPS = DEFAULT_STEPS + ("substr_dedup",)
 
 
 def clean_corpus(ds, id_col: str = "doc_id", text_col: str = "text",
@@ -47,6 +50,7 @@ def clean_corpus(ds, id_col: str = "doc_id", text_col: str = "text",
                  max_hamming: int = 3,
                  embeddings=None, embedding_threshold: float = 0.95,
                  bench_ngrams=None, decontam_n: int = 13,
+                 substr_min_len: int = 64,
                  num_buckets: int | None = None):
     """Run the cleaning cascade over a documents Dataset; returns the
     surviving documents (same schema, text possibly rewritten by the
@@ -68,7 +72,7 @@ def clean_corpus(ds, id_col: str = "doc_id", text_col: str = "text",
             and "near_dup" in steps:
         raise ValueError("near_dup_method='embedding' needs an "
                          "embeddings Dataset (vec_id, embedding)")
-    unknown = set(steps) - set(DEFAULT_STEPS)
+    unknown = set(steps) - set(ALL_STEPS)
     if unknown:
         raise ValueError(f"unknown cleaning steps: {sorted(unknown)}")
 
@@ -94,6 +98,11 @@ def clean_corpus(ds, id_col: str = "doc_id", text_col: str = "text",
         # so the pipeline narrows to them (document the contract)
         ds = quality.paragraph_dedup(ds, id_col=id_col, col=text_col,
                                      num_buckets=num_buckets)
+    if "substr_dedup" in steps:
+        from ocgis_ray.stages.substr import substring_dedup
+
+        ds = substring_dedup(ds, min_len=substr_min_len, id_col=id_col,
+                             col=text_col, num_buckets=num_buckets)
     if "near_dup" in steps:
         # the minhash stage hardcodes (doc_id, text) column names —
         # project+rename for custom schemas so the advertised
@@ -162,7 +171,7 @@ def clean_corpus_partitioned(in_dir: str, out_dir: str,
     from ocgis_ray.sources.io import read_parquet_sized
     from ocgis_ray.state import lineage
 
-    bad = (set(filter_steps) | set(dedup_steps)) - set(DEFAULT_STEPS)
+    bad = (set(filter_steps) | set(dedup_steps)) - set(ALL_STEPS)
     if bad:
         raise ValueError(f"unknown cleaning steps: {sorted(bad)}")
 

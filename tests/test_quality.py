@@ -511,6 +511,29 @@ def test_clean_corpus_decontam_step(ray_session):
     assert set(with_gate["doc_id"]) <= set(without["doc_id"])
 
 
+def test_clean_corpus_substr_step(ray_session):
+    """substr_dedup composes in the cascade: duplicated long spans are
+    cut, survivors keep unique ids."""
+    import ray.data as rd
+
+    from ocgis_ray.pipelines.cleaning import clean_corpus
+
+    base = "different filler sentence number %d with assorted words "
+    span = "an exactly repeated long span of text that is well over "\
+           "sixty four bytes long for the cutter to find "
+    df = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": [base % 0 + span, base % 1 + span,
+                 base % 2, base % 3],
+    })
+    out = clean_corpus(rd.from_pandas(df), steps=("substr_dedup",),
+                       substr_min_len=64, num_buckets=2).to_pandas()
+    out = out.set_index("doc_id").sort_index()
+    assert span in out.loc[0, "text"]
+    assert span not in out.loc[1, "text"]
+    assert out.loc[2, "text"] == base % 2
+
+
 def test_clean_corpus_unknown_step():
     from ocgis_ray.pipelines.cleaning import clean_corpus
 
