@@ -122,6 +122,41 @@ def test_encode_roundtrip_and_compression(ray_session):
     assert t0["n_tokens"] < raw_bytes
 
 
+def test_tokenize_and_pack_end_to_end(ray_session):
+    """Cleaned docs -> token ids -> budget-bounded packs, losslessly."""
+    import ray.data as rd
+
+    from ocgis_ray.pipelines.tokenize import tokenize_and_pack
+    from ocgis_ray.stages.tokenizer import bpe_vocab
+
+    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "text"])
+    src = docs.to_pandas().set_index("doc_id")
+    packed, merges = tokenize_and_pack(docs, num_merges=64, budget=128,
+                                       max_words=10_000, num_buckets=4)
+    out = packed.to_pandas()
+    # every doc exactly once, text dropped, ids+counts consistent
+    assert sorted(out["doc_id"]) == sorted(src.index)
+    assert "text" not in out.columns
+    assert (out["token_ids"].str.len() == out["n_tokens"]).all()
+    # packs respect the budget except single oversized docs
+    tot = out.groupby(["pack_bucket", "pack_seq"])["n_tokens"].agg(
+        ["sum", "count"])
+    over = tot["sum"] > 128
+    assert (tot.loc[over, "count"] == 1).all()
+    # decode one doc back to its squeezed lower text
+    vocab = bpe_vocab(merges)
+    row = out.iloc[0]
+    dec = b"".join(vocab[i] for i in row["token_ids"]).decode()
+    assert dec == "".join(src.loc[row["doc_id"], "text"].lower().split())
+    # reusing the trained merges reproduces identical packs (resume)
+    packed2, _ = tokenize_and_pack(docs, merges=merges, budget=128,
+                                   num_buckets=4)
+    out2 = packed2.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    out1 = out.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out1, out2)
+
+
 def test_empty_merge_budget_stops():
     from ocgis_ray.stages.tokenizer import learn_bpe
 
