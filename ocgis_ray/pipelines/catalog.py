@@ -809,9 +809,12 @@ def q_simhash_pairs(sf_dir: str):
 
 
 # unigram-LM params carried by langid_documents: small vocab so OOV
-# smoothing is exercised; DSIR target = every third document
+# smoothing is exercised; DSIR target = every DSIR_TARGET_MOD-th doc
+# (ONE constant feeds both the engine lambda and the SQL predicate —
+# they cannot desynchronize)
 LM_VOCAB = 16
-DSIR_TARGET_PRED = "doc_id % 3 = 0"
+DSIR_TARGET_MOD = 3
+DSIR_TARGET_PRED = f"doc_id % {DSIR_TARGET_MOD} = 0"
 
 
 def q_langid_documents(sf_dir: str):
@@ -824,8 +827,9 @@ def q_langid_documents(sf_dir: str):
 
     docs = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     raw = train_unigram_lm(docs, vocab_size=LM_VOCAB)
-    target = train_unigram_lm(docs.filter(lambda r: r["doc_id"] % 3 == 0),
-                              vocab_size=LM_VOCAB)
+    target = train_unigram_lm(
+        docs.filter(lambda r: r["doc_id"] % DSIR_TARGET_MOD == 0),
+        vocab_size=LM_VOCAB)
     out = text.add_lang_pred(docs)
     out = score_perplexity(out, raw, out="ppl")
     out = score_log_ratio(out, target, raw, out="dsir_logw")

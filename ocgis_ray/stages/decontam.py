@@ -80,8 +80,21 @@ def build_bench_ngrams(bench, n: int = 13, col: str = "text",
 
         parts = bench.map_batches(partial, batch_format="pyarrow",
                                   zero_copy_batch=True,
-                                  batch_size=KERNEL_BATCH_SIZE).to_pandas()
-        out = np.unique(parts["w"].to_numpy(np.int64).view(np.uint64))
+                                  batch_size=KERNEL_BATCH_SIZE).materialize()
+        # guard BEFORE driver collection: the per-batch-distinct row
+        # count upper-bounds the global distinct count, and the
+        # materialized hashes live in the OBJECT STORE — a mistakenly
+        # corpus-sized "benchmark" raises here instead of OOMing the
+        # driver inside to_pandas()
+        upper = parts.count()
+        if upper > 4 * max_ngrams:
+            raise ValueError(
+                f"benchmark yields >= {upper} per-batch-distinct "
+                f"{n}-gram hashes (cap {max_ngrams}); this input is "
+                "corpus-sized — use sketch.build_bloom over the window "
+                "hashes instead")
+        out = np.unique(
+            parts.to_pandas()["w"].to_numpy(np.int64).view(np.uint64))
     if out.size > max_ngrams:
         raise ValueError(
             f"benchmark has {out.size} distinct {n}-gram hashes "

@@ -35,6 +35,16 @@ Semantics vs the suffix-array original, stated honestly:
   at each EDGE of the span can survive (the paper's suffix array
   removes the maximal extension).  For training-dedup purposes the
   residue is below ``min_len`` by construction.
+- OVER-removal below the contract: a shared ``w``-byte window
+  (``w ~= min_len/2``) that winnowing selects in BOTH occurrences is
+  cut even when the surrounding duplicated span is shorter than
+  ``min_len`` — each shared w-gram is selected with probability
+  ~``2/s`` per occurrence, so frequent short boilerplate loses
+  w-byte windows at corpus scale.  This errs toward MORE dedup (the
+  usual training-data preference); callers needing a stricter
+  contract raise ``min_len`` (which raises ``w``), since the paper's
+  byte-verified maximal extension would require shipping candidate
+  windows twice.
 - 64-bit fingerprint collisions can cut a non-duplicated window with
   probability ~``n_selected^2 / 2^65`` — the repo-wide content-hash
   assumption (an exact byte-verification join would close it at the
@@ -303,6 +313,7 @@ def substring_dedup(ds, min_len: int = 64, id_col: str = "doc_id",
         return t.drop_columns(["_spans"])
 
     out = joined.map_batches(cut, batch_format="pyarrow",
+                             zero_copy_batch=True,
                              batch_size=KERNEL_BATCH_SIZE)
     if drop_empty_docs:
         import pyarrow.compute as pc

@@ -195,9 +195,20 @@ class BpeEncodeStage:
     """Actor: encode each batch's documents to token-id lists.
 
     Merge ranks decode once per actor; distinct words memoize across
-    the actor's lifetime (Zipf hit rates make re-encoding rare)."""
+    the actor's lifetime (Zipf hit rates make re-encoding rare), with
+    an epoch-clear at ``memo_cap`` entries so a long-lived actor
+    streaming unbounded distinct words (URLs, ids) cannot grow the
+    cache past a bounded footprint — frequent words repopulate
+    immediately after a clear.
 
-    def __init__(self, merges_ref, col: str, lower: bool):
+    Segmentation and case mapping are the SAME Arrow kernels
+    :func:`word_counts` trains on (``utf8_lower`` + RE2 ``\\s+``
+    split), so encode-time words are exactly the trained
+    distribution — Python ``str.split()``/``str.lower()`` differ on
+    Unicode whitespace (NBSP) and locale-ish case points."""
+
+    def __init__(self, merges_ref, col: str, lower: bool,
+                 memo_cap: int = 1_000_000):
         import ray
 
         merges = (ray.get(merges_ref) if not isinstance(merges_ref, list)
@@ -207,30 +218,37 @@ class BpeEncodeStage:
         self.col = col
         self.lower = lower
         self.memo: dict[str, list[int]] = {}
+        self.memo_cap = memo_cap
 
     def _word_ids(self, w: str) -> list[int]:
         got = self.memo.get(w)
         if got is None:
+            if len(self.memo) >= self.memo_cap:
+                self.memo.clear()
             got = _encode_word(w.encode("utf-8"), self.ranks, self.ids)
             self.memo[w] = got
         return got
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         col = t[self.col]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
+        if self.lower:
+            col = pc.utf8_lower(col)
+        words = pc.split_pattern_regex(col, r"\s+")
         out_ids: list[list[int]] = []
         counts = np.zeros(t.num_rows, dtype=np.int64)
-        for i, v in enumerate(col):
-            s = v.as_py()
-            if s is None:
+        for i, row_words in enumerate(words):
+            if not row_words.is_valid:
                 out_ids.append([])
                 continue
-            if self.lower:
-                s = s.lower()
             doc: list[int] = []
-            for w in s.split():
-                doc.extend(self._word_ids(w))
+            for w in row_words.values:
+                s = w.as_py()
+                if s:
+                    doc.extend(self._word_ids(s))
             out_ids.append(doc)
             counts[i] = len(doc)
         t = t.append_column("token_ids",

@@ -157,6 +157,27 @@ def test_tokenize_and_pack_end_to_end(ray_session):
     pd.testing.assert_frame_equal(out1, out2)
 
 
+def test_train_and_encode_agree_on_segmentation(ray_session):
+    """NBSP is NOT a word boundary on either side (Arrow RE2 \\s+ is
+    ASCII-only): train-time word counts and encode-time words see the
+    same token — Python str.split() would disagree."""
+    import ray.data as rd
+
+    from ocgis_ray.stages.tokenizer import (bpe_encode, bpe_vocab,
+                                            train_bpe, word_counts)
+
+    txt = "foo bar foo bar plain"
+    ds = rd.from_pandas(pd.DataFrame({"text": [txt]}))
+    wc = word_counts(ds, max_words=10)
+    assert wc.set_index("word")["cnt"]["foo bar"] == 2
+    merges = train_bpe(ds, num_merges=10, max_words=10)
+    out = bpe_encode(ds, merges).to_pandas()
+    vocab = bpe_vocab(merges)
+    dec = b"".join(vocab[i] for i in out.loc[0, "token_ids"]).decode()
+    # squeeze only the ASCII space: the NBSP survives inside the word
+    assert dec == "foo barfoo barplain"
+
+
 def test_empty_merge_budget_stops():
     from ocgis_ray.stages.tokenizer import learn_bpe
 
