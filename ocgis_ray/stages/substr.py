@@ -135,22 +135,27 @@ def _winnow_batch(text_arr, w: int, s: int):
 
     pre, pre_arg, suf, suf_arg = _block_min_with_arg(h, s)
 
+    # resolve EVERY window position with contiguous slice ops (fancy
+    # gathers over per-row index lists measured 4x slower), then mask
+    # to the valid in-row windows via interval deltas
+    m = nwin - s + 1
+    if m <= 0:
+        return empty
+    take_suf = suf[:m] <= pre[s - 1:]
+    arg_all = np.where(take_suf, suf_arg[:m], pre_arg[s - 1:])
     # valid winnow-window starts: runs of s consecutive w-grams fully
-    # inside one row
+    # inside one row — row r contributes [off[r], off[r]+cnt_r)
     lens = off[1:] - off[:-1]
     n_sel_win = np.maximum(lens - w - s + 2, 0)     # per-row window count
     nz = n_sel_win > 0
     if not nz.any():
         return empty
     cnts = n_sel_win[nz]
-    seg_starts = np.concatenate([[0], np.cumsum(cnts)[:-1]])
-    within = np.arange(int(cnts.sum()), dtype=np.int64) \
-        - np.repeat(seg_starts, cnts)
-    vi = np.repeat(off[:-1][nz], cnts) + within     # window start indices
-    j = vi + s - 1
-    take_suf = suf[vi] <= pre[j]
-    arg = np.where(take_suf, suf_arg[vi], pre_arg[j])
-    arg = np.unique(arg)                            # selected w-gram starts
+    delta = np.zeros(m + 1, dtype=np.int32)
+    np.add.at(delta, off[:-1][nz], 1)
+    np.add.at(delta, off[:-1][nz] + cnts, -1)
+    valid = np.cumsum(delta[:-1]) > 0
+    arg = np.unique(arg_all[valid])                 # selected w-gram starts
     row = np.searchsorted(off[1:], arg, side="right").astype(np.int64)
     return h[arg], row, arg - off[:-1][row]
 
@@ -197,21 +202,35 @@ def duplicate_span_intervals(ds, min_len: int = 64, id_col: str = "doc_id",
 
 
 def _merge_pack(g: pd.DataFrame, id_col: str) -> pd.DataFrame:
-    """Merge each doc's intervals and pack them to one binary row."""
-    ids, blobs = [], []
-    for doc, sub in g.groupby(id_col, sort=True):
-        iv = sub.sort_values("start", kind="mergesort")
-        st = iv["start"].to_numpy(np.int64)
-        en = iv["end"].to_numpy(np.int64)
-        keep_new = np.empty(len(st), dtype=bool)
-        keep_new[0] = True
-        run_end = np.maximum.accumulate(en)
-        keep_new[1:] = st[1:] > run_end[:-1]
-        mst = st[keep_new]
-        men = np.maximum.reduceat(en, np.nonzero(keep_new)[0])
-        ids.append(doc)
-        blobs.append(np.column_stack([mst, men]).astype("<i8").tobytes())
-    return pd.DataFrame({id_col: ids, "_spans": blobs})
+    """Merge each doc's intervals and pack them to one binary row per
+    doc — vectorized ACROSS docs (doc-scaled interval keys; byte
+    positions are < 2^32 by the string-offset domain, so a doc bump
+    always outranks any end and merge runs never span docs)."""
+    if not len(g):
+        return pd.DataFrame({id_col: [], "_spans": []})
+    g = g.sort_values([id_col, "start"], kind="mergesort")
+    st = g["start"].to_numpy(np.int64)
+    en = g["end"].to_numpy(np.int64)
+    dcode, didx = np.unique(g[id_col].to_numpy(), return_inverse=True)
+    key_st = didx.astype(np.int64) * (1 << 32) + st
+    key_en = didx.astype(np.int64) * (1 << 32) + en
+    cummax = np.maximum.accumulate(key_en)
+    keep_new = np.empty(len(st), dtype=bool)
+    keep_new[0] = True
+    keep_new[1:] = key_st[1:] > cummax[:-1]
+    gstarts = np.nonzero(keep_new)[0]
+    mst = st[keep_new]
+    men = np.maximum.reduceat(en, gstarts)
+    mdoc = didx[keep_new]
+    interleaved = np.empty(2 * len(mst), dtype="<i8")
+    interleaved[0::2] = mst
+    interleaved[1::2] = men
+    raw = interleaved.tobytes()
+    counts = np.bincount(mdoc, minlength=len(dcode))
+    boffs = np.zeros(len(dcode) + 1, dtype=np.int64)
+    np.cumsum(counts * 16, out=boffs[1:])
+    blobs = [raw[boffs[i]: boffs[i + 1]] for i in range(len(dcode))]
+    return pd.DataFrame({id_col: dcode, "_spans": blobs})
 
 
 def substring_dedup(ds, min_len: int = 64, id_col: str = "doc_id",
@@ -253,22 +272,28 @@ def substring_dedup(ds, min_len: int = 64, id_col: str = "doc_id",
         spans_col = t["_spans"]
         if isinstance(spans_col, pa.ChunkedArray):
             spans_col = spans_col.combine_chunks()
-        nonnull = np.nonzero(
-            ~pc.is_null(spans_col).to_numpy(zero_copy_only=False))[0]
-        # per-row interval arrays (python only over the CUT rows)
-        starts_l: list[np.ndarray] = []
-        ends_l: list[np.ndarray] = []
-        counts = np.zeros(n, dtype=np.int64)
-        for i in nonnull:
-            blob = spans_col[int(i)].as_py()
-            iv2 = np.frombuffer(blob, dtype="<i8").reshape(-1, 2)
-            starts_l.append(iv2[:, 0])
-            ends_l.append(np.minimum(iv2[:, 1], lens[i]))
-            counts[i] = len(iv2)
+        # buffer-level span parse: counts and flattened (start, end)
+        # pairs straight from the binary array's offsets — no per-row
+        # Python (null rows have zero-length payloads)
+        sbufs = spans_col.buffers()
+        off_dt = (np.int64 if pa.types.is_large_binary(spans_col.type)
+                  else np.int32)
+        soff = np.frombuffer(sbufs[1], dtype=off_dt)[
+            spans_col.offset: spans_col.offset + n + 1].astype(np.int64)
+        counts = (soff[1:] - soff[:-1]) // 16
         k_tot = int(counts.sum())
-        ivs = (np.concatenate(starts_l) if starts_l
-               else np.empty(0, np.int64))
-        ive = (np.concatenate(ends_l) if ends_l else np.empty(0, np.int64))
+        if k_tot:
+            sdata = np.frombuffer(sbufs[2], dtype=np.uint8)
+            lo, hi = int(soff[0]), int(soff[-1])
+            # rows are back-to-back in offset order, so this slice IS
+            # the concatenated payloads; tobytes() realigns for int64
+            pairs = np.frombuffer(sdata[lo:hi].tobytes(), dtype="<i8")
+            ivs = pairs[0::2]
+            row_of_iv = np.repeat(np.arange(n, dtype=np.int64), counts)
+            ive = np.minimum(pairs[1::2], lens[row_of_iv])
+        else:
+            ivs = np.empty(0, np.int64)
+            ive = np.empty(0, np.int64)
         # segments kept per row: k_i + 1 (between/around the cuts)
         seg_cnt = counts + 1
         seg_off = np.zeros(n + 1, dtype=np.int64)
