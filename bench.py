@@ -188,10 +188,32 @@ def run_queries() -> dict[str, float]:
                             steps=("url_dedup", "exact_dedup", "pii",
                                    "gopher")).count()
 
+    def extra_substr_dedup():
+        # ExactSubstr-style duplicated-span cutting over documents
+        from ocgis_ray.sources.io import read_parquet_sized
+        from ocgis_ray.stages.substr import substring_dedup
+
+        docs = read_parquet_sized(f"{SF_DIR}/documents.parquet",
+                                  columns=["doc_id", "text"])
+        return substring_dedup(docs, min_len=64).count()
+
+    def extra_tokenize_pack():
+        # BPE train -> encode -> sequence packing (the last mile)
+        from ocgis_ray.pipelines.tokenize import tokenize_and_pack
+        from ocgis_ray.sources.io import read_parquet_sized
+
+        docs = read_parquet_sized(f"{SF_DIR}/documents.parquet",
+                                  columns=["doc_id", "text"])
+        packed, _ = tokenize_and_pack(docs, num_merges=512, budget=2048,
+                                      max_words=200_000)
+        return packed.count()
+
     extras = {"heavy_hitters_events": extra_heavy_hitters,
               "hopping_window_events": extra_hopping_window,
               "quality_gate_pages": extra_quality_gate,
-              "clean_corpus_pages": extra_clean_corpus}
+              "clean_corpus_pages": extra_clean_corpus,
+              "substr_dedup_documents": extra_substr_dedup,
+              "tokenize_pack_documents": extra_tokenize_pack}
 
     def run(name: str) -> float:
         fn = extras.get(name) or (lambda: catalog.QUERIES[name](SF_DIR))
