@@ -766,3 +766,178 @@ def ann_pq(ds, queries: pd.DataFrame, k: int, id_col: str = "vec_id",
                                batch_size=batch_size)
     return topk_by_group(exact, "query_id", ["sim", id_col],
                          [False, True], k)
+
+
+# ------------------------------------------------------------ SemDeDup
+
+def semdedup_decisions(ds, eps: float = 0.05, id_col: str = "vec_id",
+                       col: str = "embedding", nlist: int = 64,
+                       train_n: int = 4096, keep: str = "far",
+                       batch_size: int = 4096,
+                       num_buckets: int | None = None,
+                       chunk_elems: int = 1 << 21):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
+    deduplication over an embedding column: cluster the space, then
+    prune examples whose cosine similarity to a higher-priority member
+    of the SAME cluster exceeds ``1 - eps``.
+
+    Dataflow (the published pipeline re-expressed Ray-Data-first):
+
+    1. **Train** spherical k-means centroids on a bounded
+       ``ds.limit(train_n)`` sample (driver holds <= train_n rows);
+    2. **Assign** — one broadcast-centroid map pass emits
+       ``(cluster, id, cent_sim, vec_bin)`` per row: a single matmul
+       per batch, the normalized vector packed as fixed-width binary
+       so the shuffle carries no list columns;
+    3. **Within-cluster prune** — ONE hash-bucketed shuffle on the
+       cluster id co-locates each cluster; members sort by keep
+       priority and row *i* is marked ``sem_dup`` when
+       ``max_{j<i} cos(i, j) > 1 - eps`` — the released SemDeDup rule
+       (triangular max against all higher-priority members, NOT
+       conditioned on *j*'s own keep flag).  The pairwise maxima are
+       computed in row chunks sized so no temporary exceeds ~16 MB,
+       so a skewed giant cluster degrades to more chunk matmuls, not
+       a memory cliff.
+
+    ``keep`` orders the survivors: ``"far"`` (paper default — keep the
+    cluster-edge examples, i.e. LOW centroid similarity wins) or
+    ``"near"`` (keep the most-central).  Ties break on ascending id,
+    so output is deterministic under any partitioning.
+
+    Partitioning assumption (documented per the build brief): one
+    cluster's members ``(|C| x dim x 8 B)`` fit in one worker's heap —
+    size ``nlist ~ N / target_cluster_size`` accordingly.  Returns the
+    per-row decisions Dataset ``(id, cluster, cent_sim, sem_dup)``;
+    compose with :func:`semdedup_survivors` for the pruned corpus.
+    """
+    import ray
+
+    if keep not in ("far", "near"):
+        raise ValueError(f"semdedup: keep must be 'far'|'near', got {keep!r}")
+    pdf = ds.limit(train_n).to_pandas()
+    if len(pdf) == 0:
+        raise ValueError("semdedup: empty vector dataset (no training sample)")
+    sample = np.stack(pdf[col].to_numpy())
+    cent = _kmeans_spherical(sample, nlist)
+    dim = int(sample.shape[1])
+    cent_ref = ray.put(cent)
+
+    class _Assign:
+        def __init__(self):
+            self.cent = ray.get(cent_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table({id_col: pa.array([], pa.int64()),
+                                 "cluster": pa.array([], pa.int32()),
+                                 "cent_sim": pa.array([], pa.float64()),
+                                 "vec_bin": pa.array([], pa.binary())})
+            m = _normalize(_batch_matrix(batch, col).astype(np.float64))
+            sims = m @ self.cent.T
+            assign = np.argmax(sims, axis=1)
+            return pa.table({
+                id_col: batch[id_col],
+                "cluster": pa.array(assign.astype(np.int32)),
+                "cent_sim": pa.array(sims[np.arange(len(assign)), assign]),
+                "vec_bin": pack_vectors(m),
+            })
+
+    assigned = ds.select_columns([id_col, col]).map_batches(
+        _Assign, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size, concurrency=_ap())
+
+    sim_thr = 1.0 - eps
+    far = keep == "far"
+
+    def prune(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, cdf in g.groupby("cluster", sort=False):
+            ids = cdf[id_col].to_numpy(np.int64)
+            cs = cdf["cent_sim"].to_numpy(np.float64)
+            # keep priority: paper keeps the LOW-centroid-sim (edge)
+            # examples first; ties on id keep output deterministic
+            order = np.lexsort((ids, cs if far else -cs))
+            m = np.frombuffer(b"".join(cdf["vec_bin"].iloc[order]),
+                              dtype=np.float64).reshape(len(ids), dim)
+            n = len(ids)
+            dup = np.zeros(n, dtype=bool)
+            # chunked triangular max: row i vs all j < i, <= ~2M-double
+            # temporaries regardless of cluster size
+            chunk = max(1, chunk_elems // max(n, 1))
+            for s in range(1, n, chunk):
+                e = min(s + chunk, n)
+                best = np.full(e - s, -np.inf)
+                if s > 0:
+                    best = (m[s:e] @ m[:s].T).max(axis=1)
+                t = m[s:e] @ m[s:e].T
+                # mask j >= i positions (NOT value-based — a genuine
+                # 0.0 similarity must stay eligible for the max)
+                t[np.triu(np.ones((e - s, e - s), dtype=bool))] = -np.inf
+                best = np.maximum(best, t.max(axis=1))
+                dup[s:e] = best > sim_thr
+            out.append(pd.DataFrame({
+                id_col: ids[order], "cluster": cdf["cluster"].iloc[0],
+                "cent_sim": cs[order], "sem_dup": dup}))
+        if not out:
+            return pd.DataFrame({id_col: pd.Series(dtype=np.int64),
+                                 "cluster": pd.Series(dtype=np.int32),
+                                 "cent_sim": pd.Series(dtype=np.float64),
+                                 "sem_dup": pd.Series(dtype=bool)})
+        return pd.concat(out, ignore_index=True)
+
+    from ocgis_ray.sources.io import bucketed_group_apply
+
+    return bucketed_group_apply(assigned, "cluster", prune,
+                                num_buckets=num_buckets)
+
+
+def semdedup_survivors(ds, decisions, id_col: str = "vec_id",
+                       col: str = "embedding",
+                       num_partitions: int | None = None):
+    """Prune ``ds`` to the SemDeDup survivor set: hash-shuffle
+    anti-join against the ``sem_dup`` ids from
+    :func:`semdedup_decisions` — no driver-side id set, the decisions
+    table can be corpus-sized.
+
+    Acero joins reject list/tensor non-key fields, so the embedding
+    column rides through the join packed as fixed-width binary (the
+    :func:`pack_vectors` pattern) and is restored afterwards as
+    ``fixed_size_list<double>`` — values are byte-identical, only the
+    Arrow list flavor may differ from the input's."""
+    from ocgis_ray.sources.io import join_datasets
+
+    def loser_rows(t: pa.Table) -> pa.Table:
+        kept = t.filter(t["sem_dup"])
+        return pa.table({"_sem_loser": kept[id_col]})
+
+    losers = decisions.select_columns([id_col, "sem_dup"]).map_batches(
+        loser_rows, batch_format="pyarrow", zero_copy_batch=True)
+    losers = losers.materialize()
+    if losers.count() == 0:
+        return ds
+    losers = losers.repartition(max(2, num_partitions or 2))
+
+    def pack_stage(batch: pa.Table) -> pa.Table:
+        m = np.ascontiguousarray(_batch_matrix(batch, col), dtype=np.float64)
+        i = batch.column_names.index(col)
+        return batch.set_column(i, "_vec_bin", pack_vectors(m)) \
+            .append_column("_vec_dim", pa.array(
+                np.full(batch.num_rows, m.shape[1], np.int32)))
+
+    packed = ds.map_batches(pack_stage, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    surv = join_datasets(packed, losers, on=(id_col,),
+                         right_on=("_sem_loser",), join_type="left_anti",
+                         num_partitions=num_partitions)
+
+    def unpack_stage(batch: pa.Table) -> pa.Table:
+        dim = int(batch["_vec_dim"][0].as_py()) if batch.num_rows else 0
+        m = unpack_vectors(batch["_vec_bin"], dim) if batch.num_rows else \
+            np.zeros((0, 0))
+        vec = pa.FixedSizeListArray.from_arrays(
+            pa.array(m.ravel(), pa.float64()), max(dim, 1))
+        i = batch.column_names.index("_vec_bin")
+        return batch.set_column(i, col, vec).drop_columns(["_vec_dim"])
+
+    return surv.map_batches(unpack_stage, batch_format="pyarrow",
+                            zero_copy_batch=True)
