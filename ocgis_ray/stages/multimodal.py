@@ -776,3 +776,136 @@ def sample_frames(ds, n_frames: int = 4, concurrency=None,
         concurrency=concurrency, batch_size=batch_size,
         fn_constructor_kwargs={"n_frames": n_frames},
     )
+
+
+# ----------------------------------------------------- perceptual hash
+
+_PHASH_N = 32  # DCT input side (hash_size 8 x highfreq_factor 4)
+_DCT32: np.ndarray | None = None
+
+
+def _dct_matrix(n: int = _PHASH_N) -> np.ndarray:
+    """Orthonormal DCT-II basis (type-II, 'ortho' norm) — cached; the
+    2-D DCT of G is then ``C @ G @ C.T`` (two 32x32 matmuls)."""
+    global _DCT32
+    if _DCT32 is None or _DCT32.shape[0] != n:
+        k = np.arange(n)[:, None]
+        x = np.arange(n)[None, :]
+        c = np.cos(np.pi * (2 * x + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+        c[0] /= np.sqrt(2.0)
+        _DCT32 = c
+    return _DCT32
+
+
+def _resize_area(g: np.ndarray, out_n: int = _PHASH_N) -> np.ndarray:
+    """Deterministic resize to (out_n, out_n): nearest-neighbor
+    upsample on any axis smaller than ``out_n``, then integer-edge
+    area-mean binning (``reduceat``-free integral image) — no
+    interpolation-library dependence, bit-stable across platforms."""
+    h, w = g.shape
+    if h < out_n:
+        g = g[(np.arange(out_n, dtype=np.int64) * h) // out_n]
+        h = out_n
+    if w < out_n:
+        g = g[:, (np.arange(out_n, dtype=np.int64) * w) // out_n]
+        w = out_n
+    ri = (np.arange(out_n + 1, dtype=np.int64) * h) // out_n
+    ci = (np.arange(out_n + 1, dtype=np.int64) * w) // out_n
+    integ = np.zeros((h + 1, w + 1))
+    np.cumsum(np.cumsum(g, axis=0), axis=1, out=integ[1:, 1:])
+    blk = (integ[ri[1:], :][:, ci[1:]] - integ[ri[:-1], :][:, ci[1:]]
+           - integ[ri[1:], :][:, ci[:-1]] + integ[ri[:-1], :][:, ci[:-1]])
+    area = (ri[1:] - ri[:-1])[:, None] * (ci[1:] - ci[:-1])[None, :]
+    return blk / area
+
+
+def _phash64(px: np.ndarray, hash_size: int = 8) -> np.uint64:
+    """64-bit perceptual hash of an (h, w, 3) uint8 raster — the
+    imagehash ``phash`` recipe: luma (BT.601) -> 32x32 area resize ->
+    2-D DCT-II -> top-left ``hash_size`` x ``hash_size`` low-frequency
+    block -> bit per coefficient > block median (DC included in the
+    median, per the reference implementation).  Robust to brightness
+    shifts, mild noise and re-encoding (JPEG), which is what makes it
+    the image near-dup key."""
+    f = px.astype(np.float64)
+    luma = 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
+    c = _dct_matrix()
+    d = c @ _resize_area(luma) @ c.T
+    low = d[:hash_size, :hash_size]
+    bits = (low > np.median(low)).ravel()
+    return np.uint64(np.packbits(bits).view(">u8")[0])
+
+
+def _decode_raster(payload: bytes, w: int, h: int) -> np.ndarray:
+    """Per-payload raster decode with the same format dispatch as
+    :func:`decode_image_stats` (PPM tail / PNG / in-repo JPEG)."""
+    from ocgis_ray.stages.jpeg import jpeg_decode
+
+    if payload[:1] == b"\x89":
+        return _png_decode_rgb(payload)
+    if payload[:2] == b"\xff\xd8":
+        return jpeg_decode(payload)
+    if payload[:2] != b"P6":
+        raise ValueError("unknown image payload (want PPM/PNG/JPEG)")
+    npx = w * h * 3
+    tail = np.frombuffer(payload, dtype=np.uint8)[-npx:]
+    return tail.reshape(h, w, 3)
+
+
+def phash_batch(batch: pa.Table, id_col: str = "media_id") -> pa.Table:
+    """(id, payload, meta_w, meta_h) -> (id, phash int64).  Codec
+    entropy streams don't vectorize across rows, so the decode is the
+    per-row loop every real pipeline pays; the DCT/resize math inside
+    is pure numpy."""
+    data, off = _binary_view(batch["payload"])
+    w = batch["meta_w"].to_numpy(zero_copy_only=False).astype(np.int64)
+    h = batch["meta_h"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = batch.num_rows
+    out = np.zeros(n, dtype=np.uint64)
+    for i in range(n):
+        px = _decode_raster(data[off[i]:off[i + 1]].tobytes(),
+                            int(w[i]), int(h[i]))
+        out[i] = _phash64(px)
+    return pa.table({id_col: batch[id_col],
+                     "phash": pa.array(out.astype(np.int64))})
+
+
+def phash_images(ds, id_col: str = "media_id", concurrency=None,
+                 batch_size: int = 512):
+    """Distributed perceptual-hash stage over a mixed PPM/PNG/JPEG
+    media table — emits the slim (id, phash) signature table that
+    :func:`phash_near_duplicates` pairs up."""
+    from ocgis_ray.tuning import auto_pool
+
+    concurrency = auto_pool() if concurrency is None else concurrency
+    return ds.map_batches(
+        lambda b: phash_batch(b, id_col=id_col), batch_format="pyarrow",
+        zero_copy_batch=True, concurrency=concurrency,
+        batch_size=batch_size)
+
+
+def phash_near_duplicates(sig_ds, max_hamming: int = 8,
+                          id_col: str = "media_id"):
+    """Image near-dup pairs within ``max_hamming`` bits — delegates to
+    the text SimHash pairing machinery (pigeonhole banding over
+    ``max_hamming + 1`` bands, bucketed shuffle, in-bucket exact
+    popcount): a 64-bit signature is a 64-bit signature.  Returns
+    (``<id>_a``, ``<id>_b``, hamming)."""
+    from ocgis_ray.stages.dedup import simhash_near_duplicates
+
+    def to_sig(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t[id_col], "simhash": t["phash"]})
+
+    pairs = simhash_near_duplicates(
+        sig_ds.map_batches(to_sig, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        max_hamming=max_hamming)
+
+    # rename through an Arrow map: the pair table arrives as pandas
+    # blocks (map_groups output) where Dataset.rename_columns fails
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({f"{id_col}_a": t["doc_a"],
+                         f"{id_col}_b": t["doc_b"],
+                         "hamming": t["hamming"]})
+
+    return pairs.map_batches(rename, batch_format="pyarrow")
