@@ -815,6 +815,9 @@ def q_simhash_pairs(sf_dir: str):
 LM_VOCAB = 16
 DSIR_TARGET_MOD = 3
 DSIR_TARGET_PRED = f"doc_id % {DSIR_TARGET_MOD} = 0"
+# hashed-feature NB classifier carried by langid_documents: labels =
+# the table's own lang column, model trained in SQL by the twin
+NB_BUCKETS = 4096
 
 
 def q_langid_documents(sf_dir: str):
@@ -822,17 +825,22 @@ def q_langid_documents(sf_dir: str):
 
     from ocgis_ray.parity import sql_round
     from ocgis_ray.sources.io import read_parquet_sized
+    from ocgis_ray.stages.classifier import (score_classifier,
+                                             train_nb_classifier)
     from ocgis_ray.stages.lm import (score_log_ratio, score_perplexity,
                                      train_unigram_lm)
 
-    docs = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text", "lang"])
     raw = train_unigram_lm(docs, vocab_size=LM_VOCAB)
     target = train_unigram_lm(
         docs.filter(lambda r: r["doc_id"] % DSIR_TARGET_MOD == 0),
         vocab_size=LM_VOCAB)
+    nb_model = train_nb_classifier(docs, "lang", n_buckets=NB_BUCKETS)
     out = text.add_lang_pred(docs)
     out = score_perplexity(out, raw, out="ppl")
     out = score_log_ratio(out, target, raw, out="dsir_logw")
+    out = score_classifier(out, nb_model, round_digits=6)
 
     def rnd(t: pa.Table) -> pa.Table:
         for c in ("ppl", "dsir_logw"):
@@ -842,7 +850,8 @@ def q_langid_documents(sf_dir: str):
         return t
 
     out = out.map_batches(rnd, batch_format="pyarrow", zero_copy_batch=True)
-    return out.select_columns(["doc_id", "lang_pred", "ppl", "dsir_logw"])
+    return out.select_columns(["doc_id", "lang_pred", "ppl", "dsir_logw",
+                               "nb_label", "nb_margin"])
 
 
 # decontamination params carried by fingerprint_documents: benchmark
@@ -1581,15 +1590,22 @@ def sql_langid_documents() -> str:
     # merges the unigram-LM columns: perplexity under a model TRAINED
     # IN SQL (identical top-k vocab via exact counts + the engine's
     # tiebreak) and the DSIR log importance ratio
+    from ocgis_ray.stages.classifier import nb_score_sql
     from ocgis_ray.stages.lm import dsir_logw_sql, unigram_ppl_sql
     from ocgis_ray.stages.text import langid_sql
 
     lid = langid_sql()
     ppl = unigram_ppl_sql(LM_VOCAB)
     dsir = dsir_logw_sql(DSIR_TARGET_PRED, LM_VOCAB)
-    return (f"SELECT l.doc_id, l.lang_pred, p.ppl, d.dsir_logw\n"
+    # round-3 s4: hashed-feature NB classifier columns — the model is
+    # TRAINED in this SQL (per-(lang, bucket) counts over the same
+    # token hashes), rounded-score ranking mirrors the engine exactly
+    nb = nb_score_sql("lang", NB_BUCKETS)
+    return (f"SELECT l.doc_id, l.lang_pred, p.ppl, d.dsir_logw,\n"
+            f"       n.nb_label, n.nb_margin\n"
             f"FROM ({lid}) l JOIN ({ppl}) p ON l.doc_id = p.doc_id\n"
-            f"JOIN ({dsir}) d ON l.doc_id = d.doc_id")
+            f"JOIN ({dsir}) d ON l.doc_id = d.doc_id\n"
+            f"JOIN ({nb}) n ON l.doc_id = n.doc_id")
 
 
 def sql_fingerprint_documents() -> str:

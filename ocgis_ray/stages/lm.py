@@ -150,12 +150,20 @@ class PerplexityStage:
 def score_perplexity(ds, model: dict, col: str = "text",
                      out: str = "ppl", concurrency=None,
                      batch_size: int = 4096):
+    """Default is a stateless task stage (``tuning.task_stage``) —
+    the model is small and stacked fixed pools deadlock small
+    sessions; pass ``concurrency`` for a dedicated actor pool."""
     import ray
 
-    from ocgis_ray.tuning import auto_pool
+    from ocgis_ray.tuning import task_stage
 
-    concurrency = auto_pool() if concurrency is None else concurrency
     model_ref = ray.put(model)
+    if concurrency is None:
+        return ds.map_batches(
+            task_stage(PerplexityStage, model_ref=model_ref, col=col,
+                       out=out),
+            batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=batch_size)
     return ds.map_batches(
         PerplexityStage, batch_format="pyarrow", zero_copy_batch=True,
         concurrency=concurrency, batch_size=batch_size,
@@ -306,12 +314,19 @@ class LogRatioStage:
 def score_log_ratio(ds, target_model: dict, raw_model: dict,
                     col: str = "text", out: str = "dsir_logw",
                     concurrency=None, batch_size: int = 4096):
+    """Default is a stateless task stage (``tuning.task_stage``) —
+    see :func:`score_perplexity`; pass ``concurrency`` for a pool."""
     import ray
 
-    from ocgis_ray.tuning import auto_pool
+    from ocgis_ray.tuning import task_stage
 
-    concurrency = auto_pool() if concurrency is None else concurrency
     models_ref = ray.put((target_model, raw_model))
+    if concurrency is None:
+        return ds.map_batches(
+            task_stage(LogRatioStage, models_ref=models_ref, col=col,
+                       out=out),
+            batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=batch_size)
     return ds.map_batches(
         LogRatioStage, batch_format="pyarrow", zero_copy_batch=True,
         concurrency=concurrency, batch_size=batch_size,

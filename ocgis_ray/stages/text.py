@@ -289,9 +289,16 @@ class LangIdStage:
 
 
 def add_lang_pred(ds, concurrency=None):
-    from ocgis_ray.tuning import auto_pool
+    """Default is a stateless task stage (``tuning.task_stage``; the
+    stopword tables build in ~ms, cached per worker process) so langid
+    stacks with other scorers without pool-capacity deadlock; pass
+    ``concurrency`` for a dedicated actor pool."""
+    from ocgis_ray.tuning import task_stage
 
-    concurrency = auto_pool() if concurrency is None else concurrency
+    if concurrency is None:
+        return ds.map_batches(task_stage(LangIdStage),
+                              batch_format="pandas",
+                              batch_size=KERNEL_BATCH_SIZE)
     return ds.map_batches(LangIdStage, batch_format="pandas",
                           concurrency=concurrency,
                           batch_size=KERNEL_BATCH_SIZE)

@@ -67,6 +67,53 @@ def auto_pool(n_max: int | None = None) -> int:
     return max(1, min(want, cap))
 
 
+# Per-worker-process instance cache for task_stage (lives in each Ray
+# worker process; bounded — distinct (class, broadcast-ref) keys per
+# pipeline are few, but long sessions churn models, so evict FIFO).
+_TASK_STAGE_CACHE: dict = {}
+_TASK_STAGE_CACHE_MAX = 16
+
+
+def task_stage(cls, **ctor_kwargs):
+    """Wrap an actor-style stage class as a STATELESS ``map_batches``
+    function with a per-worker-process instance cache.
+
+    Why: a fixed-size actor pool (``concurrency=N``) must START all N
+    actors before the stage runs.  Stacking K cheap scoring pools in
+    one pipeline reserves K*N CPUs up front — at K*N >= session CPUs
+    the read tasks starve and the pipeline DEADLOCKS (measured:
+    langid_documents with four chained pools of 2 hung forever at 8
+    cpus).  Broadcast-model scorers whose state is small (unigram LM,
+    NB logp matrix, stopword tables) don't need reserved actors: as a
+    task stage the streaming executor schedules them freely, and the
+    instance (including the one ``ray.get`` of the broadcast ref) is
+    built once per WORKER PROCESS via this module-level cache — same
+    amortization as an actor pool, none of the capacity reservation.
+
+    ``ctor_kwargs`` must be hashable; ``ray.ObjectRef`` values key by
+    their hex so two models of the same class never share an instance.
+    """
+
+    def _key_val(v):
+        import ray
+
+        return ("ref", v.hex()) if isinstance(v, ray.ObjectRef) else v
+
+    key = (cls.__module__, cls.__qualname__,
+           tuple(sorted((k, _key_val(v)) for k, v in ctor_kwargs.items())))
+
+    def fn(batch):
+        inst = _TASK_STAGE_CACHE.get(key)
+        if inst is None:
+            while len(_TASK_STAGE_CACHE) >= _TASK_STAGE_CACHE_MAX:
+                _TASK_STAGE_CACHE.pop(next(iter(_TASK_STAGE_CACHE)))
+            inst = _TASK_STAGE_CACHE.setdefault(key, cls(**ctor_kwargs))
+        return inst(batch)
+
+    fn.__name__ = f"task_{cls.__name__}"
+    return fn
+
+
 def auto_buckets(n: int | None = None) -> int:
     """Default hash-bucket count for the bucketed-shuffle helpers
     (``io.bucketed_group_apply`` family): fixed 32.
