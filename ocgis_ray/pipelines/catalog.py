@@ -827,6 +827,7 @@ def q_langid_documents(sf_dir: str):
     from ocgis_ray.sources.io import read_parquet_sized
     from ocgis_ray.stages.classifier import (score_classifier,
                                              train_nb_classifier)
+    from ocgis_ray.stages.kn import score_kn_perplexity, train_kn_bigram
     from ocgis_ray.stages.lm import (score_log_ratio, score_perplexity,
                                      train_unigram_lm)
 
@@ -837,13 +838,15 @@ def q_langid_documents(sf_dir: str):
         docs.filter(lambda r: r["doc_id"] % DSIR_TARGET_MOD == 0),
         vocab_size=LM_VOCAB)
     nb_model = train_nb_classifier(docs, "lang", n_buckets=NB_BUCKETS)
+    kn_model = train_kn_bigram(docs, vocab_size=LM_VOCAB)
     out = text.add_lang_pred(docs)
     out = score_perplexity(out, raw, out="ppl")
     out = score_log_ratio(out, target, raw, out="dsir_logw")
     out = score_classifier(out, nb_model, round_digits=6)
+    out = score_kn_perplexity(out, kn_model)
 
     def rnd(t: pa.Table) -> pa.Table:
-        for c in ("ppl", "dsir_logw"):
+        for c in ("ppl", "dsir_logw", "kn_ppl"):
             idx = t.schema.get_field_index(c)
             vals = sql_round(t[c].to_numpy(zero_copy_only=False), 6)
             t = t.set_column(idx, c, pa.array(vals))
@@ -851,7 +854,7 @@ def q_langid_documents(sf_dir: str):
 
     out = out.map_batches(rnd, batch_format="pyarrow", zero_copy_batch=True)
     return out.select_columns(["doc_id", "lang_pred", "ppl", "dsir_logw",
-                               "nb_label", "nb_margin"])
+                               "nb_label", "nb_margin", "kn_ppl"])
 
 
 # decontamination params carried by fingerprint_documents: benchmark
@@ -859,18 +862,31 @@ def q_langid_documents(sf_dir: str):
 # SQL twin needs no side-channel literals), CONTAM_N-token windows
 CONTAM_N = 8
 CONTAM_BENCH_DOCS = 5
+# BM25 lexical-retrieval column carried by fingerprint_documents: the
+# per-doc score for a fixed query (two terms present in the synthetic
+# corpus, two absent — exercising the df=0 idf branch); stats + model
+# replayed entirely in the SQL twin
+BM25_QUERY = "data value world report"
 
 
 def q_fingerprint_documents(sf_dir: str):
     from ocgis_ray.sources.io import read_parquet_sized
+    from ocgis_ray.stages.bm25 import add_bm25, bm25_stats
     from ocgis_ray.stages.decontam import add_contamination, build_bench_ngrams
 
     docs = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     bench = build_bench_ngrams(
         docs.filter(lambda r: r["doc_id"] < CONTAM_BENCH_DOCS), n=CONTAM_N)
+    # corpus stats pass (df/avgdl for the query's terms only) — a
+    # second column-pruned read, never a corpus-sized collect
+    stats = bm25_stats(
+        read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["text"]),
+        BM25_QUERY)
     out = text.add_fingerprint(docs)
     out = add_contamination(out, bench, n=CONTAM_N)
-    return out.select_columns(["doc_id", "fingerprint", "contam_ngrams"])
+    out = add_bm25(out, BM25_QUERY, stats, round_digits=6)
+    return out.select_columns(["doc_id", "fingerprint", "contam_ngrams",
+                               "bm25"])
 
 
 def q_ann_lsh(sf_dir: str):
@@ -1591,6 +1607,7 @@ def sql_langid_documents() -> str:
     # IN SQL (identical top-k vocab via exact counts + the engine's
     # tiebreak) and the DSIR log importance ratio
     from ocgis_ray.stages.classifier import nb_score_sql
+    from ocgis_ray.stages.kn import kn_ppl_sql
     from ocgis_ray.stages.lm import dsir_logw_sql, unigram_ppl_sql
     from ocgis_ray.stages.text import langid_sql
 
@@ -1601,11 +1618,15 @@ def sql_langid_documents() -> str:
     # TRAINED in this SQL (per-(lang, bucket) counts over the same
     # token hashes), rounded-score ranking mirrors the engine exactly
     nb = nb_score_sql("lang", NB_BUCKETS)
+    # round-3 s4: interpolated Kneser-Ney bigram perplexity (the
+    # KenLM/CCNet gate shape), trained + scored in SQL (stages/kn.py)
+    kn = kn_ppl_sql(LM_VOCAB)
     return (f"SELECT l.doc_id, l.lang_pred, p.ppl, d.dsir_logw,\n"
-            f"       n.nb_label, n.nb_margin\n"
+            f"       n.nb_label, n.nb_margin, k.kn_ppl\n"
             f"FROM ({lid}) l JOIN ({ppl}) p ON l.doc_id = p.doc_id\n"
             f"JOIN ({dsir}) d ON l.doc_id = d.doc_id\n"
-            f"JOIN ({nb}) n ON l.doc_id = n.doc_id")
+            f"JOIN ({nb}) n ON l.doc_id = n.doc_id\n"
+            f"JOIN ({kn}) k ON l.doc_id = k.doc_id")
 
 
 def sql_fingerprint_documents() -> str:
@@ -1614,13 +1635,18 @@ def sql_fingerprint_documents() -> str:
     # was a rows-only query until round 3; round-3 s3 merges in the
     # decontamination count (benchmark = the table's own first
     # CONTAM_BENCH_DOCS rows, so the oracle is self-contained)
+    from ocgis_ray.stages.bm25 import bm25_sql
     from ocgis_ray.stages.decontam import contam_sql
     from ocgis_ray.stages.text import fingerprint_sql
 
     fp = fingerprint_sql()
     ct = contam_sql(f"doc_id < {CONTAM_BENCH_DOCS}", n=CONTAM_N)
-    return (f"SELECT f.doc_id, f.fingerprint, c.contam_ngrams\n"
-            f"FROM ({fp}) f JOIN ({ct}) c ON f.doc_id = c.doc_id")
+    # round-3 s4: BM25 score vs a fixed query — df/avgdl/idf replayed
+    # in SQL over the same table (stages/bm25.py docstring)
+    bm = bm25_sql(BM25_QUERY)
+    return (f"SELECT f.doc_id, f.fingerprint, c.contam_ngrams, b.bm25\n"
+            f"FROM ({fp}) f JOIN ({ct}) c ON f.doc_id = c.doc_id\n"
+            f"JOIN ({bm}) b ON f.doc_id = b.doc_id")
 
 
 def sql_idw_interpolate() -> str:
