@@ -37,9 +37,15 @@ from __future__ import annotations
 
 DEFAULT_STEPS = ("url_dedup", "c4", "gopher", "decontam", "exact_dedup",
                  "paragraph_dedup", "near_dup", "pii")
-# recognized but not default: ExactSubstr-style span cutting is the
-# expensive alternative/complement to paragraph_dedup (3 shuffles)
-ALL_STEPS = DEFAULT_STEPS + ("substr_dedup",)
+# recognized but not default:
+# - substr_dedup: ExactSubstr-style span cutting, the expensive
+#   alternative/complement to paragraph_dedup (3 shuffles)
+# - compression: zlib-ratio repetitiveness gate (Dolma/RPv2 signal)
+# - kn_ppl: KN-bigram perplexity gate (CCNet head/middle; needs
+#   kn_model) — runs with the filters, right after gopher
+# - classifier: NB quality-classifier gate (phi-style; needs nb_model)
+ALL_STEPS = DEFAULT_STEPS + ("substr_dedup", "compression", "kn_ppl",
+                             "classifier")
 
 
 def clean_corpus(ds, id_col: str = "doc_id", text_col: str = "text",
@@ -51,6 +57,11 @@ def clean_corpus(ds, id_col: str = "doc_id", text_col: str = "text",
                  embeddings=None, embedding_threshold: float = 0.95,
                  bench_ngrams=None, decontam_n: int = 13,
                  substr_min_len: int = 64,
+                 kn_model=None, kn_max_ppl: float = 1e4,
+                 nb_model=None, nb_keep_label: str = "keep",
+                 nb_min_margin: float = 0.0,
+                 compression_min: float = 0.30,
+                 compression_max: float = 1.15,
                  num_buckets: int | None = None):
     """Run the cleaning cascade over a documents Dataset; returns the
     surviving documents (same schema, text possibly rewritten by the
@@ -65,7 +76,13 @@ def clean_corpus(ds, id_col: str = "doc_id", text_col: str = "text",
     with ``bench_ngrams`` (a ``decontam.build_bench_ngrams`` index);
     it is skipped automatically when ``bench_ngrams`` is None (the
     default steps include it so callers who pass an eval index get the
-    gate without re-ordering anything)."""
+    gate without re-ordering anything).  Opt-in model gates (same
+    auto-skip convention): ``"compression"`` (zlib-ratio band
+    ``compression_min..compression_max``), ``"kn_ppl"`` (KN-bigram
+    perplexity <= ``kn_max_ppl`` under ``kn_model``), ``"classifier"``
+    (NB ``nb_model`` predicts ``nb_keep_label`` with margin >=
+    ``nb_min_margin``) — all run with the filters, before the dedup
+    shuffles."""
     if near_dup_method not in ("minhash", "simhash", "embedding"):
         raise ValueError(f"unknown near_dup_method {near_dup_method!r}")
     if near_dup_method == "embedding" and embeddings is None \
@@ -85,6 +102,22 @@ def clean_corpus(ds, id_col: str = "doc_id", text_col: str = "text",
         ds = quality.c4_line_filter(ds, col=text_col)
     if "gopher" in steps:
         ds = quality.gopher_filter(ds, col=text_col)
+    if "compression" in steps:
+        ds = quality.compression_filter(ds, col=text_col,
+                                        min_ratio=compression_min,
+                                        max_ratio=compression_max)
+    # model gates run with the filters (CCNet puts the LM gate before
+    # dedup); auto-skip when no model is supplied, like decontam
+    if "kn_ppl" in steps and kn_model is not None:
+        from ocgis_ray.stages.kn import kn_perplexity_filter
+
+        ds = kn_perplexity_filter(ds, kn_model, max_ppl=kn_max_ppl,
+                                  col=text_col)
+    if "classifier" in steps and nb_model is not None:
+        from ocgis_ray.stages.classifier import classifier_filter
+
+        ds = classifier_filter(ds, nb_model, keep_label=nb_keep_label,
+                               min_margin=nb_min_margin, col=text_col)
     if "decontam" in steps and bench_ngrams is not None:
         from ocgis_ray.stages.decontam import decontaminate
 

@@ -194,6 +194,24 @@ def score_kn_perplexity(ds, model: dict, col: str = "text",
                                "out": out})
 
 
+def kn_perplexity_filter(ds, model: dict, max_ppl: float,
+                         col: str = "text", concurrency=None):
+    """Keep docs whose KN-bigram perplexity is at most ``max_ppl`` —
+    the CCNet head/middle gate with a real n-gram model.  Docs with
+    < 2 tokens score ``inf`` and are dropped."""
+    import pyarrow.compute as pc
+
+    scored = score_kn_perplexity(ds, model, col=col, out="_knppl",
+                                 concurrency=concurrency)
+
+    def keep(t: pa.Table) -> pa.Table:
+        out = t.filter(pc.less_equal(t["_knppl"], pa.scalar(max_ppl)))
+        return out.drop_columns(["_knppl"])
+
+    return scored.map_batches(keep, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
 def kn_ppl_sql(vocab_size: int, discount: float = DEFAULT_DISCOUNT,
                col: str = "text", table: str = "documents",
                id_col: str = "doc_id", out: str = "kn_ppl",

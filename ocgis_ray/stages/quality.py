@@ -265,6 +265,57 @@ def add_quality_stats(ds, col: str = "text"):
                         batch_size=KERNEL_BATCH_SIZE)
 
 
+def add_compression_ratio(ds, col: str = "text",
+                          out: str = "compression_ratio",
+                          level: int = 6, batch_size: int = 4096):
+    """zlib compression ratio per document — the Dolma/RedPajama-V2
+    repetitiveness signal: ``len(zlib.compress(utf8)) / max(len(utf8),
+    1)``.  Boilerplate/repetitive text compresses far below ~0.4;
+    encrypted/binary junk sits near (or above) 1.0.
+
+    Not SQL-expressible (DEFLATE), so this signal is pytest-checked
+    only.  The per-row ``zlib.compress`` call is a C kernel — the
+    Python loop here is dispatch, not the hot path (DEFLATE dominates
+    at ~100 MB/s/core), and null rows pass through as null."""
+    import zlib
+
+    def f(t: pa.Table) -> pa.Table:
+        arr = t[col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        vals = np.empty(len(arr), dtype=np.float64)
+        mask = np.zeros(len(arr), dtype=bool)
+        for i, v in enumerate(arr):
+            if not v.is_valid:
+                mask[i] = True
+                continue
+            raw = v.as_buffer()  # zero-copy utf-8 view
+            vals[i] = len(zlib.compress(bytes(raw), level)) / max(len(raw), 1)
+        return t.append_column(
+            out, pa.array(vals, mask=mask if mask.any() else None))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=batch_size)
+
+
+def compression_filter(ds, col: str = "text", min_ratio: float = 0.30,
+                       max_ratio: float = 1.15, level: int = 6):
+    """Keep docs with ``min_ratio <= compression_ratio <= max_ratio``
+    (drop hyper-repetitive boilerplate below, binary junk above);
+    null-text rows are dropped like the other quality gates."""
+    import pyarrow.compute as pc
+
+    scored = add_compression_ratio(ds, col=col, out="_zratio", level=level)
+
+    def keep(t: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.greater_equal(t["_zratio"], pa.scalar(min_ratio)),
+                     pc.less_equal(t["_zratio"], pa.scalar(max_ratio)))
+        return t.filter(pc.fill_null(ok, False)).drop_columns(["_zratio"])
+
+    return scored.map_batches(keep, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
 def gopher_filter(ds, col: str = "text"):
     """Rows passing the Gopher gate (stats computed, gate applied,
     stat columns dropped — the filter shape a cleaning pipeline uses)."""
