@@ -76,6 +76,23 @@ def sql_hexpair_byte(hx: str, p: str) -> str:
             f"+ strpos({d}, substr({hx}, 2*({p}), 1)) - 1")
 
 
+def sql_string_hash(expr: str) -> str:
+    """HUGEINT twin of ``text.string_value_hash``: full-content Horner
+    over ALL utf-8 bytes of the value (case-preserving, whitespace
+    included), splitmix64-finalized.  NULL/empty hash ``mix64(0)`` —
+    the reduce seeds with a prepended 0, which is a Horner no-op for
+    non-empty values and makes the empty list reducible.  O(bytes)
+    per value: use on SHORT key columns (domains, sources), not
+    document bodies."""
+    enc = f"encode(coalesce({expr}, ''))"
+    byte_p = sql_hexpair_byte(f"hex({enc})", "p")
+    horner = (f"list_reduce(list_prepend(0::HUGEINT, list_transform("
+              f"range(1, octet_length({enc}) + 1), "
+              f"p -> ({byte_p})::HUGEINT)), "
+              f"(a, b) -> (a * {SQL_FNV} + b) % {SQL_P64})")
+    return f"list_extract({sql_mix64_list(f'[{horner}]')}, 1)"
+
+
 def sql_tokens(col: str) -> str:
     """SQL for the engine's ASCII-whitespace tokenizer (byte-level and
     char-level splits agree: UTF-8 continuation bytes are never ASCII

@@ -694,13 +694,17 @@ def sql_dedup_exact_documents() -> str:
 MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
 
 
+SPLIT_RATES = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
 def q_text_stats_documents(sf_dir: str):
     """Per-document text stats + Gopher repetition/quality signals +
-    BPE-ish token count + the stratified data-mixing decision — one
-    fused scan, all columns hash-exact vs the DuckDB twin."""
+    BPE-ish token count + the stratified data-mixing decision + token
+    entropy + the group-aware train/val/test split label — one fused
+    scan, all columns hash-exact vs the DuckDB twin."""
     from ocgis_ray.sources.io import read_parquet_sized
     from ocgis_ray.stages.quality import add_quality_stats
-    from ocgis_ray.stages.reshape import stratified_sample_flag
+    from ocgis_ray.stages.reshape import assign_split, stratified_sample_flag
 
     docs = read_parquet_sized(f"{sf_dir}/documents.parquet",
                               columns=["doc_id", "source", "text"])
@@ -708,22 +712,29 @@ def q_text_stats_documents(sf_dir: str):
     out = text.add_bpe_token_count(out)
     out = stratified_sample_flag(out, "doc_id", "source", MIX_RATES,
                                  default_rate=0.05)
+    out = text.add_token_entropy(out, round_digits=6)
+    # leakage-safe split keyed on the doc's source group (round-3 s4)
+    out = assign_split(out, "source", SPLIT_RATES)
     return out.select_columns(
         ["doc_id", "token_count", "alpha_ratio", "punct_ratio", "quality_score",
          "dup_word_frac", "mean_word_len", "stopword_frac", "top_bigram_frac",
-         "gopher_keep", "bpe_token_count", "mix_keep"]
+         "gopher_keep", "bpe_token_count", "mix_keep", "token_entropy",
+         "split"]
     )
 
 
 def sql_text_stats_documents() -> str:
     from ocgis_ray.stages.quality import quality_stats_sql
-    from ocgis_ray.stages.reshape import stratified_sample_sql_pred
+    from ocgis_ray.stages.reshape import (assign_split_sql_expr,
+                                          stratified_sample_sql_pred)
 
     frags = text.text_stats_sql("d.text")
     frags["bpe_token_count"] = text.bpe_token_count_sql("d.text")
     pred = stratified_sample_sql_pred("d.doc_id", "d.source", MIX_RATES,
                                       default_rate=0.05)
     frags["mix_keep"] = f"CAST(({pred}) AS BIGINT)"
+    frags["token_entropy"] = text.token_entropy_sql("d.text")
+    frags["split"] = assign_split_sql_expr("d.source", SPLIT_RATES)
     extra = ",\n    ".join(f"{sql} AS {name}" for name, sql in frags.items())
     return quality_stats_sql(col="text", table="documents", id_col="doc_id",
                              extra_select=extra)

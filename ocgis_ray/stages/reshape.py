@@ -248,6 +248,63 @@ def pack_sequences(ds, id_col: str, size_col: str, budget: int,
         ["pack_bucket"], pack, num_buckets=nb)
 
 
+def assign_split(ds, group_col: str, rates: dict[str, float],
+                 salt: int = 0, out: str = "split"):
+    """Deterministic GROUP-AWARE train/val/test split: every row whose
+    ``group_col`` value matches gets the same label, so near-duplicates
+    clustered by domain/source can never leak across the split — the
+    standard web-corpus leakage guard (split by url host, not by row).
+
+    ``rates`` maps label -> fraction (must sum to 1; dict order fixes
+    the cumulative bucket order).  Label = first cumulative threshold
+    exceeding ``(string_value_hash(group) + salt) mod 2^32`` — pure
+    function of the group value, so it is shuffle-free, resume-stable,
+    and identical on any engine (``assign_split_sql_expr`` twin)."""
+    import pyarrow as pa
+
+    fr = np.array(list(rates.values()), dtype=np.float64)
+    if fr.min() < 0 or abs(fr.sum() - 1.0) > 1e-9:
+        raise ValueError(f"rates must be >=0 and sum to 1, got {rates}")
+    labels = np.array(list(rates), dtype=object)
+    # cumulative integer thresholds on 2^32; the last label absorbs
+    # the rounding remainder (searchsorted right of the last bound)
+    bounds = np.floor(np.cumsum(fr)[:-1] * (1 << 32)).astype(np.uint64)
+
+    def f(t: pa.Table) -> pa.Table:
+        from ocgis_ray.stages.text import string_value_hash
+
+        arr = t[group_col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        u = (string_value_hash(arr) + np.uint64(salt)) % np.uint64(1 << 32)
+        idx = np.searchsorted(bounds, u, side="right")
+        return t.append_column(out, pa.array(labels[idx], pa.string()))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def assign_split_sql_expr(group_expr: str, rates: dict[str, float],
+                          salt: int = 0) -> str:
+    """DuckDB CASE twin of :func:`assign_split` (same full-content
+    string hash via ``parity.sql_string_hash``, same cumulative
+    integer thresholds)."""
+    from ocgis_ray.parity import sql_string_hash
+
+    fr = np.array(list(rates.values()), dtype=np.float64)
+    if fr.min() < 0 or abs(fr.sum() - 1.0) > 1e-9:
+        raise ValueError(f"rates must be >=0 and sum to 1, got {rates}")
+    labels = list(rates)
+    bounds = np.floor(np.cumsum(fr)[:-1] * (1 << 32)).astype(np.uint64)
+    h = f"(({sql_string_hash(group_expr)} + {salt}) % 4294967296)"
+    arms = " ".join(
+        f"WHEN {h} < {int(b)} THEN '{str(lab).replace(chr(39), chr(39) * 2)}'"
+        for lab, b in zip(labels[:-1], bounds))
+    last = str(labels[-1]).replace("'", "''")
+    if not arms:  # single label
+        return f"'{last}'"
+    return f"(CASE {arms} ELSE '{last}' END)"
+
+
 def stratified_sample_flag(ds, key_col: str, group_col: str, rates: dict,
                            default_rate: float = 0.0, salt: int = 0,
                            out: str = "mix_keep"):

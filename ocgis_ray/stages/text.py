@@ -194,6 +194,84 @@ def _horner_hash_bytes(b: bytes, max_len: int = 64) -> np.uint64:
         return np.uint64(_mix64(np.asarray([h]))[0])
 
 
+def token_entropy_values(arr) -> np.ndarray:
+    """Shannon entropy (nats) of each document's own unigram token
+    distribution: ``H = ln(n) - (Σ c·ln c)/n`` over per-(doc, token)
+    counts ``c`` — the vocabulary-diversity quality signal (low H =
+    repetitive/templated text).  Vectorized: one tokenize pass, one
+    lexsort for (row, hash) run-lengths.  Empty docs score 0.0."""
+    h, tok_row, per_row = _tokenize_hash(arr, lower=True)
+    n_rows = len(per_row)
+    out = np.zeros(n_rows, dtype=np.float64)
+    if not h.size:
+        return out
+    order = np.lexsort((h, tok_row))
+    sh, sr = h[order], tok_row[order]
+    gstart = np.empty(len(sh), dtype=bool)
+    gstart[0] = True
+    gstart[1:] = (sh[1:] != sh[:-1]) | (sr[1:] != sr[:-1])
+    gidx = np.nonzero(gstart)[0]
+    c = np.diff(np.append(gidx, len(sh))).astype(np.float64)
+    clogc = c * np.log(c)
+    rows = sr[gidx]
+    sums = np.bincount(rows, weights=clogc, minlength=n_rows)
+    nz = per_row > 0
+    nf = per_row.astype(np.float64)
+    out[nz] = np.log(nf[nz]) - sums[nz] / nf[nz]
+    return out
+
+
+def add_token_entropy(ds, col: str = "text", out: str = "token_entropy",
+                      round_digits: int | None = None):
+    import pyarrow as pa
+
+    def f(t: pa.Table) -> pa.Table:
+        arr = t[col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        vals = token_entropy_values(arr)
+        if round_digits is not None:
+            from ocgis_ray.parity import sql_round
+
+            vals = sql_round(vals, round_digits)
+        return t.append_column(out, pa.array(vals))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=KERNEL_BATCH_SIZE)
+
+
+def token_entropy_sql(col: str = "text", round_digits: int = 6) -> str:
+    """Per-row SELECT fragment twin of :func:`add_token_entropy`: the
+    same token hashes (``parity`` fragments), per-distinct counts via
+    list ops, the same two-term entropy form, both sides rounded
+    (list_sum order vs reduceat order drifts ~1e-15)."""
+    from ocgis_ray.parity import sql_token_hash_list, sql_tokens
+
+    hs = sql_token_hash_list(sql_tokens(col), lower=True)
+    n = "CAST(len(hs) AS DOUBLE)"
+    # per-distinct count c appears twice (c and ln(c)) — DuckDB list
+    # lambdas have no let-binding, so the filter runs twice per
+    # distinct token; fine at per-row list sizes
+    clogc = ("list_sum(list_transform(list_distinct(hs), x -> "
+             "CAST(len(list_filter(hs, y -> y = x)) AS DOUBLE) "
+             "* ln(CAST(len(list_filter(hs, y -> y = x)) AS DOUBLE))))")
+    return (f"(SELECT round(CASE WHEN len(hs) = 0 THEN 0.0 "
+            f"ELSE ln({n}) - ({clogc}) / {n} END, {round_digits}) "
+            f"FROM (SELECT {hs} AS hs) __te)")
+
+
+def string_value_hash(arr) -> np.ndarray:
+    """Full-content Horner+splitmix hash per string VALUE
+    (case-preserving, no length cap, whitespace included) — the
+    SQL-twinnable whole-string hash (``parity.sql_string_hash``).
+    Null and empty values both hash ``mix64(0)`` (the SQL twin
+    coalesces NULL to '')."""
+    from ocgis_ray.stages.quality import _segmented_horner
+
+    data, off = _string_byte_view(arr)
+    return _segmented_horner(data, np.diff(off).astype(np.int64))
+
+
 _WS_BYTES = b" \t\n\r\x0b\x0c"
 _LOWER_LUT = np.arange(256, dtype=np.uint8)
 _LOWER_LUT[ord("A"): ord("Z") + 1] += 32
