@@ -307,12 +307,69 @@ def sql_knn_pages() -> str:
 BBOX = (-130.0, 25.0, -60.0, 50.0)  # north-america-ish window
 
 
+# synthetic host link graph for the PageRank column: host index i
+# links to three targets derivable identically by the engine and the
+# SQL twin.  Deliberately NON-bijective (quadratic + halving) — three
+# linear maps coprime to H make a 3-regular graph whose stationary
+# distribution is uniform (measured: every host_rank = 1/H, a
+# vacuous oracle); these skew in-degree so ranks spread
+PR_ITERS = 3
+
+
+def _pr_dst_indices(idx, h):
+    """Engine-side edge targets for host indices ``idx`` (numpy)."""
+    return ((idx * 7 + 1) % h, (idx * idx + 3) % h, idx // 2)
+
+
+def _pr_dst_sql(i: str, h: str) -> tuple[str, ...]:
+    """The same three target formulas in SQL (integer semantics)."""
+    return (f"({i} * 7 + 1) % {h}",
+            f"({i} * {i} + 3) % {h}",
+            f"{i} // 2")
+
+
+def _host_pagerank(sf_dir: str):
+    """Distributed PageRank over the synthetic host graph -> small
+    (node, rank) Dataset.  Exercises stages/graph.py's iterative
+    bucketed-join fixed point end-to-end in the oracle gate."""
+    import numpy as np
+
+    from ocgis_ray.sources.io import distinct_rows
+    from ocgis_ray.stages.graph import pagerank
+    from ocgis_ray.stages.url import parse_url
+
+    hosts = distinct_rows(
+        parse_url(_geo_pages(sf_dir)).map_batches(
+            lambda t: pa.table({"node": t["url_host"]}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        "node").materialize()
+    h = hosts.count()
+
+    def edges(t: pa.Table) -> pa.Table:
+        hs = t["node"].to_pylist()  # host-universe-sized, never pages
+        idx = np.array([int(s.split("-")[1].split(".")[0]) for s in hs],
+                       dtype=np.int64)
+        src, dst = [], []
+        for j in _pr_dst_indices(idx, h):
+            src.extend(hs)
+            dst.extend(f"site-{x}.example.com" for x in j)
+        return pa.table({"src": pa.array(src, pa.string()),
+                         "dst": pa.array(dst, pa.string())})
+
+    e = hosts.map_batches(edges, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return pagerank(e, damping=0.85, iters=PR_ITERS, num_partitions=4)
+
+
 def q_spatiotemporal_subset_pages(sf_dir: str):
     """Optimized bbox window subset (spatial/grid.py:635-674) COMPOSED
     with the time-range subset (the reference's snippet of a
-    spatiotemporal request): pure filters, no geometry work."""
+    spatiotemporal request): pure filters, no geometry work.  Round-3
+    s4 adds host_rank: PageRank over the synthetic host link graph
+    (stages/graph.py), attached by host join."""
+    from ocgis_ray.parity import sql_round
+    from ocgis_ray.sources.io import join_datasets
     from ocgis_ray.stages.subset import bbox_filter
-
     from ocgis_ray.stages.url import parse_url
 
     ds = bbox_filter(_geo_pages(sf_dir), *BBOX)
@@ -322,19 +379,46 @@ def q_spatiotemporal_subset_pages(sf_dir: str):
     # URL parsing rides the subset result (the crawl-pipeline shape:
     # filter first, parse the survivors)
     ds = parse_url(_ts_us(ds, "warc_ts", "warc_ts_us"))
-    return ds.select_columns(["page_id", "warc_ts_us", "url_host", "url_domain"])
+    ranks = _host_pagerank(sf_dir)
+    ds = join_datasets(ds, ranks, on=["url_host"], right_on=["node"],
+                       num_partitions=4)
+
+    def rnd(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "host_rank",
+            pa.array(sql_round(t["rank"].to_numpy(zero_copy_only=False), 6)))
+
+    ds = ds.map_batches(rnd, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.select_columns(["page_id", "warc_ts_us", "url_host",
+                              "url_domain", "host_rank"])
 
 
 def sql_spatiotemporal_subset_pages() -> str:
+    from ocgis_ray.stages.graph import pagerank_sql_ctes
     from ocgis_ray.stages.url import parse_url_sql
 
     x0, y0, x1, y1 = BBOX
     frags = parse_url_sql("url")
+    # host universe + the synthetic link graph (same (a*i+b)%H edge
+    # formulas as the engine), then the unrolled PageRank CTE chain
+    edge_sel = " UNION ALL ".join(
+        f"SELECT a.node AS src, b.node AS dst FROM prx a "
+        f"JOIN prhn ON TRUE JOIN prx b ON b.i = {f_}"
+        for f_ in _pr_dst_sql("a.i", "prhn.h"))
+    pr_ctes, pr_final = pagerank_sql_ctes("pre", "prh", iters=PR_ITERS,
+                                          damping=0.85)
     return (
-        f"{geo_cte(REPS)}\n"
+        f"{geo_cte(REPS)},\n"
+        f"prh AS (SELECT DISTINCT {frags['url_host']} AS node FROM geo),\n"
+        f"prx AS (SELECT node, CAST(regexp_extract(node, 'site-([0-9]+)', 1)"
+        f" AS BIGINT) AS i FROM prh),\n"
+        f"prhn AS (SELECT count(*) AS h FROM prh),\n"
+        f"pre AS ({edge_sel}),\n"
+        f"{pr_ctes}\n"
         f"SELECT page_id, epoch_us(warc_ts) AS warc_ts_us,\n"
-        f"  {frags['url_host']} AS url_host, {frags['url_domain']} AS url_domain\n"
-        f"FROM geo\n"
+        f"  {frags['url_host']} AS url_host, {frags['url_domain']} AS url_domain,\n"
+        f"  round(r.rank, 6) AS host_rank\n"
+        f"FROM geo JOIN {pr_final} r ON {frags['url_host']} = r.node\n"
         f"WHERE lon >= {x0!r} AND lon <= {x1!r} AND lat >= {y0!r} AND lat <= {y1!r}\n"
         "AND warc_ts >= TIMESTAMP '2024-03-01 00:00:00' AND warc_ts <= TIMESTAMP '2024-06-30 23:59:59'"
     )

@@ -153,6 +153,18 @@ def join_datasets(left, right, on, right_on=None, join_type: str = "inner",
     join wants."""
     import ray
 
+    # blocks that arrived via pandas conversions carry pandas schema
+    # metadata (a dict) that makes schemas unhashable — the shuffle
+    # aggregators then log "Failed to hash the schemas" per block and
+    # lose Ray's schema-dedup fast path.  Stripping metadata is a
+    # zero-copy schema-only op.
+    def _strip(t):
+        return t.replace_schema_metadata(None)
+
+    left = left.map_batches(_strip, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    right = right.map_batches(_strip, batch_format="pyarrow",
+                              zero_copy_batch=True)
     total = int(ray.cluster_resources().get("CPU", 8)) or 8
     if num_partitions is None:
         # each partition is a long-lived aggregator actor whose startup
