@@ -188,14 +188,8 @@ def flagship_from_parquet(
     counts come from the files' uncompressed size, and the per-page
     stages run FUSED in a single actor pool (see FusedPageWorker) so
     fat html/text columns never cross an operator boundary."""
-    import ray
-
     from ocgis_ray.sources.io import read_parquet_sized
-    from ocgis_ray.stages.spatial_join import build_index
 
-    from ocgis_ray.tuning import auto_pool
-
-    extract_concurrency = auto_pool() if extract_concurrency is None else extract_concurrency
     # 16 MiB read blocks (not the 32 MiB default): the streaming
     # executor bundles ~3 consecutive 21 MB blocks into one ~70 MB
     # fused-stage task at 32 MiB, leaving a 32-core node running one
@@ -210,6 +204,55 @@ def flagship_from_parquet(
         target_block_bytes=16 * 1024 * 1024,
         max_blocks=1024,
     )
+    return flagship_from_dataset(
+        ds, layer_name=layer_name, rollup_cell=rollup_cell,
+        extract_concurrency=extract_concurrency,
+        verify_extraction=verify_extraction,
+        extract_batch_size=extract_batch_size, use_actors=use_actors,
+        analyze=analyze)
+
+
+def flagship_from_warc(
+    warc_path,
+    layer_name: str = "world_regions",
+    rollup_cell: str = "cell_r8",
+    page_id: str = "url",
+    extract_batch_size: int = 8192,
+    analyze: bool = True,
+):
+    """Flagship over raw WARC crawl files (the real Common-Crawl
+    container): streaming WARC read -> WET adaptation
+    (``sources.warc.warc_to_pages``) -> the same fused stage as the
+    parquet path.  The adapter's extracted text becomes the stored
+    ground truth, so the fused stage's byte-identity verification
+    exercises the per-row invariant end to end."""
+    from ocgis_ray.sources.warc import read_warc, warc_to_pages
+
+    pages = warc_to_pages(read_warc(warc_path), page_id=page_id)
+    return flagship_from_dataset(
+        pages, layer_name=layer_name, rollup_cell=rollup_cell,
+        extract_batch_size=extract_batch_size, analyze=analyze)
+
+
+def flagship_from_dataset(
+    ds,
+    layer_name: str = "world_regions",
+    rollup_cell: str = "cell_r8",
+    extract_concurrency=None,
+    verify_extraction: bool = True,
+    extract_batch_size: int = 8192,
+    use_actors: bool = False,
+    analyze: bool = True,
+):
+    """The fused flagship tail over an already-loaded pages Dataset
+    (shared by the parquet and WARC front ends)."""
+    import ray
+
+    from ocgis_ray.stages.spatial_join import build_index
+    from ocgis_ray.tuning import auto_pool
+
+    extract_concurrency = (auto_pool() if extract_concurrency is None
+                           else extract_concurrency)
     index_ref = ray.put(build_index(load_layer(layer_name), res=7))
     if use_actors:
         joined = ds.map_batches(

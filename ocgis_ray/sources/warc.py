@@ -197,3 +197,64 @@ def read_warc(paths, rows_per_block: int = 512, **read_kwargs):
 
     return ray.data.read_datasource(
         WarcDatasource(paths, rows_per_block=rows_per_block), **read_kwargs)
+
+
+def warc_to_pages(ds, page_id: str = "url", batch_size: int = 2048):
+    """Adapt WARC rows to the engine's pages schema — the WET step:
+
+    - ``page_id``: parsed from the synthetic ``/p/<id>`` url tail
+      (``page_id="url"``), or derived as the full-url content hash
+      (``page_id="hash"``) for real crawls whose urls carry no id;
+    - ``warc_ts``: ISO-8601 string -> timestamp[us] (``T``/space and
+      trailing ``Z`` both accepted);
+    - ``text``: WET extraction from ``html`` (the shared
+      ``HtmlExtractor`` kernel — the fused flagship stage re-extracts
+      and enforces byte identity against this column, so the per-row
+      invariant is exercised end to end);
+    - ``n_chars``: codepoint length of ``text``; ``lang``: empty
+      (langid is a downstream operator).
+    """
+    import pyarrow.compute as pc
+
+    from ocgis_ray.stages.extract import HtmlExtractor
+    from ocgis_ray.tuning import task_stage
+
+    if page_id not in ("url", "hash"):
+        raise ValueError(f"page_id must be url|hash, got {page_id!r}")
+
+    extract = task_stage(HtmlExtractor)
+
+    def adapt(t: pa.Table) -> pa.Table:
+        if page_id == "url":
+            ids = pc.struct_field(
+                pc.extract_regex(t["url"], r"/p/(?P<id>[0-9]+)$"), "id")
+            if ids.null_count and ids.null_count > t["url"].null_count:
+                raise ValueError(
+                    "warc_to_pages(page_id='url'): url has no /p/<id> "
+                    "tail; use page_id='hash' for real crawl urls")
+            ids = pc.cast(ids, pa.int64())
+        else:
+            import numpy as np
+
+            from ocgis_ray.stages.text import string_value_hash
+
+            ids = pa.array(
+                string_value_hash(t["url"]).view(np.int64))
+        ts = pc.utf8_rtrim(t["warc_ts"], characters="Z")
+        ts = pc.replace_substring(ts, "T", " ", max_replacements=1)
+        ts = pc.strptime(ts, format="%Y-%m-%d %H:%M:%S", unit="us")
+        t = extract(t)
+        text = t["text_extracted"]
+        out = pa.table({
+            "page_id": ids,
+            "url": t["url"],
+            "warc_ts": ts,
+            "html": t["html"],
+            "text": text,
+            "lang": pa.array([""] * t.num_rows, pa.string()),
+            "n_chars": pc.cast(pc.utf8_length(text), pa.int64()),
+        })
+        return out
+
+    return ds.map_batches(adapt, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=batch_size)
