@@ -89,11 +89,17 @@ class _RecordParser:
         self._buf = bytearray()
         self._gz = None          # lazy: decided on first bytes
         self._plain = None
+        self._pre = bytearray()  # holds bytes until the format probe
 
     def feed(self, chunk: bytes) -> Iterator[tuple[dict, bytes]]:
-        if self._plain is None and (self._buf or chunk):
-            probe = bytes(self._buf[:2]) + chunk[: max(0, 2 - len(self._buf))]
-            self._plain = not probe.startswith(b"\x1f\x8b")
+        if self._plain is None:
+            # hold bytes until 2 are available — a 1-byte first chunk
+            # must not latch a gzip stream as plain
+            self._pre.extend(chunk)
+            if len(self._pre) < 2:
+                return
+            self._plain = not self._pre.startswith(b"\x1f\x8b")
+            chunk, self._pre = bytes(self._pre), bytearray()
         if self._plain:
             self._buf.extend(chunk)
         else:
@@ -108,6 +114,16 @@ class _RecordParser:
                 elif self._gz.eof:
                     self._gz = None
         yield from self._drain()
+
+    def finish(self, path: str = "<stream>") -> None:
+        """Raise if the stream ended mid-record — silent tail loss in
+        a reader whose header path raises would be worse."""
+        if self._gz is not None and not self._gz.eof:
+            raise ValueError(f"truncated WARC (mid gzip member): {path}")
+        if self._buf or self._pre:
+            raise ValueError(
+                f"truncated WARC ({len(self._buf) + len(self._pre)} "
+                f"unparsed trailing bytes): {path}")
 
     def _drain(self) -> Iterator[tuple[dict, bytes]]:
         while True:
@@ -162,7 +178,10 @@ try:  # Datasource needs ray at import; keep the module importable bare
 
         def __init__(self, paths, rows_per_block: int = 512,
                      chunk_bytes: int = 4 << 20, **kwargs):
-            kwargs.setdefault("file_extensions", None)
+            # suffix-matched by Ray's _has_file_extension — a directory
+            # read must skip co-located parquet/manifest files instead
+            # of feeding them to the record parser
+            kwargs.setdefault("file_extensions", ["warc", "warc.gz"])
             super().__init__(paths, **kwargs)
             self._rows_per_block = rows_per_block
             self._chunk_bytes = chunk_bytes
@@ -183,6 +202,7 @@ try:  # Datasource needs ray at import; keep the module importable bare
                     if len(rows) >= self._rows_per_block:
                         yield _records_to_block(rows)
                         rows = []
+            parser.finish(path)  # truncated trailing record = ERROR
             if rows:
                 yield _records_to_block(rows)
 

@@ -151,6 +151,12 @@ def add_bm25(ds, query: str, stats: dict | None = None,
 
     if stats is None:
         stats = bm25_stats(ds, query, col=col)
+    elif not np.array_equal(stats["qh"], query_term_hashes(query)):
+        # stats may come from a LARGER corpus, but never from a
+        # DIFFERENT query — silently scoring the old query's terms
+        # under the new query's name is the misuse this catches
+        raise ValueError("add_bm25: stats were computed for a "
+                         "different query's terms")
     fn = task_stage(_Bm25Stage,
                     qh_tuple=tuple(int(h) for h in stats["qh"]),
                     df_tuple=tuple(float(d) for d in stats["df"]),

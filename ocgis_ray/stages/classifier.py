@@ -109,6 +109,8 @@ def train_nb_classifier(ds, label_col: str, col: str = "text",
     # size itself; collecting it to the driver IS the training output
     counts = bucketed_group_apply(partials, ["label", "bucket"], combine,
                                   num_buckets=num_buckets).to_pandas()
+    if counts.empty:
+        raise ValueError("train_nb_classifier: empty corpus")
     labels = sorted(counts["label"].unique())
     lidx = {l: i for i, l in enumerate(labels)}
     L = len(labels)
@@ -290,8 +292,9 @@ WITH nbtoks AS (
   FROM nbfull
 )
 SELECT a.{id_col}, a.label AS {out_label},
-       round(a.score - b.score, {round_digits}) AS {out_margin}
-FROM nbrank a JOIN nbrank b
+       round(a.score - coalesce(b.score, a.score), {round_digits})
+         AS {out_margin}
+FROM nbrank a LEFT JOIN nbrank b
   ON a.{id_col} = b.{id_col} AND b.rk = 2
 WHERE a.rk = 1
 """

@@ -62,10 +62,19 @@ def kmeans_fit(ds, k: int, col: str = "embedding", iters: int = 10,
 
     from ocgis_ray.sources.io import bucketed_group_apply
 
+    # Lloyd's scans the input once per iteration — checkpoint the
+    # (slim) embedding projection to the object store first so each
+    # iteration is a pure scan, not a re-execution of upstream lineage
+    ds = ds.select_columns([col]).materialize()
     init = ds.limit(init_n).to_pandas()
     if not len(init):
         raise ValueError("kmeans_fit: empty dataset")
     mat = _normalize(np.stack(init[col].to_numpy()).astype(np.float64))
+    # distinct sample rows only: duplicates would let greedy maxmin
+    # emit identical centroids once the distinct points run out (the
+    # duplicate centroid then starves forever under the lowest-index
+    # argmax tiebreak) — k' = min(k, distinct rows), as documented
+    mat = np.unique(mat, axis=0)
     # greedy farthest-point (maxmin) init on the sample: deterministic
     # and separation-robust — uniform init regularly drops two seeds
     # into one blob and merges true clusters (a measured failure);
@@ -85,21 +94,22 @@ def kmeans_fit(ds, k: int, col: str = "embedding", iters: int = 10,
     def make_partial(cent_ref):
         def partial(t: pa.Table) -> pd.DataFrame:
             c = ray.get(cent_ref)
-            if t.num_rows == 0:
-                return pd.DataFrame({"cluster": pd.Series(dtype=np.int64),
-                                     "vsum": pd.Series(dtype=object),
-                                     "cnt": pd.Series(dtype=np.int64),
-                                     "sse": pd.Series(dtype=np.float64)})
-            m = _normalize(_batch_matrix(t, col).astype(np.float64))
-            sims = m @ c.T
-            assign = np.argmax(sims, axis=1)  # first max = lowest index
-            best = np.take_along_axis(sims, assign[:, None], 1)[:, 0]
             rows = []
-            for cl in np.unique(assign):
-                sel = assign == cl
-                rows.append((int(cl), m[sel].sum(axis=0),
-                             int(sel.sum()),
-                             float((1.0 - best[sel]).sum())))
+            if t.num_rows:
+                m = _normalize(_batch_matrix(t, col).astype(np.float64))
+                sims = m @ c.T
+                assign = np.argmax(sims, axis=1)  # first max = lowest idx
+                best = np.take_along_axis(sims, assign[:, None], 1)[:, 0]
+                for cl in np.unique(assign):
+                    sel = assign == cl
+                    rows.append((int(cl), m[sel].sum(axis=0),
+                                 int(sel.sum()),
+                                 float((1.0 - best[sel]).sum())))
+            # an empty batch still emits one NEUTRAL row (cluster -1,
+            # zero vector): an empty object Series types as Arrow null
+            # and poisons the shuffle with a heterogeneous schema
+            if not rows:
+                rows.append((-1, np.zeros(d), 0, 0.0))
             return pd.DataFrame(rows,
                                 columns=["cluster", "vsum", "cnt", "sse"])
 
@@ -124,6 +134,7 @@ def kmeans_fit(ds, k: int, col: str = "embedding", iters: int = 10,
         # <= k rows x (d+2) — the model update itself
         agg = bucketed_group_apply(partials, "cluster", combine,
                                    num_buckets=num_buckets).to_pandas()
+        agg = agg[agg["cluster"] >= 0]  # drop empty-batch neutral rows
         total = max(int(agg["cnt"].sum()), 1)
         inertia.append(float(agg["sse"].sum()) / total)
         new = cent.copy()  # empty clusters keep their centroid

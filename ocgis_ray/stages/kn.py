@@ -67,19 +67,23 @@ def _map_ids(h: np.ndarray, hashes: np.ndarray) -> np.ndarray:
 
 
 def _pair_codes(arr, hashes: np.ndarray
-                ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+                ) -> tuple[np.ndarray, np.ndarray, int]:
     """Arrow string column -> (pair codes ``id1*(V+1)+id2`` for
-    within-row adjacent tokens, ids, token_row)."""
+    within-row adjacent tokens, transition rows, n_rows) — the ONE
+    bigram-pairing kernel shared by training and scoring (two copies
+    drifted once; see review history)."""
     from ocgis_ray.stages.text import _tokenize_hash
 
-    h, tok_row, _ = _tokenize_hash(arr, lower=True)
+    h, tok_row, per_row = _tokenize_hash(arr, lower=True)
+    n = len(per_row)
     ids = _map_ids(h, hashes)
     if ids.size < 2:
-        return np.empty(0, dtype=np.int64), ids, tok_row
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64),
+                n)
     same = tok_row[1:] == tok_row[:-1]
     w = hashes.size + 1
     codes = ids[:-1][same] * w + ids[1:][same]
-    return codes, ids, tok_row
+    return codes, tok_row[:-1][same], n
 
 
 def train_kn_bigram(ds, col: str = "text", vocab_size: int = 256,
@@ -148,26 +152,20 @@ class KnPerplexityStage:
         self.out = out
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        from ocgis_ray.stages.text import _tokenize_hash
-
         arr = t[self.col]
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()
-        h, tok_row, per_row = _tokenize_hash(arr, lower=True)
-        ids = _map_ids(h, self.hashes)
-        ppl = np.full(t.num_rows, np.inf)
-        if ids.size >= 2:
-            same = tok_row[1:] == tok_row[:-1]
-            if same.any():
-                lp = self.logp[ids[:-1][same], ids[1:][same]]
-                trans_row = tok_row[:-1][same]
-                n_trans = np.bincount(trans_row, minlength=t.num_rows)
-                sums = np.zeros(t.num_rows)
-                ends = np.cumsum(n_trans)
-                starts = np.concatenate([[0], ends[:-1]])
-                nz = n_trans > 0
-                sums[nz] = np.add.reduceat(lp, starts[nz])
-                ppl[nz] = np.exp(-(sums[nz] / n_trans[nz]))
+        codes, trans_row, n = _pair_codes(arr, self.hashes)
+        ppl = np.full(n, np.inf)
+        if codes.size:
+            lp = self.logp.ravel()[codes]  # logp[id1, id2] by pair code
+            n_trans = np.bincount(trans_row, minlength=n)
+            sums = np.zeros(n)
+            ends = np.cumsum(n_trans)
+            starts = np.concatenate([[0], ends[:-1]])
+            nz = n_trans > 0
+            sums[nz] = np.add.reduceat(lp, starts[nz])
+            ppl[nz] = np.exp(-(sums[nz] / n_trans[nz]))
         return t.append_column(self.out, pa.array(ppl))
 
 

@@ -123,3 +123,12 @@ def test_degenerate_inputs(corpus_ds, ray_session):
     empty = rd.from_pandas(pd.DataFrame({"doc_id": [], "text": []}))
     with pytest.raises(ValueError, match="empty corpus"):
         bm25_stats(empty, QUERY)
+
+
+def test_stats_query_mismatch_raises(corpus_ds):
+    from ocgis_ray.stages.bm25 import add_bm25, bm25_stats
+
+    _, ds = corpus_ds
+    stats = bm25_stats(ds, QUERY)
+    with pytest.raises(ValueError, match="different query"):
+        add_bm25(ds, "totally different terms", stats)

@@ -142,3 +142,40 @@ def test_empty_text_scores_prior(ray_session):
     # equal priors (balanced corpus): first label wins the tie
     assert out.loc[0, "nb_label"] == model["labels"][0]
     assert out.loc[0, "nb_margin"] == pytest.approx(0.0)
+
+
+def test_single_label_margin_zero_and_sql_twin(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from ocgis_ray.stages.classifier import (nb_score_sql, score_classifier,
+                                             train_nb_classifier)
+
+    df = pd.DataFrame({"doc_id": [0, 1, 2],
+                       "text": ["a b", "c d", "e f"],
+                       "lang": ["en", "en", "en"]})
+    ds = rd.from_pandas(df)
+    model = train_nb_classifier(ds, "lang", n_buckets=64)
+    out = (score_classifier(ds, model, round_digits=6).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert (out["nb_label"] == "en").all()
+    assert (out["nb_margin"] == 0.0).all()
+    con = duckdb.connect()
+    con.register("documents", df)
+    oracle = (con.execute(
+        f"SELECT * FROM ({nb_score_sql('lang', 64)}) ORDER BY doc_id")
+        .fetchdf())
+    assert len(oracle) == 3
+    assert (oracle["nb_label"] == "en").all()
+    assert (oracle["nb_margin"] == 0.0).all()
+
+
+def test_empty_corpus_raises(ray_session):
+    import ray.data as rd
+
+    from ocgis_ray.stages.classifier import train_nb_classifier
+
+    empty = rd.from_pandas(pd.DataFrame({"doc_id": [], "text": [],
+                                         "lang": []}))
+    with pytest.raises(ValueError, match="empty corpus"):
+        train_nb_classifier(empty, "lang", n_buckets=64)

@@ -99,3 +99,33 @@ def test_empty_and_degenerate(ray_session):
     model = kmeans_fit(rd.from_pandas(df[["vec_id", "embedding"]]), k=8,
                        iters=2)
     assert model["k"] == 3
+
+
+def test_duplicate_sample_rows_collapse_k(ray_session):
+    import ray.data as rd
+
+    from ocgis_ray.stages.cluster import kmeans_fit
+
+    # 50 rows but only 2 distinct vectors -> k' == 2, no duplicate
+    # centroids
+    df = pd.DataFrame({
+        "vec_id": np.arange(50),
+        "embedding": [np.array([1.0, 0.0])] * 25
+                     + [np.array([0.0, 1.0])] * 25,
+    })
+    model = kmeans_fit(rd.from_pandas(df), k=8, iters=3)
+    assert model["k"] == 2
+    assert len(np.unique(model["centroids"], axis=0)) == 2
+
+
+def test_empty_partition_survives(ray_session):
+    import ray.data as rd
+
+    from ocgis_ray.stages.cluster import kmeans_fit
+
+    df, _ = _blobs(n_per=20, k=2)
+    ds = (rd.from_pandas(df[["vec_id", "embedding"]])
+          .repartition(8)  # more partitions than needed -> empty blocks
+          .filter(lambda r: r["vec_id"] % 3 != 1))
+    model = kmeans_fit(ds, k=2, iters=3)
+    assert model["k"] == 2

@@ -96,3 +96,50 @@ def test_malformed_raises(tmp_path, ray_session):
     path.write_bytes(b"NOT A WARC\r\n\r\npayload")
     with pytest.raises(Exception, match="malformed WARC|WARC"):
         read_warc(str(path)).to_pandas()
+
+
+def test_truncated_warc_raises(tmp_path, ray_session):
+    from ocgis_ray.sources.warc import _gzip_member, read_warc
+
+    body = b"HTTP/1.1 200 OK\r\n\r\n<html>x</html>"
+    rec = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Target-URI: https://x.org\r\n"
+           b"WARC-Date: 2026-01-01T00:00:00Z\r\n"
+           b"Content-Length: " + str(len(body)).encode()
+           + b"\r\n\r\n" + body + b"\r\n\r\n")
+    # plain file cut mid-payload
+    p = tmp_path / "cut.warc"
+    p.write_bytes(rec + rec[: len(rec) // 2])
+    with pytest.raises(Exception, match="truncated WARC"):
+        read_warc(str(p)).to_pandas()
+    # gzip member cut mid-deflate-stream: surfaces either as the Arrow
+    # gzip codec's own error (Ray auto-decompresses .gz by extension)
+    # or as the parser's trailing-bytes check
+    gz = _gzip_member(rec)
+    p2 = tmp_path / "cut.warc.gz"
+    p2.write_bytes(gz + gz[: len(gz) // 2])
+    with pytest.raises(Exception,
+                       match="truncated WARC|[Tt]runcated compressed"):
+        read_warc(str(p2)).to_pandas()
+
+
+def test_directory_read_skips_foreign_files(tmp_path, ray_session):
+    from ocgis_ray.sources.warc import read_warc, write_warc
+
+    write_warc(str(tmp_path / "a.warc.gz"), _recs(5))
+    (tmp_path / "manifest.json").write_text("{}")
+    (tmp_path / "side.parquet").write_bytes(b"PAR1 not a warc PAR1")
+    out = read_warc(str(tmp_path)).to_pandas()
+    assert len(out) == 5
+
+
+def test_one_byte_chunks_gzip_probe(tmp_path, ray_session):
+    import ray
+
+    from ocgis_ray.sources.warc import WarcDatasource, write_warc
+
+    path = str(tmp_path / "tiny.warc.gz")
+    write_warc(path, _recs(3))
+    ds = ray.data.read_datasource(
+        WarcDatasource(path, rows_per_block=2, chunk_bytes=1))
+    assert ds.count() == 3
