@@ -141,6 +141,12 @@ def run_queries() -> dict[str, float]:
         "text_stats_documents",
         "polygon_aggregate_area_weighted",
         "media_features",
+        # model-training pipelines (round-3 s4): langid trains
+        # unigram-LM x2 + NB classifier + KN bigram and scores all
+        # four; spatiotemporal runs the 3-iteration distributed
+        # PageRank over the host graph (iterative shuffle joins)
+        "langid_documents",
+        "spatiotemporal_subset_pages",
     ]
 
     def extra_heavy_hitters():

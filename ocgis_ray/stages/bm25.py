@@ -194,6 +194,74 @@ def bm25_topk(ds, query: str, k: int, col: str = "text",
     return parts.reset_index(drop=True)
 
 
+def bm25_topk_multi(ds, queries: dict, k: int, col: str = "text",
+                    id_col: str = "doc_id", k1: float = DEFAULT_K1,
+                    b: float = DEFAULT_B):
+    """Batched retrieval: top-``k`` docs for EVERY query in ONE corpus
+    pass (plus one shared stats pass) — the ``ann_bruteforce`` shape
+    for lexical search.  ``queries`` maps query_id -> query text.
+
+    All queries' terms merge into one sorted hash vocabulary; stats
+    are computed for the union in a single pass; scoring gathers one
+    per-batch tf matrix and multiplies by the (Q x T) per-query idf
+    matrix — one matmul per batch, not one pass per query.  Returns a
+    pandas frame ``(query_id, id_col, bm25, rank)``; ties break on
+    ``id_col`` ascending."""
+    import pandas as pd
+
+    if not queries:
+        raise ValueError("bm25_topk_multi: no queries")
+    qids = list(queries)
+    per_q = {qid: query_term_hashes(str(q)) for qid, q in queries.items()}
+    union = np.unique(np.concatenate([h for h in per_q.values()
+                                      if h.size]
+                                     or [np.empty(0, np.uint64)]))
+    if not union.size:
+        raise ValueError("bm25_topk_multi: queries have no tokens")
+    stats = bm25_stats(ds, " ".join(str(q) for q in queries.values()),
+                       col=col)
+    # stats["qh"] is the union's sorted hashes by construction (same
+    # tokenizer over the concatenated query text)
+    assert np.array_equal(stats["qh"], union), "union/stats drift"
+    idf_union = _idf(stats)
+    # (Q, T) weight matrix: idf where the query contains the term
+    w = np.zeros((len(qids), union.size))
+    for r, qid in enumerate(qids):
+        pos = np.searchsorted(union, per_q[qid])
+        w[r, pos] = idf_union[pos]
+    k1f, bf, avgdl = float(k1), float(b), stats["avgdl"]
+
+    def partial(t: pa.Table) -> pa.Table:
+        tf, dl = _per_doc_tf(t[col], union)
+        tff = tf.astype(np.float64)
+        norm = k1f * (1.0 - bf + bf * (dl.astype(np.float64) / avgdl))
+        with np.errstate(invalid="ignore"):
+            terms = tff * (k1f + 1.0) / (tff + norm[:, None])
+        terms[tf == 0] = 0.0
+        scores = terms @ w.T  # (batch, Q)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        kk = min(k, scores.shape[0])
+        part = np.argpartition(-scores, kk - 1, axis=0)[:kk]  # (kk, Q)
+        out_q, out_id, out_s = [], [], []
+        for c, qid in enumerate(qids):
+            rows = part[:, c]
+            out_q.extend([qid] * kk)
+            out_id.extend(ids[rows])
+            out_s.extend(scores[rows, c])
+        return pa.table({"query_id": pa.array(out_q),
+                         id_col: pa.array(out_id),
+                         "bm25": pa.array(np.asarray(out_s, np.float64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    parts = parts.sort_values(["query_id", "bm25", id_col],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+    parts = parts.groupby("query_id", sort=False).head(k).reset_index(drop=True)
+    parts["rank"] = parts.groupby("query_id", sort=False).cumcount() + 1
+    return parts
+
+
 def bm25_sql(query: str, col: str = "text", table: str = "documents",
              id_col: str = "doc_id", out: str = "bm25",
              k1: float = DEFAULT_K1, b: float = DEFAULT_B,

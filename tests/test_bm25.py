@@ -132,3 +132,30 @@ def test_stats_query_mismatch_raises(corpus_ds):
     stats = bm25_stats(ds, QUERY)
     with pytest.raises(ValueError, match="different query"):
         add_bm25(ds, "totally different terms", stats)
+
+
+def test_multi_query_matches_single(corpus_ds):
+    from ocgis_ray.stages.bm25 import bm25_topk, bm25_topk_multi
+
+    _, ds = corpus_ds
+    queries = {"q1": "alpha beta nosuchword", "q2": "gamma delta",
+               "q3": "kappa"}
+    multi = bm25_topk_multi(ds, queries, k=5)
+    for qid, q in queries.items():
+        single = bm25_topk(ds, q, k=5, round_digits=None)
+        got = multi[multi["query_id"] == qid].reset_index(drop=True)
+        assert list(got["doc_id"]) == list(single["doc_id"])
+        np.testing.assert_allclose(got["bm25"].to_numpy(),
+                                   single["bm25"].to_numpy(),
+                                   rtol=0, atol=1e-12)
+        assert list(got["rank"]) == [1, 2, 3, 4, 5]
+
+
+def test_multi_query_validation(corpus_ds):
+    from ocgis_ray.stages.bm25 import bm25_topk_multi
+
+    _, ds = corpus_ds
+    with pytest.raises(ValueError, match="no queries"):
+        bm25_topk_multi(ds, {}, k=3)
+    with pytest.raises(ValueError, match="no tokens"):
+        bm25_topk_multi(ds, {"q": "   "}, k=3)
