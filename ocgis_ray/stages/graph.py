@@ -40,15 +40,27 @@ import pyarrow as pa
 def pagerank(edges, damping: float = 0.85, iters: int = 10,
              src: str = "src", dst: str = "dst",
              num_partitions: int | None = None,
-             num_buckets: int | None = None):
+             num_buckets: int | None = None,
+             mode: str = "auto", broadcast_nodes: int = 1 << 17):
     """(src, dst) edge Dataset -> (node, rank) Dataset.
 
     ``iters`` fixed iterations (no convergence test — the unrolled-SQL
     twin needs a deterministic count; callers watch the delta via two
-    calls if they care)."""
+    calls if they care).
+
+    ``mode``: ``"shuffle"`` = the per-iteration bucketed-join dataflow
+    (any graph size); ``"broadcast"`` = collect the edge list once and
+    iterate driver-side (host graphs are typically 10^5-10^7 nodes —
+    model-sized next to the page corpus, and each shuffle join costs
+    ~1 s of FIXED aggregator-actor spawn, so 3 iterations of joins on
+    a small graph is pure overhead); ``"auto"`` picks broadcast when
+    the node count is <= ``broadcast_nodes``.  Both paths compute the
+    same fixed point (float summation order differs ~1e-15)."""
     from ocgis_ray.sources.io import (bucketed_group_apply, distinct_rows,
                                       join_datasets)
 
+    if mode not in ("auto", "shuffle", "broadcast"):
+        raise ValueError(f"unknown pagerank mode {mode!r}")
     d = float(damping)
 
     # node universe = distinct(src) UNION distinct(dst)
@@ -62,6 +74,16 @@ def pagerank(edges, damping: float = 0.85, iters: int = 10,
     n_nodes = nodes.count()
     if n_nodes == 0:
         raise ValueError("pagerank: empty edge set")
+    if mode == "broadcast" or (mode == "auto" and n_nodes <= broadcast_nodes):
+        import ray.data as rd
+
+        # node-sized state; the edge list is nodes x avg-degree rows
+        # of two slim columns — the broadcast-small-side tradeoff
+        ranks = pagerank_local(edges.select_columns([src, dst]).to_pandas(),
+                               damping=d, iters=iters, src=src, dst=dst)
+        return rd.from_pandas(pd.DataFrame(
+            {"node": ranks.index.to_numpy(object),
+             "rank": ranks.to_numpy(np.float64)}))
     base = (1.0 - d) / n_nodes
     init = 1.0 / n_nodes
 
