@@ -248,6 +248,45 @@ def pack_sequences(ds, id_col: str, size_col: str, budget: int,
         ["pack_bucket"], pack, num_buckets=nb)
 
 
+def deterministic_shuffle(ds, key_col: str, salt: int = 0,
+                          mix: bool = True):
+    """Seed-stable global shuffle: order rows by ``splitmix64(key ^
+    salt)`` — the shuffle a TRAINING pipeline wants instead of
+    ``random_shuffle()``:
+
+    - **resume-stable**: the order is a pure function of (key, salt),
+      so a restarted epoch or a re-run shard reads the same sequence;
+    - **seedable**: a new ``salt`` is a fresh permutation per epoch;
+    - **streaming**: ``Dataset.sort`` range-partitions by the hash —
+      no driver-side permutation array, no full in-memory
+      materialization (``random_shuffle`` is documented as the
+      slow/materializing path in Ray).
+
+    ``mix=True`` uses the full 64-bit splitmix (uniform for
+    adversarial keys); ``mix=False`` uses the 32-bit multiplicative
+    hash shared with ``sample_by_key`` (SQL-mirrorable:
+    ``ORDER BY (CAST(key AS UBIGINT) % 2^32 * 2654435761 + salt) %
+    2^32, key``).  Ties (hash collisions) break on the key itself, so
+    the order is total and engine-independent."""
+    import pyarrow as pa
+
+    def add_key(t: pa.Table) -> pa.Table:
+        raw = t[key_col].to_numpy(zero_copy_only=False)
+        if mix:
+            from ocgis_ray.stages.text import _mix64
+
+            h = _mix64(raw.astype(np.uint64) ^ np.uint64(salt))
+            h = (h >> np.uint64(1)).astype(np.int64)  # int64-safe
+        else:
+            h = _key_hash(raw, salt, "deterministic_shuffle").astype(np.int64)
+        return t.append_column("_shuffle_key", pa.array(h))
+
+    keyed = ds.map_batches(add_key, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    out = keyed.sort(["_shuffle_key", key_col])
+    return out.drop_columns(["_shuffle_key"])
+
+
 def assign_split(ds, group_col: str, rates: dict[str, float],
                  salt: int = 0, out: str = "split"):
     """Deterministic GROUP-AWARE train/val/test split: every row whose

@@ -98,3 +98,44 @@ def test_token_entropy_orders_repetitive_below_diverse(ray_session):
     out = (add_token_entropy(rd.from_pandas(df)).to_pandas()
            .set_index("doc_id")["token_entropy"])
     assert out.loc[0] < 0.1 < out.loc[1]
+
+
+def test_deterministic_shuffle(ray_session):
+    import ray.data as rd
+
+    from ocgis_ray.stages.reshape import deterministic_shuffle
+
+    df = pd.DataFrame({"doc_id": np.arange(500), "v": np.arange(500) * 2})
+    ds = rd.from_pandas(df).repartition(5)
+    a = deterministic_shuffle(ds, "doc_id", salt=1).to_pandas()
+    # a permutation of the input, not the identity order
+    assert sorted(a["doc_id"]) == list(range(500))
+    assert list(a["doc_id"]) != list(range(500))
+    assert (a["v"].to_numpy() == a["doc_id"].to_numpy() * 2).all()
+    # resume-stable: same salt + any partitioning -> same order
+    b = deterministic_shuffle(ds.repartition(2), "doc_id", salt=1).to_pandas()
+    assert list(a["doc_id"]) == list(b["doc_id"])
+    # a new salt is a fresh permutation
+    c = deterministic_shuffle(ds, "doc_id", salt=2).to_pandas()
+    assert list(c["doc_id"]) != list(a["doc_id"])
+    # displacement sanity: the shuffle actually moves most rows far
+    disp = np.abs(np.argsort(a["doc_id"].to_numpy()) - np.arange(500))
+    assert np.median(disp) > 50
+
+
+def test_deterministic_shuffle_sql_mirror(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from ocgis_ray.stages.reshape import deterministic_shuffle
+
+    df = pd.DataFrame({"doc_id": np.arange(100)})
+    eng = (deterministic_shuffle(rd.from_pandas(df), "doc_id", salt=7,
+                                 mix=False).to_pandas()["doc_id"].tolist())
+    con = duckdb.connect()
+    con.register("t", df)
+    sql = con.execute(
+        "SELECT doc_id FROM t ORDER BY "
+        "((CAST(doc_id AS UBIGINT) % 4294967296) * 2654435761 + 7) "
+        "% 4294967296, doc_id").fetchdf()["doc_id"].tolist()
+    assert eng == sql
