@@ -182,6 +182,38 @@ def join_datasets(left, right, on, right_on=None, join_type: str = "inner",
     )
 
 
+def ensure_list_column(t, col: str, value_type=None):
+    """Normalize a column to a plain Arrow list array.
+
+    Ray Data converts pandas object columns of UNIFORM-length arrays
+    to its fixed-shape tensor extension type, which parquet-serializes
+    as ``STRUCT(data, shape)`` — a schema surprise for any downstream
+    SQL reader (and it varies per block with the data).  This rebuilds
+    the column as ``list<value_type>`` regardless of which form the
+    block arrived in."""
+    import numpy as np
+    import pyarrow as pa
+
+    arr = t[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
+        if value_type is None or arr.type.value_type == value_type:
+            return t
+    rows = arr.to_numpy(zero_copy_only=False)
+    vt = value_type or pa.int32()
+    npdt = vt.to_pandas_dtype()
+    lens = np.fromiter((len(x) for x in rows), dtype=np.int64,
+                       count=len(rows))
+    flat = (np.concatenate([np.asarray(x, dtype=npdt) for x in rows])
+            if len(rows) and lens.sum() else np.empty(0, dtype=npdt))
+    offsets = np.zeros(len(rows) + 1, dtype=np.int32)
+    np.cumsum(lens, out=offsets[1:])
+    new = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                   pa.array(flat, vt))
+    return t.set_column(t.schema.get_field_index(col), col, new)
+
+
 def bucketed_group_apply(ds, keys: list[str] | str, fn,
                          num_buckets: int | None = None,
                          batch_format: str = "pandas"):
