@@ -47,6 +47,7 @@ def prepare_training_data(
     num_merges: int = 2048,
     budget: int = 2048,
     merges: list | None = None,
+    train_split: str = "train",
     shuffle_salt: int = 0,
     resume: bool = True,
     max_words: int = 1_000_000,
@@ -68,6 +69,11 @@ def prepare_training_data(
     from ocgis_ray.state import lineage
 
     splits = dict(DEFAULT_SPLITS if splits is None else splits)
+    if merges is None and train_split not in splits:
+        raise ValueError(
+            f"prepare_training_data: no {train_split!r} split to train "
+            f"the tokenizer on (splits={list(splits)}); pass merges= "
+            f"or train_split=")
     cleaned = clean_corpus(docs, id_col=id_col, text_col=text_col,
                            url_col=url_col, steps=clean_steps,
                            num_buckets=num_buckets,
@@ -78,7 +84,7 @@ def prepare_training_data(
     labeled = labeled.materialize()
     if merges is None:
         merges = train_bpe(
-            labeled.filter(lambda r: r["split"] == "train"),
+            labeled.filter(lambda r, s=train_split: r["split"] == s),
             num_merges=num_merges, col=text_col, max_words=max_words,
             num_buckets=num_buckets)
 
@@ -104,11 +110,20 @@ def prepare_training_data(
 
         keyed = packed.map_batches(pack_key, batch_format="pyarrow",
                                    zero_copy_batch=True)
-        # epoch-0 layout: written row order is the seed-stable shuffle
-        out = deterministic_shuffle(keyed, "_pack_key", salt=shuffle_salt)
+        # epoch-0 layout: written row order is the seed-stable shuffle;
+        # docs in one pack share _pack_key, so the id tiebreak keeps
+        # within-pack order reproducible across parallelism levels
+        out = deterministic_shuffle(keyed, "_pack_key", salt=shuffle_salt,
+                                    tiebreak_cols=[id_col])
         return out.drop_columns(["_pack_key"])
 
     records = lineage.run_partitioned(make_ds, out_dir,
                                       list(splits), resume=resume)
-    rows = {r["partition"]: r["rows"] for r in records}
+    # honor the {name: rows} contract on resume runs too: splits
+    # skipped as already-complete report their manifest row counts
+    rows = {}
+    for rec in lineage.read_manifest(out_dir):
+        if rec.get("partition") in splits:
+            rows[rec["partition"]] = rec.get("rows")
+    rows.update({r["partition"]: r["rows"] for r in records})
     return {"records": records, "merges": merges, "splits": rows}

@@ -197,11 +197,16 @@ def ensure_list_column(t, col: str, value_type=None):
     arr = t[col]
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
-        if value_type is None or arr.type.value_type == value_type:
-            return t
+    # large_list (pandas round-trips / >2GB offsets) is REBUILT too —
+    # passing it through would recreate the per-block inconsistency
+    if pa.types.is_list(arr.type) and (
+            value_type is None or arr.type.value_type == value_type):
+        return t
     rows = arr.to_numpy(zero_copy_only=False)
-    vt = value_type or pa.int32()
+    if value_type is None:
+        value_type = (arr.type.value_type
+                      if pa.types.is_large_list(arr.type) else pa.int32())
+    vt = value_type
     npdt = vt.to_pandas_dtype()
     lens = np.fromiter((len(x) for x in rows), dtype=np.int64,
                        count=len(rows))

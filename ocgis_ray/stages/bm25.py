@@ -231,7 +231,16 @@ def bm25_topk_multi(ds, queries: dict, k: int, col: str = "text",
         w[r, pos] = idf_union[pos]
     k1f, bf, avgdl = float(k1), float(b), stats["avgdl"]
 
+    qid_type = pa.array(qids).type
+
     def partial(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        if t.num_rows == 0:
+            # typed empty table — pa.array([]) infers null and breaks
+            # schema unification against non-empty blocks
+            return pa.table({"query_id": pa.array([], qid_type),
+                             id_col: t[id_col],
+                             "bm25": pa.array([], pa.float64())})
         tf, dl = _per_doc_tf(t[col], union)
         tff = tf.astype(np.float64)
         norm = k1f * (1.0 - bf + bf * (dl.astype(np.float64) / avgdl))
@@ -239,16 +248,18 @@ def bm25_topk_multi(ds, queries: dict, k: int, col: str = "text",
             terms = tff * (k1f + 1.0) / (tff + norm[:, None])
         terms[tf == 0] = 0.0
         scores = terms @ w.T  # (batch, Q)
-        ids = t[id_col].to_numpy(zero_copy_only=False)
         kk = min(k, scores.shape[0])
-        part = np.argpartition(-scores, kk - 1, axis=0)[:kk]  # (kk, Q)
         out_q, out_id, out_s = [], [], []
         for c, qid in enumerate(qids):
-            rows = part[:, c]
+            # full (score desc, id asc) order per query: argpartition
+            # keeps an ARBITRARY subset at tied boundaries, which
+            # breaks the documented id tiebreak and varies with batch
+            # boundaries
+            order = np.lexsort((ids, -scores[:, c]))[:kk]
             out_q.extend([qid] * kk)
-            out_id.extend(ids[rows])
-            out_s.extend(scores[rows, c])
-        return pa.table({"query_id": pa.array(out_q),
+            out_id.extend(ids[order])
+            out_s.extend(scores[order, c])
+        return pa.table({"query_id": pa.array(out_q, qid_type),
                          id_col: pa.array(out_id),
                          "bm25": pa.array(np.asarray(out_s, np.float64))})
 

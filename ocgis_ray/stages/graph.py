@@ -41,7 +41,8 @@ def pagerank(edges, damping: float = 0.85, iters: int = 10,
              src: str = "src", dst: str = "dst",
              num_partitions: int | None = None,
              num_buckets: int | None = None,
-             mode: str = "auto", broadcast_nodes: int = 1 << 17):
+             mode: str = "auto", broadcast_nodes: int = 1 << 17,
+             broadcast_edges: int = 1 << 22):
     """(src, dst) edge Dataset -> (node, rank) Dataset.
 
     ``iters`` fixed iterations (no convergence test — the unrolled-SQL
@@ -53,15 +54,35 @@ def pagerank(edges, damping: float = 0.85, iters: int = 10,
     iterate driver-side (host graphs are typically 10^5-10^7 nodes —
     model-sized next to the page corpus, and each shuffle join costs
     ~1 s of FIXED aggregator-actor spawn, so 3 iterations of joins on
-    a small graph is pure overhead); ``"auto"`` picks broadcast when
-    the node count is <= ``broadcast_nodes``.  Both paths compute the
-    same fixed point (float summation order differs ~1e-15)."""
+    a small graph is pure overhead); ``"auto"`` picks broadcast only
+    when BOTH the node count <= ``broadcast_nodes`` AND the edge count
+    <= ``broadcast_edges`` (a dense small-node graph can still carry
+    driver-crushing edges).  Both paths compute the same fixed point
+    (float summation order differs ~1e-15)."""
     from ocgis_ray.sources.io import (bucketed_group_apply, distinct_rows,
                                       join_datasets)
 
     if mode not in ("auto", "shuffle", "broadcast"):
         raise ValueError(f"unknown pagerank mode {mode!r}")
     d = float(damping)
+
+    def _broadcast():
+        import ray.data as rd
+
+        pdf = edges.select_columns([src, dst]).to_pandas()
+        if pdf.empty:
+            raise ValueError("pagerank: empty edge set")
+        ranks = pagerank_local(pdf, damping=d, iters=iters, src=src,
+                               dst=dst)
+        return rd.from_pandas(pd.DataFrame(
+            {"node": ranks.index.to_numpy(object),
+             "rank": ranks.to_numpy(np.float64)}))
+
+    if mode == "broadcast":
+        # explicit broadcast skips the distinct-node shuffle entirely
+        # (its only product — the node universe — is recomputed
+        # locally from the collected frame)
+        return _broadcast()
 
     # node universe = distinct(src) UNION distinct(dst)
     def proj(col, name):
@@ -74,16 +95,9 @@ def pagerank(edges, damping: float = 0.85, iters: int = 10,
     n_nodes = nodes.count()
     if n_nodes == 0:
         raise ValueError("pagerank: empty edge set")
-    if mode == "broadcast" or (mode == "auto" and n_nodes <= broadcast_nodes):
-        import ray.data as rd
-
-        # node-sized state; the edge list is nodes x avg-degree rows
-        # of two slim columns — the broadcast-small-side tradeoff
-        ranks = pagerank_local(edges.select_columns([src, dst]).to_pandas(),
-                               damping=d, iters=iters, src=src, dst=dst)
-        return rd.from_pandas(pd.DataFrame(
-            {"node": ranks.index.to_numpy(object),
-             "rank": ranks.to_numpy(np.float64)}))
+    if (mode == "auto" and n_nodes <= broadcast_nodes
+            and edges.count() <= broadcast_edges):
+        return _broadcast()
     base = (1.0 - d) / n_nodes
     init = 1.0 / n_nodes
 

@@ -249,7 +249,8 @@ def pack_sequences(ds, id_col: str, size_col: str, budget: int,
 
 
 def deterministic_shuffle(ds, key_col: str, salt: int = 0,
-                          mix: bool = True):
+                          mix: bool = True,
+                          tiebreak_cols: list[str] | None = None):
     """Seed-stable global shuffle: order rows by ``splitmix64(key ^
     salt)`` — the shuffle a TRAINING pipeline wants instead of
     ``random_shuffle()``:
@@ -283,7 +284,11 @@ def deterministic_shuffle(ds, key_col: str, salt: int = 0,
 
     keyed = ds.map_batches(add_key, batch_format="pyarrow",
                            zero_copy_batch=True)
-    out = keyed.sort(["_shuffle_key", key_col])
+    # ``tiebreak_cols``: when key_col is not unique per row (e.g. a
+    # pack key shared by every doc in a pack), equal sort keys have NO
+    # defined order under Ray's sort — pass the unique id to keep the
+    # order a pure function of the data
+    out = keyed.sort(["_shuffle_key", key_col] + list(tiebreak_cols or []))
     return out.drop_columns(["_shuffle_key"])
 
 

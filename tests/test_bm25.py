@@ -159,3 +159,24 @@ def test_multi_query_validation(corpus_ds):
         bm25_topk_multi(ds, {}, k=3)
     with pytest.raises(ValueError, match="no tokens"):
         bm25_topk_multi(ds, {"q": "   "}, k=3)
+
+
+def test_multi_query_tie_break_on_id(ray_session):
+    """Many identical docs tie at the top-k boundary: the kept set
+    must be the lowest doc_ids, equal to the single-query path and
+    stable across batch boundaries."""
+    import ray.data as rd
+
+    from ocgis_ray.stages.bm25 import bm25_topk, bm25_topk_multi
+
+    df = pd.DataFrame({"doc_id": np.arange(60),
+                       "text": ["alpha beta"] * 60})
+    ds = rd.from_pandas(df).repartition(4)
+    multi = bm25_topk_multi(ds, {"q": "alpha"}, k=5)
+    assert list(multi["doc_id"]) == [0, 1, 2, 3, 4]
+    single = bm25_topk(ds, "alpha", k=5, round_digits=None)
+    assert list(single["doc_id"]) == [0, 1, 2, 3, 4]
+    # empty blocks keep a typed schema (filter empties partitions)
+    filt = ds.filter(lambda r: r["doc_id"] < 8)
+    m2 = bm25_topk_multi(filt, {"q": "alpha"}, k=3)
+    assert list(m2["doc_id"]) == [0, 1, 2]

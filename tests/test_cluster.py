@@ -129,3 +129,18 @@ def test_empty_partition_survives(ray_session):
           .filter(lambda r: r["vec_id"] % 3 != 1))
     model = kmeans_fit(ds, k=2, iters=3)
     assert model["k"] == 2
+
+
+def test_ensure_list_column_normalizes_large_list():
+    import pyarrow as pa
+
+    from ocgis_ray.sources.io import ensure_list_column
+
+    big = pa.array([[1, 2], [3]], pa.large_list(pa.int32()))
+    t = pa.table({"x": big})
+    out = ensure_list_column(t, "x")
+    assert pa.types.is_list(out["x"].type)
+    assert out["x"].to_pylist() == [[1, 2], [3]]
+    # already-plain list with matching type passes through untouched
+    small = pa.table({"x": pa.array([[1]], pa.list_(pa.int32()))})
+    assert ensure_list_column(small, "x") is small

@@ -108,3 +108,20 @@ def test_resume_skips_completed(exported, ray_session):
         budget=256, max_words=50_000, merges=res["merges"],
         clean_steps=("exact_dedup", "pii"))
     assert again["records"] == []  # every split already complete
+
+
+def test_custom_split_names_need_train_or_merges(ray_session, tmp_path):
+    import ray.data as rd
+
+    from ocgis_ray.pipelines.export import prepare_training_data
+
+    ds = rd.from_pandas(_docs(20))
+    with pytest.raises(ValueError, match="no 'train' split"):
+        prepare_training_data(ds, str(tmp_path / "o"),
+                              splits={"fit": 0.9, "holdout": 0.1})
+    # train_split= names the training partition explicitly
+    res = prepare_training_data(
+        ds, str(tmp_path / "o2"), splits={"fit": 0.9, "holdout": 0.1},
+        train_split="fit", num_merges=32, budget=128,
+        clean_steps=("exact_dedup",))
+    assert set(res["splits"]) == {"fit", "holdout"}

@@ -139,3 +139,21 @@ def test_deterministic_shuffle_sql_mirror(ray_session):
         "((CAST(doc_id AS UBIGINT) % 4294967296) * 2654435761 + 7) "
         "% 4294967296, doc_id").fetchdf()["doc_id"].tolist()
     assert eng == sql
+
+
+def test_shuffle_tiebreak_on_duplicate_keys(ray_session):
+    import ray.data as rd
+
+    from ocgis_ray.stages.reshape import deterministic_shuffle
+
+    # 100 rows but only 5 distinct shuffle keys: without a tiebreak
+    # equal keys have no defined order under Ray's sort
+    df = pd.DataFrame({"k": np.arange(100) % 5, "rid": np.arange(100)})
+    a = deterministic_shuffle(rd.from_pandas(df).repartition(2), "k",
+                              salt=1, tiebreak_cols=["rid"]).to_pandas()
+    b = deterministic_shuffle(rd.from_pandas(df).repartition(7), "k",
+                              salt=1, tiebreak_cols=["rid"]).to_pandas()
+    assert list(a["rid"]) == list(b["rid"])
+    # within a key group, rid ascends
+    for _, grp in a.groupby("k"):
+        assert (np.diff(grp["rid"].to_numpy()) > 0).all()
