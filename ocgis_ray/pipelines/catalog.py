@@ -345,14 +345,34 @@ def _host_pagerank(sf_dir: str):
         "node").materialize()
     h = hosts.count()
 
+    # dst hostnames come from the REAL host table (index -> name LUT,
+    # host-universe-sized, broadcast once), mirroring the SQL twin's
+    # JOIN back to the host CTE — and the contiguity the arithmetic
+    # target formulas rely on is ASSERTED instead of assumed, so a
+    # non-contiguous host universe fails loudly rather than silently
+    # adding phantom nodes the SQL side would drop (round-3 advice).
+    import ray
+
+    hp = hosts.to_pandas()  # host-universe-sized, never pages
+    idx_all = np.array([int(s.split("-")[1].split(".")[0])
+                        for s in hp["node"]], dtype=np.int64)
+    if not np.array_equal(np.sort(idx_all), np.arange(h)):
+        raise ValueError("_host_pagerank: host index set is not "
+                         "range(n_hosts); the arithmetic edge formulas "
+                         "would diverge from the SQL twin")
+    name_by_idx = np.empty(h, dtype=object)
+    name_by_idx[idx_all] = hp["node"].to_numpy()
+    names_ref = ray.put(name_by_idx)
+
     def edges(t: pa.Table) -> pa.Table:
-        hs = t["node"].to_pylist()  # host-universe-sized, never pages
+        names = ray.get(names_ref)
+        hs = t["node"].to_pylist()
         idx = np.array([int(s.split("-")[1].split(".")[0]) for s in hs],
                        dtype=np.int64)
         src, dst = [], []
         for j in _pr_dst_indices(idx, h):
             src.extend(hs)
-            dst.extend(f"site-{x}.example.com" for x in j)
+            dst.extend(names[j])
         return pa.table({"src": pa.array(src, pa.string()),
                          "dst": pa.array(dst, pa.string())})
 

@@ -92,6 +92,20 @@ def clean_corpus(ds, id_col: str = "doc_id", text_col: str = "text",
     unknown = set(steps) - set(ALL_STEPS)
     if unknown:
         raise ValueError(f"unknown cleaning steps: {sorted(unknown)}")
+    # Model-gated steps auto-skip ONLY under the default step list
+    # (decontam's docstring rationale: defaults include it so callers
+    # who pass an eval index get the gate for free).  A caller who
+    # EXPLICITLY lists a model-gated step without its model gets an
+    # error, not a silent no-op filter.
+    if steps is not DEFAULT_STEPS:
+        for step, model, arg in (("kn_ppl", kn_model, "kn_model"),
+                                 ("classifier", nb_model, "nb_model"),
+                                 ("decontam", bench_ngrams, "bench_ngrams")):
+            if step in steps and model is None:
+                raise ValueError(
+                    f"cleaning step {step!r} was explicitly requested "
+                    f"but {arg} is None — it would silently filter "
+                    f"nothing; pass the model or drop the step")
 
     from ocgis_ray.stages import dedup, quality
     from ocgis_ray.stages.url import dedup_by_url
@@ -173,16 +187,16 @@ def clean_corpus(ds, id_col: str = "doc_id", text_col: str = "text",
     return ds
 
 
+DEFAULT_FILTER_STEPS = ("c4", "gopher", "decontam", "pii")
+DEFAULT_DEDUP_STEPS = ("url_dedup", "exact_dedup", "near_dup")
+
+
 def clean_corpus_partitioned(in_dir: str, out_dir: str,
                              id_col: str = "doc_id", text_col: str = "text",
                              url_col: str | None = None,
                              n_partitions: int = 8, resume: bool = True,
-                             filter_steps: tuple[str, ...] = ("c4", "gopher",
-                                                              "decontam",
-                                                              "pii"),
-                             dedup_steps: tuple[str, ...] = ("url_dedup",
-                                                             "exact_dedup",
-                                                             "near_dup"),
+                             filter_steps: tuple[str, ...] = DEFAULT_FILTER_STEPS,
+                             dedup_steps: tuple[str, ...] = DEFAULT_DEDUP_STEPS,
                              minhash_threshold: float = 0.7,
                              bench_ngrams=None, decontam_n: int = 13):
     """Resumable two-phase cleaning job (the ``ray job submit`` shape):
@@ -204,6 +218,11 @@ def clean_corpus_partitioned(in_dir: str, out_dir: str,
     from ocgis_ray.sources.io import read_parquet_sized
     from ocgis_ray.state import lineage
 
+    # the default filter tuple gets decontam's auto-skip, like
+    # clean_corpus's DEFAULT_STEPS; an explicit tuple naming decontam
+    # without an index raises inside clean_corpus
+    if filter_steps is DEFAULT_FILTER_STEPS and bench_ngrams is None:
+        filter_steps = tuple(s for s in filter_steps if s != "decontam")
     bad = (set(filter_steps) | set(dedup_steps)) - set(ALL_STEPS)
     if bad:
         raise ValueError(f"unknown cleaning steps: {sorted(bad)}")

@@ -208,14 +208,25 @@ def ensure_list_column(t, col: str, value_type=None):
                       if pa.types.is_large_list(arr.type) else pa.int32())
     vt = value_type
     npdt = vt.to_pandas_dtype()
+    # null rows (to_numpy yields None) become empty lists with the
+    # validity mask preserved — len(None) was a TypeError (round-3
+    # advice)
+    mask = None
+    if arr.null_count:
+        isnull = np.fromiter((x is None for x in rows), dtype=bool,
+                             count=len(rows))
+        # offsets is length n+1: a null at slot i marks list i null
+        mask = np.zeros(len(rows) + 1, dtype=bool)
+        mask[:-1] = isnull
+        rows = [() if x is None else x for x in rows]
     lens = np.fromiter((len(x) for x in rows), dtype=np.int64,
                        count=len(rows))
     flat = (np.concatenate([np.asarray(x, dtype=npdt) for x in rows])
             if len(rows) and lens.sum() else np.empty(0, dtype=npdt))
     offsets = np.zeros(len(rows) + 1, dtype=np.int32)
     np.cumsum(lens, out=offsets[1:])
-    new = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
-                                   pa.array(flat, vt))
+    new = pa.ListArray.from_arrays(
+        pa.array(offsets, pa.int32(), mask=mask), pa.array(flat, vt))
     return t.set_column(t.schema.get_field_index(col), col, new)
 
 

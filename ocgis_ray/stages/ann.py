@@ -79,11 +79,20 @@ def unpack_vectors(arr, dim: int) -> np.ndarray:
 
 
 def load_query_vectors(sf_dir: str, vec_ids: list[int]) -> pd.DataFrame:
-    """Driver-side tiny read of query vectors by id."""
+    """Driver-side tiny read of query vectors by id.
+
+    The id filter and column projection are pushed INTO the parquet
+    read (predicate → row-group skip via vec_id statistics), so the
+    driver materializes only the handful of query rows — never the
+    whole embeddings table (which at 100-TB scale is itself TB-sized)."""
     import pyarrow.parquet as pq
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
-    q = t[t["vec_id"].isin(vec_ids)].sort_values("vec_id")
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", list(vec_ids))],
+    ).to_pandas()
+    q = t.sort_values("vec_id")
     return pd.DataFrame({"query_id": q["vec_id"].to_numpy(np.int64),
                          "embedding": q["embedding"].to_numpy()})
 

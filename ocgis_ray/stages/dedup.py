@@ -34,13 +34,19 @@ import pyarrow as pa
 # ------------------------------------------------------------------ exact
 
 def add_text_hash(ds, col: str = "text", out: str = "text_hash"):
-    """64-bit deterministic content hash column (vectorized)."""
+    """64-bit deterministic content hash column — zero-copy full-
+    content Horner+splitmix over the Arrow byte buffer
+    (:func:`ocgis_ray.stages.text.string_value_hash`); no per-row
+    Python objects ever materialize (the former pandas
+    ``hash_array(dtype=object)`` copied every document per batch on
+    the exact-dedup hot path)."""
+    from ocgis_ray.stages.text import string_value_hash
 
-    def f(df: pd.DataFrame) -> pd.DataFrame:
-        df[out] = pd.util.hash_array(df[col].to_numpy(dtype=object)).astype(np.int64)
-        return df
+    def f(t: pa.Table) -> pa.Table:
+        h = string_value_hash(t[col]).view(np.int64)
+        return t.append_column(out, pa.array(h, pa.int64()))
 
-    return ds.map_batches(f, batch_format="pandas")
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def dedup_exact(ds, id_col: str = "doc_id", col: str = "text"):

@@ -84,6 +84,15 @@ def pagerank(edges, damping: float = 0.85, iters: int = 10,
         # locally from the collected frame)
         return _broadcast()
 
+    if mode == "auto":
+        # auto must look at the edges up to three times (distinct
+        # nodes, edge count, possible broadcast collect) — pin the
+        # edge blocks ONCE so those are block reads / metadata counts,
+        # not three executions of the upstream lineage (round-3
+        # advice).  The shuffle path reuses the same blocks for its
+        # degree pass and joins.
+        edges = edges.materialize()
+
     # node universe = distinct(src) UNION distinct(dst)
     def proj(col, name):
         return edges.select_columns([col]).map_batches(

@@ -265,10 +265,13 @@ def deterministic_shuffle(ds, key_col: str, salt: int = 0,
 
     ``mix=True`` uses the full 64-bit splitmix (uniform for
     adversarial keys); ``mix=False`` uses the 32-bit multiplicative
-    hash shared with ``sample_by_key`` (SQL-mirrorable:
-    ``ORDER BY (CAST(key AS UBIGINT) % 2^32 * 2654435761 + salt) %
-    2^32, key``).  Ties (hash collisions) break on the key itself, so
-    the order is total and engine-independent."""
+    hash shared with ``sample_by_key`` — engine math is
+    ``(uint64(key) * 2654435761 + salt) mod 2^32`` and the exact SQL
+    twin is ``sample_by_key``'s fragment, ``ORDER BY ((CAST(key AS
+    UBIGINT) % 4294967296) * 2654435761 + salt) % 4294967296, key``
+    (the pre-mod on the key is a no-op mod 2^32, making the UBIGINT
+    product overflow-safe).  Ties (hash collisions) break on the key
+    itself, so the order is total and engine-independent."""
     import pyarrow as pa
 
     def add_key(t: pa.Table) -> pa.Table:

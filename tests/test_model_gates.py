@@ -74,8 +74,12 @@ def test_cascade_model_gates(ray_session):
         nb_model=nb, nb_keep_label="good").to_pandas()
     assert len(out) > 0
     assert set(out["doc_id"]) <= set(range(30))
-    # model gates auto-skip without models: only compression applies
-    out2 = clean_corpus(ds, steps=("compression", "kn_ppl", "classifier"))
+    # a caller-supplied steps tuple naming a model gate WITHOUT its
+    # model raises — a silent no-op filter was the round-3 advice bug
+    with pytest.raises(ValueError, match="kn_ppl.*kn_model is None"):
+        clean_corpus(ds, steps=("compression", "kn_ppl", "classifier"))
+    # ...but the DEFAULT step list keeps decontam's auto-skip
+    out2 = clean_corpus(ds, steps=("compression",))
     assert out2.count() == 30
 
 

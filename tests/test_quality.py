@@ -504,8 +504,13 @@ def test_clean_corpus_decontam_step(ray_session):
     steps = ("decontam", "exact_dedup")
     with_gate = clean_corpus(docs, steps=steps, bench_ngrams=bench,
                              decontam_n=8, num_buckets=4).to_pandas()
-    without = clean_corpus(docs, steps=steps, num_buckets=4).to_pandas()
+    without = clean_corpus(docs, steps=("exact_dedup",),
+                           num_buckets=4).to_pandas()
     assert len(with_gate) < len(without)
+    # explicitly listing decontam WITHOUT an index is an error now
+    # (round-3 advice), not a silent no-op control
+    with pytest.raises(ValueError, match="decontam.*bench_ngrams"):
+        clean_corpus(docs, steps=steps, num_buckets=4)
     # the benchmark docs themselves are contaminated by construction
     assert not (with_gate["doc_id"] < 5).any()
     assert set(with_gate["doc_id"]) <= set(without["doc_id"])
