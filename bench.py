@@ -47,6 +47,7 @@ SCALING_REPS = int(os.environ.get("GRAFT_SCALING_REPS", "2000"))
 SCALE_LO = int(os.environ.get("GRAFT_SCALE_LO", "1"))
 SCALE_HI = int(os.environ.get("GRAFT_SCALE_HI", "4"))
 WARMUP_REPS = 400
+DOM_REPS = int(os.environ.get("GRAFT_DOM_REPS", "100"))
 
 
 def _init_ray() -> None:
@@ -194,6 +195,24 @@ def run_queries() -> dict[str, float]:
                             steps=("url_dedup", "exact_dedup", "pii",
                                    "gopher")).count()
 
+    def extra_dom_extract():
+        # DOM-aware (jusText/Boilerpipe-class) boilerplate removal over
+        # a MESSY-html corpus (sources/messy.py) through the fused
+        # flagship with byte-identity verification — the honest
+        # real-crawl extraction cost (per-row HTMLParser in a task
+        # pool).  Corpus materializes once (cached, _SUCCESS-guarded)
+        # during the untimed warmup call.
+        from ocgis_ray.pipelines.flagship import flagship_from_parquet
+        from ocgis_ray.sources.messy import materialize_messy_pages_parquet
+
+        sf_tag = os.path.basename(SF_DIR.rstrip("/"))
+        path = materialize_messy_pages_parquet(
+            SF_DIR, DOM_REPS, f"/tmp/graft_bench/{sf_tag}",
+            num_blocks=max(64, NUM_CPUS * 4),
+            concurrency=max(2, NUM_CPUS - 2))
+        return flagship_from_parquet(path, extractor="dom",
+                                     extract_batch_size=2048)
+
     def extra_substr_dedup():
         # ExactSubstr-style duplicated-span cutting over documents
         from ocgis_ray.sources.io import read_parquet_sized
@@ -214,7 +233,8 @@ def run_queries() -> dict[str, float]:
                                       max_words=200_000)
         return packed.count()
 
-    extras = {"heavy_hitters_events": extra_heavy_hitters,
+    extras = {"dom_extract_pages": extra_dom_extract,
+              "heavy_hitters_events": extra_heavy_hitters,
               "hopping_window_events": extra_hopping_window,
               "quality_gate_pages": extra_quality_gate,
               "clean_corpus_pages": extra_clean_corpus,

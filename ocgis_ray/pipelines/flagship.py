@@ -126,8 +126,10 @@ class FusedPageWorker:
     intermediates."""
 
     def __init__(self, index_ref, keep_touches: bool = True, verify: bool = True,
-                 analyze: bool = True):
-        self.extractor = HtmlExtractor()
+                 analyze: bool = True, extractor: str = "regex"):
+        from ocgis_ray.stages.dom import make_extractor
+
+        self.extractor = make_extractor(extractor)
         from ocgis_ray.stages.spatial_join import SpatialJoinProbe
 
         self.probe = SpatialJoinProbe(index_ref, how="inner", keep_touches=keep_touches)
@@ -178,6 +180,7 @@ def flagship_from_parquet(
     extract_batch_size: int = 8192,
     use_actors: bool = False,
     analyze: bool = True,
+    extractor: str = "regex",
 ):
     # NOTE: no probe_* knobs — the probe runs INSIDE the fused worker
     # (FusedPageWorker), so extract_concurrency/extract_batch_size
@@ -209,7 +212,7 @@ def flagship_from_parquet(
         extract_concurrency=extract_concurrency,
         verify_extraction=verify_extraction,
         extract_batch_size=extract_batch_size, use_actors=use_actors,
-        analyze=analyze)
+        analyze=analyze, extractor=extractor)
 
 
 def flagship_from_warc(
@@ -219,6 +222,7 @@ def flagship_from_warc(
     page_id: str = "url",
     extract_batch_size: int = 8192,
     analyze: bool = True,
+    extractor: str = "regex",
 ):
     """Flagship over raw WARC crawl files (the real Common-Crawl
     container): streaming WARC read -> WET adaptation
@@ -228,10 +232,12 @@ def flagship_from_warc(
     exercises the per-row invariant end to end."""
     from ocgis_ray.sources.warc import read_warc, warc_to_pages
 
-    pages = warc_to_pages(read_warc(warc_path), page_id=page_id)
+    pages = warc_to_pages(read_warc(warc_path), page_id=page_id,
+                          extractor=extractor)
     return flagship_from_dataset(
         pages, layer_name=layer_name, rollup_cell=rollup_cell,
-        extract_batch_size=extract_batch_size, analyze=analyze)
+        extract_batch_size=extract_batch_size, analyze=analyze,
+        extractor=extractor)
 
 
 def flagship_from_dataset(
@@ -243,6 +249,7 @@ def flagship_from_dataset(
     extract_batch_size: int = 8192,
     use_actors: bool = False,
     analyze: bool = True,
+    extractor: str = "regex",
 ):
     """The fused flagship tail over an already-loaded pages Dataset
     (shared by the parquet and WARC front ends)."""
@@ -262,7 +269,7 @@ def flagship_from_dataset(
             concurrency=extract_concurrency,
             batch_size=extract_batch_size,
             fn_constructor_kwargs={"index_ref": index_ref, "verify": verify_extraction,
-                                   "analyze": analyze},
+                                   "analyze": analyze, "extractor": extractor},
         )
     else:
         # stateless-task mode: same init-once-per-worker state (module
@@ -276,13 +283,14 @@ def flagship_from_dataset(
         # reuses worker processes across Dataset executions, so a
         # second flagship call in the same session (different layer /
         # res) must not probe the previous call's index
-        cache_key = (index_ref.hex(), verify, analyze)
+        cache_key = (index_ref.hex(), verify, analyze, extractor)
 
         def fused_task(t):
             w = _WORKER_CACHE.get("w")
             if w is None or _WORKER_CACHE.get("key") != cache_key:
                 w = _WORKER_CACHE["w"] = FusedPageWorker(
-                    index_ref, verify=verify, analyze=analyze
+                    index_ref, verify=verify, analyze=analyze,
+                    extractor=extractor,
                 )
                 _WORKER_CACHE["key"] = cache_key
             return w(t)

@@ -219,7 +219,8 @@ def read_warc(paths, rows_per_block: int = 512, **read_kwargs):
         WarcDatasource(paths, rows_per_block=rows_per_block), **read_kwargs)
 
 
-def warc_to_pages(ds, page_id: str = "url", batch_size: int = 2048):
+def warc_to_pages(ds, page_id: str = "url", batch_size: int = 2048,
+                  extractor: str = "regex"):
     """Adapt WARC rows to the engine's pages schema — the WET step:
 
     - ``page_id``: parsed from the synthetic ``/p/<id>`` url tail
@@ -227,22 +228,28 @@ def warc_to_pages(ds, page_id: str = "url", batch_size: int = 2048):
       (``page_id="hash"``) for real crawls whose urls carry no id;
     - ``warc_ts``: ISO-8601 string -> timestamp[us] (``T``/space and
       trailing ``Z`` both accepted);
-    - ``text``: WET extraction from ``html`` (the shared
-      ``HtmlExtractor`` kernel — the fused flagship stage re-extracts
-      and enforces byte identity against this column, so the per-row
-      invariant is exercised end to end);
+    - ``text``: WET extraction from ``html`` via the selected
+      ``extractor`` — ``"regex"`` (the synthetic ``<article>``
+      kernel) or ``"dom"`` (``stages.dom.DomExtractor``, real tag
+      soup).  The fused flagship stage re-extracts with the SAME
+      extractor and enforces byte identity against this column, so
+      the per-row invariant is exercised end to end;
     - ``n_chars``: codepoint length of ``text``; ``lang``: empty
       (langid is a downstream operator).
     """
     import pyarrow.compute as pc
 
+    from ocgis_ray.stages.dom import DomExtractor
     from ocgis_ray.stages.extract import HtmlExtractor
     from ocgis_ray.tuning import task_stage
 
     if page_id not in ("url", "hash"):
         raise ValueError(f"page_id must be url|hash, got {page_id!r}")
+    if extractor not in ("regex", "dom"):
+        raise ValueError(f"unknown extractor {extractor!r} (regex|dom)")
 
-    extract = task_stage(HtmlExtractor)
+    extract = task_stage(
+        {"regex": HtmlExtractor, "dom": DomExtractor}[extractor])
 
     def adapt(t: pa.Table) -> pa.Table:
         if page_id == "url":

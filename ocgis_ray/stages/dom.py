@@ -1,0 +1,367 @@
+"""DOM-aware HTML boilerplate removal — the real-crawl extractor.
+
+``stages.extract.HtmlExtractor`` is an RE2 ``<article>`` kernel matched
+to the synthetic page generator; REAL Common-Crawl HTML has no such
+marker — content sits in arbitrary ``div`` soup next to navigation,
+sidebars, footers and scripts.  This module supplies the
+trafilatura-class extractor behind the same actor seam
+(``text_extracted`` from ``html``), built from the published
+boilerplate-removal literature (all public knowledge):
+
+- **block segmentation** (jusText, Pomikalek 2011): the page is cut
+  into text blocks at block-level tag boundaries; ``script``/``style``
+  and structural chrome subtrees (``nav``/``header``/``footer``/
+  ``aside``/``form``) are dropped whole, the way trafilatura and
+  readability prune before scoring.
+- **shallow-feature classification** (jusText + Boilerpipe,
+  Kohlschuetter et al., WSDM 2010): each block scores on link density,
+  stopword density and length; blocks classify good / near-good /
+  short / bad with jusText's default thresholds.
+- **context-sensitive pass** (jusText): short and near-good blocks
+  inherit from their nearest definite neighbors, so a short paragraph
+  inside an article survives while an equally short nav item dies;
+  headings attach to the content that follows them.
+- **density fallback** (Boilerpipe ``NumWordsRules``): pages whose
+  language defeats the English stopword list (stopword density ~0
+  everywhere) fall back to pure word-count + link-density rules, so
+  extraction degrades gracefully instead of returning nothing.
+
+The parser is a single-pass compiled-regex token scanner (one
+``finditer`` over the page: comments / script+style elements / tags /
+text runs), tolerant of real-world tag soup, with stdlib
+``html.unescape`` entity decoding on text runs that need it.  A
+stdlib ``html.parser.HTMLParser`` prototype measured 439 us/row on
+the messy corpus — ~85% of it per-event Python dispatch and attribute
+parsing the classifier never looks at; the scanner keeps the same
+block semantics at a fraction of the cost.  Still per-row Python by
+necessity, so the stage runs as an actor/task pool over SMALL batches
+(html is the fat column) and the decoded text alone crosses the
+operator boundary.
+Extraction is a pure function of the html bytes: re-runs, retries and
+resume reproduce byte-identical output, which is what lets the fused
+flagship enforce the per-row byte-identity invariant end to end on a
+DOM-extracted corpus.
+
+Reference seam: the pluggable converter/driver role
+(``/root/reference/src/ocgis/driver/registry.py``) — a second extractor
+behind the same ``text_extracted`` contract, selected per request.
+"""
+
+from __future__ import annotations
+
+import re
+from html import unescape
+
+import pyarrow as pa
+
+# bump when extraction semantics change: cached messy-corpus ground
+# truth (sources/messy.py materialization tags) must not survive an
+# extractor change, or the byte-identity gate fires on stale fixtures
+DOM_VERSION = 2
+
+# jusText default parameters (Pomikalek 2011, justext package docs)
+LENGTH_LOW = 70
+LENGTH_HIGH = 200
+STOPWORDS_LOW = 0.30
+STOPWORDS_HIGH = 0.32
+MAX_LINK_DENSITY = 0.2
+# Boilerpipe NumWordsRules-style fallback thresholds (WSDM 2010; the
+# floor sits below Boilerpipe's 40-word "long text" rule because WET
+# ground truth should keep short prose paragraphs — boilerplate at
+# this length is link-dense and dies on the density test instead)
+FALLBACK_MIN_WORDS = 15
+FALLBACK_MAX_LINK_DENSITY = 0.33
+
+# ~130 highest-frequency English function words — the jusText-style
+# stopword signal (content prose is dense in them, boilerplate is not)
+_STOPWORDS = frozenset("""
+a about above after again against all am an and any are as at be because
+been before being below between both but by can did do does doing down
+during each few for from further had has have having he her here hers
+herself him himself his how i if in into is it its itself just me more
+most my myself no nor not now of off on once only or other our ours
+ourselves out over own same she should so some such than that the their
+theirs them themselves then there these they this those through to too
+under until up very was we were what when where which while who whom why
+will with you your yours yourself yourselves would could may might must
+shall
+""".split())
+
+# subtrees dropped whole: non-content by construction
+_SKIP_TAGS = frozenset((
+    "script", "style", "noscript", "template", "svg", "math", "head",
+    "iframe", "object", "embed", "applet", "select", "textarea",
+    "button", "nav", "header", "footer", "aside", "form", "menu",
+))
+# tags whose start OR end terminates the current text block (jusText's
+# block-level set)
+_BLOCK_TAGS = frozenset((
+    "address", "article", "blockquote", "body", "caption", "center",
+    "col", "colgroup", "dd", "details", "div", "dl", "dt", "fieldset",
+    "figcaption", "figure", "h1", "h2", "h3", "h4", "h5", "h6", "hr",
+    "legend", "li", "main", "ol", "p", "pre", "section", "summary",
+    "table", "tbody", "td", "tfoot", "th", "thead", "tr", "ul",
+))
+_HEADING_TAGS = frozenset(("h1", "h2", "h3", "h4", "h5", "h6"))
+# void elements never get a matching end tag; <br> does not split
+# blocks (jusText keeps single <br> inline)
+_GOOD, _NEAR, _SHORT, _BAD = 2, 1, 0, -1
+
+
+class _Block:
+    __slots__ = ("parts", "link_chars", "heading", "cls")
+
+    def __init__(self, heading: bool):
+        self.parts: list[str] = []
+        self.link_chars = 0
+        self.heading = heading
+        self.cls = _BAD
+
+
+# One pass over the page: comments, CDATA, whole script/style/
+# noscript/template elements (their raw content may contain '<' and
+# must vanish), any other tag, or a text run.  An unclosed raw-text
+# element swallows to end-of-page, matching the HTML5 tree builder.
+_TOKEN_RE = re.compile(
+    r"(?is)<!--.*?(?:-->|$)"
+    r"|<!\[CDATA\[.*?(?:\]\]>|$)"
+    r"|<(script|style|noscript|template)\b[^>]*>.*?(?:</\1\s*>|$)"
+    r"|<(/?)([a-zA-Z][a-zA-Z0-9]*)[^>]*>"
+    r"|<[^>]*>?"
+    r"|[^<]+")
+
+
+def _parse_blocks(html: str) -> list[_Block]:
+    """Tag soup -> list of text blocks with shallow features (the
+    jusText segmentation, scanner-based).
+
+    Dispatch is on ``Match.lastindex``: 1 = a whole raw-text element
+    (dropped), 3 = a named tag (groups 2/3 = slash/name, captured in
+    the token regex so no second regex runs per tag), None = a text
+    run, comment, doctype, or malformed tag."""
+    blocks: list[_Block] = []
+    append = blocks.append
+    cur: _Block | None = None
+    skip = link = head = 0
+    skip_tags, block_tags, heading_tags = _SKIP_TAGS, _BLOCK_TAGS, _HEADING_TAGS
+    for m in _TOKEN_RE.finditer(html):
+        li = m.lastindex
+        if li is None:
+            s = m[0]
+            if s[0] == "<":
+                continue  # comment / doctype / malformed tag
+            # text run
+            if skip:
+                continue
+            if s.isspace():
+                # inter-tag whitespace joins words but never opens a
+                # block of its own
+                if cur is not None:
+                    cur.parts.append(" ")
+                continue
+            if cur is None:
+                cur = _Block(head > 0)
+            if "&" in s:
+                s = unescape(s)
+            cur.parts.append(s)
+            if link:
+                cur.link_chars += len(s)
+            continue
+        if li == 1:
+            continue  # whole script/style/noscript/template element
+        tag = m[3].lower()
+        if not m[2]:
+            if skip:
+                if tag in skip_tags:
+                    skip += 1
+                continue
+            if tag in skip_tags:
+                skip = 1
+                if cur is not None:
+                    append(cur)
+                    cur = None
+                continue
+            if tag == "a":
+                link += 1
+            elif tag in heading_tags:
+                head += 1
+            if tag in block_tags:
+                if cur is not None:
+                    append(cur)
+                    cur = None
+        else:
+            if skip:
+                if tag in skip_tags:
+                    skip -= 1
+                continue
+            if tag == "a":
+                if link:
+                    link -= 1
+            elif tag in heading_tags:
+                if head:
+                    head -= 1
+            if tag in block_tags:
+                if cur is not None:
+                    append(cur)
+                    cur = None
+    if cur is not None:
+        append(cur)
+    return blocks
+
+
+def _block_text(b: _Block) -> str:
+    """Whitespace-normalized block text (runs collapse to one space)."""
+    return " ".join("".join(b.parts).split())
+
+
+def _classify(text: str, b: _Block) -> int:
+    """jusText context-free classification of one block."""
+    n = len(text)
+    if n == 0:
+        return _BAD
+    link_density = b.link_chars / max(n, 1)
+    if link_density > MAX_LINK_DENSITY:
+        return _BAD
+    if "\xa9" in text or "&copy" in text:
+        return _BAD
+    if n < LENGTH_LOW:
+        return _BAD if b.link_chars else _SHORT
+    words = text.split()
+    sw = sum(1 for w in words if w.lower().strip(".,!?;:\"'()[]") in _STOPWORDS)
+    density = sw / max(len(words), 1)
+    if density >= STOPWORDS_HIGH:
+        return _GOOD if n > LENGTH_HIGH else _NEAR
+    if density >= STOPWORDS_LOW:
+        return _NEAR
+    return _BAD
+
+
+def extract_text(html) -> str:
+    """Pure-function DOM extraction: html (bytes or str) -> article
+    text, good blocks joined by blank lines.  Tolerant of tag soup;
+    deterministic (resume/retry safe)."""
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    try:
+        blocks = _parse_blocks(html)
+    except Exception:
+        # the scanner is total over its token language, but a
+        # pathological page must yield a deterministic value, not a
+        # task retry loop
+        return ""
+    texts = [_block_text(b) for b in blocks]
+    keep = [i for i, t in enumerate(texts) if t]
+    blocks = [blocks[i] for i in keep]
+    texts = [texts[i] for i in keep]
+    if not blocks:
+        return ""
+    cls = [_classify(t, b) for t, b in zip(texts, blocks)]
+
+    if _GOOD not in cls and _NEAR not in cls:
+        # stopword list missed (non-English page): Boilerpipe-style
+        # word-count + link-density fallback; a link-free heading
+        # directly preceding kept content attaches to it (trafilatura
+        # keeps article headings)
+        kept = []
+        for t, b in zip(texts, blocks):
+            words = len(t.split())
+            ld = b.link_chars / max(len(t), 1)
+            kept.append(words >= FALLBACK_MIN_WORDS
+                        and ld <= FALLBACK_MAX_LINK_DENSITY)
+        for i in range(len(blocks) - 1):
+            if blocks[i].heading and not kept[i] \
+                    and blocks[i].link_chars == 0 and kept[i + 1]:
+                kept[i] = True
+        return "\n\n".join(t for t, k in zip(texts, kept) if k)
+
+    # context-sensitive pass (jusText): short/near-good blocks inherit
+    # from nearest definite neighbors; default-bad at the page edges
+    n = len(blocks)
+    prev_def = [_BAD] * n
+    last = _BAD
+    for i in range(n):
+        prev_def[i] = last
+        if cls[i] in (_GOOD, _BAD):
+            last = cls[i]
+    next_def = [_BAD] * n
+    last = _BAD
+    for i in range(n - 1, -1, -1):
+        next_def[i] = last
+        if cls[i] in (_GOOD, _BAD):
+            last = cls[i]
+    final = list(cls)
+    for i in range(n):
+        if cls[i] == _NEAR:
+            final[i] = _GOOD if (prev_def[i] == _GOOD or next_def[i] == _GOOD) \
+                else _BAD
+        elif cls[i] == _SHORT:
+            final[i] = _GOOD if (prev_def[i] == _GOOD and next_def[i] == _GOOD) \
+                else _BAD
+    # heading promotion: a heading directly preceding good content is
+    # part of the article even when its own features are weak
+    for i in range(n):
+        if blocks[i].heading and final[i] != _GOOD:
+            for j in range(i + 1, min(i + 3, n)):
+                if final[j] == _GOOD:
+                    if blocks[i].link_chars == 0:
+                        final[i] = _GOOD
+                    break
+    if _GOOD not in final:
+        # page whose only prose is near-good (e.g. one sub-200-char
+        # paragraph): the context pass defaults page edges to bad, so
+        # a single-block page would extract nothing — rescue the
+        # context-free near-good blocks instead of returning empty
+        final = [_GOOD if c == _NEAR else c for c in cls]
+    return "\n\n".join(t for t, c in zip(texts, final) if c == _GOOD)
+
+
+class DomExtractor:
+    """Actor-pool stage: ``text_extracted`` from ``html`` via DOM-aware
+    boilerplate removal.  Drop-in for
+    :class:`ocgis_ray.stages.extract.HtmlExtractor` — same column
+    contract, same determinism guarantee, built for real tag soup.
+
+    Use: ``ds.map_batches(DomExtractor, batch_format="pyarrow",
+    concurrency=N, batch_size=B)`` with B sized by BYTES (~256-1024
+    rows at real ~100KB Common-Crawl html)."""
+
+    def __init__(self):
+        # once per actor; the classifier tables are module-level
+        # constants, so init is trivially cheap — the seam exists so a
+        # model-based extractor can load weights here
+        pass
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch["html"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        out = [extract_text(v) for v in col.to_pylist()]
+        return batch.append_column("text_extracted",
+                                   pa.array(out, pa.string()))
+
+
+def extract_dom(ds, concurrency=None, batch_size: int = 512):
+    """Attach the DOM extraction pool to a pages Dataset."""
+    from ocgis_ray.tuning import auto_pool
+
+    concurrency = auto_pool() if concurrency is None else concurrency
+    return ds.map_batches(
+        DomExtractor,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )
+
+
+def make_extractor(name: str):
+    """Extractor registry: ``"regex"`` (synthetic ``<article>`` corpus)
+    or ``"dom"`` (real tag soup).  The seam every pipeline entry point
+    exposes as ``extractor=``."""
+    if name == "regex":
+        from ocgis_ray.stages.extract import HtmlExtractor
+
+        return HtmlExtractor()
+    if name == "dom":
+        return DomExtractor()
+    raise ValueError(f"unknown extractor {name!r} (regex|dom)")

@@ -71,3 +71,43 @@ def test_warc_to_pages_hash_mode_and_bad_urls(ray_session):
     assert np.issubdtype(out["page_id"].dtype, np.integer)
     with pytest.raises(ValueError, match="url|hash"):
         warc_to_pages(ds, page_id="nope")
+
+
+def test_warc_dom_extractor_end_to_end(tmp_path, ray_session):
+    """flagship_from_warc(extractor="dom") over a MESSY (non-regex)
+    crawl fixture: the WARC front end must equal the parquet front end
+    over the same messy pages, with the byte-identity invariant
+    enforced against the DOM extractor on both paths."""
+    import duckdb
+
+    from ocgis_ray.pipelines.flagship import (flagship_from_parquet,
+                                              flagship_from_warc)
+    from ocgis_ray.sources.messy import materialize_messy_pages_parquet
+    from ocgis_ray.sources.warc import write_warc
+
+    pq_path = materialize_messy_pages_parquet(
+        "/root/testdata/sf0.001", reps=2, out_dir=str(tmp_path / "pq"),
+        num_blocks=4, concurrency=2)
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT url, warc_ts, html FROM '{pq_path}/*.parquet' "
+        f"ORDER BY url").fetchall()
+    assert len(rows) == 1000
+    half = len(rows) // 2
+    for j, chunk in enumerate((rows[:half], rows[half:])):
+        write_warc(str(tmp_path / f"crawl-{j}.warc.gz"),
+                   ((u, ts.isoformat(), bytes(h)) for u, ts, h in chunk))
+
+    a = flagship_from_parquet(pq_path, extractor="dom").to_pandas()
+    b = flagship_from_warc(str(tmp_path), extractor="dom").to_pandas()
+    cols = ["ugid", "cell_r8", "n_pages", "sum_chars", "min_ts", "max_ts",
+            "sum_tokens"]
+    pd.testing.assert_frame_equal(
+        a[cols].reset_index(drop=True), b[cols].reset_index(drop=True))
+    assert len(a) > 0 and a["n_pages"].sum() > 0
+
+    # cross-extractor guard: the regex extractor CANNOT reproduce the
+    # messy corpus's ground truth (no <article> marker) — the
+    # byte-identity gate must fire, proving the invariant is real
+    with pytest.raises(Exception, match="byte-identity"):
+        flagship_from_parquet(pq_path, extractor="regex").to_pandas()
