@@ -35,6 +35,10 @@ the canonical order above, independent of the tuple's order.
 
 from __future__ import annotations
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
 DEFAULT_STEPS = ("url_dedup", "c4", "gopher", "decontam", "exact_dedup",
                  "paragraph_dedup", "near_dup", "pii")
 # recognized but not default:
@@ -281,3 +285,183 @@ def clean_corpus_partitioned(in_dir: str, out_dir: str,
                          minhash_threshold=minhash_threshold)
     records.append(lineage.write_partition(final, out_dir, "final"))
     return records
+
+
+# row-local gate steps whose verdicts can be decided in a slim pass
+# (they never rewrite text); c4 REWRITES text and pii rewrites last
+_GATE_STEPS = ("gopher", "compression", "kn_ppl", "classifier", "decontam")
+
+
+def semi_join_ids(ds, ids, id_col: str, broadcast_max: int = 1 << 25,
+                  num_buckets: int | None = None):
+    """Keep rows of ``ds`` whose ``id_col`` appears in the (unique-id)
+    Dataset ``ids`` — the re-attach step of decide-on-slim cleaning.
+
+    Two shapes, auto-selected by survivor count:
+
+    - **broadcast** (ids <= ``broadcast_max``, default 32M ~ 256 MB):
+      the sorted id vector ships once via ``ray.put``; each batch
+      filters by ``np.searchsorted`` — NO shuffle of ``ds``, the only
+      cost is the lookup.  This is the fat-row win: the wide rows
+      never leave their read tasks.
+    - **bucketed semi-join** (bigger survivor sets): one hash-shuffle
+      join on the id — still exactly ONE fat exchange, vs one per
+      dedup stage in the shuffle cascade.
+    """
+    import ray
+
+    from ocgis_ray.sources.io import join_datasets
+
+    ids = ids.materialize()
+    n = ids.count()
+    if n <= broadcast_max:
+        vec = np.sort(ids.to_pandas()[id_col].to_numpy(np.int64))
+        ref = ray.put(vec)
+
+        def keep(t: pa.Table) -> pa.Table:
+            v = ray.get(ref)
+            x = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(v, x)
+            pos[pos == len(v)] = 0
+            return t.filter(pa.array(v[pos] == x))
+
+        return ds.map_batches(keep, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return join_datasets(ds, ids, on=[id_col], num_partitions=num_buckets)
+
+
+def clean_corpus_twopass(ds, id_col: str = "doc_id", text_col: str = "text",
+                         url_col: str | None = None,
+                         steps: tuple[str, ...] = ("url_dedup", "gopher",
+                                                   "exact_dedup", "pii"),
+                         num_buckets: int | None = None,
+                         broadcast_max: int = 1 << 25,
+                         bench_ngrams=None, decontam_n: int = 13,
+                         kn_model=None, kn_max_ppl: float = 1e4,
+                         nb_model=None, nb_keep_label: str = "keep",
+                         nb_min_margin: float = 0.0,
+                         compression_min: float = 0.30,
+                         compression_max: float = 1.15,
+                         source=None):
+    """Decide-on-slim variant of :func:`clean_corpus` for FAT rows
+    (real crawl text, ~10-100 KB/row): identical survivor set and
+    output text, but the wide text column never crosses a dedup
+    shuffle.
+
+    Shape (vs the composable cascade, which shuffles fat rows once per
+    dedup stage):
+
+    1. **URL decision** — slim ``(id, url-key)`` keep-first shuffle
+       (8-16 B/row) over the RAW input, preserving the canonical
+       url-dedup-before-filters order;
+    2. **gate + content decision** — re-run of the row-local steps
+       (c4 rewrite + gates) projected to ``(id, text-hash)``, url
+       survivors only, then a slim keep-first on the hash;
+    3. **re-attach** — :func:`semi_join_ids` (broadcast or one
+       bucketed semi-join) filters the full rows, re-applies the c4
+       rewrite, and runs pii last.
+
+    The input lineage executes up to three times (Ray re-executes the
+    Dataset per consumption) — the trade is extra READS for zero fat
+    SHUFFLES, which wins when rows are wide (shuffle bytes ~ 1000x the
+    slim projection) and loses at narrow synthetic rows (~700 B, see
+    BASELINE.md round-3 negative result).  Callers pass a Dataset
+    whose upstream is cheap to re-execute (a parquet read); an
+    expensive upstream should be materialized first.
+
+    Steps supported: url_dedup, c4, the row-local gates
+    (gopher/compression/kn_ppl/classifier/decontam), exact_dedup, pii.
+    Global rewrites (paragraph/substr/near-dup) follow downstream on
+    the (already slim-ified) survivor output via :func:`clean_corpus`.
+
+    ``source``: optional ``source(columns) -> Dataset`` factory (e.g.
+    ``lambda cols: read_parquet_sized(path, columns=cols)``).  When
+    given, the decision passes read ONLY the columns they need — the
+    URL pass never decodes the fat text column at all (projection
+    cannot be pushed back through an already-built Dataset's
+    map_batches lineage, so pruning must happen at the read).
+    """
+    from ocgis_ray.sources.io import distinct_rows
+    from ocgis_ray.stages.text import string_value_hash
+
+    supported = {"url_dedup", "c4", "exact_dedup", "pii", *_GATE_STEPS}
+    unknown = set(steps) - supported
+    if unknown:
+        raise ValueError(
+            f"clean_corpus_twopass does not support steps {sorted(unknown)}; "
+            "run them downstream via clean_corpus")
+    if "exact_dedup" not in steps:
+        raise ValueError("clean_corpus_twopass without exact_dedup has "
+                         "nothing to decide slim — use clean_corpus")
+
+    gates = tuple(s for s in steps if s in _GATE_STEPS)
+    rewrite = ("c4",) if "c4" in steps else ()
+    gate_kwargs = dict(bench_ngrams=bench_ngrams, decontam_n=decontam_n,
+                       kn_model=kn_model, kn_max_ppl=kn_max_ppl,
+                       nb_model=nb_model, nb_keep_label=nb_keep_label,
+                       nb_min_margin=nb_min_margin,
+                       compression_min=compression_min,
+                       compression_max=compression_max)
+
+    def src(columns):
+        return source(columns) if source is not None else ds
+
+    # 1. slim URL decision over the raw input (canonical order)
+    url_surv = None
+    if "url_dedup" in steps and url_col is not None:
+        def url_slim(t: pa.Table) -> pa.Table:
+            h = string_value_hash(t[url_col]).view(np.int64)
+            ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            # null urls never dedup against each other: per-row key
+            # outside the id space (urls hash the full 64-bit range,
+            # but a collision only risks dropping one extra row —
+            # same fidelity as the shipped 64-bit exact dedup)
+            if t[url_col].null_count:
+                isnull = pc.is_null(t[url_col]).to_numpy(
+                    zero_copy_only=False)
+                # per-row sentinel in the complemented-id domain
+                h = np.where(isnull, ids ^ np.int64(-1), h)
+            return pa.table({id_col: pa.array(ids), "_uk": pa.array(h)})
+
+        slim0 = src([id_col, url_col]).map_batches(
+            url_slim, batch_format="pyarrow", zero_copy_batch=True)
+        url_surv = distinct_rows(slim0, "_uk", order_col=id_col,
+                                 num_buckets=num_buckets) \
+            .drop_columns(["_uk"])
+
+    # 2. gate + content decision, URL survivors only — the filter
+    # runs BEFORE the gates and the content hash, matching the
+    # canonical url-dedup-first order AND its cost profile (on a
+    # duplicated crawl the url pass shrinks the corpus before any
+    # per-byte work; hashing every raw row measured 5x the whole
+    # cascade).  c4's rewrite feeds the hash, so exact dedup sees
+    # rewritten text exactly as in clean_corpus.
+    src2 = src([id_col, text_col])
+    if url_surv is not None:
+        src2 = semi_join_ids(src2, url_surv, id_col,
+                             broadcast_max=broadcast_max,
+                             num_buckets=num_buckets)
+    decided = clean_corpus(src2, id_col=id_col,
+                           text_col=text_col, steps=rewrite + gates,
+                           num_buckets=num_buckets, **gate_kwargs)
+
+    def text_slim(t: pa.Table) -> pa.Table:
+        h = string_value_hash(t[text_col]).view(np.int64)
+        return pa.table({id_col: t[id_col], "_th": pa.array(h)})
+
+    slim1 = decided.map_batches(text_slim, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    surv = distinct_rows(slim1, "_th", order_col=id_col,
+                         num_buckets=num_buckets).drop_columns(["_th"])
+
+    # 3. re-attach: full rows, re-apply the rewrite, pii last
+    out = clean_corpus(ds, id_col=id_col, text_col=text_col,
+                       steps=rewrite, num_buckets=num_buckets) \
+        if rewrite else ds
+    out = semi_join_ids(out, surv, id_col, broadcast_max=broadcast_max,
+                        num_buckets=num_buckets)
+    if "pii" in steps:
+        from ocgis_ray.stages import quality
+
+        out = quality.pii_redact(out, col=text_col)
+    return out
