@@ -613,6 +613,107 @@ ELLIPSOIDS = {
 }
 
 
+# ---------------------------------------------------------------- mollweide
+
+def moll_forward(lon, lat, lon0: float = 0.0, R: float = WGS84_A,
+                 fe: float = 0.0, fn: float = 0.0):
+    """Spherical Mollweide (homolographic) forward — Snyder (1987)
+    eq. 31-1..31-8: solve 2t + sin 2t = pi sin(phi) by Newton, then
+    x = (2 sqrt(2) / pi) R dlam cos t, y = sqrt(2) R sin t.  proj's
+    ``moll`` is likewise spherical (uses a as the sphere radius)."""
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    dl = np.radians(np.asarray(lon, dtype=np.float64) - lon0)
+    rhs = np.pi * np.sin(phi)
+    t = phi.copy()
+    for _ in range(12):
+        f = 2.0 * t + np.sin(2.0 * t) - rhs
+        df = 2.0 + 2.0 * np.cos(2.0 * t)
+        # poles: df -> 0 but f -> 0 too; guard the division
+        t = t - f / np.maximum(df, 1e-12)
+    x = (2.0 * np.sqrt(2.0) / np.pi) * R * dl * np.cos(t)
+    y = np.sqrt(2.0) * R * np.sin(t)
+    return fe + x, fn + y
+
+
+def moll_inverse(x, y, lon0: float = 0.0, R: float = WGS84_A,
+                 fe: float = 0.0, fn: float = 0.0):
+    t = np.arcsin(np.clip((np.asarray(y, np.float64) - fn)
+                          / (np.sqrt(2.0) * R), -1.0, 1.0))
+    phi = np.arcsin(np.clip((2.0 * t + np.sin(2.0 * t)) / np.pi, -1.0, 1.0))
+    cos_t = np.cos(t)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        dl = (np.asarray(x, np.float64) - fe) * np.pi \
+            / (2.0 * np.sqrt(2.0) * R * cos_t)
+    dl = np.where(cos_t < 1e-12, 0.0, dl)   # poles: lon indeterminate
+    return _wrap_lon_deg(np.degrees(dl) + lon0), np.degrees(phi)
+
+
+# ---------------------------------------------------------------- robinson
+
+# Robinson's published 5-degree table (Robinson 1974; Snyder 1990,
+# "An Album of Map Projections" p. 82-83): X = parallel length scale,
+# Y = distance of parallel from equator / 0.5072
+_ROBIN_LAT = np.arange(0.0, 91.0, 5.0)
+_ROBIN_X = np.array([
+    1.0000, 0.9986, 0.9954, 0.9900, 0.9822, 0.9730, 0.9600, 0.9427,
+    0.9216, 0.8962, 0.8679, 0.8350, 0.7986, 0.7597, 0.7186, 0.6732,
+    0.6213, 0.5722, 0.5322])
+_ROBIN_Y = np.array([
+    0.0000, 0.0620, 0.1240, 0.1860, 0.2480, 0.3100, 0.3720, 0.4340,
+    0.4958, 0.5571, 0.6176, 0.6769, 0.7346, 0.7903, 0.8435, 0.8936,
+    0.9394, 0.9761, 1.0000])
+
+
+def robin_forward(lon, lat, lon0: float = 0.0, R: float = WGS84_A,
+                  fe: float = 0.0, fn: float = 0.0):
+    """Robinson forward from the published coefficient table:
+    x = 0.8487 R X(|phi|) dlam, y = 1.3523 R Y(|phi|) sign(phi).
+    Table lookup is piecewise-LINEAR between the 5-degree nodes —
+    proj fits a quintic through the same table, so coordinates differ
+    from proj by < ~0.1% between nodes (exact at the nodes); the
+    inverse inverts the same interpolant, so round-trips are exact."""
+    la = np.abs(np.asarray(lat, dtype=np.float64))
+    X = np.interp(la, _ROBIN_LAT, _ROBIN_X)
+    Y = np.interp(la, _ROBIN_LAT, _ROBIN_Y)
+    dl = np.radians(np.asarray(lon, dtype=np.float64) - lon0)
+    x = 0.8487 * R * X * dl
+    y = 1.3523 * R * Y * np.sign(np.asarray(lat, dtype=np.float64))
+    return fe + x, fn + y
+
+
+def robin_inverse(x, y, lon0: float = 0.0, R: float = WGS84_A,
+                  fe: float = 0.0, fn: float = 0.0):
+    yy = (np.asarray(y, np.float64) - fn) / (1.3523 * R)
+    la = np.interp(np.abs(yy), _ROBIN_Y, _ROBIN_LAT)
+    X = np.interp(la, _ROBIN_LAT, _ROBIN_X)
+    dl = (np.asarray(x, np.float64) - fe) / (0.8487 * R * X)
+    return _wrap_lon_deg(np.degrees(dl) + lon0), la * np.sign(yy)
+
+
+# ---------------------------------------------------------------- proj strings
+
+def parse_proj_string(proj4: str) -> dict:
+    """proj.4 string -> params dict — the arbitrary-CRS escape hatch
+    (the reference accepts any proj4 string via OSR,
+    ``variable/crs.py:160-240``).  ``+key=value`` terms become entries
+    (numeric where possible), bare ``+flag`` terms become True;
+    ``no_defs``/``wktext``/``type=crs`` are dropped as metadata."""
+    out: dict = {}
+    for term in proj4.split():
+        term = term.lstrip("+")
+        if not term or term in ("no_defs", "wktext") or term == "type=crs":
+            continue
+        if "=" in term:
+            k, v = term.split("=", 1)
+            try:
+                out[k] = int(v) if v.lstrip("+-").isdigit() else float(v)
+            except ValueError:
+                out[k] = v
+        else:
+            out[term] = True
+    return out
+
+
 def _ellipsoid(params: dict) -> tuple[float, float]:
     """(a, e2) from proj-style params: +a/+rf beat +ellps; +R means a
     sphere of that radius."""
@@ -646,7 +747,10 @@ def crs_from_params(params: dict):
     1200/3937) so outputs are in the CRS's own unit, matching proj.
 
     Unknown keys are ignored (proj compatibility); an unknown ``proj``
-    raises with the supported list."""
+    raises with the supported list.  A raw proj.4 STRING is accepted
+    too (``parse_proj_string``) — the arbitrary-CRS escape hatch."""
+    if isinstance(params, str):
+        params = parse_proj_string(params)
     proj = params.get("proj", "longlat")
     a, e2 = _ellipsoid(params)
     fe = float(params.get("x_0", 0.0))
@@ -708,6 +812,14 @@ def crs_from_params(params: dict):
         lon0 = g("lon_0")
         fwd0 = lambda lon, lat: sinu_forward(lon, lat, lon0, a, fe, fn)  # noqa: E731
         inv0 = lambda x, y: sinu_inverse(x, y, lon0, a, fe, fn)  # noqa: E731
+    elif proj == "moll":
+        lon0 = g("lon_0")
+        fwd0 = lambda lon, lat: moll_forward(lon, lat, lon0, a, fe, fn)  # noqa: E731
+        inv0 = lambda x, y: moll_inverse(x, y, lon0, a, fe, fn)  # noqa: E731
+    elif proj == "robin":
+        lon0 = g("lon_0")
+        fwd0 = lambda lon, lat: robin_forward(lon, lat, lon0, a, fe, fn)  # noqa: E731
+        inv0 = lambda x, y: robin_inverse(x, y, lon0, a, fe, fn)  # noqa: E731
     elif proj == "stere":
         lat0 = g("lat_0", 90.0)
         if abs(lat0) < 90.0 - 1e-9:
@@ -742,7 +854,7 @@ def crs_from_params(params: dict):
     else:
         raise KeyError(
             f"unsupported proj {proj!r}; supported: longlat webmerc "
-            "lcc tmerc utm aea laea sinu stere omerc ob_tran")
+            "lcc tmerc utm aea laea sinu moll robin stere omerc ob_tran")
 
     if to_m == 1.0:
         return fwd0, inv0

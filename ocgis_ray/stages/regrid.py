@@ -538,3 +538,72 @@ def nearest_stod_weights(targets: pd.DataFrame, res: int) -> pd.DataFrame:
         "dst": targets["target_id"].to_numpy(np.int64),
         "w": np.ones(len(targets)),
     })
+
+
+# Zienkiewicz-Zhu patch recovery over the symmetric 3x3 stencil: the
+# design matrix A (9 points x 6 quadratic monomials {1,x,y,x2,xy,y2})
+# is FIXED, so the least-squares evaluation operator M = (AtA)^-1 At
+# is a constant 6x9 matrix; per-target weights are b(t)^T M (one row
+# of 9), vectorized as B @ M.
+def _patch_lsq_operator() -> np.ndarray:
+    xs, ys = np.meshgrid(np.arange(-1.0, 2.0), np.arange(-1.0, 2.0))
+    x, y = xs.ravel(), ys.ravel()
+    A = np.stack([np.ones(9), x, y, x * x, x * y, y * y], axis=1)
+    return np.linalg.solve(A.T @ A, A.T)   # (6, 9)
+
+
+_PATCH_M = _patch_lsq_operator()
+
+
+def patch_weights(targets: pd.DataFrame, res: int) -> pd.DataFrame:
+    """Patch-recovery regrid weight generation — the ESMF
+    ``regrid_method=PATCH`` analog (the fourth method the reference
+    exposes, ``/root/reference/src/ocgis/regrid/base.py:24-119``; ESMF
+    implements Zienkiewicz-Zhu patch recovery, a HIGHER-ORDER method
+    than bilinear).
+
+    For each target point: least-squares fit of a full quadratic
+    polynomial over the 3x3 patch of source cell centers around the
+    nearest center, evaluated at the target — per-target weights are
+    one row of the fixed LSQ evaluation operator, so generation is a
+    single (n, 6) x (6, 9) matmul, no per-target solve.
+
+    Properties (tested): weights sum to 1 (constant reproduction);
+    any field QUADRATIC in lon/lat reproduces exactly away from the
+    clamped boundary rows, where bilinear is only exact to degree 1 —
+    the "smooth-field error < bilinear" criterion.  Longitude wraps;
+    latitude rows clamp at the poles (duplicate stencil entries
+    combine, degrading the fit order at the boundary exactly like the
+    bilinear clamp).  Output schema matches :func:`apply_weights`
+    (up to 9 ``(src, dst, w)`` rows per target)."""
+    from ocgis_ray import grid
+
+    cs = grid.cell_size(res)
+    nx = int(round(360.0 / cs))
+    ny = int(round(180.0 / cs))
+    lon = targets["lon"].to_numpy(np.float64)
+    lat = targets["lat"].to_numpy(np.float64)
+    tid = targets["target_id"].to_numpy(np.int64)
+    fx = (lon + 180.0) / cs - 0.5    # cell-center coordinates
+    fy = (lat + 90.0) / cs - 0.5
+    ic = np.rint(fx).astype(np.int64)    # nearest center = patch center
+    jc = np.rint(fy).astype(np.int64)
+    tx = fx - ic                          # in [-0.5, 0.5]
+    ty = fy - jc
+    B = np.stack([np.ones_like(tx), tx, ty, tx * tx, tx * ty, ty * ty],
+                 axis=1)
+    W = B @ _PATCH_M                      # (n, 9), rows sum to 1
+    offs = [(dx, dy) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+    src_cols = []
+    for dx, dy in offs:
+        i = np.mod(ic + dx, nx)
+        j = np.clip(jc + dy, 0, ny - 1)
+        src_cols.append(grid.pack(i, j))
+    out = pd.DataFrame({
+        "src": np.concatenate(src_cols),
+        "dst": np.tile(tid, 9),
+        "w": W.T.ravel(),
+    })
+    # pole-clamped rows duplicate (src, dst) pairs -> combine
+    out = out.groupby(["src", "dst"], as_index=False, sort=False)["w"].sum()
+    return out[np.abs(out["w"].to_numpy()) > 1e-15].reset_index(drop=True)

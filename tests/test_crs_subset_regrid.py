@@ -784,3 +784,116 @@ def test_nearest_stod_matches_containment():
     assert (w["w"] == 1.0).all()
     assert (w["src"].to_numpy()
             == grid.encode(t["lon"].to_numpy(), t["lat"].to_numpy(), 6)).all()
+
+
+def test_patch_weights_quadratic_exact_and_beats_bilinear(ray_session):
+    """Patch recovery (ESMF patch analog, regrid/base.py:24-119):
+    per-target weight sum == 1; a field QUADRATIC in lon/lat regrids
+    exactly (where bilinear has O(h^2) error); on a smooth sin/cos
+    field the patch max error is strictly below bilinear's — the
+    higher-order criterion."""
+    import ray.data as rd
+
+    from ocgis_ray import grid
+    from ocgis_ray.stages.regrid import (apply_weights, bilinear_weights,
+                                         patch_weights)
+
+    res = 7
+    cs = grid.cell_size(res)
+    rng = np.random.RandomState(3)
+    n = 300
+    targets = pd.DataFrame({
+        "target_id": np.arange(n, dtype=np.int64),
+        "lon": rng.uniform(-170, 170, n),
+        "lat": rng.uniform(-80, 80, n),
+    })
+    pw = patch_weights(targets, res)
+    bw = bilinear_weights(targets, res)
+    assert np.allclose(pw.groupby("dst")["w"].sum().to_numpy(), 1.0,
+                       atol=1e-12)
+
+    def field_q(lon, lat):
+        return 0.3 * lon * lon + 0.1 * lat * lat - 0.2 * lon * lat \
+            + lon + 2.0 * lat + 5.0
+
+    def field_s(lon, lat):
+        return np.sin(np.radians(lon * 3)) * np.cos(np.radians(lat * 2))
+
+    def regrid_err(w, field):
+        ix, iy = grid.split(w["src"].to_numpy())
+        lon_c = (ix.astype(np.float64) + 0.5) * cs - 180.0
+        lat_c = (iy.astype(np.float64) + 0.5) * cs - 90.0
+        cells = pd.DataFrame({"cell": w["src"].to_numpy(),
+                              "v": field(lon_c, lat_c)}
+                             ).drop_duplicates("cell")
+        out = apply_weights(rd.from_pandas(cells), w, src_col="cell",
+                            value_col="v").to_pandas().set_index("dst")
+        got = out.loc[targets["target_id"], out.columns[0]].to_numpy()
+        want = field(targets["lon"].to_numpy(), targets["lat"].to_numpy())
+        return np.abs(got - want).max()
+
+    assert regrid_err(pw, field_q) < 1e-9          # quadratic: exact
+    assert regrid_err(bw, field_q) > 1e-3          # bilinear: not
+    assert regrid_err(pw, field_s) < regrid_err(bw, field_s)
+
+
+def test_patch_weights_pole_clamp_and_wrap():
+    """Above the last center row the patch stencil clamps (weights
+    still sum to 1, combined duplicates); an antimeridian target wraps
+    its east columns to ix 0/1."""
+    from ocgis_ray import grid
+    from ocgis_ray.stages.regrid import patch_weights
+
+    res = 4
+    cs = grid.cell_size(res)
+    t = pd.DataFrame({
+        "target_id": np.array([1, 2], dtype=np.int64),
+        "lon": [0.0, 180.0 - 0.01 * cs],
+        "lat": [90.0 - 0.01 * cs, 0.0],
+    })
+    w = patch_weights(t, res)
+    assert np.allclose(w.groupby("dst")["w"].sum().to_numpy(), 1.0)
+    nx = int(round(360.0 / cs))
+    ix, _ = grid.split(w[w["dst"] == 2]["src"].to_numpy())
+    assert 0 in ix and nx - 1 in ix  # wrapped stencil columns
+
+
+def test_mollweide_robinson_and_proj_string():
+    """Arbitrary-CRS escape hatch (variable/crs.py:160-240 accepts any
+    proj4 string): crs_from_params takes a raw proj.4 string;
+    Mollweide matches Snyder's closed form at known points and
+    round-trips; Robinson hits the published table nodes exactly and
+    round-trips through the same interpolant."""
+    from ocgis_ray.stages.crs import (crs_from_params, moll_forward,
+                                      parse_proj_string, robin_forward)
+
+    p = parse_proj_string(
+        "+proj=robin +lon_0=-30 +x_0=100 +ellps=WGS84 +no_defs +south")
+    assert p == {"proj": "robin", "lon_0": -30, "x_0": 100,
+                 "ellps": "WGS84", "south": True}
+
+    a = 6378137.0
+    # Mollweide: equator at dlam=180 -> x = 2*sqrt(2)*R; pole -> y =
+    # sqrt(2)*R, x = 0
+    fwd, inv = crs_from_params("+proj=moll +ellps=WGS84")
+    x, y = fwd(np.array([180.0, 0.0]), np.array([0.0, 90.0]))
+    assert abs(x[0] - 2.0 * np.sqrt(2.0) * a) < 1.0
+    assert abs(y[1] - np.sqrt(2.0) * a) < 1.0 and abs(x[1]) < 1e-6
+    # Robinson: published node (lat 50): X=0.8679, Y=0.6176
+    fwd_r, inv_r = crs_from_params("+proj=robin")
+    x, y = fwd_r(np.array([90.0]), np.array([50.0]))
+    assert abs(x[0] - 0.8487 * a * 0.8679 * np.pi / 2.0) < 1.0
+    assert abs(y[0] - 1.3523 * a * 0.6176) < 1.0
+
+    rng = np.random.RandomState(5)
+    lon = rng.uniform(-179.0, 179.0, 400)
+    lat = rng.uniform(-89.0, 89.0, 400)
+    for s in ("+proj=moll +lon_0=10", "+proj=robin +lon_0=-30",
+              "+proj=moll +x_0=3000 +y_0=-2000"):
+        f, i = crs_from_params(s)
+        lo2, la2 = i(*f(lon, lat))
+        assert np.abs(lo2 - lon).max() < 1e-6
+        assert np.abs(la2 - lat).max() < 1e-6
+    # unknown proj still raises with the updated list
+    with pytest.raises(KeyError, match="moll robin"):
+        crs_from_params("+proj=cass")
