@@ -458,6 +458,26 @@ def sql_time_region_events() -> str:
     )
 
 
+def _finalize_arrow(round_cols: dict | None = None,
+                    int_cols: tuple = ()):
+    """Small-result finalizer as a pyarrow map (no pandas block hop):
+    ``round_cols`` maps column -> digits through the bit-exact
+    ``sql_round``; ``int_cols`` truncate to int64 with numpy ``astype``
+    semantics (matching the former pandas finalizers exactly)."""
+    def f(t: pa.Table) -> pa.Table:
+        for c, d in (round_cols or {}).items():
+            t = t.set_column(
+                t.schema.get_field_index(c), c,
+                pa.array(sql_round(t[c].to_numpy(zero_copy_only=False), d)))
+        for c in int_cols:
+            t = t.set_column(
+                t.schema.get_field_index(c), c,
+                pa.array(t[c].to_numpy(zero_copy_only=False)
+                         .astype(np.int64)))
+        return t
+    return f
+
+
 def q_temporal_rollup_events(sf_dir: str):
     from ocgis_ray.sources.io import read_parquet_sized
 
@@ -469,11 +489,8 @@ def q_temporal_rollup_events(sf_dir: str):
         {"n": (None, "count"), "sum_value": ("value", "sum")},
     )
 
-    def finalize(df: pd.DataFrame) -> pd.DataFrame:
-        df["sum_value"] = sql_round(df["sum_value"], 4)
-        return df
-
-    return agg.map_batches(finalize, batch_format="pandas")
+    return agg.map_batches(_finalize_arrow({"sum_value": 4}),
+                           batch_format="pyarrow", zero_copy_batch=True)
 
 
 def sql_temporal_rollup_events() -> str:
@@ -685,13 +702,9 @@ def q_pricing_summary_lineitem(sf_dir: str):
         },
     )
 
-    def finalize(df: pd.DataFrame) -> pd.DataFrame:
-        df["sum_qty"] = sql_round(df["sum_qty"], 4)
-        df["sum_base_cents"] = df["sum_base_cents"].astype(np.int64)
-        df["sum_disc_e4"] = df["sum_disc_e4"].astype(np.int64)
-        return df
-
-    return agg.map_batches(finalize, batch_format="pandas")
+    return agg.map_batches(
+        _finalize_arrow({"sum_qty": 4}, ("sum_base_cents", "sum_disc_e4")),
+        batch_format="pyarrow", zero_copy_batch=True)
 
 
 def sql_pricing_summary_lineitem() -> str:
@@ -714,37 +727,40 @@ def q_revenue_by_nation(sf_dir: str):
     cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
     nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
     nk = dict(zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist()))
-    cust_to_nation = {
-        int(c): nk[int(n)]
-        for c, n in zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist())
-    }
-    lookup_ref = ray.put(cust_to_nation)
+    # dense positional LUT custkey -> nation name (customer keys are
+    # small ints): one vectorized fancy-index per batch replaces the
+    # per-row dict .map, and the batch stays Arrow end to end
+    ck = cust["c_custkey"].to_numpy()
+    cn = cust["c_nationkey"].to_numpy()
+    lut = np.empty(int(ck.max()) + 1, dtype=object)
+    lut[ck] = [nk[int(n)] for n in cn]
+    lookup_ref = ray.put(lut)
 
     class JoinStage:
         def __init__(self):
-            self.lookup = ray.get(lookup_ref)
+            self.lut = ray.get(lookup_ref)
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            df = df.copy()
-            df["n_name"] = df["o_custkey"].map(self.lookup)
-            df["price_cents"] = np.asarray(
-                sql_round(df["o_totalprice"].to_numpy() * 100.0, 0), dtype=np.int64
-            )
-            return df[["n_name", "price_cents"]]
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys = t["o_custkey"].to_numpy(zero_copy_only=False)
+            cents = sql_round(
+                t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0,
+                0).astype(np.int64)
+            return pa.table({
+                "n_name": pa.array(self.lut[keys], pa.string()),
+                "price_cents": pa.array(cents),
+            })
 
     from ocgis_ray.sources.io import read_parquet_sized
 
     orders = read_parquet_sized(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
-    joined = orders.map_batches(JoinStage, batch_format="pandas", concurrency=2)
+    joined = orders.map_batches(JoinStage, batch_format="pyarrow",
+                                zero_copy_batch=True, concurrency=2)
     agg = grouped_aggregate(
         joined, ["n_name"], {"n_orders": (None, "count"), "revenue_cents": ("price_cents", "sum")}
     )
 
-    def finalize(df: pd.DataFrame) -> pd.DataFrame:
-        df["revenue_cents"] = df["revenue_cents"].astype(np.int64)
-        return df
-
-    return agg.map_batches(finalize, batch_format="pandas")
+    return agg.map_batches(_finalize_arrow(int_cols=("revenue_cents",)),
+                           batch_format="pyarrow", zero_copy_batch=True)
 
 
 def sql_revenue_by_nation() -> str:
@@ -764,11 +780,8 @@ def q_events_user_rollup(sf_dir: str):
         {"n": (None, "count"), "sum_value": ("value", "sum")},
     )
 
-    def finalize(df: pd.DataFrame) -> pd.DataFrame:
-        df["sum_value"] = sql_round(df["sum_value"], 4)
-        return df
-
-    return agg.map_batches(finalize, batch_format="pandas")
+    return agg.map_batches(_finalize_arrow({"sum_value": 4}),
+                           batch_format="pyarrow", zero_copy_batch=True)
 
 
 def sql_events_user_rollup() -> str:
@@ -856,12 +869,9 @@ def q_token_rollup_by_lang(sf_dir: str):
          "sum_bpe_tokens": ("bpe_token_count", "sum")},
     )
 
-    def finalize(df: pd.DataFrame) -> pd.DataFrame:
-        df["sum_tokens"] = df["sum_tokens"].astype(np.int64)
-        df["sum_bpe_tokens"] = df["sum_bpe_tokens"].astype(np.int64)
-        return df
-
-    return agg.map_batches(finalize, batch_format="pandas")
+    return agg.map_batches(
+        _finalize_arrow(int_cols=("sum_tokens", "sum_bpe_tokens")),
+        batch_format="pyarrow", zero_copy_batch=True)
 
 
 def sql_token_rollup_by_lang() -> str:
@@ -1242,11 +1252,8 @@ def q_apply_weights_cells(sf_dir: str):
     weights = pd.DataFrame({"src": src, "dst": dst, "w": 0.25})
     agg = apply_weights(ds, weights, src_col="cell_r7", value_col="n_chars")
 
-    def finalize(df: pd.DataFrame) -> pd.DataFrame:
-        df["wsum"] = sql_round(df["wsum"], 4)
-        return df
-
-    return agg.map_batches(finalize, batch_format="pandas")
+    return agg.map_batches(_finalize_arrow({"wsum": 4}),
+                           batch_format="pyarrow", zero_copy_batch=True)
 
 
 def sql_apply_weights_cells() -> str:
@@ -1289,12 +1296,15 @@ def q_idw_interpolate(sf_dir: str):
             add_cell, batch_format="pyarrow", zero_copy_batch=True),
         "cell_bl", {"s": ("n_chars", "sum"), "n": (None, "count")})
 
-    def mean_field(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"cell_bl": df["cell_bl"],
-                             "v": df["s"].to_numpy(np.float64)
-                             / df["n"].to_numpy(np.float64)})
+    def mean_field(t: pa.Table) -> pa.Table:
+        return pa.table({"cell_bl": t["cell_bl"],
+                         "v": pa.array(
+                             t["s"].to_numpy(zero_copy_only=False)
+                             .astype(np.float64)
+                             / t["n"].to_numpy(zero_copy_only=False))})
 
-    field = cells.map_batches(mean_field, batch_format="pandas")
+    field = cells.map_batches(mean_field, batch_format="pyarrow",
+                              zero_copy_batch=True)
     w = bilinear_weights(IDW_TARGETS, BILINEAR_RES)
     bl = apply_weights(field, w, src_col="cell_bl", value_col="v",
                        out_col="blv").to_pandas()
@@ -1363,12 +1373,9 @@ def q_tile_rollup_salted(sf_dir: str):
         {"n_pages": ("n_pages", "sum"), "sum_chars": ("sum_chars", "sum")},
     )
 
-    def cast_types(df: pd.DataFrame) -> pd.DataFrame:
-        df["n_pages"] = df["n_pages"].astype(np.int64)
-        df["sum_chars"] = df["sum_chars"].astype(np.int64)
-        return df
-
-    return final.map_batches(cast_types, batch_format="pandas")
+    return final.map_batches(
+        _finalize_arrow(int_cols=("n_pages", "sum_chars")),
+        batch_format="pyarrow", zero_copy_batch=True)
 
 
 def sql_tile_rollup_salted() -> str:

@@ -166,21 +166,20 @@ class MinHashStage:
         h = self.a[:, None] * x[None, :] + self.b[:, None]
         return h.min(axis=1)
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, t: pa.Table) -> pa.Table:
         # vectorized across the whole batch: token hashes + k-window
         # polynomial shingle hashes straight off the zero-copy byte
         # view (no shingle strings), then segment-min per doc via
         # np.minimum.reduceat — no per-doc Python anywhere.
-        x, counts = _shingle_hashes_batch(
-            pa.array(df["text"], pa.string()), self.k
-        )
-        if len(df) == 0:  # reduceat rejects empty starts
+        n = t.num_rows
+        x, counts = _shingle_hashes_batch(t["text"], self.k)
+        if n == 0:  # reduceat rejects empty starts
             return pa.table({
                 "doc_id": pa.array([], pa.int64()),
                 "sig": pa.array([], pa.binary()),
             })
         starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
-        sigs = np.empty((len(df), self.num_perm), dtype=np.uint64)
+        sigs = np.empty((n, self.num_perm), dtype=np.uint64)
         # shingle-major (S, P_chunk) layout: reduceat along axis 0 runs
         # contiguous-row mins for all perms at once (3x faster than the
         # perm-major layout; full unchunked S-major thrashes memory)
@@ -194,7 +193,7 @@ class MinHashStage:
         # joins (list columns don't) and decodes zero-copy
         return pa.table(
             {
-                "doc_id": pa.array(df["doc_id"].to_numpy(np.int64)),
+                "doc_id": t["doc_id"],
                 "sig": _pack_sigs(sigs),
             }
         )
@@ -207,32 +206,35 @@ def minhash_signatures(ds, num_perm: int = 128, k: int = 3,
     concurrency = auto_pool() if concurrency is None else concurrency
     return ds.map_batches(
         MinHashStage,
-        batch_format="pandas",
+        batch_format="pyarrow",
+        zero_copy_batch=True,
         concurrency=concurrency,
         fn_constructor_kwargs={"num_perm": num_perm, "k": k},
     )
 
 
-def _band_rows(df: pd.DataFrame, bands: int, rows: int) -> pd.DataFrame:
-    """Explode signatures to (band, band_hash, doc_id) LSH rows."""
-    sig = _unpack_sigs(df["sig"], bands * rows)  # (N, P)
+def _band_rows(t: pa.Table, bands: int, rows: int) -> pa.Table:
+    """Explode signatures to (band, band_hash, doc_id) LSH rows
+    (Arrow in/out — slim columns, no pandas hop)."""
+    sig = _unpack_sigs(t["sig"], bands * rows)  # (N, P)
     n = sig.shape[0]
     out_band, out_hash, out_doc = [], [], []
-    doc = df["doc_id"].to_numpy()
+    doc = t["doc_id"].to_numpy(zero_copy_only=False)
     for b in range(bands):
         chunk = sig[:, b * rows : (b + 1) * rows]
         # polynomial combine of the band's rows (vectorized)
         h = np.zeros(n, dtype=np.uint64)
-        for j in range(chunk.shape[1]):
-            h = h * np.uint64(1099511628211) + chunk[:, j]
+        with np.errstate(over="ignore"):
+            for j in range(chunk.shape[1]):
+                h = h * np.uint64(1099511628211) + chunk[:, j]
         out_band.append(np.full(n, b, dtype=np.int64))
         out_hash.append(h.astype(np.int64))
         out_doc.append(doc)
-    return pd.DataFrame(
+    return pa.table(
         {
-            "band": np.concatenate(out_band),
-            "band_hash": np.concatenate(out_hash),
-            "doc_id": np.concatenate(out_doc),
+            "band": pa.array(np.concatenate(out_band)),
+            "band_hash": pa.array(np.concatenate(out_hash)),
+            "doc_id": pa.array(np.concatenate(out_doc)),
         }
     )
 
@@ -266,7 +268,8 @@ def lsh_candidate_pairs(sig_ds, bands: int = 16, rows: int = 8, max_bucket: int 
     from ocgis_ray.sources.io import bucketed_group_apply, distinct_rows
 
     band_ds = sig_ds.map_batches(
-        lambda df: _band_rows(df, bands, rows), batch_format="pandas"
+        lambda t: _band_rows(t, bands, rows), batch_format="pyarrow",
+        zero_copy_batch=True,
     )
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -376,9 +379,11 @@ def dedup_survivors(ds, pairs, id_col: str = "doc_id",
     if isinstance(pairs, pd.DataFrame):
         pairs = rd.from_pandas(pairs)
 
-    def loser_rows(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "loser_id": np.maximum(df["doc_a"].to_numpy(), df["doc_b"].to_numpy()).astype(np.int64)
+    def loser_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "loser_id": pa.array(np.maximum(
+                t["doc_a"].to_numpy(zero_copy_only=False),
+                t["doc_b"].to_numpy(zero_copy_only=False)).astype(np.int64))
         })
 
     # empty pair set: map_batches never runs on a row-less Dataset, so
@@ -389,8 +394,9 @@ def dedup_survivors(ds, pairs, id_col: str = "doc_id",
     pairs = pairs.materialize()
     if pairs.count() == 0:
         return ds
-    losers = distinct_rows(pairs.map_batches(loser_rows, batch_format="pandas"),
-                           "loser_id")
+    losers = distinct_rows(
+        pairs.map_batches(loser_rows, batch_format="pyarrow",
+                          zero_copy_batch=True), "loser_id")
     # repartition unifies block schemas: map_groups emits zero-column
     # blocks for empty shuffle partitions, which Arrow's join rejects
     # ("no match for key field on right side")
@@ -425,26 +431,28 @@ def connected_components(pairs, id_a: str = "doc_a", id_b: str = "doc_b",
     """
     from ocgis_ray.sources.io import bucketed_group_apply
 
-    def seed(df: pd.DataFrame) -> pd.DataFrame:
-        a = df[id_a].to_numpy(np.int64)
-        b = df[id_b].to_numpy(np.int64)
-        ids = np.concatenate([a, b])
-        return pd.DataFrame({"id": ids, "label": ids})
+    def seed(t: pa.Table) -> pa.Table:
+        a = t[id_a].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t[id_b].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = pa.array(np.concatenate([a, b]))
+        return pa.table({"id": ids, "label": ids})
 
-    def edge_rows(df: pd.DataFrame) -> pd.DataFrame:
-        a = df[id_a].to_numpy(np.int64)
-        b = df[id_b].to_numpy(np.int64)
-        return pd.DataFrame({"key": np.concatenate([a, b]),
-                             "src": np.concatenate([b, a]),
-                             "label": np.full(2 * len(a), -1, np.int64)})
+    def edge_rows(t: pa.Table) -> pa.Table:
+        a = t[id_a].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t[id_b].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"key": pa.array(np.concatenate([a, b])),
+                         "src": pa.array(np.concatenate([b, a])),
+                         "label": pa.array(np.full(2 * len(a), -1, np.int64))})
 
     def first_per_id(g: pd.DataFrame) -> pd.DataFrame:
         return g.drop_duplicates("id")
 
     labels = bucketed_group_apply(
-        pairs.map_batches(seed, batch_format="pandas"), "id", first_per_id,
+        pairs.map_batches(seed, batch_format="pyarrow",
+                          zero_copy_batch=True), "id", first_per_id,
         num_buckets=num_buckets).materialize()
-    edges = pairs.map_batches(edge_rows, batch_format="pandas").materialize()
+    edges = pairs.map_batches(edge_rows, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
 
     def attach(g: pd.DataFrame) -> pd.DataFrame:
         nodes = g[g["src"] == -2]
@@ -473,14 +481,16 @@ def connected_components(pairs, id_a: str = "doc_a", id_b: str = "doc_b",
 
     changed = None
     for _ in range(max_rounds):
-        def as_node(df: pd.DataFrame) -> pd.DataFrame:
+        def as_node(t: pa.Table) -> pa.Table:
             # the `changed` column from the previous round (absent in
             # round 1) rides along in `labels` and is simply not read
-            return pd.DataFrame({"key": df["id"].to_numpy(np.int64),
-                                 "src": np.full(len(df), -2, np.int64),
-                                 "label": df["label"].to_numpy(np.int64)})
+            return pa.table({"key": t["id"],
+                             "src": pa.array(np.full(t.num_rows, -2,
+                                                     np.int64)),
+                             "label": t["label"]})
 
-        unioned = labels.map_batches(as_node, batch_format="pandas").union(edges)
+        unioned = labels.map_batches(as_node, batch_format="pyarrow",
+                                     zero_copy_batch=True).union(edges)
         msgs = bucketed_group_apply(unioned, "key", attach,
                                     num_buckets=num_buckets)
         labels = bucketed_group_apply(msgs, "id", combine,
@@ -494,9 +504,8 @@ def connected_components(pairs, id_a: str = "doc_a", id_b: str = "doc_b",
             f"({changed} labels still changing — a component chain longer "
             "than max_rounds); raise max_rounds")
     return labels.map_batches(
-        lambda df: df.rename(columns={"label": "component"})
-        .drop(columns=["changed"], errors="ignore"),
-        batch_format="pandas")
+        lambda t: pa.table({"id": t["id"], "component": t["label"]}),
+        batch_format="pyarrow", zero_copy_batch=True)
 
 
 def dedup_cluster_survivors(ds, pairs, id_col: str = "doc_id",
@@ -524,13 +533,15 @@ def dedup_cluster_survivors(ds, pairs, id_col: str = "doc_id",
     comp = connected_components(pairs, max_rounds=max_rounds,
                                 num_buckets=num_buckets)
 
-    def loser_rows(df: pd.DataFrame) -> pd.DataFrame:
-        keep = df["component"].to_numpy(np.int64) < df["id"].to_numpy(np.int64)
-        return pd.DataFrame({"loser_id": df["id"].to_numpy(np.int64)[keep]})
+    def loser_rows(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        comp_ = t["component"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"loser_id": pa.array(ids[comp_ < ids])})
 
     # see dedup_survivors: repartition unifies away the zero-column
     # blocks map_groups emits for empty shuffle partitions
-    losers = comp.map_batches(loser_rows, batch_format="pandas") \
+    losers = comp.map_batches(loser_rows, batch_format="pyarrow",
+                              zero_copy_batch=True) \
         .repartition(max(2, num_partitions or 2))
     return join_datasets(ds, losers, on=(id_col,), right_on=("loser_id",),
                          join_type="left_anti", num_partitions=num_partitions)
@@ -557,25 +568,26 @@ class SimHashStage:
     version looped docs and built a tokens×64 bit matrix per doc);
     null/empty text yields signature 0."""
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, t: pa.Table) -> pa.Table:
         from ocgis_ray.stages.text import _tokenize_hash
 
-        arr = pa.array(df["text"], type=pa.string())
-        h, tok_row, per_row = _tokenize_hash(arr, lower=False)
-        n = len(df)
+        h, tok_row, per_row = _tokenize_hash(t["text"], lower=False)
+        n = t.num_rows
         sigs = np.zeros(n, dtype=np.uint64)
         for b in range(64):
             bit = ((h >> np.uint64(b)) & np.uint64(1)).astype(np.float64)
             votes = np.bincount(tok_row, weights=bit, minlength=n)
             sigs |= (votes * 2.0 > per_row).astype(np.uint64) << np.uint64(b)
-        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(), "simhash": sigs.astype(np.int64)})
+        return pa.table({"doc_id": t["doc_id"],
+                         "simhash": pa.array(sigs.astype(np.int64))})
 
 
 def simhash_signatures(ds, concurrency=None):
     from ocgis_ray.tuning import auto_pool
 
     concurrency = auto_pool() if concurrency is None else concurrency
-    return ds.map_batches(SimHashStage, batch_format="pandas", concurrency=concurrency)
+    return ds.map_batches(SimHashStage, batch_format="pyarrow",
+                          zero_copy_batch=True, concurrency=concurrency)
 
 
 def simhash_near_duplicates(sig_ds, max_hamming: int = 3):
@@ -591,21 +603,25 @@ def simhash_near_duplicates(sig_ds, max_hamming: int = 3):
     widths = [w0 + (1 if b < rem else 0) for b in range(nbands)]
     offsets = np.concatenate([[0], np.cumsum(widths)[:-1]]).astype(np.uint64)
 
-    def band_rows(df: pd.DataFrame) -> pd.DataFrame:
-        sig = df["simhash"].to_numpy().astype(np.uint64)
-        out = []
+    def band_rows(t: pa.Table) -> pa.Table:
+        sig = t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        n = len(sig)
+        bb, vv, dd = [], [], []
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
         for b in range(nbands):
             mask = np.uint64((1 << widths[b]) - 1)
-            part = ((sig >> offsets[b]) & mask).astype(np.int64)
-            out.append(pd.DataFrame({
-                "band": np.full(len(df), b, dtype=np.int64),
-                "band_val": part,
-                "doc_id": df["doc_id"].to_numpy(),
-                "simhash": sig.astype(np.int64),
-            }))
-        return pd.concat(out, ignore_index=True)
+            bb.append(np.full(n, b, dtype=np.int64))
+            vv.append(((sig >> offsets[b]) & mask).astype(np.int64))
+            dd.append(doc)
+        return pa.table({
+            "band": pa.array(np.concatenate(bb)),
+            "band_val": pa.array(np.concatenate(vv)),
+            "doc_id": pa.array(np.concatenate(dd)),
+            "simhash": pa.array(np.tile(sig.astype(np.int64), nbands)),
+        })
 
-    banded = sig_ds.map_batches(band_rows, batch_format="pandas")
+    banded = sig_ds.map_batches(band_rows, batch_format="pyarrow",
+                                zero_copy_batch=True)
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"doc_a": pd.Series(dtype=np.int64),
@@ -837,22 +853,20 @@ def minhash_dedup_incremental(new_ds, store_dir: str, threshold: float = 0.7,
     old_files = sorted(_glob.glob(os.path.join(store_dir, "part=*",
                                                "*.parquet")))
 
-    def band_new(df: pd.DataFrame) -> pd.DataFrame:
-        out = _band_rows(df, bands, rows)
-        out["is_new"] = np.int8(1)
-        return out
+    def band_flag(flag):
+        def f(t: pa.Table) -> pa.Table:
+            out = _band_rows(t, bands, rows)
+            return out.append_column("is_new", pa.array(
+                np.full(out.num_rows, flag, np.int8)))
+        return f
 
-    def band_old(df: pd.DataFrame) -> pd.DataFrame:
-        out = _band_rows(df, bands, rows)
-        out["is_new"] = np.int8(0)
-        return out
-
-    banded = new_sigs.map_batches(band_new, batch_format="pandas")
+    banded = new_sigs.map_batches(band_flag(1), batch_format="pyarrow",
+                                  zero_copy_batch=True)
     union_sigs = new_sigs
     if old_files:
         old_sigs = rd.read_parquet(old_files, columns=["doc_id", "sig"])
-        banded = banded.union(old_sigs.map_batches(band_old,
-                                                   batch_format="pandas"))
+        banded = banded.union(old_sigs.map_batches(
+            band_flag(0), batch_format="pyarrow", zero_copy_batch=True))
         union_sigs = new_sigs.union(old_sigs)
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:

@@ -148,7 +148,8 @@ def test_simhash_vectorized_matches_naive(ray_session):
              "lorem ipsum dolor sit amet", "", "a b a b c",
              "tabs\tand\nnewlines mixed   spaces"]
     df = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
-    got = SimHashStage()(df)["simhash"].to_numpy().astype(np.uint64)
+    got = SimHashStage()(pa.Table.from_pandas(df))["simhash"] \
+        .to_numpy().astype(np.uint64)
     for i, t in enumerate(texts):
         toks = t.split()
         if not toks:
