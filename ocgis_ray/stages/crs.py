@@ -15,6 +15,8 @@ rotated-pole round-trips are pytest-verified to 1e-9 degrees.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pyarrow as pa
 
@@ -692,6 +694,95 @@ def robin_inverse(x, y, lon0: float = 0.0, R: float = WGS84_A,
 
 # ---------------------------------------------------------------- proj strings
 
+# WKT1 PROJCS projection name -> proj family + parameter mapping
+# (OGC 01-009 / EPSG dataset naming; the subset crs_from_params backs)
+_WKT_PROJ = {
+    "transverse_mercator": "tmerc",
+    "lambert_conformal_conic_2sp": "lcc",
+    "lambert_conformal_conic": "lcc",
+    "albers_conic_equal_area": "aea",
+    "albers": "aea",
+    "lambert_azimuthal_equal_area": "laea",
+    "sinusoidal": "sinu",
+    "mollweide": "moll",
+    "robinson": "robin",
+    "polar_stereographic": "stere",
+    "mercator_auxiliary_sphere": "webmerc",
+    "popular_visualisation_pseudo_mercator": "webmerc",
+    "hotine_oblique_mercator": "omerc",
+}
+_WKT_PARAM = {
+    "central_meridian": "lon_0",
+    "longitude_of_center": "lon_0",
+    "longitude_of_origin": "lon_0",
+    "latitude_of_origin": "lat_0",
+    "latitude_of_center": "lat_0",
+    "standard_parallel_1": "lat_1",
+    "standard_parallel_2": "lat_2",
+    "scale_factor": "k",
+    "false_easting": "x_0",
+    "false_northing": "y_0",
+    "azimuth": "alpha",
+    "rectified_grid_angle": "gamma",
+    "longitude_of_point_1": "lonc",  # rare variant
+}
+
+
+def parse_wkt(wkt: str) -> dict:
+    """Minimal WKT1 ``PROJCS``/``GEOGCS`` -> proj params dict — the
+    custom-WKT arm of the arbitrary-CRS escape hatch (the reference
+    feeds WKT to OSR, ``variable/crs.py:160-240``).
+
+    Handles the OGC 01-009 shape: ``PROJECTION["name"]``,
+    ``PARAMETER["name", value]``, ``SPHEROID["name", a, rf]``,
+    ``UNIT["name", to_meter]`` (the projected CRS's last UNIT).  A
+    bare GEOGCS yields ``{"proj": "longlat"}``.  Unknown projection
+    names raise with the supported list (never a silent wrong map)."""
+    def d(v: str) -> float:
+        return float(v.strip().strip('"'))
+
+    # rest items must START as value tokens (sign/digit/dot/quote) so a
+    # nested keyword (DATUM["x", SPHEROID[...) is never consumed as a
+    # parameter of its parent
+    kw = re.findall(
+        r'([A-Z_]+)\s*\[\s*"([^"]*)"\s*((?:\s*,\s*[-+0-9."][^,\[\]]*)*)',
+        wkt)
+    out: dict = {}
+    spheroid = None
+    units = []
+    for key, name, rest in kw:
+        vals = [v for v in rest.split(",") if v.strip()]
+        if key == "PROJECTION":
+            pname = name.strip().lower()
+            if pname not in _WKT_PROJ:
+                raise KeyError(
+                    f"unsupported WKT PROJECTION {name!r}; supported: "
+                    f"{sorted(set(_WKT_PROJ))}")
+            out["proj"] = _WKT_PROJ[pname]
+        elif key == "PARAMETER":
+            pname = name.strip().lower()
+            if pname in _WKT_PARAM and vals:
+                out[_WKT_PARAM[pname]] = d(vals[0])
+        elif key == "SPHEROID" and len(vals) >= 2:
+            spheroid = (d(vals[0]), d(vals[1]))
+        elif key == "UNIT" and vals:
+            units.append(d(vals[0]))
+    if "proj" not in out:
+        out["proj"] = "longlat"
+    if spheroid is not None:
+        out["a"] = spheroid[0]
+        out["rf"] = spheroid[1]
+        out.setdefault("ellps", "WGS84")  # a/rf override the named base
+    # WKT's stere carries lat_0=+-90 as latitude_of_origin and the
+    # true-scale parallel as standard_parallel_1
+    if out.get("proj") == "stere" and "lat_1" in out:
+        out["lat_ts"] = out.pop("lat_1")
+    # the LAST angular/linear UNIT in a PROJCS is the projected unit
+    if len(units) > 1 and units[-1] not in (1.0,):
+        out["to_meter"] = units[-1]
+    return out
+
+
 def parse_proj_string(proj4: str) -> dict:
     """proj.4 string -> params dict — the arbitrary-CRS escape hatch
     (the reference accepts any proj4 string via OSR,
@@ -750,7 +841,10 @@ def crs_from_params(params: dict):
     raises with the supported list.  A raw proj.4 STRING is accepted
     too (``parse_proj_string``) — the arbitrary-CRS escape hatch."""
     if isinstance(params, str):
-        params = parse_proj_string(params)
+        stripped = params.lstrip()
+        params = (parse_wkt(params)
+                  if stripped[:6].upper() in ("PROJCS", "GEOGCS")
+                  else parse_proj_string(params))
     proj = params.get("proj", "longlat")
     a, e2 = _ellipsoid(params)
     fe = float(params.get("x_0", 0.0))

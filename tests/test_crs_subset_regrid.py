@@ -897,3 +897,57 @@ def test_mollweide_robinson_and_proj_string():
     # unknown proj still raises with the updated list
     with pytest.raises(KeyError, match="moll robin"):
         crs_from_params("+proj=cass")
+
+
+def test_wkt1_parsing_matches_proj_families():
+    """WKT1 PROJCS strings (the reference's OSR input) route through
+    crs_from_params: UTM-shaped Transverse_Mercator equals the utm
+    family, Polar_Stereographic maps standard_parallel_1 -> lat_ts and
+    equals EPSG:3413, Mollweide picks up the SPHEROID nested inside
+    DATUM (regression: the rest-group must not swallow nested
+    keywords), and unknown projections raise."""
+    from ocgis_ray.stages.crs import EPSG_PARAMS, crs_from_params, parse_wkt
+
+    utm = ('PROJCS["n", GEOGCS["WGS 84", DATUM["WGS_1984", '
+           'SPHEROID["WGS 84",6378137,298.257223563]], '
+           'PRIMEM["Greenwich",0], UNIT["degree",0.0174532925199433]], '
+           'PROJECTION["Transverse_Mercator"], '
+           'PARAMETER["latitude_of_origin",0], '
+           'PARAMETER["central_meridian",-93], '
+           'PARAMETER["scale_factor",0.9996], '
+           'PARAMETER["false_easting",500000], '
+           'PARAMETER["false_northing",0], UNIT["metre",1], '
+           'AUTHORITY["EPSG","32615"]]')
+    assert parse_wkt(utm)["a"] == 6378137.0
+    lon = np.array([-93.5, -92.1])
+    lat = np.array([38.2, 45.0])
+    f1, i1 = crs_from_params(utm)
+    f2, _ = crs_from_params({"proj": "utm", "zone": 15})
+    assert np.allclose(f1(lon, lat), f2(lon, lat))
+    lo, la = i1(*f1(lon, lat))
+    assert np.abs(lo - lon).max() < 1e-9
+
+    ps = ('PROJCS["ps", GEOGCS["WGS 84", DATUM["WGS_1984", '
+          'SPHEROID["WGS 84",6378137,298.257223563]], '
+          'UNIT["degree",0.0174532925199433]], '
+          'PROJECTION["Polar_Stereographic"], '
+          'PARAMETER["latitude_of_origin",90], '
+          'PARAMETER["standard_parallel_1",70], '
+          'PARAMETER["central_meridian",-45], UNIT["metre",1]]')
+    f3, _ = crs_from_params(ps)
+    f4, _ = crs_from_params(EPSG_PARAMS[3413])
+    assert np.allclose(f3(lon, lat), f4(lon, lat))
+
+    moll = ('PROJCS["World_Mollweide", GEOGCS["g", DATUM["d", '
+            'SPHEROID["s",6378137.0,298.257223563]], '
+            'UNIT["Degree",0.0174532925199433]], '
+            'PROJECTION["Mollweide"], '
+            'PARAMETER["Central_Meridian",0.0], UNIT["Meter",1.0]]')
+    f5, _ = crs_from_params(moll)
+    x, _ = f5(np.array([180.0]), np.array([0.0]))
+    assert abs(x[0] - 2.0 * np.sqrt(2.0) * 6378137.0) < 1.0
+
+    assert parse_wkt('GEOGCS["WGS 84", DATUM["d", SPHEROID["s",'
+                     '6378137,298.257223563]]]')["proj"] == "longlat"
+    with pytest.raises(KeyError, match="unsupported WKT PROJECTION"):
+        parse_wkt('PROJCS["x", PROJECTION["Cassini_Soldner"]]')
