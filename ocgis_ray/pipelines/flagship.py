@@ -310,7 +310,13 @@ def flagship_from_dataset(
     if analyze:
         spec["sum_tokens"] = ("token_count", "sum")
         spec["sum_quality"] = ("quality", "sum")
-    rollup = grouped_aggregate(joined, ["ugid", rollup_cell], spec)
+    # the partial-agg batch size must match the fused stage's: Ray
+    # FUSES the two map operators and bundles input rows to the larger
+    # batch_size — the default 65536 collapsed a 500k-row DOM-extract
+    # corpus into 8 tasks (5.7 effective cores of a 32-core node;
+    # measured 13.2 s -> 3.2 s with matched sizing)
+    rollup = grouped_aggregate(joined, ["ugid", rollup_cell], spec,
+                               batch_size=extract_batch_size)
     return rollup.repartition(1).sort(["ugid", rollup_cell])
 
 
