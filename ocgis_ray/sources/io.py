@@ -29,6 +29,7 @@ import os
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 DEFAULT_BLOCK_BYTES = 32 * 1024 * 1024
 
@@ -258,8 +259,17 @@ def bucketed_group_apply(ds, keys: list[str] | str, fn,
         df["_bucket"] = (h % np.uint64(num_buckets)).astype(np.int64).to_numpy()
         return df
 
-    def apply(g: pd.DataFrame) -> pd.DataFrame:
-        return fn(g.drop(columns=["_bucket"]))
+    def apply(g: pd.DataFrame):
+        out = fn(g.drop(columns=["_bucket"]))
+        # emit ARROW blocks: pandas blocks downstream defeat Ray's
+        # schema-dedup fast path (PandasBlockSchema is unhashable —
+        # one "Failed to hash the schemas" warning PER TASK) and every
+        # consumer pays the conversion later anyway; metadata=None so
+        # the pandas provenance dict never reaches a shuffle
+        if isinstance(out, pd.DataFrame):
+            out = pa.Table.from_pandas(
+                out, preserve_index=False).replace_schema_metadata(None)
+        return out
 
     return (
         ds.map_batches(add_bucket, batch_format="pandas")

@@ -144,3 +144,17 @@ def test_ensure_list_column_normalizes_large_list():
     # already-plain list with matching type passes through untouched
     small = pa.table({"x": pa.array([[1]], pa.list_(pa.int32()))})
     assert ensure_list_column(small, "x") is small
+
+
+def test_ensure_list_column_null_rows_preserved():
+    """Null list rows map to null (validity preserved), not TypeError
+    (round-3 advice: len(None) crashed the lens scan)."""
+    import pyarrow as pa
+
+    from ocgis_ray.sources.io import ensure_list_column
+
+    big = pa.array([[1, 2], None, [3]], pa.large_list(pa.int32()))
+    out = ensure_list_column(pa.table({"x": big}), "x")
+    assert pa.types.is_list(out["x"].type)
+    assert out["x"].to_pylist() == [[1, 2], None, [3]]
+    assert out["x"].null_count == 1
