@@ -92,3 +92,35 @@ def test_semi_join_ids_broadcast_and_join(ray_session):
                             num_buckets=4).to_pandas()
         assert sorted(out["doc_id"]) == [3, 17, 42, 99]
         assert sorted(out["v"]) == [6, 34, 84, 198]
+
+
+def test_twopass_c4_rewrite_parity(ray_session):
+    """The c4 REWRITE feeds the content hash in the decision pass and
+    re-applies in the re-attach pass: docs that become identical only
+    AFTER line cleaning must dedup, and output text must equal the
+    shuffle cascade's rewritten text."""
+    import ray.data as rd
+
+    from ocgis_ray.pipelines.cleaning import clean_corpus, clean_corpus_twopass
+
+    base = ("This is a clean sentence with enough words to survive the "
+            "line filter easily today.")
+    rows = []
+    for i in range(30):
+        junk = f"cookie banner {i}"  # short line, dropped by c4
+        # docs 0-9 differ ONLY in the junk line -> identical post-c4
+        text = f"{base}\n{junk}" if i < 10 else f"{base} variant {i}.\n{junk}"
+        rows.append({"doc_id": i, "text": text})
+    df = pd.DataFrame(rows)
+
+    steps = ("c4", "exact_dedup")
+    a = clean_corpus(rd.from_pandas(df).repartition(3), steps=steps,
+                     num_buckets=4).to_pandas()
+    b = clean_corpus_twopass(rd.from_pandas(df).repartition(3), steps=steps,
+                             num_buckets=4).to_pandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[["doc_id", "text"]], b[["doc_id", "text"]])
+    # docs 0-9 collapsed to one survivor; junk lines gone from output
+    assert (b["doc_id"] < 10).sum() == 1
+    assert not b["text"].str.contains("cookie banner").any()
