@@ -1083,38 +1083,53 @@ def q_knn_cells(sf_dir: str):
 def q_crs_web_mercator(sf_dir: str):
     """update_crs analog (variable/crs.py): EPSG:4326 -> web mercator
     AND ellipsoidal Lambert Conformal Conic (EPSG 9802, the regional-
-    model fixture projection) in one oracle-checked query.  Rotated
-    pole and UTM are pytest-verified round-trips (transcendental
-    outputs round coarse — FIXTURES.md)."""
-    from ocgis_ray.stages.crs import lcc_forward, update_crs
+    model fixture projection) AND the round-4 world projections
+    (Mollweide via the fixed 12-step Newton solve, Robinson via the
+    published table — stages/crs.py) in one oracle-checked query.
+    Rotated pole and UTM are pytest-verified round-trips
+    (transcendental outputs round coarse — FIXTURES.md)."""
+    from ocgis_ray.stages.crs import (lcc_forward, moll_forward,
+                                      robin_forward, update_crs)
 
     ds = update_crs(_geo_pages(sf_dir))
 
     def rnd(t: pa.Table) -> pa.Table:
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        lat = t["lat"].to_numpy(zero_copy_only=False)
         x = sql_round(t["x"].to_numpy(zero_copy_only=False), 1)
         y = sql_round(t["y"].to_numpy(zero_copy_only=False), 1)
-        lx, ly = lcc_forward(t["lon"].to_numpy(zero_copy_only=False),
-                             t["lat"].to_numpy(zero_copy_only=False))
+        lx, ly = lcc_forward(lon, lat)
+        mx, my = moll_forward(lon, lat)
+        rx, ry = robin_forward(lon, lat)
         t = t.drop_columns(["x", "y"])
         t = t.append_column("x", pa.array(x))
         t = t.append_column("y", pa.array(y))
         t = t.append_column("lcc_x", pa.array(sql_round(lx, 1)))
-        return t.append_column("lcc_y", pa.array(sql_round(ly, 1)))
+        t = t.append_column("lcc_y", pa.array(sql_round(ly, 1)))
+        t = t.append_column("moll_x", pa.array(sql_round(mx, 1)))
+        t = t.append_column("moll_y", pa.array(sql_round(my, 1)))
+        t = t.append_column("robin_x", pa.array(sql_round(rx, 1)))
+        return t.append_column("robin_y", pa.array(sql_round(ry, 1)))
 
     return ds.map_batches(rnd, batch_format="pyarrow", zero_copy_batch=True).select_columns(
-        ["page_id", "x", "y", "lcc_x", "lcc_y"]
+        ["page_id", "x", "y", "lcc_x", "lcc_y",
+         "moll_x", "moll_y", "robin_x", "robin_y"]
     )
 
 
 def sql_crs_web_mercator() -> str:
-    from ocgis_ray.stages.crs import lcc_sql, web_mercator_sql
+    from ocgis_ray.stages.crs import lcc_sql, moll_sql, robin_sql, web_mercator_sql
 
     x, y = web_mercator_sql("lon", "lat")
     lx, ly = lcc_sql("lon", "lat")
+    mx, my = moll_sql("lon", "lat")
+    rx, ry = robin_sql("lon", "lat")
     return (
         f"{geo_cte(REPS)}\n"
         f"SELECT page_id, round({x}, 1) AS x, round({y}, 1) AS y,\n"
-        f"  round({lx}, 1) AS lcc_x, round({ly}, 1) AS lcc_y FROM geo"
+        f"  round({lx}, 1) AS lcc_x, round({ly}, 1) AS lcc_y,\n"
+        f"  round({mx}, 1) AS moll_x, round({my}, 1) AS moll_y,\n"
+        f"  round({rx}, 1) AS robin_x, round({ry}, 1) AS robin_y FROM geo"
     )
 
 
@@ -1271,15 +1286,17 @@ BILINEAR_RES = 6  # 5.625-degree cells (exact binary cell size)
 def q_idw_interpolate(sf_dir: str):
     """Interpolation at target points (the regrid apply path), TWO
     oracle-checked methods per target: IDW (window-ranked k nearest +
-    identical weight math in SQL) and BILINEAR over a per-cell mean
+    identical weight math in SQL), BILINEAR over a per-cell mean
     field (ESMF regrid_method=BILINEAR analog — the closed-form 4-point
-    stencel is reproduced in SQL; stencil cells with no pages
-    contribute nothing on both sides, missing stencils coalesce to
-    0)."""
+    stencil is reproduced in SQL), and round-4 PATCH recovery (the
+    ESMF patch analog: the fixed 6x9 LSQ evaluation operator's
+    constants are embedded in the SQL, 9-offset stencil weights
+    b(t)·M[:,j]); stencil cells with no pages contribute nothing on
+    both sides, missing stencils coalesce to 0."""
     from ocgis_ray import grid
     from ocgis_ray.parity import sql_round
     from ocgis_ray.stages.regrid import (apply_weights, bilinear_weights,
-                                         idw_interpolate)
+                                         idw_interpolate, patch_weights)
     from ocgis_ray.stages.tiles import grouped_aggregate
 
     pages = _geo_pages(sf_dir)
@@ -1305,15 +1322,23 @@ def q_idw_interpolate(sf_dir: str):
 
     field = cells.map_batches(mean_field, batch_format="pyarrow",
                               zero_copy_batch=True)
+    field = field.materialize()  # shared by the bilinear + patch applies
     w = bilinear_weights(IDW_TARGETS, BILINEAR_RES)
     bl = apply_weights(field, w, src_col="cell_bl", value_col="v",
                        out_col="blv").to_pandas()
+    pw = patch_weights(IDW_TARGETS, BILINEAR_RES)
+    pt = apply_weights(field, pw, src_col="cell_bl", value_col="v",
+                       out_col="ptv").to_pandas()
     out = idw.merge(bl.rename(columns={"dst": "target_id"}),
+                    on="target_id", how="left")
+    out = out.merge(pt.rename(columns={"dst": "target_id"}),
                     on="target_id", how="left")
     out["bilinear_value"] = sql_round(
         out["blv"].fillna(0.0).to_numpy(np.float64), 4)
-    return out.drop(columns=["blv"]).sort_values("target_id",
-                                                 ignore_index=True)
+    out["patch_value"] = sql_round(
+        out["ptv"].fillna(0.0).to_numpy(np.float64), 4)
+    return out.drop(columns=["blv", "ptv"]).sort_values(
+        "target_id", ignore_index=True)
 
 
 
@@ -1782,10 +1807,17 @@ def sql_idw_interpolate() -> str:
         "power(sin((radians(g.lon) - radians(q.qlon)) / 2.0), 2)))"
     )
     from ocgis_ray import grid
+    from ocgis_ray.stages.regrid import _PATCH_M
 
     cs = repr(grid.cell_size(BILINEAR_RES))
     nx = 1 << BILINEAR_RES
     ny = nx // 2
+    offs = [(dx, dy) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+    patch_m = ", ".join(
+        "(" + ", ".join([str(dx), str(dy)]
+                        + [repr(float(_PATCH_M[k, j])) for k in range(6)])
+        + ")"
+        for j, (dx, dy) in enumerate(offs))
     return f"""{geo_cte(REPS)},
 q(target_id, qlon, qlat) AS (VALUES {vals}),
 d AS (SELECT q.target_id, CAST(g.n_chars AS DOUBLE) AS value, {dist} AS dist FROM geo g, q),
@@ -1818,10 +1850,28 @@ bl_w AS (
 bl_v AS (
   SELECT w.target_id, sum(w.w * c.v) AS blv
   FROM bl_w w JOIN bl_cells c ON c.cell = w.src
+  GROUP BY w.target_id),
+pt_c AS (
+  SELECT target_id,
+         CAST(floor(fx + 0.5) AS BIGINT) AS ic,
+         CAST(floor(fy + 0.5) AS BIGINT) AS jc,
+         fx - floor(fx + 0.5) AS tx, fy - floor(fy + 0.5) AS ty
+  FROM bl_f),
+pt_w AS (
+  SELECT target_id,
+         ((ic + m.dx) % {nx} + {nx}) % {nx} * 4294967296
+           + least(greatest(jc + m.dy, 0), {ny - 1}) AS src,
+         m.m0 + m.m1*tx + m.m2*ty + m.m3*tx*tx + m.m4*tx*ty + m.m5*ty*ty AS w
+  FROM pt_c CROSS JOIN (VALUES {patch_m}) m(dx, dy, m0, m1, m2, m3, m4, m5)),
+pt_v AS (
+  SELECT w.target_id, sum(w.w * c.v) AS ptv
+  FROM pt_w w JOIN bl_cells c ON c.cell = w.src
   GROUP BY w.target_id)
 SELECT i.target_id, i.idw_value,
-       round(coalesce(b.blv, 0.0), 4) AS bilinear_value
+       round(coalesce(b.blv, 0.0), 4) AS bilinear_value,
+       round(coalesce(p.ptv, 0.0), 4) AS patch_value
 FROM idw_f i LEFT JOIN bl_v b ON b.target_id = i.target_id
+LEFT JOIN pt_v p ON p.target_id = i.target_id
 ORDER BY i.target_id"""
 
 

@@ -692,6 +692,37 @@ def robin_inverse(x, y, lon0: float = 0.0, R: float = WGS84_A,
     return _wrap_lon_deg(np.degrees(dl) + lon0), la * np.sign(yy)
 
 
+def moll_sql(lon_expr: str, lat_expr: str,
+             R: float = WGS84_A) -> tuple[str, str]:
+    """DuckDB twins of :func:`moll_forward` (lon_0=0): the SAME 12
+    fixed Newton steps via ``list_reduce`` (the engine iterates arrays
+    a fixed 12 times; an SQL closed form would diverge in the last
+    ulp), guarded division identical to the numpy ``maximum``."""
+    t = (f"list_reduce(list_prepend(radians({lat_expr}), "
+         f"list_transform(range(12), i -> 0.0)), "
+         f"(t, i) -> t - (2*t + sin(2*t) - pi()*sin(radians({lat_expr})))"
+         f" / greatest(2 + 2*cos(2*t), 1e-12))")
+    return (f"(2*sqrt(2)/pi()) * {R!r} * radians({lon_expr}) * cos({t})",
+            f"sqrt(2) * {R!r} * sin({t})")
+
+
+def robin_sql(lon_expr: str, lat_expr: str,
+              R: float = WGS84_A) -> tuple[str, str]:
+    """DuckDB twins of :func:`robin_forward` (lon_0=0): the published
+    5-degree table as list literals, piecewise-linear interpolation in
+    ``np.interp``'s operation order, node 18 clamped like the engine."""
+    XL = "[" + ",".join(repr(float(v)) for v in _ROBIN_X) + "]"
+    YL = "[" + ",".join(repr(float(v)) for v in _ROBIN_Y) + "]"
+    i_ = f"least(CAST(floor(abs({lat_expr})/5) AS BIGINT), 17)"
+    fr = f"(abs({lat_expr}) - 5*{i_})"
+    Xv = (f"(list_extract({XL}, {i_}+1) + (list_extract({XL}, {i_}+2) "
+          f"- list_extract({XL}, {i_}+1))/5.0 * {fr})")
+    Yv = (f"(list_extract({YL}, {i_}+1) + (list_extract({YL}, {i_}+2) "
+          f"- list_extract({YL}, {i_}+1))/5.0 * {fr})")
+    return (f"0.8487 * {R!r} * {Xv} * radians({lon_expr})",
+            f"1.3523 * {R!r} * {Yv} * sign({lat_expr})")
+
+
 # ---------------------------------------------------------------- proj strings
 
 # WKT1 PROJCS projection name -> proj family + parameter mapping

@@ -586,8 +586,10 @@ def patch_weights(targets: pd.DataFrame, res: int) -> pd.DataFrame:
     tid = targets["target_id"].to_numpy(np.int64)
     fx = (lon + 180.0) / cs - 0.5    # cell-center coordinates
     fy = (lat + 90.0) / cs - 0.5
-    ic = np.rint(fx).astype(np.int64)    # nearest center = patch center
-    jc = np.rint(fy).astype(np.int64)
+    # nearest center = patch center; floor(x+0.5) (not rint) so the
+    # SQL twin's floor-based expression matches bit-for-bit at .5 ties
+    ic = np.floor(fx + 0.5).astype(np.int64)
+    jc = np.floor(fy + 0.5).astype(np.int64)
     tx = fx - ic                          # in [-0.5, 0.5]
     ty = fy - jc
     B = np.stack([np.ones_like(tx), tx, ty, tx * tx, tx * ty, ty * ty],
