@@ -796,12 +796,27 @@ def sql_events_user_rollup() -> str:
 # =====================================================================
 
 def q_dedup_exact_documents(sf_dir: str):
+    """Exact dedup through BOTH engine paths: the shuffle cascade
+    (dedup_exact, returned) and the round-4 decide-on-slim twopass
+    (clean_corpus_twopass), asserted identical engine-side — a
+    divergence errors the query, so the oracle gate covers both."""
+    from ocgis_ray.pipelines.cleaning import clean_corpus_twopass
     from ocgis_ray.sources.io import read_parquet_sized
 
     from ocgis_ray.stages.dedup import dedup_exact
 
     docs = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return dedup_exact(docs, id_col="doc_id", col="text").select_columns(["doc_id"])
+    out = dedup_exact(docs, id_col="doc_id", col="text").select_columns(["doc_id"])
+    tp = clean_corpus_twopass(
+        docs, steps=("exact_dedup",),
+        source=lambda cols: read_parquet_sized(
+            f"{sf_dir}/documents.parquet", columns=cols),
+    ).select_columns(["doc_id"]).to_pandas()
+    a = sorted(out.to_pandas()["doc_id"])
+    if a != sorted(tp["doc_id"]):
+        raise AssertionError(
+            "twopass exact dedup diverged from the shuffle cascade")
+    return out
 
 
 def sql_dedup_exact_documents() -> str:
