@@ -533,6 +533,48 @@ def ps_inverse(x, y, lon0: float = 0.0, lat_ts: float | None = None,
     return _wrap_lon_deg(np.degrees(dl + np.radians(lon0))), np.degrees(phi)
 
 
+def oblique_stere_forward(lon, lat, lon0: float, lat0: float,
+                          k0: float = 1.0, R: float = WGS84_A,
+                          fe: float = 0.0, fn: float = 0.0):
+    """SPHERICAL oblique/equatorial stereographic (Snyder 1987
+    eq. 21-2..21-4): k = 2 k0 / (1 + sin p0 sin p + cos p0 cos p
+    cos dl); x = R k cos p sin dl; y = R k (cos p0 sin p - sin p0
+    cos p cos dl).  Closes crs_from_params' former polar-aspects-only
+    ``stere`` gap; the ellipsoidal oblique form (EPSG 9809, Roussilhe)
+    remains out of scope — the reference's CF grid mappings only carry
+    the polar variant, and the spherical form is what the oblique CF
+    ``stereographic`` mapping means on a sphere."""
+    p0 = np.radians(lat0)
+    p = np.radians(np.asarray(lat, dtype=np.float64))
+    dl = np.radians(np.asarray(lon, dtype=np.float64) - lon0)
+    denom = 1.0 + np.sin(p0) * np.sin(p) + np.cos(p0) * np.cos(p) * np.cos(dl)
+    k = 2.0 * k0 / np.maximum(denom, 1e-12)   # antipode guard
+    x = R * k * np.cos(p) * np.sin(dl)
+    y = R * k * (np.cos(p0) * np.sin(p) - np.sin(p0) * np.cos(p) * np.cos(dl))
+    return fe + x, fn + y
+
+
+def oblique_stere_inverse(x, y, lon0: float, lat0: float,
+                          k0: float = 1.0, R: float = WGS84_A,
+                          fe: float = 0.0, fn: float = 0.0):
+    """Snyder eq. 20-14..20-17 with c = 2 atan(rho / (2 R k0))."""
+    p0 = np.radians(lat0)
+    xx = (np.asarray(x, np.float64) - fe)
+    yy = (np.asarray(y, np.float64) - fn)
+    rho = np.hypot(xx, yy)
+    c = 2.0 * np.arctan2(rho, 2.0 * R * k0)
+    sin_c, cos_c = np.sin(c), np.cos(c)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        phi = np.arcsin(np.clip(
+            cos_c * np.sin(p0) + yy * sin_c * np.cos(p0) / np.where(rho == 0, 1.0, rho),
+            -1.0, 1.0))
+        lam = np.arctan2(xx * sin_c,
+                         rho * np.cos(p0) * cos_c - yy * np.sin(p0) * sin_c)
+    phi = np.where(rho == 0, p0, phi)
+    lam = np.where(rho == 0, 0.0, lam)
+    return _wrap_lon_deg(np.degrees(lam) + lon0), np.degrees(phi)
+
+
 def omerc_consts(lat0: float, lonc: float, alpha: float,
                  k0: float = 1.0, gamma: float | None = None,
                  a: float = WGS84_A, e2: float = WGS84_E2) -> dict:
@@ -856,6 +898,24 @@ def _ellipsoid(params: dict) -> tuple[float, float]:
     return a, f * (2.0 - f)
 
 
+def _finish_unit(fwd0, inv0, to_m: float):
+    """Apply the native-unit conversion (``+to_meter``) to a
+    forward/inverse pair — shared by crs_from_params' early-return
+    branches and its tail."""
+    if to_m == 1.0:
+        return fwd0, inv0
+
+    def fwd(lon, lat):
+        x, y = fwd0(lon, lat)
+        return x / to_m, y / to_m
+
+    def inv(x, y):
+        return inv0(np.asarray(x, np.float64) * to_m,
+                    np.asarray(y, np.float64) * to_m)
+
+    return fwd, inv
+
+
 def crs_from_params(params: dict):
     """proj-style parameter dict -> (forward, inverse) pair — the
     generic constructor the reference gets from proj4/EPSG
@@ -948,10 +1008,15 @@ def crs_from_params(params: dict):
     elif proj == "stere":
         lat0 = g("lat_0", 90.0)
         if abs(lat0) < 90.0 - 1e-9:
-            raise KeyError(
-                "proj 'stere' is implemented for the POLAR aspects only "
-                "(lat_0 = +-90, the CF polar_stereographic mapping); "
-                "oblique stereographic is not a reference fixture")
+            # oblique/equatorial aspect: spherical form (sphere of
+            # radius a); ellipsoidal EPSG 9809 out of scope
+            k0o = float(params.get("k", params.get("k_0", 1.0)))
+            lon0o = g("lon_0")
+            fwd0 = lambda lon, lat: oblique_stere_forward(
+                lon, lat, lon0o, lat0, k0o, a, fe, fn)  # noqa: E731
+            inv0 = lambda x, y: oblique_stere_inverse(
+                x, y, lon0o, lat0, k0o, a, fe, fn)  # noqa: E731
+            return _finish_unit(fwd0, inv0, to_m)
         south = lat0 < 0.0
         lat_ts = params.get("lat_ts")
         lat_ts = None if lat_ts is None else float(lat_ts)
@@ -981,18 +1046,7 @@ def crs_from_params(params: dict):
             f"unsupported proj {proj!r}; supported: longlat webmerc "
             "lcc tmerc utm aea laea sinu moll robin stere omerc ob_tran")
 
-    if to_m == 1.0:
-        return fwd0, inv0
-
-    def fwd(lon, lat):
-        x, y = fwd0(lon, lat)
-        return x / to_m, y / to_m
-
-    def inv(x, y):
-        return inv0(np.asarray(x, np.float64) * to_m,
-                    np.asarray(y, np.float64) * to_m)
-
-    return fwd, inv
+    return _finish_unit(fwd0, inv0, to_m)
 
 
 US_FT = 1200.0 / 3937.0  # US survey foot

@@ -951,3 +951,24 @@ def test_wkt1_parsing_matches_proj_families():
                      '6378137,298.257223563]]]')["proj"] == "longlat"
     with pytest.raises(KeyError, match="unsupported WKT PROJECTION"):
         parse_wkt('PROJCS["x", PROJECTION["Cassini_Soldner"]]')
+
+
+def test_oblique_stereographic():
+    """Non-polar stere no longer raises: spherical oblique aspect
+    (Snyder 21-2..21-4) — center maps to origin, equatorial aspect
+    gives x = 2R tan(dl/2) on the equator, round-trips everywhere
+    away from the antipode, and the polar path is unchanged."""
+    from ocgis_ray.stages.crs import crs_from_params
+
+    f, i = crs_from_params("+proj=stere +lat_0=40 +lon_0=-100 +R=6370997")
+    rng = np.random.RandomState(2)
+    lon = rng.uniform(-175.0, -20.0, 300)
+    lat = rng.uniform(-35.0, 85.0, 300)
+    lo, la = i(*f(lon, lat))
+    assert np.abs(lo - lon).max() < 1e-8
+    assert np.abs(la - lat).max() < 1e-8
+    x, y = f(np.array([-100.0]), np.array([40.0]))
+    assert abs(x[0]) < 1e-9 and abs(y[0]) < 1e-9
+    fe, _ = crs_from_params("+proj=stere +lat_0=0 +lon_0=0 +R=1")
+    x, y = fe(np.array([90.0]), np.array([0.0]))
+    assert abs(x[0] - 2.0) < 1e-12 and abs(y[0]) < 1e-12
