@@ -214,6 +214,10 @@ def _block_text(b: _Block) -> str:
     return " ".join("".join(b.parts).split())
 
 
+_SW_CONTAINS = _STOPWORDS.__contains__
+_WORD_PUNCT = ".,!?;:\"'()[]"
+
+
 def _classify(text: str, b: _Block) -> int:
     """jusText context-free classification of one block."""
     n = len(text)
@@ -227,7 +231,10 @@ def _classify(text: str, b: _Block) -> int:
     if n < LENGTH_LOW:
         return _BAD if b.link_chars else _SHORT
     words = text.split()
-    sw = sum(1 for w in words if w.lower().strip(".,!?;:\"'()[]") in _STOPWORDS)
+    sw = 0
+    for w in words:
+        if _SW_CONTAINS(w.lower().strip(_WORD_PUNCT)):
+            sw += 1
     density = sw / max(len(words), 1)
     if density >= STOPWORDS_HIGH:
         return _GOOD if n > LENGTH_HIGH else _NEAR
@@ -264,9 +271,8 @@ def extract_text(html) -> str:
         # keeps article headings)
         kept = []
         for t, b in zip(texts, blocks):
-            words = len(t.split())
             ld = b.link_chars / max(len(t), 1)
-            kept.append(words >= FALLBACK_MIN_WORDS
+            kept.append(len(t.split()) >= FALLBACK_MIN_WORDS
                         and ld <= FALLBACK_MAX_LINK_DENSITY)
         for i in range(len(blocks) - 1):
             if blocks[i].heading and not kept[i] \
