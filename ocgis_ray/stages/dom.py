@@ -57,7 +57,7 @@ import pyarrow as pa
 # bump when extraction semantics change: cached messy-corpus ground
 # truth (sources/messy.py materialization tags) must not survive an
 # extractor change, or the byte-identity gate fires on stale fixtures
-DOM_VERSION = 2
+DOM_VERSION = 3
 
 # jusText default parameters (Pomikalek 2011, justext package docs)
 LENGTH_LOW = 70
@@ -143,6 +143,7 @@ def _parse_blocks(html: str) -> list[_Block]:
     append = blocks.append
     cur: _Block | None = None
     skip = link = head = 0
+    br_run = 0  # consecutive <br> tags (whitespace between allowed)
     skip_tags, block_tags, heading_tags = _SKIP_TAGS, _BLOCK_TAGS, _HEADING_TAGS
     for m in _TOKEN_RE.finditer(html):
         li = m.lastindex
@@ -155,10 +156,11 @@ def _parse_blocks(html: str) -> list[_Block]:
                 continue
             if s.isspace():
                 # inter-tag whitespace joins words but never opens a
-                # block of its own
+                # block of its own (and does not break a <br> run)
                 if cur is not None:
                     cur.parts.append(" ")
                 continue
+            br_run = 0
             if cur is None:
                 cur = _Block(head > 0)
             if "&" in s:
@@ -170,6 +172,18 @@ def _parse_blocks(html: str) -> list[_Block]:
         if li == 1:
             continue  # whole script/style/noscript/template element
         tag = m[3].lower()
+        if tag == "br":
+            # single <br> stays inline (jusText); a <br><br> run is
+            # the classic paragraph separator on tag-soup pages
+            if not skip:
+                br_run += 1
+                if br_run >= 2 and cur is not None:
+                    append(cur)
+                    cur = None
+                elif cur is not None:
+                    cur.parts.append(" ")
+            continue
+        br_run = 0
         if not m[2]:
             if skip:
                 if tag in skip_tags:

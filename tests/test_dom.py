@@ -157,3 +157,25 @@ def test_messy_fat_rows(ray_session):
         if len(orig.split()) >= 15:
             assert t.count(orig) == 16
             assert len(t) > 16 * len(orig)
+
+
+def test_double_br_paragraph_split():
+    """<br><br> (the tag-soup paragraph separator) splits blocks;
+    a single <br> stays inline (jusText semantics)."""
+    h = ("<html><body>"
+         "The first paragraph has plenty of words in it and they are "
+         "the kind of words that a person would write in an article "
+         "about anything at all."
+         "<br><br>"
+         "The second paragraph also has plenty of words and it should "
+         "be its own block after the double break so that both of "
+         "them classify on their own."
+         "<br>single break stays inline with more of the same words "
+         "that we have been writing here for this test of the single "
+         "line break case today.</body></html>")
+    out = extract_text(h)
+    assert out.count("\n\n") == 1
+    assert "single break stays inline" in out
+    # whitespace between the two br tags still splits
+    assert extract_text(h.replace("<br><br>", "<br>\n <br/>")) \
+        .count("\n\n") == 1
