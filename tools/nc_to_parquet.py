@@ -13,11 +13,12 @@ Usage:
     python tools/nc_to_parquet.py --fixture <out.nc>   # write the
         reference-style 4x4 quadrant CF fixture (for smoke tests)
 
-Large files: the classic format is header + contiguous arrays, so the
-conversion is a single streaming pass; at real archive scale run one
-CLI invocation per file (files are the natural partition — the same
-shape as the reference's one-request-per-file driver) and point
-``read_parquet`` at the directory.
+Large files: the converter buffers ONE file in memory (the classic
+format is header + contiguous arrays), so per-invocation memory is
+bounded by the largest file, not the archive; at real archive scale
+run one CLI invocation per file (files are the natural partition —
+the same shape as the reference's one-request-per-file driver) and
+point ``read_parquet`` at the output directory.
 """
 
 from __future__ import annotations
