@@ -1272,8 +1272,27 @@ def sql_cells_to_polygons() -> str:
 def q_apply_weights_cells(sf_dir: str):
     """smm analog (regrid/base.py:937-992): sparse src->dst weights
     (here: each r7 cell -> its r5 parent, w=0.25) applied as broadcast
-    lookup + partial aggregation."""
+    lookup + partial aggregation.  Also gates the round-4 CF-netCDF
+    ingest shim engine-side: the reference-style quadrant fixture
+    must convert and reproduce the test_simple mean-2.5 expectation
+    (a divergence errors this query and turns the gate red — CF
+    decode is not SQL-expressible against the driver's tables)."""
+    import tempfile
+
+    import pyarrow.compute as pc
+
+    from ocgis_ray.sources.cf import cf_to_table, make_quadrant_fixture
     from ocgis_ray.stages.regrid import apply_weights
+
+    with tempfile.TemporaryDirectory() as td:
+        nc = f"{td}/quad.nc"
+        make_quadrant_fixture(nc)
+        cf = cf_to_table(nc)
+        if cf.num_rows != 61 * 16 or float(
+                pc.mean(cf["foo"]).as_py()) != 2.5:
+            raise AssertionError(
+                "CF ingest shim diverged from the quadrant fixture "
+                "expectation (mean foo != 2.5)")
 
     ds = _geo_pages(sf_dir)
     cells_pdf = grouped_aggregate(ds, ["cell_r7"], {"n": (None, "count")}).to_pandas()
