@@ -71,6 +71,32 @@ def _ts_us(ds, col: str, out: str):
 # =====================================================================
 
 def q_pages_synth(sf_dir: str):
+    """Pages fixture source; also gates the round-4 DOM extractor
+    engine-side (not SQL-expressible): over a 40-row messy-chrome
+    batch the stored WET ground truth must equal re-extraction
+    byte-for-byte, content must survive and chrome must die — a
+    divergence errors this query in the correctness gate."""
+    import pyarrow.parquet as _pq
+
+    from ocgis_ray.sources.messy import messy_html_batch
+    from ocgis_ray.sources.pages import synthesize_pages_batch
+    from ocgis_ray.stages.dom import DomExtractor, extract_text
+
+    docs = _pq.read_table(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "source", "n_chars"]).slice(0, 40)
+    messy = messy_html_batch(synthesize_pages_batch(docs, reps=1))
+    ext = DomExtractor()(messy)["text_extracted"]
+    for i in range(messy.num_rows):
+        t = ext[i].as_py()
+        if extract_text(bytes(messy["html"][i].as_py())) != t:
+            raise AssertionError("DOM extraction is not deterministic")
+        if "Trending" in t or "cookies" in t or "rights reserved" in t:
+            raise AssertionError("DOM extraction leaked chrome")
+        orig = docs["text"][i].as_py()
+        if len(orig.split()) >= 15 and orig not in t:
+            raise AssertionError("DOM extraction dropped body content")
+
     ds = pages_dataset(sf_dir, reps=REPS).drop_columns(["html"])
     ds = _ts_us(ds, "warc_ts", "warc_ts_us")
     return ds.select_columns(["page_id", "doc_id", "rep", "url", "warc_ts_us", "text", "lang"])
