@@ -213,6 +213,45 @@ def run_queries() -> dict[str, float]:
         return flagship_from_parquet(path, extractor="dom",
                                      extract_batch_size=2048)
 
+    def extra_warc_dom_flagship():
+        # the real Common-Crawl shape end to end: messy-HTML pages in
+        # gzip-member WARC files -> streaming WARC read -> WET adapt
+        # (DOM extraction becomes the stored ground truth) -> fused
+        # flagship with byte-identity verification.  Fixture WARCs are
+        # derived once from the messy corpus (cached via _SUCCESS).
+        import glob
+
+        from ocgis_ray.pipelines.flagship import flagship_from_warc
+        from ocgis_ray.sources.messy import materialize_messy_pages_parquet
+        from ocgis_ray.sources.warc import write_warc
+
+        sf_tag = os.path.basename(SF_DIR.rstrip("/"))
+        pq_path = materialize_messy_pages_parquet(
+            SF_DIR, max(10, DOM_REPS // 4), f"/tmp/graft_bench/{sf_tag}",
+            num_blocks=max(64, NUM_CPUS * 4),
+            concurrency=max(2, NUM_CPUS - 2))
+        warc_dir = pq_path + "_warc"
+        if not os.path.exists(os.path.join(warc_dir, "_SUCCESS")):
+            import duckdb
+
+            os.makedirs(warc_dir, exist_ok=True)
+            con = duckdb.connect()
+            rows = con.execute(
+                f"SELECT url, warc_ts, html FROM '{pq_path}/*.parquet' "
+                f"ORDER BY url").fetchall()
+            nfiles = 16
+            per = (len(rows) + nfiles - 1) // nfiles
+            for j in range(nfiles):
+                chunk = rows[j * per:(j + 1) * per]
+                if chunk:
+                    write_warc(os.path.join(warc_dir, f"crawl-{j:02d}.warc.gz"),
+                               ((u, ts.isoformat(), bytes(h))
+                                for u, ts, h in chunk))
+            with open(os.path.join(warc_dir, "_SUCCESS"), "w") as f:
+                f.write("")
+        return flagship_from_warc(warc_dir, extractor="dom",
+                                  extract_batch_size=2048)
+
     def extra_substr_dedup():
         # ExactSubstr-style duplicated-span cutting over documents
         from ocgis_ray.sources.io import read_parquet_sized
@@ -234,6 +273,7 @@ def run_queries() -> dict[str, float]:
         return packed.count()
 
     extras = {"dom_extract_pages": extra_dom_extract,
+              "warc_dom_flagship": extra_warc_dom_flagship,
               "heavy_hitters_events": extra_heavy_hitters,
               "hopping_window_events": extra_hopping_window,
               "quality_gate_pages": extra_quality_gate,
