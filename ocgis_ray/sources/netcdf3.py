@@ -170,8 +170,10 @@ def read_netcdf3(path: str):
         else:
             cnt = int(np.prod(shape, dtype=np.int64)) if shape else 1
             arr = np.frombuffer(buf, dt, count=cnt, offset=begin).reshape(shape)
+        # NOT ascontiguousarray: it is documented ndmin=1 and would
+        # silently promote scalar (0-dim) variables to shape (1,)
         data = (arr if t == 2
-                else np.ascontiguousarray(arr).astype(dt.newbyteorder("=")))
+                else np.asarray(arr, order="C").astype(dt.newbyteorder("=")))
         out[nm] = NcVar(dnames, atts, data)
     return dict(dims), gatts, out
 

@@ -394,3 +394,69 @@ def test_crs_registry_roundtrip_property(code, fx, fy):
     lo, la = inv(*fwd(lon, lat))
     assert abs(lo[0] - lon[0]) < 1e-7, code
     assert abs(la[0] - lat[0]) < 1e-7, code
+
+
+# ------------------------------------------------------- round-4 parsers
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet=st.characters(codec="utf-8"), max_size=400))
+def test_dom_extract_total_and_deterministic(html):
+    """extract_text is total over arbitrary text (never raises, always
+    a str) and deterministic; bytes and str inputs agree."""
+    from ocgis_ray.stages.dom import extract_text
+
+    a = extract_text(html)
+    assert isinstance(a, str)
+    assert extract_text(html) == a
+    assert extract_text(html.encode("utf-8")) == a
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=400))
+def test_dom_extract_total_on_bytes(raw):
+    from ocgis_ray.stages.dom import extract_text
+
+    a = extract_text(raw)
+    assert isinstance(a, str) and extract_text(raw) == a
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    var_specs=st.lists(
+        st.tuples(
+            st.sampled_from(["i2", "i4", "f4", "f8"]),
+            st.integers(min_value=0, max_value=3),  # ndims
+        ),
+        min_size=1, max_size=4),
+    d1=st.integers(min_value=1, max_value=5),
+    d2=st.integers(min_value=1, max_value=4),
+)
+def test_netcdf3_roundtrip_property(var_specs, d1, d2, tmp_path_factory):
+    """write_netcdf3 -> read_netcdf3 is the identity on dims, attrs,
+    dtypes and values for arbitrary small fixed-dim variables."""
+    import numpy as np
+
+    from ocgis_ray.sources.netcdf3 import NcVar, read_netcdf3, write_netcdf3
+
+    dims = {"a": d1, "b": d2, "c": 2}
+    dim_names = list(dims)
+    rng = np.random.RandomState(0)
+    variables = {}
+    for i, (dt, nd) in enumerate(var_specs):
+        vdims = dim_names[:nd]
+        shape = tuple(dims[d] for d in vdims)
+        if dt.startswith("f"):
+            data = rng.standard_normal(shape).astype(dt)
+        else:
+            data = rng.randint(-100, 100, size=shape).astype(dt)
+        variables[f"v{i}"] = NcVar(vdims, {"idx": np.int32(i)}, data)
+    path = str(tmp_path_factory.mktemp("nc") / "p.nc")
+    write_netcdf3(path, dims, variables, {"title": "prop"})
+    rdims, gatts, rvars = read_netcdf3(path)
+    assert rdims == dims and gatts["title"] == "prop"
+    for nm, v in variables.items():
+        got = rvars[nm]
+        assert got.dims == list(v.dims)
+        assert got.data.dtype == np.asarray(v.data).dtype
+        assert np.array_equal(got.data, v.data)
+        assert got.attrs["idx"][0] == int(nm[1:])
