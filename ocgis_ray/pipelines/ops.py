@@ -82,6 +82,19 @@ class OcgRayOperations:
     calc: list[dict[str, Any]] | None = None
     calc_grouping: tuple[str, ...] = ()
     spatial_reorder: bool = False
+    #: destination points for regridding — DataFrame(target_id, lon,
+    #: lat), the reference's ``regrid_destination``
+    #: (``ops/parms/definition.py:1015-1067``); the result is the
+    #: per-target interpolated mean field of the (single) calc field
+    #: over the subset rows
+    regrid_destination: Any = None
+    #: ``{'regrid_method': 'auto'|'bilinear'|'nearest_stod'|'patch',
+    #: 'res': <grid res>}`` — the ``regrid_options`` analog
+    #: (definition.py:1069-1101: unknown keys raise).  'auto' picks
+    #: bilinear (point destinations carry no bounds; the reference's
+    #: auto picks conservative only when bounds exist — polygon-
+    #: destination conservative regridding lives in stages/regrid)
+    regrid_options: dict | None = None
     output_format: str = "dataset"
     prefix: str = "ocgis_ray_output"
     output_dir: str = "/tmp/ocgis_ray"
@@ -139,6 +152,35 @@ class OcgRayOperations:
                 raise ValueError(
                     f"unknown geom {self.geom!r}; have {cabinet.layer_names()}"
                 )
+        if self.regrid_options is not None and self.regrid_destination is None:
+            raise ValueError("regrid_options without regrid_destination")
+        if self.regrid_destination is not None:
+            opts = dict(self.regrid_options or {})
+            allowed = {"regrid_method", "res"}
+            unknown = set(opts) - allowed
+            if unknown:
+                # the reference raises on unknown regrid_options keys
+                # (definition.py:1077-1081)
+                raise ValueError(f"regrid_options keys {sorted(unknown)} "
+                                 f"not allowed; have {sorted(allowed)}")
+            method = opts.get("regrid_method", "auto")
+            if method not in ("auto", "bilinear", "nearest_stod", "patch"):
+                raise ValueError(
+                    f"unknown regrid_method {method!r} (auto|bilinear|"
+                    "nearest_stod|patch; conservative needs polygon "
+                    "destinations — use stages.regrid directly)")
+            cols = set(getattr(self.regrid_destination, "columns", ()))
+            if not {"target_id", "lon", "lat"} <= cols:
+                raise ValueError("regrid_destination needs columns "
+                                 "target_id, lon, lat")
+            if self.aggregate or self.calc_grouping:
+                raise ValueError(
+                    "regrid_destination produces the destination-grid "
+                    "field; combine it with a single calc 'field' (or "
+                    "none for n_chars), not aggregate/calc_grouping")
+            if self.calc and len(self.calc) > 1:
+                raise ValueError("regrid_destination takes at most one "
+                                 "calc entry (the value field)")
 
     # -- pipeline assembly -------------------------------------------
 
@@ -219,6 +261,12 @@ class OcgRayOperations:
         self._progress(0.0, "assembling pipeline")
         ds = self._dataset()
         self._progress(0.3, "dataset assembled")
+        if self.regrid_destination is not None:
+            result = self._regrid(ds)
+            self._progress(0.7, "regrid composed; converting output")
+            out = self._convert(result)
+            self._progress(1.0, "complete")
+            return out
         if self.calc:
             # ALL calc entries compile into ONE bucketed group-apply —
             # one shuffle, one pass, whatever the calc list length (the
@@ -324,6 +372,57 @@ class OcgRayOperations:
         out = self._convert(result)
         self._progress(1.0, "complete")
         return out
+
+    def _regrid(self, ds):
+        """Destination-point regrid: per-cell mean field of the value
+        column over the (already subset) rows -> weight generation by
+        the chosen method -> sparse apply.  The RegridOperation analog
+        (``regrid/base.py``) for point destinations."""
+        import numpy as np
+        import pyarrow as pa
+
+        from ocgis_ray import grid
+        from ocgis_ray.stages.regrid import (apply_weights, bilinear_weights,
+                                             nearest_stod_weights,
+                                             patch_weights)
+        from ocgis_ray.stages.tiles import grouped_aggregate
+
+        opts = dict(self.regrid_options or {})
+        method = opts.get("regrid_method", "auto")
+        if method == "auto":
+            method = "bilinear"
+        res = int(opts.get("res", 6))
+        value_col = self.calc[0]["field"] if self.calc else "n_chars"
+        out_name = (self.calc[0].get("name", value_col)
+                    if self.calc else value_col)
+
+        def add_cell(t: pa.Table) -> pa.Table:
+            cell = grid.encode(t["lon"].to_numpy(zero_copy_only=False),
+                               t["lat"].to_numpy(zero_copy_only=False), res)
+            return t.append_column("_rg_cell", pa.array(cell))
+
+        cells = grouped_aggregate(
+            ds.select_columns(["lon", "lat", value_col]).map_batches(
+                add_cell, batch_format="pyarrow", zero_copy_batch=True),
+            "_rg_cell", {"_s": (value_col, "sum"), "_n": (None, "count")})
+
+        def mean_field(t: pa.Table) -> pa.Table:
+            return pa.table({"_rg_cell": t["_rg_cell"], "_v": pa.array(
+                t["_s"].to_numpy(zero_copy_only=False).astype(np.float64)
+                / t["_n"].to_numpy(zero_copy_only=False))})
+
+        field = cells.map_batches(mean_field, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+        gen = {"bilinear": bilinear_weights,
+               "nearest_stod": nearest_stod_weights,
+               "patch": patch_weights}[method]
+        w = gen(self.regrid_destination[["target_id", "lon", "lat"]], res)
+        out = apply_weights(field, w, src_col="_rg_cell", value_col="_v",
+                            out_col=out_name)
+        return out.map_batches(
+            lambda t: t.rename_columns(
+                ["target_id" if c == "dst" else c for c in t.column_names]),
+            batch_format="pyarrow", zero_copy_batch=True)
 
     def _convert(self, result):
         import os

@@ -294,3 +294,71 @@ def test_geojson_and_csv_shp_output(ray_session, sf_dir, tmp_path):
     assert os.path.isdir(out3)  # the csv directory
     polys = load_shapefile(out3 + "_gid.shp")
     assert len({p.ugid for p in polys}) == 9  # UGID-linked sidecar
+
+
+def test_ops_regrid_destination(ray_session):
+    """regrid_destination/regrid_options (ops/parms/definition.py:
+    1015-1101 analog): the ops front end's destination-point regrid
+    equals the direct stages composition; unknown option keys and
+    incompatible parameter combinations raise like the reference."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocgis_ray import grid
+    from ocgis_ray.pipelines.ops import OcgRayOperations
+    from ocgis_ray.sources.pages import pages_dataset
+    from ocgis_ray.stages.geocode import geocode
+    from ocgis_ray.stages.regrid import apply_weights, patch_weights
+    from ocgis_ray.stages.tiles import grouped_aggregate
+
+    targets = pd.DataFrame({"target_id": [1, 2],
+                            "lon": [10.3, -77.2], "lat": [48.1, 38.9]})
+    got = OcgRayOperations(
+        "/root/testdata/sf0.001", regrid_destination=targets,
+        regrid_options={"regrid_method": "patch", "res": 5},
+        output_format="pandas").execute().sort_values("target_id")
+
+    # direct composition
+    ds = geocode(pages_dataset("/root/testdata/sf0.001")) \
+        .drop_columns(["html"])
+
+    def add_cell(t: pa.Table) -> pa.Table:
+        cell = grid.encode(t["lon"].to_numpy(zero_copy_only=False),
+                           t["lat"].to_numpy(zero_copy_only=False), 5)
+        return t.append_column("c", pa.array(cell))
+
+    cells = grouped_aggregate(
+        ds.select_columns(["lon", "lat", "n_chars"]).map_batches(
+            add_cell, batch_format="pyarrow", zero_copy_batch=True),
+        "c", {"s": ("n_chars", "sum"), "n": (None, "count")})
+    field = cells.map_batches(
+        lambda t: pa.table({"c": t["c"], "v": pa.array(
+            t["s"].to_numpy(zero_copy_only=False).astype(float)
+            / t["n"].to_numpy(zero_copy_only=False))}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    w = patch_weights(targets, 5)
+    want = apply_weights(field, w, src_col="c", value_col="v",
+                         out_col="n_chars").to_pandas() \
+        .rename(columns={"dst": "target_id"}).sort_values("target_id")
+    assert np.allclose(got["n_chars"].to_numpy(),
+                       want["n_chars"].to_numpy(), rtol=0, atol=1e-12)
+
+    # method selection changes the answer (patch != nearest here)
+    near = OcgRayOperations(
+        "/root/testdata/sf0.001", regrid_destination=targets,
+        regrid_options={"regrid_method": "nearest_stod", "res": 5},
+        output_format="pandas").execute().sort_values("target_id")
+    assert not np.allclose(got["n_chars"].to_numpy(),
+                           near["n_chars"].to_numpy())
+
+    with pytest.raises(ValueError, match="not allowed"):
+        OcgRayOperations("/root/testdata/sf0.001",
+                         regrid_destination=targets,
+                         regrid_options={"nope": 1})
+    with pytest.raises(ValueError, match="aggregate"):
+        OcgRayOperations("/root/testdata/sf0.001",
+                         regrid_destination=targets, aggregate=True)
+    with pytest.raises(ValueError, match="without regrid_destination"):
+        OcgRayOperations("/root/testdata/sf0.001",
+                         regrid_options={"regrid_method": "bilinear"})
