@@ -75,14 +75,24 @@ def rotated_pole_transform(
 
 class CrsTransformStage:
     """Actor-pool CRS transform: holds the transform spec once per
-    worker (the pyproj.Transformer slot in a full deployment)."""
+    worker (the pyproj.Transformer slot in a full deployment).
+
+    ``name`` accepts the named registry entry, an ``epsg:<code>``
+    string (EPSG_PARAMS), a raw proj.4 string, or WKT1 — the full
+    ``crs_from_params`` surface, built ONCE per worker in
+    ``__init__``."""
 
     TRANSFORMS = {
         "web_mercator": lambda lon, lat: to_web_mercator(lon, lat),
     }
 
     def __init__(self, name: str = "web_mercator", out_x: str = "x", out_y: str = "y"):
-        self.fn = self.TRANSFORMS[name]
+        if name in self.TRANSFORMS:
+            self.fn = self.TRANSFORMS[name]
+        elif name.lower().startswith("epsg:"):
+            self.fn = crs_from_params(EPSG_PARAMS[int(name[5:])])[0]
+        else:
+            self.fn = crs_from_params(name)[0]
         self.out_x = out_x
         self.out_y = out_y
 

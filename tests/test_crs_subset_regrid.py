@@ -972,3 +972,22 @@ def test_oblique_stereographic():
     fe, _ = crs_from_params("+proj=stere +lat_0=0 +lon_0=0 +R=1")
     x, y = fe(np.array([90.0]), np.array([0.0]))
     assert abs(x[0] - 2.0) < 1e-12 and abs(y[0]) < 1e-12
+
+
+def test_update_crs_accepts_epsg_proj_and_wkt(ray_session):
+    """update_crs/CrsTransformStage take the full crs_from_params
+    surface: named registry, epsg:<code>, proj.4 strings, WKT1."""
+    import ray.data as rd
+
+    from ocgis_ray.stages.crs import (EPSG_PARAMS, crs_from_params,
+                                      update_crs)
+
+    df = pd.DataFrame({"lon": [10.0, -50.0], "lat": [45.0, -20.0]})
+    for name, params in [("epsg:3035", EPSG_PARAMS[3035]),
+                         ("+proj=robin", "+proj=robin")]:
+        out = update_crs(rd.from_pandas(df), name=name,
+                         concurrency=1).to_pandas()
+        f, _ = crs_from_params(params)
+        x, y = f(df["lon"].to_numpy(), df["lat"].to_numpy())
+        assert np.allclose(out["x"].to_numpy(), x)
+        assert np.allclose(out["y"].to_numpy(), y)
