@@ -202,7 +202,8 @@ def clean_corpus_partitioned(in_dir: str, out_dir: str,
                              filter_steps: tuple[str, ...] = DEFAULT_FILTER_STEPS,
                              dedup_steps: tuple[str, ...] = DEFAULT_DEDUP_STEPS,
                              minhash_threshold: float = 0.7,
-                             bench_ngrams=None, decontam_n: int = 13):
+                             bench_ngrams=None, decontam_n: int = 13,
+                             dedup_method: str = "shuffle"):
     """Resumable two-phase cleaning job (the ``ray job submit`` shape):
 
     - **Phase A (per partition, resumable)**: the row-local steps
@@ -216,7 +217,16 @@ def clean_corpus_partitioned(in_dir: str, out_dir: str,
       duplicates straddling shards) over phase A's checkpoint, written
       as the ``final`` output directory in one atomic rename.
 
+    ``dedup_method="twopass"`` runs phase B's url/exact dedup through
+    the decide-on-slim path (:func:`clean_corpus_twopass`, the fat-row
+    shape): decisions shuffle slim (id, hash) projections over
+    column-pruned reads of the phase-A checkpoint, and the wide rows
+    re-attach by broadcast/semi-join; near-dup (if listed) follows on
+    the survivors via the cascade.
+
     Returns the manifest records written this run."""
+    if dedup_method not in ("shuffle", "twopass"):
+        raise ValueError(f"unknown dedup_method {dedup_method!r}")
     import pyarrow.compute as pc
 
     from ocgis_ray.sources.io import read_parquet_sized
@@ -280,9 +290,26 @@ def clean_corpus_partitioned(in_dir: str, out_dir: str,
             f"rows — every document was filtered by {filter_steps}; no "
             "'final' partition written")
     filtered = read_parquet_sized(files, columns=cols)
-    final = clean_corpus(filtered, id_col=id_col, text_col=text_col,
-                         url_col=url_col, steps=dedup_steps,
-                         minhash_threshold=minhash_threshold)
+    if dedup_method == "twopass":
+        tp_steps = tuple(s_ for s_ in dedup_steps
+                         if s_ in ("url_dedup", "exact_dedup"))
+        if "exact_dedup" not in tp_steps:
+            raise ValueError("dedup_method='twopass' needs exact_dedup "
+                             "in dedup_steps")
+        final = clean_corpus_twopass(
+            filtered, id_col=id_col, text_col=text_col, url_col=url_col,
+            steps=tp_steps,
+            source=lambda c: read_parquet_sized(
+                files, columns=[x for x in c if x in cols]))
+        rest = tuple(s_ for s_ in dedup_steps if s_ not in tp_steps)
+        if rest:
+            final = clean_corpus(final, id_col=id_col, text_col=text_col,
+                                 url_col=url_col, steps=rest,
+                                 minhash_threshold=minhash_threshold)
+    else:
+        final = clean_corpus(filtered, id_col=id_col, text_col=text_col,
+                             url_col=url_col, steps=dedup_steps,
+                             minhash_threshold=minhash_threshold)
     records.append(lineage.write_partition(final, out_dir, "final"))
     return records
 

@@ -890,3 +890,38 @@ def test_clean_corpus_null_urls_through_full_cascade(ray_session):
     assert {1, 2, 4, 7, 8} & ids == set()  # url dup, gated, content dups
     assert {0, 3, 9, 10, 11} <= ids        # survivors incl. null urls
     assert not out["text"].str.contains("555-123-4567").any()  # PII gone
+
+
+def test_clean_corpus_partitioned_twopass(ray_session, tmp_path):
+    """dedup_method='twopass' in phase B produces the same final
+    survivor set as the shuffle cascade (the fat-row production
+    shape over the phase-A checkpoint)."""
+    from ocgis_ray.pipelines.cleaning import clean_corpus_partitioned
+    from ocgis_ray.state.lineage import read_manifest
+
+    kwargs = dict(n_partitions=4, filter_steps=("gopher", "pii"),
+                  dedup_steps=("exact_dedup",))
+    out_a = str(tmp_path / "a")
+    clean_corpus_partitioned("/root/testdata/sf0.001/documents.parquet",
+                             out_a, **kwargs)
+    out_b = str(tmp_path / "b")
+    clean_corpus_partitioned("/root/testdata/sf0.001/documents.parquet",
+                             out_b, dedup_method="twopass", **kwargs)
+    import duckdb
+
+    ids_a = duckdb.sql(f"SELECT doc_id FROM '{out_a}/part=final/*.parquet' "
+                       "ORDER BY doc_id").fetchall()
+    ids_b = duckdb.sql(f"SELECT doc_id FROM '{out_b}/part=final/*.parquet' "
+                       "ORDER BY doc_id").fetchall()
+    assert ids_a == ids_b and len(ids_a) > 0
+
+    with pytest.raises(ValueError, match="needs exact_dedup"):
+        clean_corpus_partitioned(
+            "/root/testdata/sf0.001/documents.parquet",
+            str(tmp_path / "c"), n_partitions=2,
+            filter_steps=("gopher",), dedup_steps=("near_dup",),
+            dedup_method="twopass")
+    with pytest.raises(ValueError, match="unknown dedup_method"):
+        clean_corpus_partitioned(
+            "/root/testdata/sf0.001/documents.parquet",
+            str(tmp_path / "d"), dedup_method="nope")
