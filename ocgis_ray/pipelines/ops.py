@@ -79,6 +79,11 @@ class OcgRayOperations:
     agg_selection: bool = False
     time_range: tuple[str, str] | None = None
     time_region: dict[str, list[int]] | None = None
+    #: first-temporal-slice switch (the reference's ``snippet``,
+    #: ``ops/parms/definition.py:1198``): keep the earliest row per
+    #: selection geometry (per ugid; one global row without a geom),
+    #: deterministic page_id tiebreak.  Row outputs only.
+    snippet: bool = False
     calc: list[dict[str, Any]] | None = None
     calc_grouping: tuple[str, ...] = ()
     spatial_reorder: bool = False
@@ -106,6 +111,11 @@ class OcgRayOperations:
     def __post_init__(self) -> None:
         if self.spatial_operation not in _SPATIAL_OPS:
             raise ValueError(f"spatial_operation must be one of {_SPATIAL_OPS}")
+        if self.snippet and (self.calc or self.aggregate):
+            raise ValueError(
+                "snippet returns the first time slice of ROW output; "
+                "it cannot combine with calc/aggregate (the reference "
+                "applies snippet before calculations are requested)")
         if self.spatial_reorder and (self.calc or self.aggregate):
             raise ValueError(
                 "spatial_reorder orders ROW output; it has no effect "
@@ -364,6 +374,43 @@ class OcgRayOperations:
                 "returned unaggregated otherwise")
         else:
             result = ds
+            if self.snippet:
+                import pandas as pd
+
+                from ocgis_ray.sources.io import bucketed_group_apply
+
+                key = "ugid" if self.geom is not None else None
+
+                def first_rows(g: pd.DataFrame) -> pd.DataFrame:
+                    g = g.sort_values(["warc_ts", "page_id"],
+                                      kind="mergesort")
+                    return (g.drop_duplicates("ugid", keep="first")
+                            if key else g.head(1))
+
+                if key:
+                    part = bucketed_group_apply(result, [key], first_rows)
+                    pdf = part.to_pandas().sort_values(
+                        ["warc_ts", "page_id"]).drop_duplicates("ugid")
+                else:
+                    # global first slice: per-block head via the same
+                    # group-apply on a constant key, tiny final reduce
+                    import pyarrow as _pa
+
+                    keyed = result.map_batches(
+                        lambda t: t.append_column(
+                            "_one", _pa.array([0] * t.num_rows,
+                                              _pa.int8())),
+                        batch_format="pyarrow", zero_copy_batch=True)
+                    part = bucketed_group_apply(keyed, ["_one"],
+                                                lambda g: g.sort_values(
+                                                    ["warc_ts", "page_id"])
+                                                .head(1))
+                    pdf = part.to_pandas().sort_values(
+                        ["warc_ts", "page_id"]).head(1)
+                    pdf = pdf.drop(columns=["_one"])
+                import ray.data as rd
+
+                result = rd.from_pandas(pdf.reset_index(drop=True))
             if self.spatial_reorder:
                 from ocgis_ray.stages.reorder import spatial_reorder
 

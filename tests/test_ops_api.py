@@ -3,6 +3,7 @@
 import os
 
 import numpy as np
+import pandas as pd
 import pytest
 
 from ocgis_ray.pipelines.ops import OcgRayOperations
@@ -362,3 +363,32 @@ def test_ops_regrid_destination(ray_session):
     with pytest.raises(ValueError, match="without regrid_destination"):
         OcgRayOperations("/root/testdata/sf0.001",
                          regrid_options={"regrid_method": "bilinear"})
+
+
+def test_ops_snippet(ray_session):
+    """snippet=True (ops/parms/definition.py:1198): first temporal
+    slice per selection geometry — must match the oracle-checked
+    snippet query's (ugid, page_id) pairs; without a geom, one global
+    earliest row; combining with calc/aggregate raises."""
+    from ocgis_ray.pipelines.catalog import QUERIES
+    from ocgis_ray.pipelines.ops import OcgRayOperations
+
+    out = OcgRayOperations("/root/testdata/sf0.001", geom="world_regions",
+                           snippet=True, output_format="pandas").execute()
+    want = QUERIES["snippet_first_page"]("/root/testdata/sf0.001")
+    got = out[["ugid", "page_id"]].sort_values("ugid").reset_index(drop=True)
+    want = want[["ugid", "page_id"]].sort_values("ugid").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+    g = OcgRayOperations("/root/testdata/sf0.001", snippet=True,
+                         output_format="pandas").execute()
+    assert len(g) == 1
+    # the global row is the earliest page overall: no row in the
+    # per-ugid snippet set precedes it
+    assert (g["warc_ts"].iloc[0].value
+            <= want.merge(out[["ugid", "warc_ts"]], on="ugid")
+            ["warc_ts"].min().value)
+
+    with pytest.raises(ValueError, match="snippet"):
+        OcgRayOperations("/root/testdata/sf0.001", snippet=True,
+                         calc=[{"func": "mean", "field": "n_chars"}])
