@@ -553,18 +553,21 @@ class MediaDecoder:
     ``fake=True``: deterministic 16-dim feature from payload byte
     statistics (pure function — resume-safe).  ``fake=False`` raises
     ``NotImplementedError`` — a real deployment plugs ffmpeg here for
-    the remaining CODEC format (mp4); image/audio formats already have
-    REAL paths (:func:`decode_images` for PPM/PNG/JPEG,
-    :func:`decode_wav`); only ``__init__`` (model/codec load) and
-    ``__call__`` (batch decode) change, the pipeline shape does not."""
+    the remaining CODEC format (mp4/H.264); every other modality has a
+    REAL path (:func:`decode_images` for PPM/PNG/JPEG,
+    :func:`decode_wav` for PCM, and AVI/MJPEG video via
+    :mod:`ocgis_ray.stages.avi` + the in-repo T.81 codec); only
+    ``__init__`` (model/codec load) and ``__call__`` (batch decode)
+    change, the pipeline shape does not."""
 
     FEATURE_DIM = 16
 
     def __init__(self, fake: bool = True):
         if not fake:
             raise NotImplementedError(
-                "real mp4 decoding requires ffmpeg, absent in this container; "
-                "image (PPM/PNG/JPEG) and WAV payloads have real decode paths"
+                "real mp4/H.264 decoding requires ffmpeg, absent in this "
+                "container; image (PPM/PNG/JPEG), WAV and AVI/MJPEG video "
+                "payloads have real decode paths (stages/avi.py)"
             )
         self.fake = fake
 
