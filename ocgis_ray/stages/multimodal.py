@@ -912,3 +912,93 @@ def phash_near_duplicates(sig_ds, max_hamming: int = 8,
                          "hamming": t["hamming"]})
 
     return pairs.map_batches(rename, batch_format="pyarrow")
+
+
+def video_near_duplicates(ds, container: str = "ppm", n_sample: int = 3,
+                          max_hamming: int = 8, min_matching_frames: int = 2,
+                          id_col: str = "media_id",
+                          frame_stride: int = 1 << 20,
+                          batch_size: int = 128, concurrency=None):
+    """Video near-dup pairs by sampled-frame pHash consensus.
+
+    Composition over the existing REAL paths — reference analog is the
+    image near-dup generalized along the time axis (same role
+    ``phash_near_duplicates`` plays for stills): sample ``n_sample``
+    evenly spaced frames per video (motion-PPM stream walk or
+    AVI/MJPEG chunk walk, per ``container``), pHash every sampled
+    frame, pair FRAMES within ``max_hamming`` bits via the pigeonhole-
+    banded SimHash machinery, then roll frame pairs up to video pairs
+    keeping those with at least ``min_matching_frames`` matching
+    sampled-frame pairs (consensus kills single-frame coincidences —
+    e.g. two different videos sharing a black frame).
+
+    Returns (``<id>_a``, ``<id>_b``, ``n_frames_matched``,
+    ``min_hamming``) with ``<id>_a < <id>_b``.
+
+    Scale design: the fat video payloads are touched exactly ONCE —
+    frame sampling and pHash fuse into a single streaming map that
+    emits the slim (frame_key, phash) signature table; every stage
+    that shuffles afterwards (banding, candidate pairing, the video-
+    pair rollup) moves 16-byte rows.  ``frame_stride`` packs
+    (video, frame) into one int64 key — frame indices must stay below
+    it (raises otherwise), and ``media_id * frame_stride`` must fit
+    int64 (media_id < 2^43 at the default stride).
+    """
+    from ocgis_ray.stages.avi import sample_avi_frames_batch
+    from ocgis_ray.stages.dedup import simhash_near_duplicates
+    from ocgis_ray.stages.tiles import grouped_aggregate
+    from ocgis_ray.tuning import auto_pool
+
+    if container not in ("ppm", "avi"):
+        raise ValueError("container must be 'ppm' (motion-PPM) or "
+                         "'avi' (AVI/MJPEG)")
+    sampler = (sample_ppm_frames_batch if container == "ppm"
+               else sample_avi_frames_batch)
+    concurrency = auto_pool() if concurrency is None else concurrency
+
+    def frame_signatures(batch: pa.Table) -> pa.Table:
+        if id_col != "media_id":
+            batch = batch.rename_columns(
+                ["media_id" if c == id_col else c
+                 for c in batch.column_names])
+        frames = sampler(batch, n_sample)
+        fidx = frames["frame_idx"].to_numpy(zero_copy_only=False)
+        if len(fidx) and fidx.max() >= frame_stride:
+            raise ValueError(
+                f"frame_idx {int(fidx.max())} >= frame_stride "
+                f"{frame_stride}; raise frame_stride")
+        mid = frames["media_id"].to_numpy(zero_copy_only=False)
+        sig = phash_batch(frames)
+        return pa.table({
+            "doc_id": pa.array(mid * frame_stride + fidx),
+            "simhash": sig["phash"],
+        })
+
+    sigs = ds.map_batches(frame_signatures, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=batch_size,
+                          concurrency=concurrency)
+    frame_pairs = simhash_near_duplicates(sigs, max_hamming=max_hamming)
+
+    def to_video_pairs(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].to_numpy(zero_copy_only=False) // frame_stride
+        b = t["doc_b"].to_numpy(zero_copy_only=False) // frame_stride
+        ham = t["hamming"].to_numpy(zero_copy_only=False)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        m = lo != hi  # frame pairs inside one video are not dups
+        return pa.table({f"{id_col}_a": pa.array(lo[m]),
+                         f"{id_col}_b": pa.array(hi[m]),
+                         "hamming": pa.array(ham[m])})
+
+    vid_pairs = frame_pairs.map_batches(to_video_pairs,
+                                        batch_format="pyarrow")
+    rolled = grouped_aggregate(
+        vid_pairs, [f"{id_col}_a", f"{id_col}_b"],
+        {"n_frames_matched": ("hamming", "count"),
+         "min_hamming": ("hamming", "min")})
+
+    def keep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return t.filter(pc.greater_equal(t["n_frames_matched"],
+                                         min_matching_frames))
+
+    return rolled.map_batches(keep, batch_format="pyarrow")
