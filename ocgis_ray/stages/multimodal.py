@@ -13,10 +13,13 @@ format is numpy/stdlib-decodable and an honest stub otherwise:
   :mod:`ocgis_ray.stages.jpeg` — Huffman entropy decode, IDCT, 4:2:0
   upsampling, restart markers), PCM/WAV samples, and motion-PPM video
   (concatenated P6 frames — header-validated frame sampling to
-  standalone decodable images, the MJPEG shape).
-- STUBS behind ``fake=True``: MP4/ffmpeg video codecs (``MediaDecoder``
-  / ``FrameSampler`` raise ``NotImplementedError`` when ``fake=False``;
-  a real deployment plugs ffmpeg into the same batch signature).
+  standalone decodable images, the MJPEG shape), plus MJPEG in real
+  AVI (:mod:`ocgis_ray.stages.avi`) and MP4/ISO-BMFF
+  (:mod:`ocgis_ray.stages.mp4`) containers.
+- STUBS behind ``fake=True``: H.264/H.265 video BITSTREAMS
+  (``MediaDecoder`` / ``FrameSampler`` raise ``NotImplementedError``
+  when ``fake=False``; a real deployment plugs ffmpeg into the same
+  batch signature — the MP4 container itself parses in-repo).
 
 Memory rule for fat binary rows (ray_guide "Memory-aware"): batches of
 256-1024 rows, ``batch_format="pyarrow"`` (binary columns do NOT
@@ -553,10 +556,11 @@ class MediaDecoder:
     ``fake=True``: deterministic 16-dim feature from payload byte
     statistics (pure function — resume-safe).  ``fake=False`` raises
     ``NotImplementedError`` — a real deployment plugs ffmpeg here for
-    the remaining CODEC format (mp4/H.264); every other modality has a
-    REAL path (:func:`decode_images` for PPM/PNG/JPEG,
-    :func:`decode_wav` for PCM, and AVI/MJPEG video via
-    :mod:`ocgis_ray.stages.avi` + the in-repo T.81 codec); only
+    the remaining CODEC bitstreams (H.264/H.265); every other modality
+    has a REAL path (:func:`decode_images` for PPM/PNG/JPEG,
+    :func:`decode_wav` for PCM, AVI/MJPEG video via
+    :mod:`ocgis_ray.stages.avi` and MP4/MJPEG via
+    :mod:`ocgis_ray.stages.mp4` + the in-repo T.81 codec); only
     ``__init__`` (model/codec load) and ``__call__`` (batch decode)
     change, the pipeline shape does not."""
 
@@ -565,9 +569,10 @@ class MediaDecoder:
     def __init__(self, fake: bool = True):
         if not fake:
             raise NotImplementedError(
-                "real mp4/H.264 decoding requires ffmpeg, absent in this "
-                "container; image (PPM/PNG/JPEG), WAV and AVI/MJPEG video "
-                "payloads have real decode paths (stages/avi.py)"
+                "real H.264/H.265 bitstream decoding requires ffmpeg, "
+                "absent in this container; image (PPM/PNG/JPEG), WAV, "
+                "AVI/MJPEG (stages/avi.py) and MP4/MJPEG (stages/mp4.py) "
+                "payloads have real decode paths"
             )
         self.fake = fake
 
@@ -946,14 +951,17 @@ def video_near_duplicates(ds, container: str = "ppm", n_sample: int = 3,
     """
     from ocgis_ray.stages.avi import sample_avi_frames_batch
     from ocgis_ray.stages.dedup import simhash_near_duplicates
+    from ocgis_ray.stages.mp4 import sample_mp4_frames_batch
     from ocgis_ray.stages.tiles import grouped_aggregate
     from ocgis_ray.tuning import auto_pool
 
-    if container not in ("ppm", "avi"):
-        raise ValueError("container must be 'ppm' (motion-PPM) or "
-                         "'avi' (AVI/MJPEG)")
-    sampler = (sample_ppm_frames_batch if container == "ppm"
-               else sample_avi_frames_batch)
+    samplers = {"ppm": sample_ppm_frames_batch,
+                "avi": sample_avi_frames_batch,
+                "mp4": sample_mp4_frames_batch}
+    if container not in samplers:
+        raise ValueError("container must be 'ppm' (motion-PPM), "
+                         "'avi' (AVI/MJPEG) or 'mp4' (ISO BMFF MJPEG)")
+    sampler = samplers[container]
     concurrency = auto_pool() if concurrency is None else concurrency
 
     def frame_signatures(batch: pa.Table) -> pa.Table:
