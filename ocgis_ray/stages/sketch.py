@@ -26,6 +26,12 @@ raw rows:
 - :func:`quantile_reservoir` — rank-stratified per-batch samples ->
   merged weighted quantiles (the bounded-memory path; exact quantiles
   stay in ``calc.quantile_rollup``).
+- :func:`quantile_sketch_rollup` — per-GROUP mergeable t-digest-style
+  quantiles: the documented scale path for per-tile percentiles where
+  the exact bucketed sort (``calc.quantile_rollup``) cannot be helped
+  by salting (COVERAGE.md "Skew handling").  A hot tile's million
+  values become <= ``max_centroids`` (mean, weight) centroid rows per
+  batch before the shuffle.
 """
 
 from __future__ import annotations
@@ -396,3 +402,205 @@ def quantile_reservoir(ds, col: str, qs: list[float],
         j = int(np.searchsorted(cum, q * total))
         out[q] = float(vals[min(j, len(vals) - 1)])
     return out
+
+
+# --------------------------------------------------- per-group t-digest
+
+def _factorize_keys(df: pd.DataFrame, keys: list[str]):
+    """Dense int64 group codes + one representative row per group."""
+    if len(keys) == 1:
+        codes, uni = pd.factorize(df[keys[0]], use_na_sentinel=False)
+        uni_df = pd.DataFrame({keys[0]: uni})
+    else:
+        codes, uni = pd.MultiIndex.from_frame(df[keys]).factorize(
+            use_na_sentinel=False)
+        uni_df = uni.to_frame(index=False)
+        uni_df.columns = keys
+    return codes.astype(np.int64), uni_df
+
+
+def _digest_compress(g: np.ndarray, v: np.ndarray, w: np.ndarray,
+                     vmin: np.ndarray, vmax: np.ndarray, K: int):
+    """(group, value, weight) rows -> <= ``K`` t-digest centroids per
+    group, vectorized across ALL groups in one pass.
+
+    Bin assignment follows the t-digest scale function
+    ``k(q) = asin(2q - 1)/pi + 1/2`` (Dunning & Ertl 2019): each row's
+    within-group mid-rank quantile maps through ``k`` to one of ``K``
+    equal-k bins, so bins are NARROW at the tails (tail accuracy
+    ~1/K^2) and wide in the middle — the defining t-digest property —
+    and the (mean, weight) reduction per (group, bin) is two
+    bincounts.  ``g`` must be dense codes ``0..ngroups-1`` (all
+    present); returns rows sorted by (group, mean) plus per-group
+    exact min/max arrays indexable by code."""
+    order = np.lexsort((v, g))
+    g, v, w = g[order], v[order], w[order]
+    vmin, vmax = vmin[order], vmax[order]
+    starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+    counts = np.diff(np.append(starts, g.size))
+    W = np.bincount(g, weights=w)
+    cw = np.cumsum(w)
+    base = np.concatenate(([0.0], cw))[starts]
+    cwg = cw - np.repeat(base, counts)
+    qmid = np.clip((cwg - 0.5 * w) / W[g], 0.0, 1.0)
+    kq = np.arcsin(2.0 * qmid - 1.0) / np.pi + 0.5
+    b = np.minimum((kq * K).astype(np.int64), K - 1)
+    key = g * K + b
+    uk, inv = np.unique(key, return_inverse=True)
+    ws = np.bincount(inv, weights=w)
+    means = np.bincount(inv, weights=w * v) / ws
+    gmin = np.minimum.reduceat(vmin, starts)
+    gmax = np.maximum.reduceat(vmax, starts)
+    return uk // K, means, ws, gmin, gmax
+
+
+def _digest_quantiles(g: np.ndarray, v: np.ndarray, w: np.ndarray,
+                      gmin: np.ndarray, gmax: np.ndarray,
+                      qs: list[float]):
+    """Centroid rows (sorted by group, mean; dense codes, all present)
+    -> (ngroups x len(qs)) estimates + per-group total weight.
+
+    Standard t-digest interpolation, vectorized across groups: each
+    group's centroids become points (mid-rank quantile, mean) framed
+    by exact (0, min) / (1, max) sentinels, and ONE global
+    ``np.interp`` over the monotone key ``group + quantile`` answers
+    every (group, q) pair at once."""
+    ngroups = gmin.size
+    starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+    counts = np.diff(np.append(starts, g.size))
+    W = np.bincount(g, weights=w, minlength=ngroups)
+    cw = np.cumsum(w)
+    base = np.concatenate(([0.0], cw))[starts]
+    cwg = cw - np.repeat(base, counts)
+    centers = (cwg - 0.5 * w) / W[g]
+    eps = 1e-9
+    out_len = counts + 2
+    pos0 = np.cumsum(out_len) - out_len
+    xp = np.empty(int(out_len.sum()))
+    fp = np.empty_like(xp)
+    gid = np.arange(ngroups, dtype=np.float64)
+    xp[pos0] = gid
+    fp[pos0] = gmin
+    xp[pos0 + out_len - 1] = gid + (1.0 - eps)
+    fp[pos0 + out_len - 1] = gmax
+    rank = np.arange(g.size) - np.repeat(starts, counts)
+    mid = pos0[g] + 1 + rank
+    xp[mid] = g + np.clip(centers, 2 * eps, 1.0 - 2 * eps)
+    fp[mid] = v
+    tq = (gid[:, None] + np.asarray(qs, dtype=np.float64)[None, :]).ravel()
+    return np.interp(tq, xp, fp).reshape(ngroups, len(qs)), W
+
+
+def _compress_frame(df: pd.DataFrame, keys: list[str], vcol: str,
+                    wcol: str | None, vmin_col: str | None,
+                    vmax_col: str | None, K: int) -> pd.DataFrame:
+    """One frame of raw values or centroid rows -> compressed centroid
+    rows (keys + mean/w/vmin/vmax), dropping NaN values."""
+    v = df[vcol].to_numpy(dtype=np.float64)
+    m = ~np.isnan(v)
+    if not m.all():
+        df = df.iloc[np.flatnonzero(m)]
+        v = v[m]
+    if not len(df):
+        return pd.DataFrame({**{k: df[k] for k in keys},
+                             "mean": v, "w": v, "vmin": v, "vmax": v})
+    g, uni = _factorize_keys(df, keys)
+    w = (np.ones(len(df)) if wcol is None
+         else df[wcol].to_numpy(dtype=np.float64))
+    vmin = v if vmin_col is None else df[vmin_col].to_numpy(np.float64)
+    vmax = v if vmax_col is None else df[vmax_col].to_numpy(np.float64)
+    cg, means, ws, gmin, gmax = _digest_compress(g, v, w, vmin, vmax, K)
+    out = uni.iloc[cg].reset_index(drop=True)
+    out["mean"] = means
+    out["w"] = ws
+    out["vmin"] = gmin[cg]
+    out["vmax"] = gmax[cg]
+    return out
+
+
+def quantile_sketch_rollup(ds, keys, value_col: str, qs: list[float],
+                           max_centroids: int = 128,
+                           batch_size: int = 65536,
+                           num_buckets: int | None = None):
+    """Mergeable per-group quantile sketch — the scale path for
+    per-tile percentiles that exact ``calc.quantile_rollup`` computes
+    via a full-group bucketed sort (which salting cannot split, since
+    an exact quantile needs the whole group; SURVEY §7.5).
+
+    Three stages, shuffle sees only centroids: (1) per-batch compress
+    to <= ``max_centroids`` (mean, weight) centroids per group, (2) a
+    wider re-compress pass that merges partials from ~hundreds of
+    batches (bounds hot-group centroid rows entering the shuffle),
+    (3) bucketed final merge + quantile interpolation (exact min/max
+    sentinels ride every centroid row, so p0/p100 are exact).
+
+    Error: rank error ~O(1/max_centroids) mid-range and
+    ~O(1/max_centroids^2) at the tails per the t-digest scale
+    function; estimates depend on how rows batch (like any
+    insertion-order-dependent digest) but the bound holds for every
+    partitioning.  Returns keys + ``p{100q}`` columns + ``cnt``.
+
+    Reference analog: ``freq_perc``/``daily_perc`` percentiles
+    (``/root/reference/src/ocgis/calc/library/statistics.py``) at
+    cardinalities where their in-memory per-group sort cannot run.
+    """
+    from ocgis_ray.tuning import auto_buckets
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    num_buckets = auto_buckets(num_buckets)
+    K = int(max_centroids)
+    if K < 8:
+        raise ValueError("max_centroids must be >= 8")
+    qcols = [f"p{100 * q:g}" for q in qs]
+
+    def _to_arrow(out: pd.DataFrame, t: pa.Table,
+                  extra: dict) -> pa.Table:
+        # Arrow blocks keep Ray's schema-dedup fast path (pandas
+        # outputs defeat it); typed empty guard for all-NaN batches
+        if len(out) == 0:
+            arrs = {k: pa.array([], t.schema.field(k).type) for k in keys}
+            arrs.update({c: pa.array([], pa.float64())
+                         for c in ("mean", "w", "vmin", "vmax")})
+            arrs.update({c: pa.array([], ty) for c, ty in extra.items()})
+            return pa.table(arrs)
+        # pandas schema metadata is a dict — it breaks Ray's schema
+        # hash (one "Failed to hash the schemas" warning per task)
+        return pa.Table.from_pandas(
+            out, preserve_index=False).replace_schema_metadata(None)
+
+    def partial(t: pa.Table) -> pa.Table:
+        out = _compress_frame(t.to_pandas(), keys, value_col,
+                              None, None, None, K)
+        return _to_arrow(out, t, {})
+
+    def recompress(t: pa.Table) -> pa.Table:
+        out = _compress_frame(t.to_pandas(), keys, "mean", "w",
+                              "vmin", "vmax", K)
+        h = pd.util.hash_pandas_object(
+            out[keys].reset_index(drop=True), index=False)
+        out["_bucket"] = (h % np.uint64(num_buckets)).astype(np.int64)
+        return _to_arrow(out, t, {"_bucket": pa.int64()})
+
+    cent = ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=batch_size)
+    cent = cent.map_batches(recompress, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=batch_size)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(keys + ["mean"], kind="stable")
+        g, uni = _factorize_keys(df, keys)
+        est, W = _digest_quantiles(
+            g, df["mean"].to_numpy(np.float64),
+            df["w"].to_numpy(np.float64),
+            df.groupby(g, sort=True)["vmin"].min().to_numpy(np.float64),
+            df.groupby(g, sort=True)["vmax"].max().to_numpy(np.float64),
+            qs)
+        out = uni
+        for j, c in enumerate(qcols):
+            out[c] = est[:, j]
+        out["cnt"] = W.astype(np.int64)
+        return pa.Table.from_pandas(
+            out, preserve_index=False).replace_schema_metadata(None)
+
+    return cent.groupby("_bucket").map_groups(combine,
+                                              batch_format="pandas")
