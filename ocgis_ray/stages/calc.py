@@ -214,6 +214,96 @@ def moving_window(ds, entity_keys, ts_col: str, value_col: str, window: int,
     return bucketed.groupby("_bucket").map_groups(per_bucket, batch_format="pandas")
 
 
+def window_ops(ds, entity_keys, order_cols, specs: dict):
+    """General per-entity window functions — the SQL
+    ``fn(x) OVER (PARTITION BY entity ORDER BY order_cols)`` family
+    the engine lacked as a NAMED operator (duration/convolve/session
+    ops each hand-rolled their own ordered pass; this is the reusable
+    front end over the same bucketed machinery).
+
+    ``specs``: ``{out_col: (kind, in_col[, param])}`` with kinds
+    ``row_number`` / ``rank`` / ``dense_rank`` (``in_col`` ignored;
+    rank ties are rows equal on ALL ``order_cols``), ``lag`` /
+    ``lead`` (``param`` = offset, default 1; SQL-NULL fill via
+    NaN/NaT), ``delta`` (value minus lag-1), ``cumsum`` / ``cummax``
+    / ``cummin``.  Returns the input rows + out columns.
+
+    Scale design: one entity-bucketed shuffle
+    (``bucketed_group_apply``); inside a bucket every entity computes
+    in the same vectorized pass — boundaries via one hash-diff, rank
+    runs via order-col diffs, shift/cum* via a C-speed pandas groupby
+    on dense codes.  Deterministic: rows order by entity + order_cols
+    (+ ``event_id`` tiebreak when present, the repo convention).
+    NaNs in an order column start a new rank run (SQL ordering treats
+    NULLs as equal; order on non-null keys where that matters)."""
+    entity_keys = ([entity_keys] if isinstance(entity_keys, str)
+                   else list(entity_keys))
+    order_cols = ([order_cols] if isinstance(order_cols, str)
+                  else list(order_cols))
+    kinds = {"row_number", "rank", "dense_rank", "lag", "lead",
+             "delta", "cumsum", "cummax", "cummin"}
+    for out, sp in specs.items():
+        if sp[0] not in kinds:
+            raise ValueError(f"unknown window kind {sp[0]!r} for {out!r}")
+    from ocgis_ray.sources.io import bucketed_group_apply
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        sort_cols = entity_keys + order_cols + [
+            c for c in ("event_id",)
+            if c in g.columns and c not in order_cols]
+        g = g.sort_values(sort_cols, kind="stable").copy()
+        n = len(g)
+        ent = pd.util.hash_pandas_object(
+            g[entity_keys].reset_index(drop=True), index=False
+        ).to_numpy()
+        new_ent = np.ones(n, dtype=bool)
+        if n > 1:
+            new_ent[1:] = ent[1:] != ent[:-1]
+        starts = np.flatnonzero(new_ent)
+        counts = np.diff(np.append(starts, n))
+        rn = np.arange(n) - np.repeat(starts, counts)  # 0-based
+        codes = np.cumsum(new_ent) - 1                 # dense entity ids
+        new_rank = None  # lazily: entity change OR any order col change
+
+        def rank_runs() -> np.ndarray:
+            nonlocal new_rank
+            if new_rank is None:
+                nr = new_ent.copy()
+                for c in order_cols:
+                    oc = g[c].to_numpy()
+                    if n > 1:
+                        nr[1:] |= ~(oc[1:] == oc[:-1])
+                new_rank = nr
+            return new_rank
+
+        for out, sp in specs.items():
+            kind, col = sp[0], (sp[1] if len(sp) > 1 else None)
+            param = sp[2] if len(sp) > 2 else None
+            if kind == "row_number":
+                g[out] = (rn + 1).astype(np.int64)
+            elif kind == "rank":
+                s2 = np.flatnonzero(rank_runs())
+                g[out] = np.repeat(rn[s2] + 1,
+                                   np.diff(np.append(s2, n))).astype(np.int64)
+            elif kind == "dense_rank":
+                seq = np.cumsum(rank_runs())
+                g[out] = (seq - np.repeat(seq[starts] - 1, counts)
+                          ).astype(np.int64)
+            elif kind in ("lag", "lead"):
+                k = 1 if param is None else int(param)
+                g[out] = g.groupby(codes, sort=False)[col].shift(
+                    k if kind == "lag" else -k).to_numpy()
+            elif kind == "delta":
+                prev = g.groupby(codes, sort=False)[col].shift(1)
+                g[out] = (g[col] - prev).to_numpy()
+            else:  # cumsum / cummax / cummin
+                g[out] = getattr(
+                    g.groupby(codes, sort=False)[col], kind)().to_numpy()
+        return g
+
+    return bucketed_group_apply(ds, entity_keys, per_bucket)
+
+
 def sessionize(ds, entity_keys, ts_col: str, gap_seconds: float,
                out_col: str = "session_id"):
     """Gap-based sessionization: within each entity (timestamp order),
