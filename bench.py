@@ -272,7 +272,45 @@ def run_queries() -> dict[str, float]:
                                       max_words=200_000)
         return packed.count()
 
+    def extra_ann_hnsw():
+        # shard-local HNSW graphs over a 64k synthetic-vector corpus
+        # (sf0.1 embeddings are only 2k rows): graph BUILD dominates
+        # (~1.2 ms/vector Python beam insert, bounded per task by
+        # batch_size), 32 shards run in parallel, candidates merge
+        # through the exact bucketed top-k.
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data as rd
+
+        from ocgis_ray.stages.ann import ann_hnsw
+
+        n_vec, dim = 65536, 64
+
+        def gen(batch: pa.Table) -> pa.Table:
+            ids = batch["id"].to_numpy().astype(np.uint64)
+            # splitmix64 per (id, j) cell -> deterministic row vectors
+            cell = (ids[:, None] * np.uint64(dim)
+                    + np.arange(dim, dtype=np.uint64)[None, :])
+            z = cell + np.uint64(0x9E3779B97F4A7C15)
+            z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            z = z ^ (z >> np.uint64(31))
+            m = (z / np.float64(2**64) - 0.5).astype(np.float32)
+            return pa.table({"vec_id": pa.array(ids.astype(np.int64)),
+                             "embedding": pa.array(list(m))})
+
+        vecs = rd.range(n_vec, override_num_blocks=32).map_batches(
+            gen, batch_format="pyarrow", batch_size=2048)
+        qt = gen(pa.table({"id": pa.array(np.arange(8, dtype=np.int64))}))
+        queries = pd.DataFrame({
+            "query_id": qt["vec_id"].to_numpy(),
+            "embedding": [np.asarray(v) for v in qt["embedding"].to_pylist()]})
+        return ann_hnsw(vecs, queries, k=10, batch_size=2048,
+                        concurrency=max(2, NUM_CPUS - 2))
+
     extras = {"dom_extract_pages": extra_dom_extract,
+              "ann_hnsw_synth": extra_ann_hnsw,
               "warc_dom_flagship": extra_warc_dom_flagship,
               "heavy_hitters_events": extra_heavy_hitters,
               "hopping_window_events": extra_hopping_window,

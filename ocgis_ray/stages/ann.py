@@ -16,6 +16,9 @@ is the embedding counterpart the build brief mandates:
   vector), so nothing but (query_id, vec_id, sim) rows — at most a few
   per vector — ever leave the scan.  No driver-side materialization
   anywhere; recall measured against brute force in tests.
+- :func:`ann_hnsw` — graph path: shard-local HNSW graphs (Malkov &
+  Yashunin 2018) built per map task, broadcast queries beam-searched
+  through each shard, candidates merged by the same exact top-k.
 - :func:`embedding_near_duplicates` — cosine >= threshold pairs via
   shared LSH buckets; candidate (a, b) id pairs are joined back to
   their vectors with Ray's hash-shuffle ``Dataset.join`` (vectors ride
@@ -383,6 +386,220 @@ def ann_ivf(ds, queries: pd.DataFrame, k: int, id_col: str = "vec_id",
     cand = ds.map_batches(IvfProbe, batch_format="pyarrow",
                           zero_copy_batch=True, batch_size=batch_size,
                           concurrency=_ap())
+
+    from ocgis_ray.sources.io import topk_by_group
+
+    return topk_by_group(cand, "query_id", ["sim", id_col], [False, True], k)
+
+
+# ---- HNSW (shard-local hierarchical navigable small-world) ----------
+#
+# Malkov & Yashunin 2018 (arXiv:1603.09320) re-expressed for Ray Data:
+# HNSW's graph is inherently sequential to BUILD, so the distributed
+# shape is shard-local graphs — each map task builds an in-memory HNSW
+# over its shard (O(shard * M) int32 edges, never leaves the task),
+# searches the broadcast queries through it, and emits only
+# (query_id, vec_id, sim) candidate rows.  The same bucketed top-k
+# combine as brute force merges shards EXACTLY, so global recall equals
+# per-shard graph recall.  Similarity space is cosine on normalized
+# vectors (higher = closer), matching the rest of this module.
+
+
+def _hnsw_greedy(mat: np.ndarray, adj_l: np.ndarray, deg_l: np.ndarray,
+                 q: np.ndarray, ep: int) -> int:
+    """Greedy 1-best walk on one layer (the ef=1 descent step)."""
+    s = float(mat[ep] @ q)
+    while True:
+        nb = adj_l[ep, :deg_l[ep]]
+        if nb.size == 0:
+            return ep
+        ss = mat[nb] @ q
+        j = int(np.argmax(ss))
+        if ss[j] > s:
+            ep, s = int(nb[j]), float(ss[j])
+        else:
+            return ep
+
+
+def _hnsw_search_layer(mat: np.ndarray, adj_l: np.ndarray, deg_l: np.ndarray,
+                       q: np.ndarray, eps: list[int], ef: int):
+    """Beam search one layer; returns (nodes, sims) sorted by sim desc.
+
+    Per-hop work is vectorized: all unvisited neighbors of the popped
+    node get their sims in one (deg, D) @ (D,) matvec."""
+    import heapq
+
+    visited = np.zeros(mat.shape[0], dtype=bool)
+    cand: list = []   # max-heap on sim (negated)
+    best: list = []   # min-heap of the current ef best
+    for e in eps:
+        if visited[e]:
+            continue
+        visited[e] = True
+        s = float(mat[e] @ q)
+        heapq.heappush(cand, (-s, e))
+        heapq.heappush(best, (s, e))
+    while cand:
+        neg, c = heapq.heappop(cand)
+        if len(best) >= ef and -neg < best[0][0]:
+            break
+        nb = adj_l[c, :deg_l[c]]
+        nb = nb[~visited[nb]]
+        if nb.size == 0:
+            continue
+        visited[nb] = True
+        floor = best[0][0] if len(best) >= ef else -np.inf
+        ss = mat[nb] @ q
+        for s2, node in zip(ss.tolist(), nb.tolist()):
+            if len(best) < ef or s2 > floor:
+                heapq.heappush(cand, (-s2, node))
+                heapq.heappush(best, (s2, node))
+                if len(best) > ef:
+                    heapq.heappop(best)
+                floor = best[0][0] if len(best) >= ef else -np.inf
+    out = sorted(best, key=lambda t: (-t[0], t[1]))
+    return [n for _, n in out], [s for s, _ in out]
+
+
+def hnsw_build(mat: np.ndarray, M: int = 12, ef_construction: int = 48,
+               seed: int = 7) -> dict:
+    """Build an HNSW graph over the rows of ``mat`` (pre-normalized).
+
+    Returns ``{"adj": [per-layer (n, maxM) int32, -1 padded],
+    "deg": [per-layer int32 degree], "entry": int, "top": int}``.
+    Level assignment uses the paper's ``floor(-ln(U) / ln(M))`` with a
+    fixed seed so shard graphs are deterministic and resume-stable.
+    Neighbor selection is top-M by cosine (the paper's 'simple'
+    heuristic); layer 0 keeps up to 2M incoming links."""
+    n = mat.shape[0]
+    if n == 0:
+        return {"adj": [], "deg": [], "entry": 0, "top": 0}
+    mL = 1.0 / np.log(max(M, 2))
+    rng = np.random.RandomState(seed)
+    levels = np.minimum(
+        (-np.log(rng.uniform(low=1e-12, high=1.0, size=n)) * mL).astype(np.int64), 48)
+    top = int(levels.max())
+    maxm = [2 * M] + [M] * top
+    adj = [np.full((n, maxm[l]), -1, dtype=np.int32) for l in range(top + 1)]
+    deg = [np.zeros(n, dtype=np.int32) for _ in range(top + 1)]
+
+    def connect(l: int, i: int, j: int) -> None:
+        d = int(deg[l][i])
+        if d < maxm[l]:
+            adj[l][i, d] = j
+            deg[l][i] = d + 1
+        else:  # prune to the maxM highest-sim links (diversity-free shrink)
+            nb = np.concatenate([adj[l][i, :d], [j]]).astype(np.int64)
+            sims = mat[nb] @ mat[i]
+            keep = nb[np.argsort(-sims, kind="stable")[:maxm[l]]]
+            adj[l][i, :] = keep
+
+    entry, ep_level = 0, int(levels[0])
+    for i in range(1, n):
+        q = mat[i]
+        lvl = int(levels[i])
+        ep = entry
+        for l in range(ep_level, lvl, -1):
+            ep = _hnsw_greedy(mat, adj[l], deg[l], q, ep)
+        for l in range(min(ep_level, lvl), -1, -1):
+            nodes, _ = _hnsw_search_layer(mat, adj[l], deg[l], q, [ep],
+                                          ef_construction)
+            sel = nodes[:M]
+            for j in sel:
+                connect(l, i, j)
+                connect(l, j, i)
+            if sel:
+                ep = sel[0]
+        if lvl > ep_level:
+            entry, ep_level = i, lvl
+    return {"adj": adj, "deg": deg, "entry": entry, "top": top}
+
+
+def hnsw_search(mat: np.ndarray, graph: dict, q: np.ndarray, k: int,
+                ef_search: int = 64):
+    """Search one query through a built graph; (nodes, sims), sim desc."""
+    if not graph["adj"] or mat.shape[0] == 0:
+        return [], []
+    adj, deg = graph["adj"], graph["deg"]
+    ep = graph["entry"]
+    for l in range(graph["top"], 0, -1):
+        ep = _hnsw_greedy(mat, adj[l], deg[l], q, ep)
+    nodes, sims = _hnsw_search_layer(mat, adj[0], deg[0], q, [ep],
+                                     max(ef_search, k))
+    return nodes[:k], sims[:k]
+
+
+class _HnswShardStage:
+    """Per-batch: build a shard-local HNSW graph, search all queries.
+
+    The graph (O(shard * M) edges) lives and dies inside the task —
+    only candidate rows cross the wire.  Queries are broadcast once."""
+
+    def __init__(self, bundle_ref, k: int, id_col: str, col: str, M: int,
+                 ef_construction: int, ef_search: int):
+        import ray
+
+        b = ray.get(bundle_ref) if not isinstance(bundle_ref, dict) else bundle_ref
+        self.qid = b["qid"]
+        self.qmat = b["qmat"]
+        self.k, self.id_col, self.col = k, id_col, col
+        self.M, self.efc, self.efs = M, ef_construction, ef_search
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        empty = pa.table({"query_id": pa.array([], pa.int64()),
+                          self.id_col: pa.array([], pa.int64()),
+                          "sim": pa.array([], pa.float64())})
+        if batch.num_rows == 0:
+            return empty
+        m = _normalize(_batch_matrix(batch, self.col).astype(np.float64))
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        graph = hnsw_build(m, M=self.M, ef_construction=self.efc)
+        qs, vs, ss = [], [], []
+        for r in range(self.qmat.shape[0]):
+            nodes, sims = hnsw_search(m, graph, self.qmat[r], self.k, self.efs)
+            qs.append(np.full(len(nodes), self.qid[r], dtype=np.int64))
+            vs.append(ids[np.asarray(nodes, dtype=np.int64)]
+                      if nodes else np.array([], dtype=ids.dtype))
+            ss.append(np.asarray(sims, dtype=np.float64))
+        if not qs:
+            return empty
+        return pa.table({"query_id": pa.array(np.concatenate(qs)),
+                         self.id_col: pa.array(np.concatenate(vs)),
+                         "sim": pa.array(np.concatenate(ss))})
+
+
+def ann_hnsw(ds, queries: pd.DataFrame, k: int, id_col: str = "vec_id",
+             col: str = "embedding", M: int = 12, ef_construction: int = 48,
+             ef_search: int = 64, batch_size: int = 8192, concurrency=None):
+    """HNSW approximate cosine top-k — shard-local graphs, exact merge.
+
+    Each map task builds an HNSW graph over its ``batch_size``-row
+    shard (build memory O(shard * M) int32, bounded by batch_size) and
+    beam-searches every broadcast query through it; the union of
+    per-shard candidates merges through the same bucketed top-k as
+    :func:`ann_bruteforce`, so global recall == per-shard graph recall.
+    With ``M >= shard`` and ``ef_search >= shard`` the layer-0 graph is
+    complete and the result equals brute force exactly (tested).
+
+    At 100-TB scale the shard graphs are the persistable per-partition
+    index (pair with IVF routing to skip shards); nothing corpus-sized
+    is ever built driver-side or shuffled."""
+    import ray
+
+    from ocgis_ray.tuning import auto_pool
+
+    concurrency = auto_pool() if concurrency is None else concurrency
+    qmat = _normalize(np.stack(queries["embedding"].to_numpy()).astype(np.float64))
+    qid = queries["query_id"].to_numpy(np.int64)
+    bundle_ref = ray.put({"qid": qid, "qmat": qmat})
+    cand = ds.map_batches(
+        _HnswShardStage, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=concurrency, batch_size=batch_size,
+        fn_constructor_kwargs={"bundle_ref": bundle_ref, "k": k,
+                               "id_col": id_col, "col": col, "M": M,
+                               "ef_construction": ef_construction,
+                               "ef_search": ef_search},
+    )
 
     from ocgis_ray.sources.io import topk_by_group
 

@@ -167,3 +167,60 @@ def test_pq_codes_are_m_bytes(emb):
     codes = pq_encode(emb, cb).to_pandas()
     assert len(codes) == emb.count()
     assert {len(c) for c in codes["pq_code"]} == {8}
+
+
+def test_hnsw_saturated_equals_bruteforce(emb, queries):
+    """With M >= n and ef >= n the layer-0 graph is complete, the beam
+    visits every node, and HNSW must equal brute force exactly
+    (including the vec_id tie-break ranks)."""
+    from ocgis_ray.stages.ann import ann_bruteforce, ann_hnsw
+
+    n = emb.count()
+    bf = ann_bruteforce(emb, queries, k=10).to_pandas()
+    hn = ann_hnsw(emb, queries, k=10, M=n, ef_construction=n,
+                  ef_search=n).to_pandas()
+    cols = ["query_id", "rank", "vec_id"]
+    a = bf.sort_values(["query_id", "rank"])[cols].reset_index(drop=True)
+    b = hn.sort_values(["query_id", "rank"])[cols].reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_hnsw_recall_single_and_multi_shard(emb, queries):
+    """Default params on the 500-vector fixture: recall@10 stays high
+    on one shard (pure graph recall) and on 4 shards (graph recall per
+    shard + exact merge); self is always top-1 since the query vector
+    lives in some shard and greedy+beam reach it."""
+    from ocgis_ray.stages.ann import ann_bruteforce, ann_hnsw
+
+    bf = ann_bruteforce(emb, queries, k=10).to_pandas()
+
+    def recall(out):
+        rs = []
+        for q in queries["query_id"]:
+            truth = set(bf[bf["query_id"] == q]["vec_id"])
+            rs.append(len(truth & set(out[out["query_id"] == q]["vec_id"]))
+                      / len(truth))
+        return float(np.mean(rs))
+
+    one = ann_hnsw(emb, queries, k=10).to_pandas()
+    assert recall(one) >= 0.8, recall(one)
+    four = ann_hnsw(emb, queries, k=10, batch_size=128).to_pandas()
+    assert recall(four) >= 0.8, recall(four)
+    top1 = four[four["rank"] == 1].set_index("query_id")["vec_id"]
+    for q in queries["query_id"]:
+        assert top1[q] == q
+
+
+def test_hnsw_build_is_deterministic():
+    """Same shard -> identical graph (resume-stable per-shard index)."""
+    from ocgis_ray.stages.ann import _normalize, hnsw_build, hnsw_search
+
+    rng = np.random.default_rng(3)
+    m = _normalize(rng.normal(size=(300, 16)))
+    g1 = hnsw_build(m, M=8, ef_construction=32)
+    g2 = hnsw_build(m, M=8, ef_construction=32)
+    assert g1["entry"] == g2["entry"] and g1["top"] == g2["top"]
+    for a, b in zip(g1["adj"], g2["adj"]):
+        assert np.array_equal(a, b)
+    nodes, sims = hnsw_search(m, g1, m[7], k=5)
+    assert nodes[0] == 7 and sims[0] == pytest.approx(1.0, abs=1e-9)

@@ -122,4 +122,4 @@ def test_video_near_duplicates_rejects_bad_container():
     from ocgis_ray.stages.multimodal import video_near_duplicates
 
     with pytest.raises(ValueError, match="container"):
-        video_near_duplicates(rd.from_items([]), container="mp4")
+        video_near_duplicates(rd.from_items([]), container="mkv")
