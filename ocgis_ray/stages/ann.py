@@ -606,6 +606,95 @@ def ann_hnsw(ds, queries: pd.DataFrame, k: int, id_col: str = "vec_id",
     return topk_by_group(cand, "query_id", ["sim", id_col], [False, True], k)
 
 
+def ann_ivf_hnsw(ds, queries: pd.DataFrame, k: int, id_col: str = "vec_id",
+                 col: str = "embedding", nlist: int = 16, nprobe: int = 6,
+                 train_n: int = 4096, M: int = 12, ef_construction: int = 48,
+                 ef_search: int = 64, shard_cap: int = 65536,
+                 num_buckets: int | None = None, batch_size: int = 4096):
+    """IVF-routed HNSW — the composed disk-scale search path.
+
+    :func:`ann_hnsw` alone searches EVERY shard per query;
+    :func:`ann_ivf` alone scans every vector of the probed cells.
+    This composition does neither: a spherical k-means coarse
+    quantizer (trained on a bounded ``limit(train_n)`` sample) routes
+    each query to its ``nprobe`` nearest cells, ONE hash-bucket
+    shuffle co-locates each cell's vectors (the one-time index-build
+    repartition every IVF system pays; vectors ride packed as
+    fixed-width binary so the shuffle moves no Python objects), and a
+    per-cell HNSW graph serves only the queries that probe that cell.
+    Cells larger than ``shard_cap`` build chunked sub-graphs (hot-cell
+    bound on build memory).  Candidates merge through the exact
+    bucketed top-k, so recall == (probe recall) x (graph recall).
+    """
+    import ray
+
+    pdf = ds.limit(train_n).to_pandas()
+    if len(pdf) == 0:
+        raise ValueError("ann_ivf_hnsw: empty vector dataset (no training sample)")
+    cent = _kmeans_spherical(np.stack(pdf[col].to_numpy()), nlist)
+    qmat = _normalize(np.stack(queries["embedding"].to_numpy()).astype(np.float64))
+    qid = queries["query_id"].to_numpy(np.int64)
+    dim = qmat.shape[1]
+    order = np.argsort(-(qmat @ cent.T), axis=1, kind="stable")
+    probes = order[:, :nprobe]                     # (Q, nprobe)
+    route: dict[int, np.ndarray] = {
+        int(c): np.nonzero((probes == c).any(axis=1))[0]
+        for c in np.unique(probes)}
+    bundle_ref = ray.put({"cent": cent, "qmat": qmat, "qid": qid,
+                          "route": route})
+
+    def assign(batch: pa.Table) -> pa.Table:
+        b = ray.get(bundle_ref)
+        if batch.num_rows == 0:
+            return pa.table({"cid": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "_vec": pa.array([], pa.binary())})
+        m = _normalize(_batch_matrix(batch, col).astype(np.float64))
+        cid = np.argmax(m @ b["cent"].T, axis=1).astype(np.int64)
+        return pa.table({"cid": pa.array(cid),
+                         id_col: batch[id_col],
+                         "_vec": pack_vectors(m.astype(np.float32))})
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=batch_size)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        b = ray.get(bundle_ref)
+        qmat_l, qid_l, route_l = b["qmat"], b["qid"], b["route"]
+        qs, vs, ss = [], [], []
+        for cid, gg in g.groupby("cid", sort=False):
+            qrows = route_l.get(int(cid))
+            if qrows is None or not len(qrows):
+                continue
+            ids = gg[id_col].to_numpy()
+            m = unpack_vectors(pa.array(gg["_vec"]), dim).astype(np.float64)
+            for lo in range(0, len(ids), shard_cap):
+                sl = slice(lo, lo + shard_cap)
+                msub, isub = m[sl], ids[sl]
+                graph = hnsw_build(msub, M=M, ef_construction=ef_construction)
+                for r in qrows:
+                    nodes, sims = hnsw_search(msub, graph, qmat_l[r], k,
+                                              ef_search)
+                    if not nodes:
+                        continue
+                    qs.append(np.full(len(nodes), qid_l[r], dtype=np.int64))
+                    vs.append(isub[np.asarray(nodes, dtype=np.int64)])
+                    ss.append(np.asarray(sims, dtype=np.float64))
+        if not qs:
+            return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
+                                 id_col: pd.Series([], dtype=np.int64),
+                                 "sim": pd.Series([], dtype=np.float64)})
+        return pd.DataFrame({"query_id": np.concatenate(qs),
+                             id_col: np.concatenate(vs),
+                             "sim": np.concatenate(ss)})
+
+    from ocgis_ray.sources.io import bucketed_group_apply, topk_by_group
+
+    cand = bucketed_group_apply(assigned, "cid", per_bucket,
+                                num_buckets=num_buckets)
+    return topk_by_group(cand, "query_id", ["sim", id_col], [False, True], k)
+
+
 def embedding_near_duplicates(ds, threshold: float = 0.95, id_col: str = "vec_id",
                               col: str = "embedding", nbits: int = 12,
                               ntables: int = 6, batch_size: int = 4096,

@@ -224,3 +224,37 @@ def test_hnsw_build_is_deterministic():
         assert np.array_equal(a, b)
     nodes, sims = hnsw_search(m, g1, m[7], k=5)
     assert nodes[0] == 7 and sims[0] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_ivf_hnsw_saturated_equals_bruteforce(emb, queries):
+    """Full probe list + saturated graph params: every cell is probed
+    and every cell graph is complete, so the composition must equal
+    brute force exactly."""
+    from ocgis_ray.stages.ann import ann_bruteforce, ann_ivf_hnsw
+
+    n = emb.count()
+    bf = ann_bruteforce(emb, queries, k=10).to_pandas()
+    iv = ann_ivf_hnsw(emb, queries, k=10, nlist=8, nprobe=8, M=n,
+                      ef_construction=n, ef_search=n).to_pandas()
+    cols = ["query_id", "rank", "vec_id"]
+    a = bf.sort_values(["query_id", "rank"])[cols].reset_index(drop=True)
+    b = iv.sort_values(["query_id", "rank"])[cols].reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_ivf_hnsw_partial_probe_recall(emb, queries):
+    """Partial probe list + default graph params keeps useful recall
+    while pruning both the scan (IVF) and the in-cell search (graph)."""
+    from ocgis_ray.stages.ann import ann_bruteforce, ann_ivf_hnsw
+
+    bf = ann_bruteforce(emb, queries, k=10).to_pandas()
+    iv = ann_ivf_hnsw(emb, queries, k=10, nlist=16, nprobe=8).to_pandas()
+    rs = []
+    for q in queries["query_id"]:
+        truth = set(bf[bf["query_id"] == q]["vec_id"])
+        rs.append(len(truth & set(iv[iv["query_id"] == q]["vec_id"]))
+                  / len(truth))
+    assert float(np.mean(rs)) >= 0.5, rs
+    top1 = iv[iv["rank"] == 1].set_index("query_id")["vec_id"]
+    for q in queries["query_id"]:
+        assert top1[q] == q  # self lives in a probed cell by construction
