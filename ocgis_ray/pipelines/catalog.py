@@ -1056,13 +1056,38 @@ def q_fingerprint_documents(sf_dir: str):
 
 
 def q_ann_lsh(sf_dir: str):
+    """LSH top-k (the oracle-hashed result) — and the round-4 HNSW
+    gate: the graph paths (ann_hnsw, ann_ivf_hnsw) run saturated
+    (M = ef = n, full probe list) over a bounded 256-vector subset,
+    where both must equal brute force EXACTLY; any divergence raises
+    and reddens this query.  Bounded cost: the subset is filtered at
+    the read, never the full table."""
     from ocgis_ray.sources.io import read_parquet_sized
 
-    from ocgis_ray.stages.ann import ann_lsh, load_query_vectors
+    from ocgis_ray.stages.ann import (ann_bruteforce, ann_hnsw,
+                                      ann_ivf_hnsw, ann_lsh,
+                                      load_query_vectors)
 
     emb = read_parquet_sized(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     queries = load_query_vectors(sf_dir, ANN_QUERY_IDS)
     res = ann_lsh(emb, queries, k=10)
+
+    sub = emb.filter(expr="vec_id < 256")
+    n = 256
+    cols = ["query_id", "rank", "vec_id"]
+
+    def canon(df):
+        return df.sort_values(["query_id", "rank"])[cols].reset_index(drop=True)
+
+    bf = canon(ann_bruteforce(sub, queries, k=10).to_pandas())
+    hn = canon(ann_hnsw(sub, queries, k=10, M=n, ef_construction=n,
+                        ef_search=n).to_pandas())
+    if not bf.equals(hn):
+        raise AssertionError("saturated ann_hnsw diverged from brute force")
+    iv = canon(ann_ivf_hnsw(sub, queries, k=10, nlist=4, nprobe=4, M=n,
+                            ef_construction=n, ef_search=n).to_pandas())
+    if not bf.equals(iv):
+        raise AssertionError("saturated ann_ivf_hnsw diverged from brute force")
     return res.select_columns(["query_id", "vec_id", "rank"])
 
 
