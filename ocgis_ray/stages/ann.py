@@ -432,31 +432,40 @@ def _hnsw_search_layer(mat: np.ndarray, adj_l: np.ndarray, deg_l: np.ndarray,
     visited = np.zeros(mat.shape[0], dtype=bool)
     cand: list = []   # max-heap on sim (negated)
     best: list = []   # min-heap of the current ef best
+    nbest = 0
+    push, pop = heapq.heappush, heapq.heappop
     for e in eps:
         if visited[e]:
             continue
         visited[e] = True
         s = float(mat[e] @ q)
-        heapq.heappush(cand, (-s, e))
-        heapq.heappush(best, (s, e))
+        push(cand, (-s, e))
+        push(best, (s, e))
+        nbest += 1
     while cand:
-        neg, c = heapq.heappop(cand)
-        if len(best) >= ef and -neg < best[0][0]:
+        neg, c = pop(cand)
+        if nbest >= ef and -neg < best[0][0]:
             break
         nb = adj_l[c, :deg_l[c]]
         nb = nb[~visited[nb]]
         if nb.size == 0:
             continue
         visited[nb] = True
-        floor = best[0][0] if len(best) >= ef else -np.inf
         ss = mat[nb] @ q
+        if nbest >= ef:  # vectorized floor pre-filter (hot late phase)
+            keep = ss > best[0][0]
+            if not keep.any():
+                continue
+            nb, ss = nb[keep], ss[keep]
         for s2, node in zip(ss.tolist(), nb.tolist()):
-            if len(best) < ef or s2 > floor:
-                heapq.heappush(cand, (-s2, node))
-                heapq.heappush(best, (s2, node))
-                if len(best) > ef:
-                    heapq.heappop(best)
-                floor = best[0][0] if len(best) >= ef else -np.inf
+            if nbest < ef:
+                push(cand, (-s2, node))
+                push(best, (s2, node))
+                nbest += 1
+            elif s2 > best[0][0]:
+                push(cand, (-s2, node))
+                push(best, (s2, node))
+                pop(best)
     out = sorted(best, key=lambda t: (-t[0], t[1]))
     return [n for _, n in out], [s for s, _ in out]
 
