@@ -615,6 +615,133 @@ def ann_hnsw(ds, queries: pd.DataFrame, k: int, id_col: str = "vec_id",
     return topk_by_group(cand, "query_id", ["sim", id_col], [False, True], k)
 
 
+def _hnsw_pack(graph: dict, ids: np.ndarray, mat: np.ndarray) -> dict:
+    """Serialize one shard graph to flat binary blobs (parquet-ready).
+
+    Layout of ``graph_blob``: for each layer ``l`` in 0..top, an int32
+    header word ``maxm_l`` followed by the (n, maxm_l) int32 adjacency
+    and the (n,) int32 degree vector, all little-endian contiguous."""
+    parts = []
+    for adj_l, deg_l in zip(graph["adj"], graph["deg"]):
+        parts.append(np.array([adj_l.shape[1]], dtype="<i4").tobytes())
+        parts.append(np.ascontiguousarray(adj_l, dtype="<i4").tobytes())
+        parts.append(np.ascontiguousarray(deg_l, dtype="<i4").tobytes())
+    return {"n": np.int64(mat.shape[0]), "dim": np.int64(mat.shape[1]),
+            "entry": np.int64(graph["entry"]), "top": np.int64(graph["top"]),
+            "ids": np.ascontiguousarray(ids, dtype="<i8").tobytes(),
+            "vecs": np.ascontiguousarray(mat, dtype="<f4").tobytes(),
+            "graph_blob": b"".join(parts)}
+
+
+def _hnsw_unpack(row: dict):
+    """Inverse of :func:`_hnsw_pack` -> (graph, ids, mat float64)."""
+    n, dim = int(row["n"]), int(row["dim"])
+    ids = np.frombuffer(row["ids"], dtype="<i8")
+    mat = np.frombuffer(row["vecs"], dtype="<f4").reshape(n, dim).astype(np.float64)
+    blob, off = row["graph_blob"], 0
+    adj, deg = [], []
+    for _ in range(int(row["top"]) + 1):
+        maxm = int(np.frombuffer(blob, dtype="<i4", count=1, offset=off)[0])
+        off += 4
+        a = np.frombuffer(blob, dtype="<i4", count=n * maxm, offset=off)
+        adj.append(a.reshape(n, maxm))
+        off += 4 * n * maxm
+        deg.append(np.frombuffer(blob, dtype="<i4", count=n, offset=off))
+        off += 4 * n
+    graph = {"adj": adj, "deg": deg, "entry": int(row["entry"]),
+             "top": int(row["top"])}
+    return graph, ids, mat
+
+
+def hnsw_index_write(ds, path: str, id_col: str = "vec_id",
+                     col: str = "embedding", M: int = 12,
+                     ef_construction: int = 48, batch_size: int = 8192,
+                     concurrency=None) -> None:
+    """Build shard-local HNSW graphs ONCE and persist them to parquet.
+
+    The graph build is the expensive half of :func:`ann_hnsw`
+    (~1 ms/vector); persisting one row per shard (ids + float32
+    vectors + adjacency blobs) lets any number of later query batches
+    pay only the search half via :func:`hnsw_index_search` — the
+    checkpointable-index story :func:`pq_encode` provides for PQ,
+    here for the graph path.  Output is partitioned parquet (one row
+    per shard), so a failed build re-runs only missing shards'
+    lineage and readers stream shard rows with backpressure."""
+    from ocgis_ray.tuning import auto_pool
+
+    concurrency = auto_pool() if concurrency is None else concurrency
+
+    def build(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "entry": pa.array([], pa.int64()),
+                             "top": pa.array([], pa.int64()),
+                             "ids": pa.array([], pa.binary()),
+                             "vecs": pa.array([], pa.binary()),
+                             "graph_blob": pa.array([], pa.binary())})
+        m = _normalize(_batch_matrix(batch, col).astype(np.float64))
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = hnsw_build(m, M=M, ef_construction=ef_construction)
+        row = _hnsw_pack(g, ids, m.astype(np.float32))
+        return pa.table({k: pa.array([v]) for k, v in row.items()})
+
+    (ds.map_batches(build, batch_format="pyarrow", zero_copy_batch=True,
+                    batch_size=batch_size, concurrency=concurrency)
+       .write_parquet(path))
+
+
+def hnsw_index_search(path: str, queries: pd.DataFrame, k: int,
+                      id_col: str = "vec_id", ef_search: int = 64,
+                      concurrency=None):
+    """Search a persisted :func:`hnsw_index_write` index.
+
+    One shard row per task: deserialize (zero-copy ``frombuffer``),
+    beam-search every broadcast query, emit candidates; exact bucketed
+    top-k merges shards.  Build cost is fully amortized — repeated
+    query batches touch only the index files."""
+    import ray
+    import ray.data as rd
+
+    from ocgis_ray.tuning import auto_pool
+
+    concurrency = auto_pool() if concurrency is None else concurrency
+    qmat = _normalize(np.stack(queries["embedding"].to_numpy()).astype(np.float64))
+    qid = queries["query_id"].to_numpy(np.int64)
+    bundle_ref = ray.put({"qid": qid, "qmat": qmat})
+
+    def search(batch: pa.Table) -> pa.Table:
+        b = ray.get(bundle_ref)
+        qs, vs, ss = [], [], []
+        for i in range(batch.num_rows):
+            row = {c: batch[c][i].as_py() for c in batch.column_names}
+            graph, ids, mat = _hnsw_unpack(row)
+            mat = _normalize(mat)  # re-normalize after float32 round-trip
+            for r in range(b["qmat"].shape[0]):
+                nodes, sims = hnsw_search(mat, graph, b["qmat"][r], k,
+                                          ef_search)
+                if not nodes:
+                    continue
+                qs.append(np.full(len(nodes), b["qid"][r], dtype=np.int64))
+                vs.append(ids[np.asarray(nodes, dtype=np.int64)])
+                ss.append(np.asarray(sims, dtype=np.float64))
+        if not qs:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        return pa.table({"query_id": pa.array(np.concatenate(qs)),
+                         id_col: pa.array(np.concatenate(vs)),
+                         "sim": pa.array(np.concatenate(ss))})
+
+    shards = rd.read_parquet(path)
+    cand = shards.map_batches(search, batch_format="pyarrow",
+                              batch_size=1, concurrency=concurrency)
+
+    from ocgis_ray.sources.io import topk_by_group
+
+    return topk_by_group(cand, "query_id", ["sim", id_col], [False, True], k)
+
+
 def ann_ivf_hnsw(ds, queries: pd.DataFrame, k: int, id_col: str = "vec_id",
                  col: str = "embedding", nlist: int = 16, nprobe: int = 6,
                  train_n: int = 4096, M: int = 12, ef_construction: int = 48,

@@ -258,3 +258,45 @@ def test_ivf_hnsw_partial_probe_recall(emb, queries):
     top1 = iv[iv["rank"] == 1].set_index("query_id")["vec_id"]
     for q in queries["query_id"]:
         assert top1[q] == q  # self lives in a probed cell by construction
+
+
+def test_hnsw_persisted_index_roundtrip(emb, queries, tmp_path):
+    """Build-once/search-many: the persisted index searched with
+    saturated params equals brute force exactly (float32 vector
+    round-trip is re-normalized; sims are recomputed from the stored
+    vectors so ranks are deterministic), and two searches of the same
+    index are identical (resume-stable)."""
+    from ocgis_ray.stages.ann import (ann_bruteforce, hnsw_index_search,
+                                      hnsw_index_write)
+
+    n = emb.count()
+    path = str(tmp_path / "hnsw_idx")
+    hnsw_index_write(emb, path, M=n, ef_construction=n)
+    out1 = hnsw_index_search(path, queries, k=10, ef_search=n).to_pandas()
+    out2 = hnsw_index_search(path, queries, k=10, ef_search=n).to_pandas()
+    cols = ["query_id", "rank", "vec_id"]
+
+    def canon(df):
+        return df.sort_values(["query_id", "rank"])[cols].reset_index(drop=True)
+
+    assert canon(out1).equals(canon(out2))
+    bf = canon(ann_bruteforce(emb, queries, k=10).to_pandas())
+    assert canon(out1)[["query_id", "vec_id"]].equals(bf[["query_id", "vec_id"]])
+
+
+def test_hnsw_persisted_index_default_params(emb, queries, tmp_path):
+    """Default (approximate) params through the persisted path keep
+    recall, including multi-shard indexes."""
+    from ocgis_ray.stages.ann import (ann_bruteforce, hnsw_index_search,
+                                      hnsw_index_write)
+
+    bf = ann_bruteforce(emb, queries, k=10).to_pandas()
+    path = str(tmp_path / "hnsw_idx_multi")
+    hnsw_index_write(emb, path, batch_size=128)
+    out = hnsw_index_search(path, queries, k=10).to_pandas()
+    rs = []
+    for q in queries["query_id"]:
+        truth = set(bf[bf["query_id"] == q]["vec_id"])
+        rs.append(len(truth & set(out[out["query_id"] == q]["vec_id"]))
+                  / len(truth))
+    assert float(np.mean(rs)) >= 0.8, rs
