@@ -306,8 +306,7 @@ def run_queries() -> dict[str, float]:
         queries = pd.DataFrame({
             "query_id": qt["vec_id"].to_numpy(),
             "embedding": [np.asarray(v) for v in qt["embedding"].to_pylist()]})
-        return ann_hnsw(vecs, queries, k=10, batch_size=2048,
-                        concurrency=max(2, NUM_CPUS - 2))
+        return ann_hnsw(vecs, queries, k=10, batch_size=2048)
 
     extras = {"dom_extract_pages": extra_dom_extract,
               "ann_hnsw_synth": extra_ann_hnsw,

@@ -131,21 +131,29 @@ class _CosineTopK:
 def ann_bruteforce(ds, queries: pd.DataFrame, k: int, id_col: str = "vec_id",
                    col: str = "embedding", concurrency=None,
                    batch_size: int = 4096):
-    """Exact cosine top-k per query vector."""
+    """Exact cosine top-k per query vector.
+
+    Default is a stateless task stage (``tuning.task_stage``) — the
+    broadcast query matrix is tiny and a fixed pool only adds spawn
+    latency; pass ``concurrency`` for a dedicated actor pool."""
     import ray
 
-    from ocgis_ray.tuning import auto_pool
+    from ocgis_ray.tuning import task_stage
 
-    concurrency = auto_pool() if concurrency is None else concurrency
     q = {"query_id": queries["query_id"].to_numpy(np.int64),
          "mat": np.stack(queries["embedding"].to_numpy())}
     qref = ray.put(q)
-    partial = ds.map_batches(
-        _CosineTopK, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=concurrency, batch_size=batch_size,
-        fn_constructor_kwargs={"queries_ref": qref, "k": k,
-                               "id_col": id_col, "col": col},
-    )
+    kw = {"queries_ref": qref, "k": k, "id_col": id_col, "col": col}
+    if concurrency is None:
+        partial = ds.map_batches(
+            task_stage(_CosineTopK, **kw), batch_format="pyarrow",
+            zero_copy_batch=True, batch_size=batch_size)
+    else:
+        partial = ds.map_batches(
+            _CosineTopK, batch_format="pyarrow", zero_copy_batch=True,
+            concurrency=concurrency, batch_size=batch_size,
+            fn_constructor_kwargs=kw,
+        )
 
     from ocgis_ray.sources.io import topk_by_group
 
@@ -592,23 +600,30 @@ def ann_hnsw(ds, queries: pd.DataFrame, k: int, id_col: str = "vec_id",
 
     At 100-TB scale the shard graphs are the persistable per-partition
     index (pair with IVF routing to skip shards); nothing corpus-sized
-    is ever built driver-side or shuffled."""
+    is ever built driver-side or shuffled.  Default is a stateless
+    task stage (only the tiny query bundle is shared state, and tasks
+    skip the fixed pool's spawn latency); pass ``concurrency`` for a
+    dedicated actor pool."""
     import ray
 
-    from ocgis_ray.tuning import auto_pool
+    from ocgis_ray.tuning import task_stage
 
-    concurrency = auto_pool() if concurrency is None else concurrency
     qmat = _normalize(np.stack(queries["embedding"].to_numpy()).astype(np.float64))
     qid = queries["query_id"].to_numpy(np.int64)
     bundle_ref = ray.put({"qid": qid, "qmat": qmat})
-    cand = ds.map_batches(
-        _HnswShardStage, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=concurrency, batch_size=batch_size,
-        fn_constructor_kwargs={"bundle_ref": bundle_ref, "k": k,
-                               "id_col": id_col, "col": col, "M": M,
-                               "ef_construction": ef_construction,
-                               "ef_search": ef_search},
-    )
+    kw = {"bundle_ref": bundle_ref, "k": k, "id_col": id_col, "col": col,
+          "M": M, "ef_construction": ef_construction,
+          "ef_search": ef_search}
+    if concurrency is None:
+        cand = ds.map_batches(
+            task_stage(_HnswShardStage, **kw), batch_format="pyarrow",
+            zero_copy_batch=True, batch_size=batch_size)
+    else:
+        cand = ds.map_batches(
+            _HnswShardStage, batch_format="pyarrow", zero_copy_batch=True,
+            concurrency=concurrency, batch_size=batch_size,
+            fn_constructor_kwargs=kw,
+        )
 
     from ocgis_ray.sources.io import topk_by_group
 
