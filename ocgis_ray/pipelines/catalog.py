@@ -873,11 +873,25 @@ def q_text_stats_documents(sf_dir: str):
     out = text.add_token_entropy(out, round_digits=6)
     # leakage-safe split keyed on the doc's source group (round-3 s4)
     out = assign_split(out, "source", SPLIT_RATES)
+
+    # round-4: unicode normalization (stages/normalize.py) — length of
+    # the NFC+lower+control-strip+ws-collapse form, twin-replayed in SQL
+    import pyarrow.compute as pc
+
+    from ocgis_ray.stages.normalize import normalize_text_array
+
+    def add_norm_len(t):
+        norm = normalize_text_array(t["text"], form="NFC", lower=True)
+        return t.append_column("norm_len",
+                               pc.cast(pc.utf8_length(norm), "int64"))
+
+    out = out.map_batches(add_norm_len, batch_format="pyarrow",
+                          zero_copy_batch=True)
     return out.select_columns(
         ["doc_id", "token_count", "alpha_ratio", "punct_ratio", "quality_score",
          "dup_word_frac", "mean_word_len", "stopword_frac", "top_bigram_frac",
          "gopher_keep", "bpe_token_count", "mix_keep", "token_entropy",
-         "split"]
+         "split", "norm_len"]
     )
 
 
@@ -893,6 +907,11 @@ def sql_text_stats_documents() -> str:
     frags["mix_keep"] = f"CAST(({pred}) AS BIGINT)"
     frags["token_entropy"] = text.token_entropy_sql("d.text")
     frags["split"] = assign_split_sql_expr("d.source", SPLIT_RATES)
+
+    from ocgis_ray.stages.normalize import normalize_text_sql
+
+    frags["norm_len"] = (
+        f"CAST(length({normalize_text_sql('d.text', lower=True)}) AS BIGINT)")
     extra = ",\n    ".join(f"{sql} AS {name}" for name, sql in frags.items())
     return quality_stats_sql(col="text", table="documents", id_col="doc_id",
                              extra_select=extra)

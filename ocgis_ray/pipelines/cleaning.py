@@ -48,8 +48,12 @@ DEFAULT_STEPS = ("url_dedup", "c4", "gopher", "decontam", "exact_dedup",
 # - kn_ppl: KN-bigram perplexity gate (CCNet head/middle; needs
 #   kn_model) — runs with the filters, right after gopher
 # - classifier: NB quality-classifier gate (phi-style; needs nb_model)
+# - normalize: Unicode normalization (NFC + control strip + ws
+#   collapse, stages/normalize.py) — runs FIRST so every downstream
+#   hash/gate sees canonical text; not default because it rewrites
+#   text (byte-identity contracts opt in explicitly)
 ALL_STEPS = DEFAULT_STEPS + ("substr_dedup", "compression", "kn_ppl",
-                             "classifier")
+                             "classifier", "normalize")
 
 
 def clean_corpus(ds, id_col: str = "doc_id", text_col: str = "text",
@@ -114,6 +118,10 @@ def clean_corpus(ds, id_col: str = "doc_id", text_col: str = "text",
     from ocgis_ray.stages import dedup, quality
     from ocgis_ray.stages.url import dedup_by_url
 
+    if "normalize" in steps:
+        from ocgis_ray.stages.normalize import normalize_text
+
+        ds = normalize_text(ds, col=text_col)
     if "url_dedup" in steps and url_col is not None:
         ds = dedup_by_url(ds, col=url_col, id_col=id_col)
     if "c4" in steps:
