@@ -671,7 +671,7 @@ def _hnsw_unpack(row: dict):
 def hnsw_index_write(ds, path: str, id_col: str = "vec_id",
                      col: str = "embedding", M: int = 12,
                      ef_construction: int = 48, batch_size: int = 8192,
-                     concurrency=None) -> None:
+                     concurrency=None, run_id: str = "base") -> dict:
     """Build shard-local HNSW graphs ONCE and persist them to parquet.
 
     The graph build is the expensive half of :func:`ann_hnsw`
@@ -679,11 +679,20 @@ def hnsw_index_write(ds, path: str, id_col: str = "vec_id",
     vectors + adjacency blobs) lets any number of later query batches
     pay only the search half via :func:`hnsw_index_search` — the
     checkpointable-index story :func:`pq_encode` provides for PQ,
-    here for the graph path.  Output is partitioned parquet (one row
-    per shard), so a failed build re-runs only missing shards'
-    lineage and readers stream shard rows with backpressure."""
+    here for the graph path.
+
+    INCREMENTAL ingest (the crawl-over-crawl shape, mirroring
+    :func:`~ocgis_ray.stages.dedup.minhash_dedup_incremental`): each
+    call writes its shards ATOMICALLY under ``part=<run_id>`` via the
+    lineage manifest — append a new vector batch by calling again
+    with a fresh ``run_id``; searches see old + new shards on the
+    next read.  A re-run with a completed ``run_id`` short-circuits
+    (idempotent resume).  Returns the lineage record."""
+    from ocgis_ray.state import lineage
     from ocgis_ray.tuning import auto_pool
 
+    if run_id in lineage.completed_partitions(path):
+        return {"partition": run_id, "skipped": True}
     concurrency = auto_pool() if concurrency is None else concurrency
 
     def build(batch: pa.Table) -> pa.Table:
@@ -701,9 +710,12 @@ def hnsw_index_write(ds, path: str, id_col: str = "vec_id",
         row = _hnsw_pack(g, ids, m.astype(np.float32))
         return pa.table({k: pa.array([v]) for k, v in row.items()})
 
-    (ds.map_batches(build, batch_format="pyarrow", zero_copy_batch=True,
-                    batch_size=batch_size, concurrency=concurrency)
-       .write_parquet(path))
+    shards = ds.map_batches(build, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=batch_size,
+                            concurrency=concurrency)
+    return lineage.write_partition(shards, path, run_id,
+                                   meta={"M": M,
+                                         "ef_construction": ef_construction})
 
 
 def hnsw_index_search(path: str, queries: pd.DataFrame, k: int,
@@ -748,7 +760,17 @@ def hnsw_index_search(path: str, queries: pd.DataFrame, k: int,
                          id_col: pa.array(np.concatenate(vs)),
                          "sim": pa.array(np.concatenate(ss))})
 
-    shards = rd.read_parquet(path)
+    import glob as _glob
+    import os as _os
+
+    # read only part=<run_id> dirs (the dir also holds the lineage
+    # manifest.jsonl, which is not parquet); skip empty partitions
+    files = sorted(
+        f for p in _glob.glob(_os.path.join(path, "part=*"))
+        for f in _glob.glob(_os.path.join(p, "*.parquet")))
+    if not files:
+        raise ValueError(f"hnsw_index_search: no index partitions under {path!r}")
+    shards = rd.read_parquet(files)
     cand = shards.map_batches(search, batch_format="pyarrow",
                               batch_size=1, concurrency=concurrency)
 

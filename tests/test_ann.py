@@ -300,3 +300,31 @@ def test_hnsw_persisted_index_default_params(emb, queries, tmp_path):
         rs.append(len(truth & set(out[out["query_id"] == q]["vec_id"]))
                   / len(truth))
     assert float(np.mean(rs)) >= 0.8, rs
+
+
+def test_hnsw_index_incremental_append(emb, queries, tmp_path):
+    """Crawl-over-crawl ingest: a second run_id appends new shards,
+    searches see old+new, and re-running a completed run_id
+    short-circuits (idempotent resume)."""
+    from ocgis_ray.stages.ann import (ann_bruteforce, hnsw_index_search,
+                                      hnsw_index_write)
+
+    n = emb.count()
+    path = str(tmp_path / "hnsw_inc")
+    old = emb.filter(expr="vec_id < 250")
+    new = emb.filter(expr="vec_id >= 250")
+    hnsw_index_write(old, path, M=n, ef_construction=n, run_id="run0")
+    part1 = hnsw_index_search(path, queries, k=10, ef_search=n).to_pandas()
+    assert part1["vec_id"].max() < 250  # only the first crawl is indexed
+    rec = hnsw_index_write(new, path, M=n, ef_construction=n, run_id="run1")
+    assert not rec.get("skipped")
+    again = hnsw_index_write(new, path, M=n, ef_construction=n, run_id="run1")
+    assert again.get("skipped")
+    full = hnsw_index_search(path, queries, k=10, ef_search=n).to_pandas()
+    bf = ann_bruteforce(emb, queries, k=10).to_pandas()
+    cols = ["query_id", "rank", "vec_id"]
+
+    def canon(df):
+        return df.sort_values(["query_id", "rank"])[cols].reset_index(drop=True)
+
+    assert canon(full).equals(canon(bf))
