@@ -769,6 +769,17 @@ def hnsw_index_search(path: str, queries: pd.DataFrame, k: int,
         f for p in _glob.glob(_os.path.join(path, "part=*"))
         for f in _glob.glob(_os.path.join(p, "*.parquet")))
     if not files:
+        # a legitimately-empty index (all committed partitions wrote
+        # zero shards) searches to zero candidates; a wrong path is
+        # still an error
+        from ocgis_ray.state import lineage
+
+        if lineage.completed_partitions(path):
+            return rd.from_arrow(pa.table({
+                "query_id": pa.array([], pa.int64()),
+                id_col: pa.array([], pa.int64()),
+                "sim": pa.array([], pa.float64()),
+                "rank": pa.array([], pa.int64())}))
         raise ValueError(f"hnsw_index_search: no index partitions under {path!r}")
     shards = rd.read_parquet(files)
     cand = shards.map_batches(search, batch_format="pyarrow",
@@ -824,9 +835,11 @@ def ann_ivf_hnsw(ds, queries: pd.DataFrame, k: int, id_col: str = "vec_id",
                              "_vec": pa.array([], pa.binary())})
         m = _normalize(_batch_matrix(batch, col).astype(np.float64))
         cid = np.argmax(m @ b["cent"].T, axis=1).astype(np.int64)
+        # pack_vectors ships float64 — keep full precision so the
+        # saturated-params gate (== float64 brute force) holds exactly
         return pa.table({"cid": pa.array(cid),
                          id_col: batch[id_col],
-                         "_vec": pack_vectors(m.astype(np.float32))})
+                         "_vec": pack_vectors(m)})
 
     assigned = ds.map_batches(assign, batch_format="pyarrow",
                               zero_copy_batch=True, batch_size=batch_size)

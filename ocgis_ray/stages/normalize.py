@@ -33,6 +33,7 @@ import pyarrow.compute as pc
 # C0 controls minus \t\n\r, plus DEL — the characters C4/CCNet drop
 _CONTROL_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
 _WS_RE = r"\s+"
+_EDGE_WS_RE = r"^\s+|\s+$"
 
 
 def _form_normalize(arr, form: str):
@@ -45,11 +46,17 @@ def _form_normalize(arr, form: str):
     ascii_mask = pc.string_is_ascii(arr)
     if pc.all(ascii_mask).as_py() is not False:   # True or empty/all-null
         return arr
-    am = ascii_mask.to_pylist()
-    out = [v if v is None or a else unicodedata.normalize(form, v)
-           for v, a in zip(arr.to_pylist(), am)]
-    return pa.array(out, type=arr.type if not isinstance(arr, pa.Array)
-                    else arr.type)
+    # mixed batch: materialize once, normalize ONLY the non-ASCII rows
+    # (the rebuild is unavoidable; the C-speed loop is not)
+    import numpy as np
+
+    obj = arr.to_numpy(zero_copy_only=False)
+    am = ascii_mask.to_numpy(zero_copy_only=False)
+    for i in np.nonzero(~(am.astype(bool)))[0]:
+        v = obj[i]
+        if v is not None:
+            obj[i] = unicodedata.normalize(form, v)
+    return pa.array(obj, type=arr.type)
 
 
 def normalize_text_array(arr, form: str = "NFC", lower: bool = False,
@@ -76,7 +83,12 @@ def normalize_text_array(arr, form: str = "NFC", lower: bool = False,
     if collapse_whitespace:
         arr = pc.replace_substring_regex(arr, pattern=_WS_RE,
                                          replacement=" ")
-        arr = pc.utf8_trim_whitespace(arr)
+        # edge-trim with the SAME RE2 class the collapse used —
+        # utf8_trim_whitespace trims the Unicode WS set (U+2028, NBSP,
+        # U+3000...) that DuckDB's trim() and RE2's \s do NOT, which
+        # would silently diverge from the SQL twin on non-ASCII edges
+        arr = pc.replace_substring_regex(arr, pattern=_EDGE_WS_RE,
+                                         replacement="")
     return arr
 
 
@@ -124,5 +136,6 @@ def normalize_text_sql(expr: str, form: str = "NFC", lower: bool = False,
     if lower:
         s = f"lower({s})"
     if collapse_whitespace:
-        s = f"trim(regexp_replace({s}, '\\s+', ' ', 'g'))"
+        s = f"regexp_replace({s}, '\\s+', ' ', 'g')"
+        s = f"regexp_replace({s}, '^\\s+|\\s+$', '', 'g')"
     return s

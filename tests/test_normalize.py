@@ -11,6 +11,9 @@ MESSY = [
     "UPPER Éé",              # composed É é
     "full　23",  # ideographic space
     "",                                  # empty survives every step
+    "abc ",           # line separator at the edge (not RE2 \s)
+    " x ",       # NBSP edges — DuckDB trim() keeps these
+    " padded  out ",       # plain ASCII edge/interior runs
 ]
 
 
