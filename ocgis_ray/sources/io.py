@@ -231,6 +231,56 @@ def ensure_list_column(t, col: str, value_type=None):
     return t.set_column(t.schema.get_field_index(col), col, new)
 
 
+def _bucket_column_hash(col) -> np.ndarray:
+    """Per-row uint64 hash of one Arrow column without a pandas hop.
+
+    Strings/binary hash zero-copy over the byte buffer (Horner +
+    splitmix, ``text.string_value_hash``); numeric/temporal/bool hash
+    their 64-bit word through splitmix.  Exotic types (list, struct)
+    fall back to a pandas hash of THAT COLUMN only."""
+    import pyarrow as pa
+
+    from ocgis_ray.stages.text import _mix64, string_value_hash
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    t = col.type
+    if (pa.types.is_string(t) or pa.types.is_large_string(t)
+            or pa.types.is_binary(t) or pa.types.is_large_binary(t)):
+        return string_value_hash(col)
+    try:
+        v = col.to_numpy(zero_copy_only=False)
+    except (pa.ArrowInvalid, NotImplementedError, TypeError):
+        v = None
+    if v is not None and v.dtype != object:
+        if v.dtype.kind in "mM":
+            v = v.view("i8")
+        if v.dtype.kind == "b":
+            v = v.astype(np.uint64)
+        elif v.dtype.kind == "f":
+            # canonicalize NaN so nulls hash consistently
+            v = np.nan_to_num(v.astype(np.float64), nan=-0.5).view(np.uint64)
+        elif v.dtype.kind in "iu":
+            v = v.astype(np.int64).view(np.uint64)
+        else:
+            v = None
+        if v is not None:
+            return _mix64(v)
+    return pd.util.hash_pandas_object(
+        col.to_pandas(), index=False).to_numpy(np.uint64)
+
+
+def bucket_key_hash(t, keys: list[str]) -> np.ndarray:
+    """Combined uint64 row hash over ``keys`` (order-sensitive)."""
+    from ocgis_ray.stages.text import _mix64
+
+    h = np.zeros(t.num_rows, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for k in keys:
+            h = _mix64(h * np.uint64(1099511628211) + _bucket_column_hash(t[k]))
+    return h
+
+
 def bucketed_group_apply(ds, keys: list[str] | str, fn,
                          num_buckets: int | None = None,
                          batch_format: str = "pandas"):
@@ -247,17 +297,15 @@ def bucketed_group_apply(ds, keys: list[str] | str, fn,
     num_buckets = auto_buckets(num_buckets)
     keys = [keys] if isinstance(keys, str) else list(keys)
 
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        # assign through numpy, NOT a pandas Series: when Ray fuses
-        # this stage with an upstream pandas UDF, the incoming frame
-        # keeps that UDF's (possibly sliced, non-Range) index, and a
-        # Series assignment would ALIGN on it — scrambling bucket ids
-        # (bug found via pairs landing in two buckets after a fused
-        # map_groups; Arrow-roundtripped blocks masked it elsewhere)
-        h = pd.util.hash_pandas_object(df[keys].reset_index(drop=True), index=False)
-        df = df.copy()
-        df["_bucket"] = (h % np.uint64(num_buckets)).astype(np.int64).to_numpy()
-        return df
+    def add_bucket(t: pa.Table) -> pa.Table:
+        # zero-copy Arrow stage: the former pandas version round-
+        # tripped the WHOLE block (fat text columns included) through
+        # pandas just to hash the slim key columns — this hashes the
+        # key arrays directly (Horner over the string byte buffer /
+        # splitmix over numeric words) and appends one int64 column
+        h = bucket_key_hash(t, keys)
+        b = (h % np.uint64(num_buckets)).astype(np.int64)
+        return t.append_column("_bucket", pa.array(b))
 
     def apply(g: pd.DataFrame):
         out = fn(g.drop(columns=["_bucket"]))
@@ -272,7 +320,8 @@ def bucketed_group_apply(ds, keys: list[str] | str, fn,
         return out
 
     return (
-        ds.map_batches(add_bucket, batch_format="pandas")
+        ds.map_batches(add_bucket, batch_format="pyarrow",
+                       zero_copy_batch=True)
         .groupby("_bucket")
         .map_groups(apply, batch_format=batch_format)
     )
