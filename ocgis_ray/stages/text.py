@@ -346,10 +346,11 @@ class LangIdStage:
             for lang in self.langs
         ]
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        arr = pa.array(df["text"], type=pa.string())
+    def __call__(self, t: pa.Table) -> pa.Table:
+        arr = t["text"].combine_chunks() if isinstance(t["text"], pa.ChunkedArray) \
+            else t["text"]
         h, tok_row, per_row = _tokenize_hash(arr)
-        n = len(df)
+        n = len(t)
         scores = np.zeros((len(self.langs), n), dtype=np.float64)
         safe = np.maximum(per_row, 1).astype(np.float64)
         for i, table in enumerate(self.tables):
@@ -361,9 +362,7 @@ class LangIdStage:
         best_score = scores.max(axis=0)
         langs = np.asarray(self.langs, dtype=object)
         pred = np.where(best_score > 0.0, langs[best], "und")
-        df = df.copy()
-        df["lang_pred"] = pred
-        return df
+        return t.append_column("lang_pred", pa.array(pred, type=pa.string()))
 
 
 def add_lang_pred(ds, concurrency=None):
@@ -375,9 +374,11 @@ def add_lang_pred(ds, concurrency=None):
 
     if concurrency is None:
         return ds.map_batches(task_stage(LangIdStage),
-                              batch_format="pandas",
+                              batch_format="pyarrow",
+                              zero_copy_batch=True,
                               batch_size=KERNEL_BATCH_SIZE)
-    return ds.map_batches(LangIdStage, batch_format="pandas",
+    return ds.map_batches(LangIdStage, batch_format="pyarrow",
+                          zero_copy_batch=True,
                           concurrency=concurrency,
                           batch_size=KERNEL_BATCH_SIZE)
 

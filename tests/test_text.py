@@ -2,6 +2,7 @@
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pytest
 
 from ocgis_ray.stages.text import LangIdStage, add_fingerprint, add_lang_pred, add_text_stats
@@ -42,9 +43,9 @@ def test_langid(docs):
 
 def test_langid_deterministic():
     st = LangIdStage()
-    df = pd.DataFrame({"doc_id": [0], "text": ["die katze und der hund in dem haus"]})
-    assert st(df)["lang_pred"].tolist() == ["de"]
-    assert st(df)["lang_pred"].tolist() == st(df)["lang_pred"].tolist()
+    t = pa.table({"doc_id": [0], "text": ["die katze und der hund in dem haus"]})
+    assert st(t)["lang_pred"].to_pylist() == ["de"]
+    assert st(t)["lang_pred"].to_pylist() == st(t)["lang_pred"].to_pylist()
 
 
 def test_fingerprint(docs, ray_session):
