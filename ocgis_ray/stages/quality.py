@@ -37,6 +37,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ocgis_ray.parity import sql_round
 from ocgis_ray.stages.text import (
@@ -596,33 +597,51 @@ def paragraph_dedup(ds, id_col: str = "doc_id", col: str = "text",
     unique, so the doc reaches the rebuild even with zero surviving
     paragraphs."""
     from ocgis_ray.sources.io import bucketed_group_apply, distinct_rows
+    from ocgis_ray.stages.text import string_value_hash
 
-    def explode(df: pd.DataFrame) -> pd.DataFrame:
-        ids: list = []
-        pos: list[int] = []
-        paras: list[str] = []
-        sent: list[bool] = []
-        for i, txt in zip(df[id_col].to_numpy(), df[col].to_numpy()):
-            if not drop_empty_docs:
-                ids.append(i)
-                pos.append(-1)
-                paras.append(f"\x00sentinel:{i!r}")  # unique hash input
-                sent.append(True)
-            if txt is None or (isinstance(txt, float) and np.isnan(txt)):
-                continue
-            for j, p in enumerate(txt.split(sep)):
-                ids.append(i)
-                pos.append(j)
-                paras.append(p)
-                sent.append(False)
-        out = pd.DataFrame({id_col: ids, "_pos": pos, "_para": paras,
-                            "_sent": np.asarray(sent, dtype=bool)})
-        h = np.asarray([_horner_hash_bytes(p.encode(), max_len=1 << 30)
-                        for p in paras], dtype=np.uint64)
-        out["_ph"] = h.astype(np.int64)  # view as int64 for Arrow
-        return out
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t[id_col].combine_chunks()
+        txt = t[col].combine_chunks()
+        # vectorized paragraph split: list<string> -> flat + parent
+        # indices (nulls propagate to null lists, which flatten to
+        # zero elements — NULL text emits no real paragraphs)
+        lists = pc.split_pattern(txt, sep)
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        cnt = pc.fill_null(pc.list_value_length(lists), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        starts = np.zeros(len(cnt), dtype=np.int64)
+        np.cumsum(cnt[:-1], out=starts[1:])
+        pos = np.arange(len(flat), dtype=np.int64) - starts[parent]
+        cols = {
+            id_col: ids.take(pa.array(parent)),
+            "_pos": pa.array(pos),
+            "_para": flat,
+            "_sent": pa.array(np.zeros(len(flat), dtype=bool)),
+            "_ph": pa.array(string_value_hash(flat).view(np.int64)),
+        }
+        out = pa.table(cols)
+        if drop_empty_docs:
+            return out
+        # one sentinel row per doc: unique hash input (\x00 prefix
+        # cannot collide with a real paragraph of this corpus), so a
+        # doc with zero surviving paragraphs still reaches the rebuild
+        s_para = pc.binary_join_element_wise(
+            pa.scalar("\x00sentinel:"), pc.cast(ids, pa.string()),
+            pa.scalar(""))
+        n = len(t)
+        sent_tbl = pa.table({
+            id_col: ids,
+            "_pos": pa.array(np.full(n, -1, dtype=np.int64)),
+            "_para": s_para,
+            "_sent": pa.array(np.ones(n, dtype=bool)),
+            "_ph": pa.array(string_value_hash(s_para).view(np.int64)),
+        })
+        return pa.concat_tables([sent_tbl, out])
 
-    paras = ds.map_batches(explode, batch_format="pandas")
+    paras = ds.map_batches(explode, batch_format="pyarrow",
+                           zero_copy_batch=True)
     # survivor = lexicographic-min (id, position) — no bit packing, so
     # any orderable id type and any paragraph count are safe
     kept = distinct_rows(paras, "_ph", order_col=[id_col, "_pos"],
