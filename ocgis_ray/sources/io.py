@@ -379,58 +379,108 @@ def bucketed_pair_attach(pairs, lookup, left_key: str, right_key: str,
     combine) are ~3x cheaper, while at warehouse scale the actor
     joins amortize and stream better.  Both shapes are provided;
     callers pick by scale."""
-    import ray.data as rd
+    import pyarrow.compute as pc
 
-    def explode(df: pd.DataFrame) -> pd.DataFrame:
-        a = df[left_key].to_numpy(np.int64)
-        b = df[right_key].to_numpy(np.int64)
-        return pd.DataFrame({
-            "_k": np.concatenate([a, b]),
-            "_a": np.concatenate([a, a]),
-            "_b": np.concatenate([b, b]),
-            "_side": np.concatenate([np.zeros(len(a), np.int8),
-                                     np.ones(len(b), np.int8)]),
-            "_val": np.full(2 * len(a), b"", dtype=object),
+    # value type from the (materialized) lookup schema so explode can
+    # emit typed null placeholders — the union then has ONE Arrow
+    # schema end to end (object/pandas blocks defeat Ray's schema
+    # dedup and box every binary value into a Python object)
+    sch = lookup.schema()
+    val_type = dict(zip(sch.names, sch.types))[value_col]
+
+    def explode(t: pa.Table) -> pa.Table:
+        a = t[left_key].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t[right_key].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(a)
+        return pa.table({
+            "_k": pa.array(np.concatenate([a, b])),
+            "_a": pa.array(np.concatenate([a, a])),
+            "_b": pa.array(np.concatenate([b, b])),
+            "_side": pa.array(np.concatenate([np.zeros(n, np.int8),
+                                              np.ones(n, np.int8)])),
+            "_val": pa.nulls(2 * n, type=val_type),
         })
 
-    def tag_lookup(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "_k": df[id_col].to_numpy(np.int64),
-            "_a": np.full(len(df), -1, np.int64),
-            "_b": np.full(len(df), -1, np.int64),
-            "_side": np.full(len(df), -1, np.int8),
-            "_val": df[value_col].to_numpy(object),
+    def tag_lookup(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table({
+            "_k": pc.cast(t[id_col], pa.int64()),
+            "_a": pa.array(np.full(n, -1, np.int64)),
+            "_b": pa.array(np.full(n, -1, np.int64)),
+            "_side": pa.array(np.full(n, -1, np.int8)),
+            "_val": pc.cast(t[value_col], val_type),
         })
 
-    unioned = pairs.map_batches(explode, batch_format="pandas").union(
-        lookup.map_batches(tag_lookup, batch_format="pandas")
+    unioned = pairs.map_batches(explode, batch_format="pyarrow",
+                                zero_copy_batch=True).union(
+        lookup.map_batches(tag_lookup, batch_format="pyarrow",
+                           zero_copy_batch=True)
     )
 
-    def attach(g: pd.DataFrame) -> pd.DataFrame:
-        # keep-first on duplicate lookup ids: reindex on a duplicated
-        # index raises mid-pipeline; first-wins matches join semantics
-        vals = g[g["_side"] == -1].drop_duplicates("_k").set_index("_k")["_val"]
-        sides = g[g["_side"] >= 0]
-        out = sides[["_a", "_b", "_side"]].copy()
-        out["_val"] = vals.reindex(sides["_k"].to_numpy()).to_numpy()
-        return out
+    def attach(g: pa.Table) -> pa.Table:
+        # vectorized per-bucket lookup: keep-first on duplicate lookup
+        # ids (np.unique's return_index = first occurrence), then one
+        # searchsorted per side row; misses become NULL values (the
+        # join-semantics twin of the former pandas reindex)
+        g = g.combine_chunks()
+        side = g["_side"].to_numpy(zero_copy_only=False)
+        k = g["_k"].to_numpy(zero_copy_only=False)
+        lk_idx = np.nonzero(side == -1)[0]
+        uk, first = np.unique(k[lk_idx], return_index=True)
+        src = lk_idx[first]
+        s_idx = np.nonzero(side >= 0)[0]
+        if uk.size:
+            pos = np.minimum(np.searchsorted(uk, k[s_idx]), uk.size - 1)
+            found = uk[pos] == k[s_idx]
+            take = pa.array(src[pos], type=pa.int64(),
+                            mask=~found)  # mask=True -> null
+            vals = pc.take(g["_val"].combine_chunks(), take)
+        else:
+            vals = pa.nulls(s_idx.size, type=val_type)
+        sel = pa.array(s_idx)
+        return pa.table({
+            "_a": pc.take(g["_a"], sel),
+            "_b": pc.take(g["_b"], sel),
+            "_side": pc.take(g["_side"], sel),
+            "_val": vals,
+        })
 
     attached = bucketed_group_apply(unioned, "_k", attach,
-                                    num_buckets=num_buckets)
+                                    num_buckets=num_buckets,
+                                    batch_format="pyarrow")
 
-    def combine(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("_side", kind="mergesort")
-        ga = g[g["_side"] == 0].drop_duplicates(["_a", "_b"])
-        gb = g[g["_side"] == 1].drop_duplicates(["_a", "_b"]) \
-            .set_index(["_a", "_b"])["_val"]
-        out = pd.DataFrame({
-            left_key: ga["_a"].to_numpy(np.int64),
-            right_key: ga["_b"].to_numpy(np.int64),
-            f"{value_col}_a": ga["_val"].to_numpy(object),
+    def combine(g: pa.Table) -> pa.Table:
+        # one row per (a, b): dedupe each side's (band-duplicated)
+        # rows, then zip the two sides — both lexsorted by (a, b), so
+        # they align positionally (explode emits both sides for every
+        # pair; duplicate rows carry identical values)
+        g = g.combine_chunks()
+        a = g["_a"].to_numpy(zero_copy_only=False)
+        b = g["_b"].to_numpy(zero_copy_only=False)
+        side = g["_side"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, b, a))
+        a_s, b_s, sd_s = a[order], b[order], side[order]
+        keep = np.empty(len(order), dtype=bool)
+        keep[:1] = True
+        keep[1:] = ((a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])
+                    | (sd_s[1:] != sd_s[:-1]))
+        idx0 = order[keep & (sd_s == 0)]
+        idx1 = order[keep & (sd_s == 1)]
+        if idx0.size != idx1.size or not (
+                np.array_equal(a[idx0], a[idx1])
+                and np.array_equal(b[idx0], b[idx1])):
+            raise AssertionError(
+                "bucketed_pair_attach: side rows out of alignment "
+                f"({idx0.size} left vs {idx1.size} right) — a pair is "
+                "missing one exploded side")
+        vals = g["_val"].combine_chunks()
+        return pa.table({
+            left_key: pa.array(a[idx0]),
+            right_key: pa.array(b[idx0]),
+            f"{value_col}_a": pc.take(vals, pa.array(idx0)),
+            f"{value_col}_b": pc.take(vals, pa.array(idx1)),
         })
-        idx = list(zip(out[left_key], out[right_key]))
-        out[f"{value_col}_b"] = gb.reindex(idx).to_numpy()
-        return out
 
     return bucketed_group_apply(attached, ["_a", "_b"], combine,
-                                num_buckets=num_buckets)
+                                num_buckets=num_buckets,
+                                batch_format="pyarrow")
