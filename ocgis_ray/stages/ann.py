@@ -912,28 +912,23 @@ def embedding_near_duplicates(ds, threshold: float = 0.95, id_col: str = "vec_id
         fn_constructor_kwargs={"planes_ref": planes_ref, "id_col": id_col, "col": col},
     )
 
-    def pair_stage(g: pd.DataFrame) -> pd.DataFrame:
+    def pair_stage(g: pa.Table) -> pa.Table:
         # hash-bucketed apply: the fn sees many LSH buckets at once;
-        # per-LSH-bucket pairing runs only where >=2 vectors collide
-        empty = pd.DataFrame({"vec_a": pd.Series(dtype=np.int64),
-                              "vec_b": pd.Series(dtype=np.int64)})
-        g = g.drop_duplicates(["table_id", "bucket", id_col])
-        sizes = g.groupby(["table_id", "bucket"], sort=False)[id_col].transform("size")
-        g = g[sizes >= 2]
-        if len(g) == 0:
-            return empty
-        out_a, out_b = [], []
-        for _, grp in g.groupby(["table_id", "bucket"], sort=False):
-            ids = np.sort(np.unique(grp[id_col].to_numpy()))
-            ia, ib = np.triu_indices(ids.size, k=1)
-            out_a.append(ids[ia])
-            out_b.append(ids[ib])
-        return pd.DataFrame({"vec_a": np.concatenate(out_a).astype(np.int64),
-                             "vec_b": np.concatenate(out_b).astype(np.int64)})
+        # vectorized within-bucket pair expansion (no per-group loop)
+        from ocgis_ray.stages.dedup import _expand_bucket_pairs
+
+        g = g.combine_chunks()
+        d_s, ia, ib, _, _ = _expand_bucket_pairs(
+            g["table_id"].to_numpy(zero_copy_only=False),
+            g["bucket"].to_numpy(zero_copy_only=False),
+            g[id_col].to_numpy(zero_copy_only=False))
+        return pa.table({"vec_a": pa.array(d_s[ia], type=pa.int64()),
+                         "vec_b": pa.array(d_s[ib], type=pa.int64())})
 
     from ocgis_ray.sources.io import bucketed_group_apply, distinct_rows, join_datasets
 
-    cand = bucketed_group_apply(bucket_rows, ["table_id", "bucket"], pair_stage)
+    cand = bucketed_group_apply(bucket_rows, ["table_id", "bucket"], pair_stage,
+                                batch_format="pyarrow")
     cand = distinct_rows(cand, ["vec_a", "vec_b"])
 
     def to_binary(batch: pa.Table) -> pa.Table:

@@ -239,6 +239,58 @@ def _band_rows(t: pa.Table, bands: int, rows: int) -> pa.Table:
     )
 
 
+def _expand_bucket_pairs(band: np.ndarray, bhash: np.ndarray,
+                         doc: np.ndarray, max_bucket: int | None = None,
+                         flags: np.ndarray | None = None):
+    """Vectorized within-(band, band_hash) ordered-pair expansion.
+
+    Sorts rows by (band, band_hash, doc_id), dedupes identical
+    (band, band_hash, doc_id) rows, then emits every i<j pair inside
+    each group with NO per-group Python loop: each left element at
+    local position p contributes ``s_eff - 1 - p`` pairs, so the pair
+    lists are two ``np.repeat``/arange gathers over the whole bucket
+    (a bucket can hold millions of colliding rows at crawl scale —
+    the former per-group loop was the scale bottleneck).
+
+    ``max_bucket`` keeps only the first (smallest-id) N docs per
+    group, counting the truncated docs in ``n_dropped``.  ``flags``
+    (aligned with the input rows) is deduped/sorted alongside and
+    returned for per-side gathers.
+
+    Returns ``(doc_sorted, a_idx, b_idx, n_dropped, flags_sorted)``
+    with a/b as indices into ``doc_sorted`` (a's doc < b's doc)."""
+    order = np.lexsort((doc, bhash, band))
+    b_s, h_s, d_s = band[order], bhash[order], doc[order]
+    f_s = flags[order] if flags is not None else None
+    new = np.empty(len(order), dtype=bool)
+    new[:1] = True
+    new[1:] = ((b_s[1:] != b_s[:-1]) | (h_s[1:] != h_s[:-1])
+               | (d_s[1:] != d_s[:-1]))
+    b_s, h_s, d_s = b_s[new], h_s[new], d_s[new]
+    if f_s is not None:
+        f_s = f_s[new]
+    n = len(d_s)
+    gb = np.empty(n, dtype=bool)
+    gb[:1] = n > 0
+    gb[1:] = (b_s[1:] != b_s[:-1]) | (h_s[1:] != h_s[:-1])
+    gid = np.cumsum(gb) - 1
+    starts = np.nonzero(gb)[0]
+    sizes = np.diff(np.append(starts, n))
+    local = np.arange(n, dtype=np.int64) - starts[gid]
+    s_eff = np.minimum(sizes, max_bucket) if max_bucket else sizes
+    n_dropped = int((sizes - s_eff).sum()) if max_bucket else 0
+    lcnt = np.maximum(s_eff[gid] - 1 - local, 0)
+    total = int(lcnt.sum())
+    if total == 0:
+        z = np.empty(0, np.int64)
+        return d_s, z, z, n_dropped, f_s
+    a_idx = np.repeat(np.arange(n, dtype=np.int64), lcnt)
+    cum = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lcnt, out=cum[1:])
+    b_idx = np.arange(total, dtype=np.int64) - cum[a_idx] + a_idx + 1
+    return d_s, a_idx, b_idx, n_dropped, f_s
+
+
 def pick_lsh_bands(num_perm: int, threshold: float) -> tuple[int, int]:
     """(bands, rows) from the target Jaccard threshold.
 
@@ -272,33 +324,24 @@ def lsh_candidate_pairs(sig_ds, bands: int = 16, rows: int = 8, max_bucket: int 
         zero_copy_batch=True,
     )
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        # keep only LSH buckets with >= 2 docs, then pair within each
-        g = g.drop_duplicates(["band", "band_hash", "doc_id"])
-        sizes = g.groupby(["band", "band_hash"], sort=False)["doc_id"].transform("size")
-        g = g[sizes >= 2]
-        out_a, out_b = [], []
-        n_dropped = 0
-        for _, grp in g.groupby(["band", "band_hash"], sort=False):
-            all_ids = np.sort(grp["doc_id"].to_numpy())
-            ids = all_ids[:max_bucket]
-            n_dropped += all_ids.size - ids.size
-            ia, ib = np.triu_indices(ids.size, k=1)
-            out_a.append(ids[ia])
-            out_b.append(ids[ib])
+    def pairs(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        d_s, ia, ib, n_dropped, _ = _expand_bucket_pairs(
+            g["band"].to_numpy(zero_copy_only=False),
+            g["band_hash"].to_numpy(zero_copy_only=False),
+            g["doc_id"].to_numpy(zero_copy_only=False),
+            max_bucket=max_bucket)
         if n_dropped:
             # no-silent-caps: a degenerate boilerplate bucket past
             # max_bucket loses pairings — say so in the worker log
             print(f"lsh_candidate_pairs: truncated {n_dropped} docs "
                   f"past max_bucket={max_bucket} in oversized buckets",
                   flush=True)
-        if not out_a:
-            return pd.DataFrame({"doc_a": pd.Series(dtype=np.int64),
-                                 "doc_b": pd.Series(dtype=np.int64)})
-        return pd.DataFrame({"doc_a": np.concatenate(out_a),
-                             "doc_b": np.concatenate(out_b)})
+        return pa.table({"doc_a": pa.array(d_s[ia], type=pa.int64()),
+                         "doc_b": pa.array(d_s[ib], type=pa.int64())})
 
-    cand = bucketed_group_apply(band_ds, ["band", "band_hash"], pairs)
+    cand = bucketed_group_apply(band_ds, ["band", "band_hash"], pairs,
+                                batch_format="pyarrow")
     if not distinct:
         # caller collapses duplicates itself (e.g. bucketed_pair_attach's
         # final per-(doc_a, doc_b)-bucket combine) — skip a full shuffle
@@ -623,30 +666,26 @@ def simhash_near_duplicates(sig_ds, max_hamming: int = 3):
     banded = sig_ds.map_batches(band_rows, batch_format="pyarrow",
                                 zero_copy_batch=True)
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"doc_a": pd.Series(dtype=np.int64),
-                              "doc_b": pd.Series(dtype=np.int64),
-                              "hamming": pd.Series(dtype=np.int64)})
-        g = g.drop_duplicates(["band", "band_val", "doc_id"])
-        sizes = g.groupby(["band", "band_val"], sort=False)["doc_id"].transform("size")
-        g = g[sizes >= 2]
-        if len(g) == 0:
-            return empty
-        frames = []
-        for _, grp in g.groupby(["band", "band_val"], sort=False):
-            grp = grp.sort_values("doc_id")
-            ids = grp["doc_id"].to_numpy()
-            sigs = grp["simhash"].to_numpy().astype(np.uint64)
-            ia, ib = np.triu_indices(ids.size, k=1)
-            ham = _hamming64(sigs[ia], sigs[ib])
-            m = ham <= max_hamming
-            frames.append(pd.DataFrame({"doc_a": ids[ia][m], "doc_b": ids[ib][m],
-                                        "hamming": ham[m].astype(np.int64)}))
-        return pd.concat(frames, ignore_index=True) if frames else empty
+    def pairs(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        d_s, ia, ib, _, sg = _expand_bucket_pairs(
+            g["band"].to_numpy(zero_copy_only=False),
+            g["band_val"].to_numpy(zero_copy_only=False),
+            g["doc_id"].to_numpy(zero_copy_only=False),
+            flags=g["simhash"].to_numpy(
+                zero_copy_only=False).astype(np.uint64))
+        ham = _hamming64(sg[ia], sg[ib])
+        m = ham <= max_hamming
+        return pa.table({
+            "doc_a": pa.array(d_s[ia[m]], type=pa.int64()),
+            "doc_b": pa.array(d_s[ib[m]], type=pa.int64()),
+            "hamming": pa.array(ham[m].astype(np.int64)),
+        })
 
     from ocgis_ray.sources.io import bucketed_group_apply, distinct_rows
 
-    cand = bucketed_group_apply(banded, ["band", "band_val"], pairs)
+    cand = bucketed_group_apply(banded, ["band", "band_val"], pairs,
+                                batch_format="pyarrow")
     return distinct_rows(cand, ["doc_a", "doc_b"])
 
 
@@ -869,29 +908,23 @@ def minhash_dedup_incremental(new_ds, store_dir: str, threshold: float = 0.7,
             band_flag(0), batch_format="pyarrow", zero_copy_batch=True))
         union_sigs = new_sigs.union(old_sigs)
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(["band", "band_hash", "doc_id"])
-        sizes = g.groupby(["band", "band_hash"], sort=False)[
-            "doc_id"].transform("size")
-        g = g[sizes >= 2]
-        out_a, out_b = [], []
-        for _, grp in g.groupby(["band", "band_hash"], sort=False):
-            order = np.argsort(grp["doc_id"].to_numpy())
-            ids = grp["doc_id"].to_numpy()[order]
-            fl = grp["is_new"].to_numpy(bool)[order]
-            ia, ib = np.triu_indices(ids.size, k=1)
-            keep = fl[ia] | fl[ib]       # old-vs-old: already resolved
-            a, b = ids[ia][keep], ids[ib][keep]
-            swap = fl[ia][keep] & ~fl[ib][keep]   # new(a) vs old(b)
-            out_a.append(np.where(swap, b, a))
-            out_b.append(np.where(swap, a, b))    # potential loser
-        if not out_a:
-            return pd.DataFrame({"doc_a": pd.Series(dtype=np.int64),
-                                 "doc_b": pd.Series(dtype=np.int64)})
-        return pd.DataFrame({"doc_a": np.concatenate(out_a),
-                             "doc_b": np.concatenate(out_b)})
+    def pairs(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        d_s, ia, ib, _, fl = _expand_bucket_pairs(
+            g["band"].to_numpy(zero_copy_only=False),
+            g["band_hash"].to_numpy(zero_copy_only=False),
+            g["doc_id"].to_numpy(zero_copy_only=False),
+            flags=g["is_new"].to_numpy(zero_copy_only=False).astype(bool))
+        keep = fl[ia] | fl[ib]           # old-vs-old: already resolved
+        a, b = d_s[ia[keep]], d_s[ib[keep]]
+        swap = fl[ia[keep]] & ~fl[ib[keep]]       # new(a) vs old(b)
+        return pa.table({
+            "doc_a": pa.array(np.where(swap, b, a), type=pa.int64()),
+            "doc_b": pa.array(np.where(swap, a, b), type=pa.int64()),
+        })  # doc_b = potential loser
 
-    cand = bucketed_group_apply(banded, ["band", "band_hash"], pairs)
+    cand = bucketed_group_apply(banded, ["band", "band_hash"], pairs,
+                                batch_format="pyarrow")
     joined = bucketed_pair_attach(cand, union_sigs, "doc_a", "doc_b",
                                   "doc_id", "sig",
                                   num_buckets=num_partitions)
