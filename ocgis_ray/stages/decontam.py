@@ -12,7 +12,8 @@ GPT-3 appendix; configurable here).  Shape:
   ``ray.put`` (the same small-side-broadcast rule as the spatial-join
   layer).  ``max_ngrams`` raises (never truncates silently) if the
   "benchmark" turns out corpus-sized; at that scale use
-  ``sketch.build_bloom`` on the window-hash column instead.
+  :func:`build_bench_bloom` (window-hash Bloom filter; size chosen
+  up front, no false negatives).
 - **score** (:func:`add_contamination`): one tokenize pass per batch
   (the shared ``_tokenize_hash`` kernel), a second-level Horner over
   the token hashes builds every n-window hash vectorized (n vector
@@ -69,7 +70,7 @@ def build_bench_ngrams(bench, n: int = 13, col: str = "text",
     Distinct hashes are reduced per batch before the driver union, so
     driver traffic is bounded by DISTINCT benchmark n-grams — raises
     at ``max_ngrams`` rather than degrade silently (a benchmark that
-    large belongs in a Bloom filter, ``sketch.build_bloom``)."""
+    large belongs in a Bloom filter, :func:`build_bench_bloom`)."""
     if isinstance(bench, (list, tuple)):
         w, _ = _window_hashes(pa.array(list(bench), type=pa.string()), n)
         out = np.unique(w)
@@ -91,16 +92,14 @@ def build_bench_ngrams(bench, n: int = 13, col: str = "text",
             raise ValueError(
                 f"benchmark yields >= {upper} per-batch-distinct "
                 f"{n}-gram hashes (cap {max_ngrams}); this input is "
-                "corpus-sized — use sketch.build_bloom over the window "
-                "hashes instead")
+                "corpus-sized — use build_bench_bloom instead")
         out = np.unique(
             parts.to_pandas()["w"].to_numpy(np.int64).view(np.uint64))
     if out.size > max_ngrams:
         raise ValueError(
             f"benchmark has {out.size} distinct {n}-gram hashes "
             f"(> max_ngrams={max_ngrams}); broadcast would be "
-            "corpus-sized — use sketch.build_bloom over the window "
-            "hashes instead")
+            "corpus-sized — use build_bench_bloom instead")
     return out
 
 
@@ -159,6 +158,146 @@ def decontaminate(ds, bench_ngrams: np.ndarray, n: int = 13,
 
     scored = add_contamination(ds, bench_ngrams, n=n, col=col,
                                out="_contam", concurrency=concurrency)
+
+    def keep(t: pa.Table) -> pa.Table:
+        out = t.filter(pc.less_equal(t["_contam"], pa.scalar(max_hits)))
+        return out.drop_columns(["_contam"])
+
+    return scored.map_batches(keep, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def build_bench_bloom(bench, n: int = 13, col: str = "text",
+                      nbits: int | None = None, k: int = 10,
+                      expected_ngrams: int | None = None,
+                      bits_per_ngram: float = 32.0,
+                      batch_size: int = KERNEL_BATCH_SIZE):
+    """Bloom filter over the benchmark's n-token-window hashes — the
+    corpus-sized-benchmark path :func:`build_bench_ngrams` refuses
+    (its sorted-array broadcast is bounded by ``max_ngrams``; a Bloom
+    filter's size is chosen up front and independent of member count).
+
+    Distributed build: each batch windows its docs, probes a local
+    filter, and emits the SPARSE set-bit indices; a distributed
+    distinct bounds driver traffic by the number of DISTINCT set bits
+    (same shape as ``sketch.build_bloom``, which hashes a column value
+    per row — this one feeds the window-hash kernel instead, so one
+    row contributes ~len(tokens) members).
+
+    Sizing: ``nbits`` wins; else ``expected_ngrams`` (or one cheap
+    counting pass over the benchmark) at ``bits_per_ngram`` bits per
+    member.  The default is deliberately FAT — 32 bits/member, k=10,
+    per-window FPR ~2e-6 — because the gate drops a doc on ANY hit:
+    a clean doc probes once per window, so its false-drop odds are
+    ~windows x FPR (a 1%-FPR "10 bits/element" filter would falsely
+    drop nearly every 200-window doc).  Keep per-window FPR well
+    under 1 / typical-windows-per-doc.  Bloom membership has NO false
+    negatives, so decontamination against it never misses a truly
+    contaminated window — false positives only ever drop clean docs
+    (the safe direction for an eval-leak gate)."""
+    from ocgis_ray.stages.sketch import BloomFilter
+
+    if isinstance(bench, (list, tuple)):
+        w, _ = _window_hashes(pa.array(list(bench), type=pa.string()), n)
+        if nbits is None:
+            nbits = max(1024, int(bits_per_ngram * (
+                int(expected_ngrams) if expected_ngrams is not None
+                else max(w.size, 1))))
+        out = BloomFilter(nbits, k)
+        out.add_hashes(w)
+        return out
+
+    if nbits is None:
+        if expected_ngrams is None:
+            def count_w(t: pa.Table) -> pa.Table:
+                w, _ = _window_hashes(t[col], n)
+                return pa.table({"nw": pa.array([w.size], type=pa.int64())})
+
+            expected_ngrams = sum(
+                r["nw"] for r in bench.map_batches(
+                    count_w, batch_format="pyarrow", zero_copy_batch=True,
+                    batch_size=batch_size).take_all())
+        nbits = max(1024, int(bits_per_ngram * int(expected_ngrams)))
+
+    def partial(t: pa.Table) -> pa.Table:
+        bf = BloomFilter(nbits, k)
+        w, _ = _window_hashes(t[col], n)
+        bits = (np.unique(bf._probes(w).ravel()) if w.size
+                else np.empty(0, np.uint64))
+        return pa.table({"bit": pa.array(bits.astype(np.int64))})
+
+    from ocgis_ray.sources.io import distinct_rows
+
+    sparse = distinct_rows(
+        bench.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=batch_size),
+        ["bit"])
+    out = BloomFilter(nbits, k)
+    for row in sparse.take_all():
+        b = np.uint64(row["bit"])
+        out.bits[int(b >> np.uint64(6))] |= np.uint64(1) << (b & np.uint64(63))
+    return out
+
+
+class BloomContamStage:
+    """Actor: per-doc count of n-token windows whose hash the
+    broadcast benchmark Bloom filter contains (fetched once per
+    actor).  Counts upper-bound :class:`ContamStage`'s exact counts
+    (no false negatives; ~FPR extra hits)."""
+
+    def __init__(self, bloom_ref, n: int, col: str, out: str):
+        import ray
+
+        from ocgis_ray.stages.sketch import BloomFilter
+
+        b = ray.get(bloom_ref) if not isinstance(bloom_ref, dict) else bloom_ref
+        self.bloom = BloomFilter(b["nbits"], b["k"])
+        self.bloom.bits = b["bits"]
+        self.n = n
+        self.col = col
+        self.out = out
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        arr = t[self.col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        w, w_row = _window_hashes(arr, self.n)
+        counts = np.zeros(t.num_rows, dtype=np.int64)
+        if w.size:
+            member = self.bloom.contains_hashes(w)
+            counts = np.bincount(w_row[member],
+                                 minlength=t.num_rows).astype(np.int64)
+        return t.append_column(self.out, pa.array(counts))
+
+
+def add_contamination_bloom(ds, bloom, n: int = 13, col: str = "text",
+                            out: str = "contam_ngrams", concurrency=None,
+                            batch_size: int = KERNEL_BATCH_SIZE):
+    """Append the Bloom-approximate contaminated-window count column
+    (``bloom`` from :func:`build_bench_bloom`)."""
+    import ray
+
+    from ocgis_ray.tuning import auto_pool
+
+    concurrency = auto_pool() if concurrency is None else concurrency
+    bloom_ref = ray.put({"bits": bloom.bits, "nbits": bloom.nbits,
+                         "k": bloom.k})
+    return ds.map_batches(
+        BloomContamStage, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=concurrency, batch_size=batch_size,
+        fn_constructor_kwargs={"bloom_ref": bloom_ref, "n": n,
+                               "col": col, "out": out})
+
+
+def decontaminate_bloom(ds, bloom, n: int = 13, col: str = "text",
+                        max_hits: int = 0, concurrency=None):
+    """Drop documents with more than ``max_hits`` Bloom-member windows.
+    Never keeps a document :func:`decontaminate` would drop (no false
+    negatives); may additionally drop ~FPR of clean documents."""
+    import pyarrow.compute as pc
+
+    scored = add_contamination_bloom(ds, bloom, n=n, col=col,
+                                     out="_contam", concurrency=concurrency)
 
     def keep(t: pa.Table) -> pa.Table:
         out = t.filter(pc.less_equal(t["_contam"], pa.scalar(max_hits)))

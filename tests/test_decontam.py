@@ -82,7 +82,7 @@ def test_max_ngrams_raises_not_truncates(docs):
     from ocgis_ray.stages.decontam import build_bench_ngrams
 
     _, df = docs
-    with pytest.raises(ValueError, match="build_bloom"):
+    with pytest.raises(ValueError, match="build_bench_bloom"):
         build_bench_ngrams(list(df["text"]), n=3, max_ngrams=2)
 
 
@@ -131,3 +131,62 @@ def test_sql_twin_parity(ray_session, tmp_path):
     assert (eng["contam_ngrams"].to_numpy()
             == ora["contam_ngrams"].to_numpy()).all()
     assert (eng.loc[eng["doc_id"] < 6, "contam_ngrams"] > 0).any()
+
+
+def test_bloom_counts_upper_bound_exact(docs):
+    """Bloom counts >= exact counts row-wise (no false negatives);
+    with a generously sized filter they are equal on this corpus."""
+    from ocgis_ray.stages.decontam import (add_contamination,
+                                           add_contamination_bloom,
+                                           build_bench_bloom,
+                                           build_bench_ngrams)
+
+    ds, df = docs
+    n = 5
+    bench_texts = list(df["text"][:2])
+    exact = (add_contamination(ds, build_bench_ngrams(bench_texts, n=n), n=n)
+             .to_pandas().set_index("doc_id")["contam_ngrams"])
+    bloom = build_bench_bloom(bench_texts, n=n, nbits=1 << 20)
+    approx = (add_contamination_bloom(ds, bloom, n=n)
+              .to_pandas().set_index("doc_id")["contam_ngrams"])
+    assert (approx.loc[exact.index] >= exact).all()
+    assert (approx.loc[exact.index] == exact).all()  # ~0 FPR at this size
+    # a deliberately tiny filter still never undercounts
+    tiny = build_bench_bloom(bench_texts, n=n, nbits=64)
+    under = (add_contamination_bloom(ds, tiny, n=n)
+             .to_pandas().set_index("doc_id")["contam_ngrams"])
+    assert (under.loc[exact.index] >= exact).all()
+
+
+def test_bloom_build_dataset_equals_list(docs):
+    """Distributed sparse-bit build == local list build, bit for bit,
+    and the default sizing counting pass runs without a hint."""
+    from ocgis_ray.stages.decontam import build_bench_bloom
+
+    ds, df = docs
+    a = build_bench_bloom(list(df["text"]), n=5, nbits=1 << 14)
+    b = build_bench_bloom(ds, n=5, nbits=1 << 14)
+    assert a.nbits == b.nbits and a.k == b.k
+    assert np.array_equal(a.bits, b.bits)
+    sized = build_bench_bloom(ds, n=5)  # counting-pass sizing
+    nwin = sum(max(len(t.split()) - 4, 0) for t in df["text"])
+    assert sized.nbits == max(1024, 32 * nwin)
+
+
+def test_decontaminate_bloom_safe_direction(docs):
+    """Bloom gate never keeps a doc the exact gate drops."""
+    from ocgis_ray.stages.decontam import (build_bench_bloom,
+                                           build_bench_ngrams,
+                                           decontaminate,
+                                           decontaminate_bloom)
+
+    ds, df = docs
+    bench_texts = list(df["text"][:2])
+    exact_kept = set(decontaminate(
+        ds, build_bench_ngrams(bench_texts, n=5), n=5)
+        .to_pandas()["doc_id"])
+    bloom = build_bench_bloom(bench_texts, n=5, nbits=1 << 20)
+    kept = decontaminate_bloom(ds, bloom, n=5).to_pandas()
+    assert set(kept.columns) == {"doc_id", "text"}
+    assert set(kept["doc_id"]) <= exact_kept
+    assert set(kept["doc_id"]) == exact_kept  # ~0 FPR at this size
