@@ -554,13 +554,27 @@ def connected_components(pairs, id_a: str = "doc_a", id_b: str = "doc_b",
 def dedup_cluster_survivors(ds, pairs, id_col: str = "doc_id",
                             num_partitions: int | None = None,
                             max_rounds: int = 25,
-                            num_buckets: int | None = None):
-    """Keep ONE doc per near-dup cluster (the component's min id):
-    connected components over the pair graph, then a hash-shuffle
-    anti-join removing every doc whose component label is a smaller
-    id.  Transitive-closure semantics; see :func:`dedup_survivors`
-    for the cheaper greedy pairwise variant."""
-    from ocgis_ray.sources.io import join_datasets
+                            num_buckets: int | None = None,
+                            quality_col: str | None = None,
+                            prefer: str = "max"):
+    """Keep ONE doc per near-dup cluster: connected components over
+    the pair graph, then a hash-shuffle anti-join removing the rest.
+
+    Survivor choice: by default the component's MIN id (free — it IS
+    the component label).  With ``quality_col`` the survivor is the
+    cluster's best-quality doc instead (``prefer="max"``, e.g. a
+    Gopher/classifier score, or ``"min"``, e.g. a perplexity) — the
+    production near-dup semantics when duplicates differ in extraction
+    quality: keep the cleanest copy, not the smallest id.  Quality
+    ties break to the MIN id and NaN quality never beats a number, so
+    survivor sets stay deterministic and resume-stable.  Costs one
+    slim (id, quality) hash join plus one component-bucketed shuffle
+    on the pair-graph working set (docs appearing in a pair — far
+    smaller than the corpus).
+
+    Transitive-closure semantics; see :func:`dedup_survivors` for the
+    cheaper greedy pairwise variant."""
+    from ocgis_ray.sources.io import bucketed_group_apply, join_datasets
 
     # see dedup_survivors: a row-less pair graph yields a schema-less
     # losers side, which the anti-join rejects; nothing to drop.
@@ -568,6 +582,8 @@ def dedup_cluster_survivors(ds, pairs, id_col: str = "doc_id",
     # (label propagation re-reads the pair set every round anyway)
     import ray.data as rd
 
+    if prefer not in ("max", "min"):
+        raise ValueError(f"prefer must be 'max' or 'min', got {prefer!r}")
     if isinstance(pairs, pd.DataFrame):
         pairs = rd.from_pandas(pairs)
     pairs = pairs.materialize()
@@ -576,16 +592,46 @@ def dedup_cluster_survivors(ds, pairs, id_col: str = "doc_id",
     comp = connected_components(pairs, max_rounds=max_rounds,
                                 num_buckets=num_buckets)
 
-    def loser_rows(t: pa.Table) -> pa.Table:
-        ids = t["id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        comp_ = t["component"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table({"loser_id": pa.array(ids[comp_ < ids])})
+    if quality_col is None:
+        def loser_rows(t: pa.Table) -> pa.Table:
+            ids = t["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            comp_ = t["component"].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            return pa.table({"loser_id": pa.array(ids[comp_ < ids])})
+
+        losers = comp.map_batches(loser_rows, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    else:
+        def slim(t: pa.Table) -> pa.Table:
+            return pa.table({"id": t[id_col], "_q": t[quality_col]})
+
+        scored = join_datasets(
+            comp, ds.map_batches(slim, batch_format="pyarrow",
+                                 zero_copy_batch=True),
+            on=("id",), num_partitions=num_partitions)
+        sign = -1.0 if prefer == "max" else 1.0
+
+        def losers_fn(g: pa.Table) -> pa.Table:
+            g = g.combine_chunks()
+            comp_ = g["component"].to_numpy(zero_copy_only=False)
+            ids = g["id"].to_numpy(zero_copy_only=False)
+            q = g["_q"].to_numpy(zero_copy_only=False).astype(np.float64)
+            q = np.where(np.isnan(q), np.inf, sign * q)  # NaN never wins
+            order = np.lexsort((ids, q, comp_))
+            comp_s, ids_s = comp_[order], ids[order]
+            first = np.empty(len(order), dtype=bool)
+            first[:1] = True
+            first[1:] = comp_s[1:] != comp_s[:-1]
+            return pa.table({"loser_id": pa.array(ids_s[~first],
+                                                  type=pa.int64())})
+
+        losers = bucketed_group_apply(scored, "component", losers_fn,
+                                      num_buckets=num_buckets,
+                                      batch_format="pyarrow")
 
     # see dedup_survivors: repartition unifies away the zero-column
     # blocks map_groups emits for empty shuffle partitions
-    losers = comp.map_batches(loser_rows, batch_format="pyarrow",
-                              zero_copy_batch=True) \
-        .repartition(max(2, num_partitions or 2))
+    losers = losers.repartition(max(2, num_partitions or 2))
     return join_datasets(ds, losers, on=(id_col,), right_on=("loser_id",),
                          join_type="left_anti", num_partitions=num_partitions)
 

@@ -317,3 +317,61 @@ def test_minhash_dedup_incremental(ray_session, tmp_path):
     stored = rd.read_parquet(
         sorted(glob.glob(f"{store}/part=*/*.parquet"))).to_pandas()
     assert sorted(stored["doc_id"]) == [0, 2, 11]
+
+
+def test_cluster_survivors_quality_aware(ray_session):
+    """quality_col picks the cluster's best-quality doc (not min id);
+    ties break to min id; NaN quality never wins; prefer="min" flips
+    the objective (perplexity-style); random graph checked against a
+    local union-find + argmax reference."""
+    import pandas as pd
+    import ray.data as rd
+    from ocgis_ray.stages.dedup import dedup_cluster_survivors
+
+    # hand case: cluster {1,2,3} where 3 has the best quality
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(1, 5, dtype=np.int64),
+        "q": np.array([0.1, 0.5, 0.9, 0.2]),
+        "text": ["a", "b", "c", "d"]}))
+    pairs = rd.from_pandas(pd.DataFrame({
+        "doc_a": np.array([1, 3], np.int64),
+        "doc_b": np.array([3, 2], np.int64)}))
+    got = set(dedup_cluster_survivors(docs, pairs, quality_col="q",
+                                      num_buckets=4).to_pandas()["doc_id"])
+    assert got == {3, 4}
+    low = set(dedup_cluster_survivors(docs, pairs, quality_col="q",
+                                      prefer="min", num_buckets=4)
+              .to_pandas()["doc_id"])
+    assert low == {1, 4}
+    with pytest.raises(ValueError, match="prefer"):
+        dedup_cluster_survivors(docs, pairs, quality_col="q", prefer="best")
+
+    # ties -> min id; NaN never beats a number
+    docs2 = rd.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(1, 5, dtype=np.int64),
+        "q": np.array([0.5, 0.5, np.nan, np.nan])}))
+    pairs2 = rd.from_pandas(pd.DataFrame({
+        "doc_a": np.array([1, 3], np.int64),
+        "doc_b": np.array([2, 4], np.int64)}))
+    got2 = set(dedup_cluster_survivors(docs2, pairs2, quality_col="q",
+                                       num_buckets=4).to_pandas()["doc_id"])
+    assert got2 == {1, 3}
+
+    # random graph vs local reference
+    rng = np.random.RandomState(11)
+    edges = [(int(a), int(b)) for a, b in rng.randint(0, 40, (50, 2))
+             if a != b]
+    qual = rng.rand(40)
+    docs3 = rd.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(40, dtype=np.int64), "q": qual}))
+    pairs3 = rd.from_pandas(pd.DataFrame(edges, columns=["doc_a", "doc_b"]))
+    comp = _local_components(edges)
+    clusters = {}
+    for node, root in comp.items():
+        clusters.setdefault(root, []).append(node)
+    want = set(range(40)) - set(comp)  # untouched docs survive
+    for members in clusters.values():
+        want.add(min(members, key=lambda i: (-qual[i], i)))
+    got3 = set(dedup_cluster_survivors(docs3, pairs3, quality_col="q",
+                                       num_buckets=4).to_pandas()["doc_id"])
+    assert got3 == want
