@@ -110,14 +110,16 @@ def pagerank(edges, damping: float = 0.85, iters: int = 10,
     base = (1.0 - d) / n_nodes
     init = 1.0 / n_nodes
 
-    def count_deg(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby(src, sort=False).size().reset_index(name="_deg")
-        return out
+    def count_deg(g: pa.Table) -> pa.Table:
+        out = g.group_by([src], use_threads=False).aggregate(
+            [([], "count_all")])
+        return pa.table({src: out[src],
+                         "_deg": out["count_all"].cast(pa.int64())})
 
     deg = bucketed_group_apply(
         edges.map_batches(lambda t: pa.table({src: t[src]}),
                           batch_format="pyarrow", zero_copy_batch=True),
-        src, count_deg, num_buckets=num_buckets)
+        src, count_deg, num_buckets=num_buckets, batch_format="pyarrow")
     # static across iterations -> one object-store checkpoint
     edges_deg = join_datasets(edges, deg, on=[src],
                               num_partitions=num_partitions).materialize()
@@ -127,8 +129,9 @@ def pagerank(edges, damping: float = 0.85, iters: int = 10,
             np.full(t.num_rows, init))),
         batch_format="pyarrow", zero_copy_batch=True).materialize()
 
-    def sum_dst(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby(dst, sort=False, as_index=False)["_m"].sum()
+    def sum_dst(g: pa.Table) -> pa.Table:
+        out = g.group_by([dst], use_threads=False).aggregate([("_m", "sum")])
+        return pa.table({dst: out[dst], "_m": out["_m_sum"]})
 
     for _ in range(iters):
         contrib = join_datasets(edges_deg, ranks, on=[src], right_on=["node"],
@@ -141,7 +144,8 @@ def pagerank(edges, damping: float = 0.85, iters: int = 10,
             }),
             batch_format="pyarrow", zero_copy_batch=True)
         msum = bucketed_group_apply(contrib, dst, sum_dst,
-                                    num_buckets=num_buckets)
+                                    num_buckets=num_buckets,
+                                    batch_format="pyarrow")
         joined = join_datasets(nodes, msum, on=["node"], right_on=[dst],
                                join_type="left_outer",
                                num_partitions=num_partitions)
