@@ -184,22 +184,13 @@ def moving_window(ds, entity_keys, ts_col: str, value_col: str, window: int,
     # cheap range sort) and run the rolling window VECTORIZED across
     # all of a bucket's entities at once (pandas groupby-rolling) —
     # Ray's per-group map_groups on raw entity keys pays per-group
-    # Python overhead that dominates with many entities.
-    num_buckets = 32
-
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        h = pd.util.hash_pandas_object(
-            df[entity_keys].reset_index(drop=True), index=False
-        )
-        df = df.copy()
-        # .to_numpy(): assigning the Series would ALIGN on df's index
-        # and scramble buckets under pandas-UDF fusion (the exact bug
-        # bucketed_group_apply documents at io.py:140-149)
-        df["_bucket"] = (h % np.uint64(num_buckets)).astype(np.int64).to_numpy()
-        return df
+    # Python overhead that dominates with many entities.  Bucketing
+    # itself is the shared Arrow key-hash stage (the former local
+    # pandas add_bucket round-tripped every block through pandas).
+    from ocgis_ray.sources.io import bucketed_group_apply
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(entity_keys + sort_cols).drop(columns=["_bucket"])
+        g = g.sort_values(entity_keys + sort_cols)
         rolled = (
             g.groupby(entity_keys, sort=False)[value_col]
             .rolling(window, min_periods=1)
@@ -210,8 +201,7 @@ def moving_window(ds, entity_keys, ts_col: str, value_col: str, window: int,
         g[out_col] = sql_round(rolled, round_digits)
         return g
 
-    bucketed = ds.map_batches(add_bucket, batch_format="pandas")
-    return bucketed.groupby("_bucket").map_groups(per_bucket, batch_format="pandas")
+    return bucketed_group_apply(ds, entity_keys, per_bucket)
 
 
 def window_ops(ds, entity_keys, order_cols, specs: dict):
