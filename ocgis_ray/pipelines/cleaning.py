@@ -185,9 +185,11 @@ def clean_corpus(ds, id_col: str = "doc_id", text_col: str = "text",
                 embeddings, threshold=embedding_threshold,
                 num_partitions=num_buckets)
             pairs = raw.map_batches(
-                lambda df: df.rename(columns={"vec_a": "doc_a",
-                                              "vec_b": "doc_b"}),
-                batch_format="pandas")
+                lambda t: t.rename_columns(
+                    ["doc_a" if c == "vec_a" else
+                     "doc_b" if c == "vec_b" else c
+                     for c in t.column_names]),
+                batch_format="pyarrow", zero_copy_batch=True)
         else:
             pairs = dedup.minhash_near_duplicates(
                 nd_in, threshold=minhash_threshold,
