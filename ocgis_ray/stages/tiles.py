@@ -81,26 +81,70 @@ def grouped_aggregate(ds, keys: list[str] | str, spec: dict, batch_size: int = 6
     num_buckets = auto_buckets(num_buckets)
     keys = [keys] if isinstance(keys, str) else list(keys)
 
-    def partial_with_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        out = _partial_batch(df, keys, spec)
-        h = pd.util.hash_pandas_object(out[keys].reset_index(drop=True), index=False)
-        out["_bucket"] = (h % np.uint64(num_buckets)).astype(np.int64)
-        return out
+    def partial_with_bucket(t: pa.Table) -> pa.Table:
+        # zero-copy Arrow partial: derive the aggregation inputs,
+        # hash-aggregate per key, append the shuffle bucket — the
+        # former pandas version converted every block (all columns)
+        # per batch.  pandas groupby drops null-key rows; mirror that.
+        import pyarrow.compute as pc
+
+        if any(t[k].null_count for k in keys):
+            m = None
+            for k in keys:
+                v = pc.is_valid(t[k])
+                m = v if m is None else pc.and_(m, v)
+            t = t.filter(m)
+        cols = {k: t[k] for k in keys}
+        aggs = []
+        for out, (col, kind) in spec.items():
+            if kind == "count":
+                cols[out] = (pa.array(np.ones(t.num_rows, np.int64))
+                             if col is None
+                             else pc.cast(pc.is_valid(t[col]), pa.int64()))
+                aggs.append((out, "sum"))
+            elif kind == "sum":
+                cols[out] = t[col]
+                aggs.append((out, "sum"))
+            elif kind == "sumsq":
+                c = pc.cast(t[col], pa.float64())
+                cols[out] = pc.multiply(c, c)
+                aggs.append((out, "sum"))
+            elif kind in ("min", "max"):
+                cols[out] = t[col]
+                aggs.append((out, kind))
+            else:
+                raise ValueError(f"unknown partial kind {kind!r}")
+        g = pa.table(cols).group_by(keys, use_threads=False).aggregate(aggs)
+        out_cols = {k: g[k] for k in keys}
+        for out, (_, kind) in spec.items():
+            suffix = "sum" if kind in ("count", "sum", "sumsq") else kind
+            out_cols[out] = g[f"{out}_{suffix}"]
+        res = pa.table(out_cols)
+        from ocgis_ray.sources.io import bucket_key_hash
+
+        h = bucket_key_hash(res, keys)
+        return res.append_column(
+            "_bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int64)))
 
     partial = ds.map_batches(
-        partial_with_bucket, batch_format="pandas", batch_size=batch_size
+        partial_with_bucket, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size
     )
 
     how = {}
     for out, (_, kind) in spec.items():
         how[out] = "sum" if kind in ("count", "sum", "sumsq") else kind
 
-    def combine(g: pd.DataFrame) -> pd.DataFrame:
-        return (
+    def combine(g: pd.DataFrame) -> pa.Table:
+        out = (
             g.drop(columns=["_bucket"])
             .groupby(keys, as_index=False, sort=False)
             .agg(how)
         )
+        # Arrow blocks out: pandas blocks defeat Ray's schema-dedup
+        # fast path (see bucketed_group_apply)
+        return pa.Table.from_pandas(
+            out, preserve_index=False).replace_schema_metadata(None)
 
     return partial.groupby("_bucket").map_groups(combine, batch_format="pandas")
 
