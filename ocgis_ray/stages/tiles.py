@@ -34,29 +34,6 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-#: aggregation spec: out_col -> (in_col, kind); kinds below
-def _partial_batch(df: pd.DataFrame, keys: list[str], spec: dict) -> pd.DataFrame:
-    """One batch -> per-key partial aggregate rows (vectorized pandas)."""
-    agg_cols = {}
-    tmp = df[keys].copy()
-    for out, (col, kind) in spec.items():
-        if kind == "count":
-            tmp[out] = np.int64(1) if col is None else df[col].notna().astype(np.int64)
-            agg_cols[out] = "sum"
-        elif kind == "sum":
-            tmp[out] = df[col]
-            agg_cols[out] = "sum"
-        elif kind == "sumsq":
-            tmp[out] = df[col].to_numpy(dtype=np.float64) ** 2
-            agg_cols[out] = "sum"
-        elif kind in ("min", "max"):
-            tmp[out] = df[col]
-            agg_cols[out] = kind
-        else:
-            raise ValueError(f"unknown partial kind {kind!r}")
-    return tmp.groupby(keys, as_index=False, sort=False).agg(agg_cols)
-
-
 def grouped_aggregate(ds, keys: list[str] | str, spec: dict, batch_size: int = 65536,
                       num_buckets: int | None = None):
     """Generic partial+final grouped aggregate.

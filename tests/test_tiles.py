@@ -6,28 +6,38 @@ import pytest
 
 from ocgis_ray.stages.tiles import (
     SaltStage,
-    _partial_batch,
     cell_histogram,
     grouped_aggregate,
     salt_plan,
 )
 
 
-def test_partial_batch_matches_pandas():
+def test_grouped_aggregate_kinds_and_null_semantics(ray_session):
+    """All partial kinds in one spec; null KEYS drop (pandas groupby
+    semantics); count over a COLUMN counts non-null values only."""
+    import ray.data as rd
+
     df = pd.DataFrame({
-        "k": [1, 1, 2, 2, 2],
-        "v": [1.0, 2.0, 3.0, 4.0, 5.0],
+        "k": pd.array([1, 1, 2, 2, 2, None], dtype="Int64"),
+        "v": [1.0, 2.0, 3.0, 4.0, 5.0, 99.0],
+        "w": pd.array([10, None, 30, None, 50, 60], dtype="Int64"),
     })
-    out = _partial_batch(df, ["k"], {
-        "n": (None, "count"), "s": ("v", "sum"),
-        "mn": ("v", "min"), "mx": ("v", "max"), "ss": ("v", "sumsq"),
-    })
-    out = out.sort_values("k").reset_index(drop=True)
+    out = grouped_aggregate(
+        rd.from_pandas(df).repartition(3), ["k"], {
+            "n": (None, "count"), "nw": ("w", "count"), "s": ("v", "sum"),
+            "mn": ("v", "min"), "mx": ("v", "max"), "ss": ("v", "sumsq"),
+        }, batch_size=2,
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+    assert out["k"].tolist() == [1, 2]          # null key dropped
     assert out["n"].tolist() == [2, 3]
+    assert out["nw"].tolist() == [1, 2]         # non-null w only
     assert out["s"].tolist() == [3.0, 12.0]
     assert out["mn"].tolist() == [1.0, 3.0]
     assert out["mx"].tolist() == [2.0, 5.0]
     assert out["ss"].tolist() == [5.0, 50.0]
+    with pytest.raises(Exception):
+        grouped_aggregate(rd.from_pandas(df), ["k"],
+                          {"z": ("v", "median")}).materialize()
 
 
 def test_grouped_aggregate_equals_pandas(ray_session):
