@@ -159,9 +159,8 @@ def heavy_hitters(ds, col: str, k: int, capacity: int | None = None,
 _HLL_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
 
 
-def _hll_registers(hashes: np.ndarray, p: int) -> np.ndarray:
-    """Register maxima for one batch of 64-bit hashes."""
-    m = 1 << p
+def _hll_row_ranks(hashes: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-hash (register index, rank) pairs."""
     idx = (hashes >> np.uint64(64 - p)).astype(np.int64)
     rest = (hashes << np.uint64(p)) | (np.uint64(1) << np.uint64(p - 1))
     # rank = leading zeros of the remaining 64-p bits + 1; the OR above
@@ -177,7 +176,13 @@ def _hll_registers(hashes: np.ndarray, p: int) -> np.ndarray:
         lz[mask] += shift
         x[mask] = x[mask] << np.uint64(shift)
     fl[nz] = lz[nz]
-    rank = fl + 1
+    return idx, fl + 1
+
+
+def _hll_registers(hashes: np.ndarray, p: int) -> np.ndarray:
+    """Register maxima for one batch of 64-bit hashes."""
+    m = 1 << p
+    idx, rank = _hll_row_ranks(hashes, p)
     regs = np.zeros(m, dtype=np.int64)
     np.maximum.at(regs, idx, rank)
     return regs
@@ -238,15 +243,85 @@ def approx_distinct(ds, col: str, p: int = 12,
         ds.map_batches(partial, batch_format="pyarrow",
                        zero_copy_batch=True, batch_size=batch_size),
         ["reg"], {"rank": ("rank", "max")}).take_all()
-    regs = np.zeros(m, dtype=np.int64)
-    for r in merged:
-        regs[int(r["reg"])] = int(r["rank"])
+    s_nz = sum(np.power(2.0, -float(r["rank"])) for r in merged)
+    est = _hll_estimate(np.array([s_nz]), np.array([len(merged)]), m)
+    return int(est[0])
+
+
+def _hll_estimate(s_nz: np.ndarray, nnz: np.ndarray, m: int) -> np.ndarray:
+    """Bias-corrected HLL estimates, vectorized across groups.
+    ``s_nz`` = per-group sum of 2^-rank over NONZERO registers,
+    ``nnz`` = per-group count of nonzero registers."""
+    zeros = m - nnz
     alpha = _HLL_ALPHA.get(m, 0.7213 / (1.0 + 1.079 / m))
-    est = alpha * m * m / np.sum(np.power(2.0, -regs))
-    zeros = int((regs == 0).sum())
-    if est <= 2.5 * m and zeros:
-        est = m * np.log(m / zeros)  # linear counting
-    return int(round(est))
+    est = alpha * m * m / (s_nz + zeros)  # zero registers add 2^0 each
+    small = (est <= 2.5 * m) & (zeros > 0)
+    with np.errstate(divide="ignore"):
+        lin = m * np.log(np.maximum(m / np.maximum(zeros, 1), 1.0))
+    est = np.where(small, lin, est)
+    return np.round(est).astype(np.int64)
+
+
+def approx_distinct_by(ds, keys: list[str] | str, col: str, p: int = 12,
+                       out_col: str = "approx_distinct",
+                       batch_size: int = 65536,
+                       num_buckets: int | None = None):
+    """Per-group HyperLogLog distinct count — ``SELECT keys,
+    approx_count_distinct(col) GROUP BY keys`` at any group
+    cardinality (unique users per host, distinct hosts per tile...).
+
+    Dataflow: one slim (keys, register, rank) row per input row; the
+    register max-merge runs through :func:`tiles.grouped_aggregate`,
+    so each batch collapses to <= groups-in-batch x 2^p partial rows
+    BEFORE the shuffle and hot groups cannot skew it (a group's
+    million rows become at most 2^p partials per batch); the final
+    estimate is one vectorized pass per key-hash bucket.  Returns a
+    Dataset ``keys + [out_col]``.
+
+    Standard error ~1.04/sqrt(2^p) per group (~1.6% at p=12).  With
+    many groups the shuffle carries up to 2^p rows per group — drop
+    ``p`` to 10 (~3% error, 1/4 the rows) when groups are millions.
+    Null ``col`` values do not count; groups whose values are ALL
+    null produce no output row.  Deterministic: estimates are a pure
+    function of the value set, independent of partitioning."""
+    from ocgis_ray.sources.io import bucketed_group_apply
+    from ocgis_ray.stages.tiles import grouped_aggregate
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    m = 1 << p
+
+    def rows(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if t.num_rows and t[col].null_count:
+            t = t.filter(pc.is_valid(t[col]))
+        if t.num_rows == 0:
+            return pa.table({**{k: t[k] for k in keys},
+                             "reg": pa.array([], pa.int64()),
+                             "rank": pa.array([], pa.int64())})
+        idx, rank = _hll_row_ranks(_hash64(t[col]), p)
+        return pa.table({**{k: t[k] for k in keys},
+                         "reg": pa.array(idx), "rank": pa.array(rank)})
+
+    merged = grouped_aggregate(
+        ds.map_batches(rows, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=batch_size),
+        keys + ["reg"], {"rank": ("rank", "max")}, batch_size=batch_size,
+        num_buckets=num_buckets)
+
+    def estimate(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["_pw"] = np.power(2.0, -g["rank"].to_numpy(np.float64))
+        gg = g.groupby(keys, sort=False)
+        s_nz = gg["_pw"].sum()
+        nnz = gg.size()
+        out = s_nz.index.to_frame(index=False)
+        out[out_col] = _hll_estimate(s_nz.to_numpy(np.float64),
+                                     nnz.to_numpy(np.int64), m)
+        return out
+
+    return bucketed_group_apply(merged, keys, estimate,
+                                num_buckets=num_buckets)
 
 
 # ----------------------------------------------------------- bloom filter

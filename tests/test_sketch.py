@@ -168,3 +168,55 @@ def test_bloom_and_hll_null_stability(ray_session):
     # HLL: same estimate with and without a null row
     assert abs(approx_distinct(dirty, "doc_id") -
                approx_distinct(clean, "doc_id")) <= 1
+
+
+def test_approx_distinct_by_accuracy_and_consistency(ray_session):
+    """Per-group HLL: matches the global estimator on a single group
+    bit-for-bit, tracks exact nunique within ~5x standard error per
+    group, and is invariant to input partitioning."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ocgis_ray.stages.sketch import approx_distinct, approx_distinct_by
+
+    rng = np.random.RandomState(5)
+    sizes = {"a": 50, "b": 900, "c": 12000, "d": 1}
+    frames = [pd.DataFrame({
+        "k": g, "v": rng.randint(0, n * 3, n * 2)})  # ~duplicated values
+        for g, n in sizes.items()]
+    df = pd.concat(frames, ignore_index=True)
+    exact = df.groupby("k")["v"].nunique()
+
+    ds = rd.from_pandas(df).repartition(8)
+    got = (approx_distinct_by(ds, "k", "v", p=12, num_buckets=4)
+           .to_pandas().set_index("k")["approx_distinct"])
+    assert set(got.index) == set(exact.index)
+    for g in exact.index:
+        rel = abs(got[g] - exact[g]) / max(exact[g], 1)
+        assert rel < 0.09, (g, got[g], exact[g])
+
+    # single group == global estimator, exactly
+    one = df[df["k"] == "c"]
+    glob = approx_distinct(rd.from_pandas(one), "v", p=12)
+    assert got["c"] == glob
+
+    # partition invariance
+    got2 = (approx_distinct_by(rd.from_pandas(df).repartition(2), "k", "v",
+                               p=12, num_buckets=4)
+            .to_pandas().set_index("k")["approx_distinct"])
+    assert got.sort_index().equals(got2.sort_index())
+
+
+def test_approx_distinct_by_null_semantics(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from ocgis_ray.stages.sketch import approx_distinct_by
+
+    df = pd.DataFrame({
+        "k": ["x", "x", "x", "y", "y"],
+        "v": pd.array([1, 1, None, None, None], dtype="Int64"),
+    })
+    got = (approx_distinct_by(rd.from_pandas(df), "k", "v", p=10)
+           .to_pandas().set_index("k")["approx_distinct"])
+    assert got.to_dict() == {"x": 1}  # nulls don't count; all-null group absent
