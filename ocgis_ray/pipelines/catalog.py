@@ -800,6 +800,28 @@ def sql_revenue_by_nation() -> str:
 
 
 def q_events_user_rollup(sf_dir: str):
+    """Also gates the per-group HLL sketch engine-side: every user's
+    ``approx_distinct_by`` event-type estimate must EQUAL the exact
+    distinct count (<= 5 types per user is deep inside HLL's
+    linear-counting regime, where the estimate is exact) — a
+    divergence errors the query, so the oracle gate covers the
+    sketch without an (impossible) SQL hash twin."""
+    from ocgis_ray.sources.io import distinct_rows
+    from ocgis_ray.stages.sketch import approx_distinct_by
+
+    ev = _events(sf_dir, ["user_id", "event_type", "value"])
+    approx = approx_distinct_by(ev, "user_id", "event_type",
+                                p=12).to_pandas()
+    exact = grouped_aggregate(
+        distinct_rows(ev.drop_columns(["value"]),
+                      ["user_id", "event_type"]),
+        ["user_id"], {"n_types": (None, "count")}).to_pandas()
+    merged = approx.merge(exact, on="user_id", how="outer")
+    if (len(merged) != len(exact)
+            or not (merged["approx_distinct"] == merged["n_types"]).all()):
+        raise AssertionError(
+            "approx_distinct_by diverged from exact distinct event types")
+
     agg = grouped_aggregate(
         _events(sf_dir, ["user_id", "value"]),
         ["user_id"],
