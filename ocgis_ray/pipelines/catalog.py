@@ -1077,12 +1077,23 @@ BM25_QUERY = "data value world report"
 
 
 def q_fingerprint_documents(sf_dir: str):
+    """Also gates the Bloom decontamination path engine-side: the
+    Bloom counts from the SAME benchmark must row-wise upper-bound
+    the exact ``contam_ngrams`` (no false negatives) with at most 1%
+    of clean windows inflated (FPR); a violation errors the query.
+    No SQL twin is possible for the probabilistic side, so it rides
+    the exact column's oracle this way."""
     from ocgis_ray.sources.io import read_parquet_sized
     from ocgis_ray.stages.bm25 import add_bm25, bm25_stats
-    from ocgis_ray.stages.decontam import add_contamination, build_bench_ngrams
+    from ocgis_ray.stages.decontam import (add_contamination,
+                                           add_contamination_bloom,
+                                           build_bench_bloom,
+                                           build_bench_ngrams)
 
     docs = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     bench = build_bench_ngrams(
+        docs.filter(lambda r: r["doc_id"] < CONTAM_BENCH_DOCS), n=CONTAM_N)
+    bloom = build_bench_bloom(
         docs.filter(lambda r: r["doc_id"] < CONTAM_BENCH_DOCS), n=CONTAM_N)
     # corpus stats pass (df/avgdl for the query's terms only) — a
     # second column-pruned read, never a corpus-sized collect
@@ -1091,6 +1102,14 @@ def q_fingerprint_documents(sf_dir: str):
         BM25_QUERY)
     out = text.add_fingerprint(docs)
     out = add_contamination(out, bench, n=CONTAM_N)
+    out = add_contamination_bloom(out, bloom, n=CONTAM_N, out="_bloom_c")
+    chk = out.select_columns(["contam_ngrams", "_bloom_c"]).to_pandas()
+    if (chk["_bloom_c"] < chk["contam_ngrams"]).any():
+        raise AssertionError("Bloom decontam undercounted (false negative)")
+    extra = int((chk["_bloom_c"] - chk["contam_ngrams"]).sum())
+    if extra > max(1, len(chk) // 100):
+        raise AssertionError(
+            f"Bloom decontam inflated {extra} windows (> 1% of docs)")
     out = add_bm25(out, BM25_QUERY, stats, round_digits=6)
     return out.select_columns(["doc_id", "fingerprint", "contam_ngrams",
                                "bm25"])
