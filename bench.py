@@ -308,7 +308,29 @@ def run_queries() -> dict[str, float]:
             "embedding": [np.asarray(v) for v in qt["embedding"].to_pylist()]})
         return ann_hnsw(vecs, queries, k=10, batch_size=2048)
 
+    def extra_outlink_graph():
+        # the WAT path: href extraction + resolution over the messy
+        # corpus (stateless Arrow RE2 map), host-edge rollup (bucketed
+        # grouped aggregate) and a 3-iteration PageRank over the
+        # extracted graph — the link-graph twin of dom_extract_pages,
+        # sharing its cached corpus.
+        from ocgis_ray.sources.io import read_parquet_sized
+        from ocgis_ray.sources.messy import materialize_messy_pages_parquet
+        from ocgis_ray.stages.graph import pagerank
+        from ocgis_ray.stages.links import extract_outlinks, host_edges
+
+        sf_tag = os.path.basename(SF_DIR.rstrip("/"))
+        path = materialize_messy_pages_parquet(
+            SF_DIR, DOM_REPS, f"/tmp/graft_bench/{sf_tag}",
+            num_blocks=max(64, NUM_CPUS * 4),
+            concurrency=max(2, NUM_CPUS - 2))
+        pages = read_parquet_sized(path, columns=["page_id", "url", "html"])
+        links = extract_outlinks(pages, carry=("page_id",))
+        edges = host_edges(links).filter(expr="src != dst")
+        return pagerank(edges, iters=3)
+
     extras = {"dom_extract_pages": extra_dom_extract,
+              "outlink_graph_pages": extra_outlink_graph,
               "ann_hnsw_synth": extra_ann_hnsw,
               "warc_dom_flagship": extra_warc_dom_flagship,
               "heavy_hitters_events": extra_heavy_hitters,

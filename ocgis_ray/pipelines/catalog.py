@@ -97,15 +97,69 @@ def q_pages_synth(sf_dir: str):
         if len(orig.split()) >= 15 and orig not in t:
             raise AssertionError("DOM extraction dropped body content")
 
-    ds = pages_dataset(sf_dir, reps=REPS).drop_columns(["html"])
+    ds = pages_dataset(sf_dir, reps=REPS)
+    ds = ds.map_batches(_outlink_oracle_cols, batch_format="pyarrow",
+                        zero_copy_batch=True).drop_columns(["html"])
     ds = _ts_us(ds, "warc_ts", "warc_ts_us")
-    return ds.select_columns(["page_id", "doc_id", "rep", "url", "warc_ts_us", "text", "lang"])
+    return ds.select_columns([
+        "page_id", "doc_id", "rep", "url", "warc_ts_us", "text", "lang",
+        "n_outlinks", "n_internal", "n_external", "dst_pid_sum",
+        "partner_host"])
+
+
+def _outlink_oracle_cols(t: pa.Table) -> pa.Table:
+    """Round-4 outlink-extraction gate: rebuild the messy tag soup for
+    the batch, run the REAL vectorized href extractor+resolver
+    (stages/links.py) over it, and emit per-page aggregates whose
+    ground truth the SQL twin computes ANALYTICALLY from the template
+    arithmetic (sources/messy.py): 10 kept links/page (9 relative + 1
+    absolute partner; 2 ``#`` fragments dropped), internal /p/ targets
+    sum to (pid-1)+(pid+1)+(pid*7+13)%100000+(pid*31+5)%100000, and
+    the one external host is site-((pid*13+3)%1000).example.com."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ocgis_ray.sources.messy import messy_html_batch
+    from ocgis_ray.stages.links import outlink_arrays
+
+    m = messy_html_batch(t)
+    cols, parent = outlink_arrays(m["html"], m["url"])
+    n = t.num_rows
+    total = np.bincount(parent, minlength=n).astype(np.int64)
+    im = cols["is_internal"].to_numpy(zero_copy_only=False).astype(bool)
+    internal = np.bincount(parent[im], minlength=n).astype(np.int64)
+    ids = pc.struct_field(
+        pc.extract_regex(cols["dst_url"], "/p/(?P<d>-?[0-9]+)$"), "d")
+    idv = pc.fill_null(pc.cast(ids, pa.int64()), 0).to_numpy(
+        zero_copy_only=False)
+    pid_sum = np.bincount(parent, weights=idv.astype(np.float64),
+                          minlength=n).astype(np.int64)
+    partner = np.full(n, None, dtype=object)
+    ext = ~im
+    partner[parent[ext]] = np.asarray(
+        cols["dst_host"].to_pylist(), dtype=object)[ext]
+    t = t.append_column("n_outlinks", pa.array(total))
+    t = t.append_column("n_internal", pa.array(internal))
+    t = t.append_column("n_external", pa.array(total - internal))
+    t = t.append_column("dst_pid_sum", pa.array(pid_sum))
+    return t.append_column("partner_host", pa.array(partner.tolist(),
+                                                    pa.string()))
 
 
 def sql_pages_synth() -> str:
     return (
         f"WITH {pages_cte(REPS)}\n"
-        "SELECT page_id, doc_id, rep, url, epoch_us(warc_ts) AS warc_ts_us, text, lang FROM pages"
+        "SELECT page_id, doc_id, rep, url, epoch_us(warc_ts) AS warc_ts_us,"
+        " text, lang,\n"
+        "  CAST(10 AS BIGINT) AS n_outlinks,"
+        " CAST(9 AS BIGINT) AS n_internal,"
+        " CAST(1 AS BIGINT) AS n_external,\n"
+        "  CAST((page_id - 1) + (page_id + 1)"
+        " + (page_id * 7 + 13) % 100000"
+        " + (page_id * 31 + 5) % 100000 AS BIGINT) AS dst_pid_sum,\n"
+        "  'site-' || CAST((page_id * 13 + 3) % 1000 AS VARCHAR)"
+        " || '.example.com' AS partner_host\n"
+        "FROM pages"
     )
 
 

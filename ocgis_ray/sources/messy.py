@@ -87,10 +87,14 @@ def messy_html_batch(t: pa.Table, body_reps: int = 1) -> pa.Table:
         open_tag, "<h2>Report ", pid_s, "</h2>", body,
         "<div class=\"share\"><a href=\"#\">Share</a> "
         "<a href=\"#\">Tweet</a></div>", close_tag, "")
+    partner = pc.binary_join_element_wise(
+        "https://site-", pc.cast(pa.array((pid * 13 + 3) % 1000), pa.string()),
+        ".example.com/", "")
     footer = pc.binary_join_element_wise(
         "<footer><p>&copy; 2026 ", site, ". All rights reserved.</p>"
         "<ul><li><a href=\"/terms\">Terms</a></li>"
-        "<li><a href=\"/privacy\">Privacy</a></li></ul></footer>"
+        "<li><a href=\"/privacy\">Privacy</a></li>"
+        "<li><a href=\"", partner, "\">Partner site</a></li></ul></footer>"
         "</body></html>", "")
     title = pc.binary_join_element_wise(site, " &mdash; page-", pid_s, "")
     html = pc.binary_join_element_wise(

@@ -54,10 +54,11 @@ from html import unescape
 
 import pyarrow as pa
 
-# bump when extraction semantics change: cached messy-corpus ground
-# truth (sources/messy.py materialization tags) must not survive an
-# extractor change, or the byte-identity gate fires on stale fixtures
-DOM_VERSION = 3
+# bump when extraction semantics change OR the messy-html template
+# changes: cached messy-corpus ground truth (sources/messy.py
+# materialization tags) must not survive either, or the byte-identity
+# gate fires on stale fixtures
+DOM_VERSION = 4
 
 # jusText default parameters (Pomikalek 2011, justext package docs)
 LENGTH_LOW = 70
