@@ -52,8 +52,11 @@ DEFAULT_STEPS = ("url_dedup", "c4", "gopher", "decontam", "exact_dedup",
 #   collapse, stages/normalize.py) — runs FIRST so every downstream
 #   hash/gate sees canonical text; not default because it rewrites
 #   text (byte-identity contracts opt in explicitly)
+# - url_filter: broadcast blocklist gate (UT1-style domain lists +
+#   RE2 path patterns, stages/url.py) — runs right after url_dedup,
+#   before any per-byte work; needs url_col + a non-empty blocklist
 ALL_STEPS = DEFAULT_STEPS + ("substr_dedup", "compression", "kn_ppl",
-                             "classifier", "normalize")
+                             "classifier", "normalize", "url_filter")
 
 
 def clean_corpus(ds, id_col: str = "doc_id", text_col: str = "text",
@@ -70,6 +73,8 @@ def clean_corpus(ds, id_col: str = "doc_id", text_col: str = "text",
                  nb_min_margin: float = 0.0,
                  compression_min: float = 0.30,
                  compression_max: float = 1.15,
+                 blocked_domains: tuple[str, ...] = (),
+                 blocked_patterns: tuple[str, ...] = (),
                  num_buckets: int | None = None):
     """Run the cleaning cascade over a documents Dataset; returns the
     surviving documents (same schema, text possibly rewritten by the
@@ -114,6 +119,16 @@ def clean_corpus(ds, id_col: str = "doc_id", text_col: str = "text",
                     f"cleaning step {step!r} was explicitly requested "
                     f"but {arg} is None — it would silently filter "
                     f"nothing; pass the model or drop the step")
+        if "url_filter" in steps:
+            if url_col is None:
+                raise ValueError("cleaning step 'url_filter' needs "
+                                 "url_col")
+            if not blocked_domains and not blocked_patterns:
+                raise ValueError(
+                    "cleaning step 'url_filter' was explicitly "
+                    "requested but both blocked_domains and "
+                    "blocked_patterns are empty — it would silently "
+                    "filter nothing; pass a blocklist or drop the step")
 
     from ocgis_ray.stages import dedup, quality
     from ocgis_ray.stages.url import dedup_by_url
@@ -124,6 +139,12 @@ def clean_corpus(ds, id_col: str = "doc_id", text_col: str = "text",
         ds = normalize_text(ds, col=text_col)
     if "url_dedup" in steps and url_col is not None:
         ds = dedup_by_url(ds, col=url_col, id_col=id_col)
+    if "url_filter" in steps and url_col is not None \
+            and (blocked_domains or blocked_patterns):
+        from ocgis_ray.stages.url import url_filter
+
+        ds = url_filter(ds, blocked_domains=blocked_domains,
+                        blocked_patterns=blocked_patterns, col=url_col)
     if "c4" in steps:
         ds = quality.c4_line_filter(ds, col=text_col)
     if "gopher" in steps:

@@ -239,6 +239,30 @@ def host_edges(link_ds, min_links: int = 1):
     return edges
 
 
+def add_inlink_counts(pages_ds, link_ds, url_col: str = "url"):
+    """Join the per-target inlink signals back onto the pages:
+    ``n_refs`` / ``n_src_hosts`` per page URL, 0 when nothing links
+    to it.  The join's build side is the anchor rollup — three slim
+    columns at link-target cardinality — hash-partitioned against the
+    pages on URL (one wide exchange of the slim side; the fat page
+    rows cross once, as any URL-keyed join must)."""
+    from ocgis_ray.sources.io import join_datasets
+
+    roll = anchor_rollup(link_ds)
+    joined = join_datasets(pages_ds, roll, on=(url_col,),
+                           right_on=("dst_url",), join_type="left_outer")
+
+    def fill(t: pa.Table) -> pa.Table:
+        for c in ("n_refs", "n_src_hosts"):
+            i = t.schema.get_field_index(c)
+            t = t.set_column(i, c, pc.fill_null(
+                pc.cast(t[c], pa.int64()), 0))
+        return t
+
+    return joined.map_batches(fill, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
 def anchor_rollup(link_ds):
     """Per link TARGET: ``n_refs`` (inlinks) and ``n_src_hosts``
     (distinct referring hosts — the classic spam-resistant inlink

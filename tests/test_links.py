@@ -16,9 +16,10 @@ import pytest
 import ray.data as rd
 from ocgis_ray.sources.messy import messy_html_batch
 from ocgis_ray.sources.pages import synthesize_pages_batch
-from ocgis_ray.stages.links import (LINK_COLUMNS, add_outlink_stats,
-                                    anchor_rollup, extract_outlinks,
-                                    host_edges, outlink_arrays)
+from ocgis_ray.stages.links import (LINK_COLUMNS, add_inlink_counts,
+                                    add_outlink_stats, anchor_rollup,
+                                    extract_outlinks, host_edges,
+                                    outlink_arrays)
 
 _HREF_RE = re.compile(
     r"href=(?:\"([^\"]*)\"|'([^']*)'|([^\s\"'>][^\s>]*))", re.S)
@@ -204,6 +205,29 @@ def test_host_edges_feed_pagerank(messy_ds):
     local = pagerank_local(exp, damping=0.85, iters=3)
     merged = ranks.set_index("node")["rank"]
     assert np.allclose(merged.reindex(local.index), local.to_numpy())
+
+
+def test_add_inlink_counts():
+    # hand-built corpus where link targets ARE page urls: a -> b,
+    # b -> a and c, c -> a (two distinct hosts referencing a)
+    urls = ["https://a.example.com/", "https://b.example.com/",
+            "https://c.example.com/"]
+    html = [b'<a href="https://b.example.com/">to b</a>',
+            b'<a href="https://a.example.com/">to a</a>'
+            b'<a href="https://c.example.com/">to c</a>',
+            b'<a href="https://a.example.com/">to a again</a>']
+    pages = rd.from_arrow(pa.table({
+        "page_id": pa.array([0, 1, 2], pa.int64()),
+        "url": pa.array(urls, pa.string()),
+        "html": pa.array(html, pa.binary())}))
+    links = extract_outlinks(pages, carry=("page_id",))
+    got = (add_inlink_counts(pages.drop_columns(["html"]), links)
+           .to_pandas().set_index("url").sort_index())
+    assert got.loc[urls[0], "n_refs"] == 2
+    assert got.loc[urls[0], "n_src_hosts"] == 2
+    assert got.loc[urls[1], "n_refs"] == 1
+    assert got.loc[urls[2], "n_refs"] == 1
+    assert set(got.columns) >= {"page_id", "n_refs", "n_src_hosts"}
 
 
 def test_anchor_rollup(messy_ds):
