@@ -28,6 +28,7 @@ import numpy as np
 from ocgis_ray.parity import sql_round
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ocgis_ray import grid
 from ocgis_ray.geometry import rect_clip_area_sqlparity
@@ -1130,15 +1131,50 @@ CONTAM_BENCH_DOCS = 5
 BM25_QUERY = "data value world report"
 
 
+def _crawl_old_snapshot(docs):
+    """Deterministic 'previous crawl' derived from documents: doc_id
+    % 17 == 3 rows are absent (-> added in the new crawl), % 13 == 5
+    rows carry a ' v1' text suffix (-> changed), and a stale branch
+    (doc_id + 10^9, % 29 == 0) exists only here (-> removed).  The
+    SQL twin re-derives the same snapshot with CASE/UNION ALL."""
+
+    def f(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        kept = t.filter(pa.array((did % 17) != 3))
+        kid = kept["doc_id"].to_numpy(zero_copy_only=False)
+        text = pc.if_else(
+            pa.array((kid % 13) == 5),
+            pc.binary_join_element_wise(kept["text"], " v1", ""),
+            kept["text"])
+        out = pa.table({"doc_id": kept["doc_id"], "text": text})
+        stale_id = did[(did % 29) == 0] + 1_000_000_000
+        if len(stale_id):
+            stale = pa.table({
+                "doc_id": pa.array(stale_id, pa.int64()),
+                "text": pa.array(["stale"] * len(stale_id))})
+            out = pa.concat_tables([out, stale])
+        return out
+
+    return docs.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_fingerprint_documents(sf_dir: str):
     """Also gates the Bloom decontamination path engine-side: the
     Bloom counts from the SAME benchmark must row-wise upper-bound
     the exact ``contam_ngrams`` (no false negatives) with at most 1%
     of clean windows inflated (FPR); a violation errors the query.
     No SQL twin is possible for the probabilistic side, so it rides
-    the exact column's oracle this way."""
+    the exact column's oracle this way.
+
+    Round-4 s7: also the crawl-snapshot-diff oracle gate — the
+    incremental-crawl classifier (stages/crawl.py) diffs a
+    deterministically derived 'previous crawl' against documents and
+    its per-doc status joins back as ``crawl_status`` (hash-exact vs
+    the CTE twin); the removed branch, invisible to the join, is
+    asserted engine-side to equal its analytic count."""
     from ocgis_ray.sources.io import read_parquet_sized
     from ocgis_ray.stages.bm25 import add_bm25, bm25_stats
+    from ocgis_ray.stages.crawl import crawl_diff
     from ocgis_ray.stages.decontam import (add_contamination,
                                            add_contamination_bloom,
                                            build_bench_bloom,
@@ -1165,8 +1201,32 @@ def q_fingerprint_documents(sf_dir: str):
         raise AssertionError(
             f"Bloom decontam inflated {extra} windows (> 1% of docs)")
     out = add_bm25(out, BM25_QUERY, stats, round_digits=6)
+
+    # crawl-snapshot diff gate: old = derived previous crawl, new =
+    # documents itself; the diff runs on slim (doc_id, hash) columns
+    from ocgis_ray.sources.io import join_datasets
+
+    diff = crawl_diff(_crawl_old_snapshot(docs), docs, key="doc_id",
+                      ts_col=None, content_col="text")
+    n_removed = diff.filter(expr="status == 'removed'").count()
+
+    def _stale_count(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"n": pa.array([int(((did % 29) == 0).sum())],
+                                       pa.int64())})
+
+    exp_removed = int(docs.map_batches(
+        _stale_count, batch_format="pyarrow").sum("n"))
+    if n_removed != exp_removed:
+        raise AssertionError(
+            f"crawl_diff removed count {n_removed} != stale-branch "
+            f"count {exp_removed}")
+    status = diff.select_columns(["doc_id", "status"]).map_batches(
+        lambda t: t.rename_columns(["doc_id", "crawl_status"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    out = join_datasets(out, status, on=("doc_id",), join_type="inner")
     return out.select_columns(["doc_id", "fingerprint", "contam_ngrams",
-                               "bm25"])
+                               "bm25", "crawl_status"])
 
 
 def q_ann_lsh(sf_dir: str):
@@ -1985,14 +2045,31 @@ def sql_fingerprint_documents() -> str:
     from ocgis_ray.stages.decontam import contam_sql
     from ocgis_ray.stages.text import fingerprint_sql
 
+    from ocgis_ray.stages.crawl import crawl_diff_sql
+
     fp = fingerprint_sql()
     ct = contam_sql(f"doc_id < {CONTAM_BENCH_DOCS}", n=CONTAM_N)
     # round-3 s4: BM25 score vs a fixed query — df/avgdl/idf replayed
     # in SQL over the same table (stages/bm25.py docstring)
     bm = bm25_sql(BM25_QUERY)
-    return (f"SELECT f.doc_id, f.fingerprint, c.contam_ngrams, b.bm25\n"
+    # round-4 s7: crawl-diff status twin — same derived old snapshot
+    # as _crawl_old_snapshot, same Horner hash, same CASE order;
+    # 'removed' rows live at doc_id + 10^9 so the join drops them
+    dw = crawl_diff_sql("old_snap", "documents", key="doc_id",
+                        ts_col=None, content_col="text")
+    return (f"WITH old_snap AS (\n"
+            f"  SELECT doc_id, CASE WHEN doc_id % 13 = 5\n"
+            f"         THEN text || ' v1' ELSE text END AS text\n"
+            f"  FROM documents WHERE doc_id % 17 <> 3\n"
+            f"  UNION ALL\n"
+            f"  SELECT doc_id + 1000000000, 'stale' FROM documents\n"
+            f"  WHERE doc_id % 29 = 0),\n"
+            f"cd AS ({dw})\n"
+            f"SELECT f.doc_id, f.fingerprint, c.contam_ngrams, b.bm25,\n"
+            f"       cd.status AS crawl_status\n"
             f"FROM ({fp}) f JOIN ({ct}) c ON f.doc_id = c.doc_id\n"
-            f"JOIN ({bm}) b ON f.doc_id = b.doc_id")
+            f"JOIN ({bm}) b ON f.doc_id = b.doc_id\n"
+            f"JOIN cd ON f.doc_id = cd.doc_id")
 
 
 def sql_idw_interpolate() -> str:
