@@ -994,8 +994,17 @@ def sql_text_stats_documents() -> str:
                              extra_select=extra)
 
 
+CAP_K = 20
+
+
 def q_token_rollup_by_lang(sf_dir: str):
+    """Round-4 s7: also the per-group-cap oracle gate — the
+    RefinedWeb-style per-lang cap (reshape.cap_per_group, k=CAP_K)
+    runs over (doc_id, lang) and the survivor SET is verified via
+    per-lang count + id-sum columns (the id sum pins exactly which
+    rows the deterministic hash ordering kept, not just how many)."""
     from ocgis_ray.sources.io import read_parquet_sized
+    from ocgis_ray.stages.reshape import cap_per_group
 
     docs = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"])
     stats = text.add_bpe_token_count(text.add_text_stats(docs))
@@ -1006,18 +1015,35 @@ def q_token_rollup_by_lang(sf_dir: str):
          "sum_bpe_tokens": ("bpe_token_count", "sum")},
     )
 
-    return agg.map_batches(
+    agg = agg.map_batches(
         _finalize_arrow(int_cols=("sum_tokens", "sum_bpe_tokens")),
         batch_format="pyarrow", zero_copy_batch=True)
 
+    capped = cap_per_group(docs.select_columns(["doc_id", "lang"]),
+                           "lang", CAP_K, "doc_id")
+    cagg = grouped_aggregate(
+        capped, ["lang"],
+        {"n_capped": (None, "count"), "capped_id_sum": ("doc_id", "sum")})
+    # two lang-grain rollups (driver-safe: one row per language)
+    return agg.to_pandas().merge(
+        cagg.to_pandas()[["lang", "n_capped", "capped_id_sum"]], on="lang")
+
 
 def sql_token_rollup_by_lang() -> str:
+    from ocgis_ray.stages.reshape import cap_per_group_sql
+
     tokens = text.text_stats_sql("text")["token_count"]
     bpe = text.bpe_token_count_sql("text")
+    cap = cap_per_group_sql("documents", "lang", CAP_K, "doc_id")
     return (
+        f"SELECT t.lang, t.n_docs, t.sum_tokens, t.sum_bpe_tokens,\n"
+        f"  c.n_capped, c.capped_id_sum FROM (\n"
         f"SELECT lang, count(*) AS n_docs, CAST(sum({tokens}) AS BIGINT) AS sum_tokens,\n"
         f"  CAST(sum({bpe}) AS BIGINT) AS sum_bpe_tokens\n"
-        "FROM documents GROUP BY lang"
+        "FROM documents GROUP BY lang) t JOIN (\n"
+        f"SELECT lang, count(*) AS n_capped,\n"
+        f"  CAST(sum(doc_id) AS BIGINT) AS capped_id_sum\n"
+        f"FROM ({cap}) GROUP BY lang) c ON t.lang = c.lang"
     )
 
 

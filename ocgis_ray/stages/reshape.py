@@ -184,6 +184,67 @@ def stratified_sample_sql_pred(key_expr: str, group_expr: str,
     return f"{h} < (CASE {group_expr} {cases} ELSE {default_thr} END)"
 
 
+def cap_per_group(ds, group_col: str, k: int, id_col: str,
+                  order_col: str | None = None, salt: int = 0,
+                  decide_on_slim: bool = False,
+                  num_buckets: int | None = None):
+    """Keep at most ``k`` rows per group — the RefinedWeb-style
+    per-domain/per-source cap.  Survivors are the ``k`` rows with the
+    smallest ``(order, id)`` where ``order`` is ``order_col`` if given
+    (e.g. a quality rank: keep the best k) or else the deterministic
+    multiplicative hash of ``id_col`` (a stable "random" k, identical
+    across runs/retries/partitionings).  SQL twin:
+    :func:`cap_per_group_sql` (row_number() over the same ordering).
+
+    Scale shape: ``decide_on_slim=False`` ships full rows through one
+    hash-bucket shuffle (``topk_by_group``) — right when rows are
+    slim or the output feeds another shuffle anyway.
+    ``decide_on_slim=True`` runs the cap on a (group, id[, order])
+    projection and semi-joins survivors back, so fat text crosses the
+    wire once and only for survivors — right at web-corpus row sizes
+    (~10-100 KB) with small caps."""
+    from ocgis_ray.sources.io import join_datasets, topk_by_group
+
+    def add_h(t: pa.Table) -> pa.Table:
+        h = _key_hash(t[id_col].to_numpy(zero_copy_only=False), salt,
+                      "cap_per_group")
+        return t.append_column("_cap_h", pa.array(h.astype(np.int64)))
+
+    order_cols = [order_col or "_cap_h", id_col]
+    if decide_on_slim:
+        slim = ds.select_columns(
+            [group_col, id_col] + ([order_col] if order_col else []))
+        if order_col is None:
+            slim = slim.map_batches(add_h, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+        keep = topk_by_group(slim, group_col, order_cols, [True, True],
+                             k, num_buckets=num_buckets)
+        return join_datasets(ds, keep.select_columns([id_col]),
+                             on=(id_col,), join_type="left_semi")
+    work = ds if order_col is not None else ds.map_batches(
+        add_h, batch_format="pyarrow", zero_copy_batch=True)
+    out = topk_by_group(work, group_col, order_cols, [True, True], k,
+                        num_buckets=num_buckets)
+    return out if order_col is not None else out.drop_columns(["_cap_h"])
+
+
+def cap_per_group_sql(table: str, group_col: str, k: int, id_col: str,
+                      order_expr: str | None = None, salt: int = 0,
+                      extra_cols: str = "") -> str:
+    """DuckDB twin of :func:`cap_per_group`: the surviving
+    (group, id) rows via ``row_number()`` over the identical
+    ``(order, id)`` ordering — the default order replays the engine's
+    multiplicative hash bit-exact (uint32 range, so the engine's
+    int64 view orders the same way)."""
+    oe = order_expr or (
+        f"(((CAST({id_col} AS UBIGINT) % 4294967296) * 2654435761"
+        f" + {salt}) % 4294967296)")
+    return (f"SELECT {group_col}, {id_col}{extra_cols} FROM "
+            f"(SELECT *, row_number() OVER (PARTITION BY {group_col} "
+            f"ORDER BY {oe}, {id_col}) AS _cap_rn FROM {table}) "
+            f"WHERE _cap_rn <= {k}")
+
+
 def pack_sequences(ds, id_col: str, size_col: str, budget: int,
                    num_buckets: int | None = None):
     """Greedy sequence packing: group documents into packs whose
