@@ -76,6 +76,14 @@ def sql_hexpair_byte(hx: str, p: str) -> str:
             f"+ strpos({d}, substr({hx}, 2*({p}), 1)) - 1")
 
 
+def sql_signed64(h: str) -> str:
+    """Fold a uint64-valued HUGEINT expression into BIGINT two's
+    complement — the view the engine takes when it stores a uint64
+    hash in an int64 Arrow column (``.view(np.int64)``)."""
+    return (f"CAST({h} - (CASE WHEN {h} >= 9223372036854775808 "
+            f"THEN 18446744073709551616::HUGEINT ELSE 0 END) AS BIGINT)")
+
+
 def sql_string_hash(expr: str) -> str:
     """HUGEINT twin of ``text.string_value_hash``: full-content Horner
     over ALL utf-8 bytes of the value (case-preserving, whitespace

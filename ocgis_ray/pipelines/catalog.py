@@ -1002,11 +1002,20 @@ def q_token_rollup_by_lang(sf_dir: str):
     RefinedWeb-style per-lang cap (reshape.cap_per_group, k=CAP_K)
     runs over (doc_id, lang) and the survivor SET is verified via
     per-lang count + id-sum columns (the id sum pins exactly which
-    rows the deterministic hash ordering kept, not just how many)."""
-    from ocgis_ray.sources.io import read_parquet_sized
+    rows the deterministic hash ordering kept, not just how many) —
+    AND the boilerplate-line-removal gate: a per-source copyright
+    footer is injected into every doc, `boilerplate_line_filter`
+    (CCNet shape, grouped by source) must strip it (plus any
+    genuinely frequent natural line), and the per-lang
+    removed-char sum + bit-XOR of the cleaned-text content hashes
+    pin the rebuilt text of EVERY document against the SQL twin."""
+    from ocgis_ray.sources.io import (bucketed_group_apply,
+                                      read_parquet_sized)
+    from ocgis_ray.stages.quality import boilerplate_line_filter
     from ocgis_ray.stages.reshape import cap_per_group
+    from ocgis_ray.stages.text import string_value_hash
 
-    docs = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"])
+    docs = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "source", "text"])
     stats = text.add_bpe_token_count(text.add_text_stats(docs))
     agg = grouped_aggregate(
         stats,
@@ -1024,26 +1033,81 @@ def q_token_rollup_by_lang(sf_dir: str):
     cagg = grouped_aggregate(
         capped, ["lang"],
         {"n_capped": (None, "count"), "capped_id_sum": ("doc_id", "sum")})
-    # two lang-grain rollups (driver-safe: one row per language)
+
+    # boilerplate gate: inject a per-source footer, strip it back out
+    def add_footer(t: pa.Table) -> pa.Table:
+        footer = pc.binary_join_element_wise(
+            pa.scalar("Copyright "), t["source"], pa.scalar(""))
+        txt2 = pc.binary_join_element_wise(t["text"], footer,
+                                           pa.scalar("\n"))
+        return pa.table({
+            "doc_id": t["doc_id"], "lang": t["lang"],
+            "source": t["source"], "text": txt2,
+            "_olen": pc.cast(pc.utf8_length(txt2), "int64")})
+
+    cleaned = boilerplate_line_filter(
+        docs.map_batches(add_footer, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        "source", min_docs=2, max_frac=0.9, drop_empty_docs=False,
+        carry=("lang", "_olen"))
+
+    def doc_stats(t: pa.Table) -> pa.Table:
+        clen = pc.cast(pc.utf8_length(t["text"]), "int64")
+        h = string_value_hash(t["text"]).view(np.int64)
+        return pa.table({"lang": t["lang"],
+                         "_rm": pc.subtract(t["_olen"], clen),
+                         "_h": pa.array(h)})
+
+    def lang_roll(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("lang", sort=True).agg(
+            bp_removed_chars=("_rm", "sum")).reset_index()
+        out["bp_clean_xor"] = g.groupby("lang", sort=True)["_h"].agg(
+            lambda s: np.bitwise_xor.reduce(
+                s.to_numpy(np.int64))).to_numpy()
+        return out
+
+    bpagg = bucketed_group_apply(
+        cleaned.map_batches(doc_stats, batch_format="pyarrow",
+                            zero_copy_batch=True),
+        ["lang"], lang_roll)
+
+    # three lang-grain rollups (driver-safe: one row per language)
     return agg.to_pandas().merge(
-        cagg.to_pandas()[["lang", "n_capped", "capped_id_sum"]], on="lang")
+        cagg.to_pandas()[["lang", "n_capped", "capped_id_sum"]],
+        on="lang").merge(bpagg.to_pandas(), on="lang")
 
 
 def sql_token_rollup_by_lang() -> str:
+    from ocgis_ray.parity import sql_signed64, sql_string_hash
+    from ocgis_ray.stages.quality import boilerplate_line_filter_sql
     from ocgis_ray.stages.reshape import cap_per_group_sql
 
     tokens = text.text_stats_sql("text")["token_count"]
     bpe = text.bpe_token_count_sql("text")
     cap = cap_per_group_sql("documents", "lang", CAP_K, "doc_id")
+    bq = boilerplate_line_filter_sql(
+        "d2", "source", min_docs=2, max_frac=0.9,
+        drop_empty_docs=False, extra_cols=("lang", "_olen"))
+    ch = sql_signed64(f"({sql_string_hash('text')})")
     return (
+        f"WITH d2 AS (SELECT doc_id, lang, source,\n"
+        f"  text || chr(10) || 'Copyright ' || source AS text,\n"
+        f"  CAST(length(text || chr(10) || 'Copyright ' || source)"
+        f" AS BIGINT) AS _olen FROM documents),\n"
+        f"bq AS ({bq}),\n"
+        f"bpl AS (SELECT lang,\n"
+        f"  CAST(sum(_olen - length(text)) AS BIGINT) AS bp_removed_chars,\n"
+        f"  bit_xor({ch}) AS bp_clean_xor FROM bq GROUP BY lang)\n"
         f"SELECT t.lang, t.n_docs, t.sum_tokens, t.sum_bpe_tokens,\n"
-        f"  c.n_capped, c.capped_id_sum FROM (\n"
+        f"  c.n_capped, c.capped_id_sum, bpl.bp_removed_chars,\n"
+        f"  bpl.bp_clean_xor FROM (\n"
         f"SELECT lang, count(*) AS n_docs, CAST(sum({tokens}) AS BIGINT) AS sum_tokens,\n"
         f"  CAST(sum({bpe}) AS BIGINT) AS sum_bpe_tokens\n"
         "FROM documents GROUP BY lang) t JOIN (\n"
         f"SELECT lang, count(*) AS n_capped,\n"
         f"  CAST(sum(doc_id) AS BIGINT) AS capped_id_sum\n"
-        f"FROM ({cap}) GROUP BY lang) c ON t.lang = c.lang"
+        f"FROM ({cap}) GROUP BY lang) c ON t.lang = c.lang\n"
+        f"JOIN bpl ON t.lang = bpl.lang"
     )
 
 

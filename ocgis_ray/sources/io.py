@@ -308,15 +308,29 @@ def bucketed_group_apply(ds, keys: list[str] | str, fn,
         return t.append_column("_bucket", pa.array(b))
 
     def apply(g: pd.DataFrame):
-        out = fn(g.drop(columns=["_bucket"]))
+        g = g.drop(columns=["_bucket"])
+        out = fn(g)
         # emit ARROW blocks: pandas blocks downstream defeat Ray's
         # schema-dedup fast path (PandasBlockSchema is unhashable —
         # one "Failed to hash the schemas" warning PER TASK) and every
         # consumer pays the conversion later anyway; metadata=None so
         # the pandas provenance dict never reaches a shuffle
         if isinstance(out, pd.DataFrame):
-            out = pa.Table.from_pandas(
-                out, preserve_index=False).replace_schema_metadata(None)
+            tbl = pa.Table.from_pandas(out, preserve_index=False)
+            if not len(out):
+                # an EMPTY frame's object columns infer as Arrow
+                # `null`, which poisons downstream schema unification
+                # (hash-join partitions mixing null/string blocks fail
+                # outright) — recover real types from the bucket's
+                # input rows for any column the output shares with it
+                gsch = pa.Schema.from_pandas(g, preserve_index=False)
+                fields = [
+                    pa.field(f.name, gsch.field(f.name).type)
+                    if pa.types.is_null(f.type) and f.name in gsch.names
+                    else f
+                    for f in tbl.schema]
+                tbl = tbl.cast(pa.schema(fields))
+            out = tbl.replace_schema_metadata(None)
         return out
 
     return (

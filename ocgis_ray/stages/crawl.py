@@ -124,13 +124,8 @@ def crawl_diff_sql(old_cte: str, new_cte: str, key: str = "url",
                    content_col: str | None = "text") -> str:
     """DuckDB twin of :func:`crawl_diff` over two CTE/table names —
     same Horner hash (``parity.sql_string_hash``), same CASE order."""
+    from ocgis_ray.parity import sql_signed64 as signed64
     from ocgis_ray.parity import sql_string_hash
-
-    def signed64(h):
-        # the engine stores the uint64 hash as int64 (two's complement
-        # view); fold the HUGEINT twin into the same range
-        return (f"CAST({h} - (CASE WHEN {h} >= 9223372036854775808 "
-                f"THEN 18446744073709551616::HUGEINT ELSE 0 END) AS BIGINT)")
 
     def side(name, tag):
         sel = [f"{key}"]

@@ -661,6 +661,167 @@ def paragraph_dedup(ds, id_col: str = "doc_id", col: str = "text",
     return out
 
 
+def boilerplate_line_filter(ds, group_col: str, id_col: str = "doc_id",
+                            col: str = "text", sep: str = "\n",
+                            min_docs: int = 2, max_frac: float = 0.5,
+                            drop_empty_docs: bool = True,
+                            carry: tuple = (),
+                            num_buckets: int | None = None):
+    """Host-level boilerplate removal (CCNet/RefinedWeb shape): a line
+    is boilerplate WITHIN a group (host / domain / source) when it
+    appears in >= ``min_docs`` distinct documents AND in more than
+    ``max_frac`` of the group's documents — navigation bars, cookie
+    banners, copyright footers.  Every occurrence of a boilerplate
+    line is removed from every document of that group; documents are
+    rebuilt with surviving lines in original order.
+
+    Distinct from :func:`paragraph_dedup` (global keep-FIRST: one
+    survivor keeps the paragraph) — here frequent lines are removed
+    EVERYWHERE, and rarity is judged per group, not globally.
+
+    Scale shape: ONE bucketed shuffle — lines bucket by GROUP (a
+    document belongs to exactly one group, so frequency decision,
+    line filter and per-document rebuild all happen in the same
+    vectorized per-bucket pass; nothing driver-sized, no joins).
+    Hot-host skew concentrates that host's lines in one bucket — the
+    same partitioning any per-host statistic needs.  ``carry``
+    columns (per-document constants, e.g. lang) ride along.
+
+    DuckDB twin: unnest(string_split) + count(DISTINCT id) GROUP BY
+    (group, line) + anti-join + string_agg(... ORDER BY pos) — see
+    ``q_token_rollup_by_lang``'s gate for the worked twin."""
+    from ocgis_ray.sources.io import bucketed_group_apply
+    from ocgis_ray.stages.text import string_value_hash
+
+    carry = tuple(carry)
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t[id_col].combine_chunks()
+        txt = t[col].combine_chunks()
+        lists = pc.split_pattern(txt, sep)
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        cnt = pc.fill_null(pc.list_value_length(lists), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        starts = np.zeros(len(cnt), dtype=np.int64)
+        np.cumsum(cnt[:-1], out=starts[1:])
+        pos = np.arange(len(flat), dtype=np.int64) - starts[parent]
+        take = pa.array(parent)
+        cols = {
+            group_col: t[group_col].combine_chunks().take(take),
+            id_col: ids.take(take),
+            "_pos": pa.array(pos),
+            "_line": flat,
+            "_sent": pa.array(np.zeros(len(flat), dtype=bool)),
+            "_lh": pa.array(string_value_hash(flat).view(np.int64)),
+        }
+        for c in carry:
+            cols[c] = t[c].combine_chunks().take(take)
+        out = pa.table(cols)
+        if drop_empty_docs:
+            return out
+        s_line = pc.binary_join_element_wise(
+            pa.scalar("\x00sentinel:"), pc.cast(ids, pa.string()),
+            pa.scalar(""))
+        n = len(t)
+        sent_cols = {
+            group_col: t[group_col].combine_chunks(),
+            id_col: ids,
+            "_pos": pa.array(np.full(n, -1, dtype=np.int64)),
+            "_line": s_line,
+            "_sent": pa.array(np.ones(n, dtype=bool)),
+            "_lh": pa.array(string_value_hash(s_line).view(np.int64)),
+        }
+        for c in carry:
+            sent_cols[c] = t[c].combine_chunks()
+        return pa.concat_tables([pa.table(sent_cols), out])
+
+    lines = ds.map_batches(explode, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def process(g: pd.DataFrame) -> pd.DataFrame:
+        real = g[~g["_sent"]]
+        # frequency decision: distinct docs per (group, line); the
+        # group's doc universe = distinct ids among its real lines
+        # (every non-null text yields >= 1 line)
+        dd = real.drop_duplicates([group_col, "_lh", id_col])
+        nd = dd.groupby([group_col, "_lh"], sort=False)[id_col] \
+            .transform("size")
+        npd = dd[group_col].map(
+            dd.drop_duplicates([group_col, id_col])
+            .groupby(group_col, sort=False).size())
+        bad = dd.loc[(nd >= min_docs) & (nd.to_numpy()
+                                         > max_frac * npd.to_numpy()),
+                     [group_col, "_lh"]]
+        # drop EVERY occurrence of a boilerplate line (vectorized
+        # anti-merge), then rebuild each doc in original line order
+        keep = real.merge(bad.assign(_bp=np.int8(1)),
+                          on=[group_col, "_lh"], how="left")
+        keep = keep[keep["_bp"].isna()] \
+            .sort_values([id_col, "_pos"], kind="mergesort")
+        joined = keep.groupby(id_col, sort=True)["_line"].agg(sep.join)
+        firsts = g.drop_duplicates(id_col).set_index(id_col)
+        all_ids = pd.Index(g[id_col].unique()).sort_values()
+        joined = joined.reindex(all_ids, fill_value="").reset_index()
+        joined.columns = [id_col, col]
+        for c in (group_col,) + carry:
+            joined[c] = firsts.loc[joined[id_col], c].to_numpy()
+        return joined
+
+    out = bucketed_group_apply(lines, [group_col], process,
+                               num_buckets=num_buckets)
+    if drop_empty_docs:
+        out = out.filter(expr=f"{col} != ''")
+    return out
+
+
+def boilerplate_line_filter_sql(table: str, group_col: str,
+                                id_col: str = "doc_id",
+                                col: str = "text", min_docs: int = 2,
+                                max_frac: float = 0.5,
+                                drop_empty_docs: bool = True,
+                                extra_cols: tuple = ()) -> str:
+    """DuckDB twin of :func:`boilerplate_line_filter` (sep='\\n'
+    only): same distinct-doc frequency rule, same rebuild order —
+    the twin groups by the LINE STRING where the engine groups by its
+    64-bit content hash, identical modulo hash collisions (the
+    repo-wide content-hash assumption).  ``extra_cols`` are carried
+    per-document constants.  One documented edge: NULL ``col`` rows
+    vanish here even with ``drop_empty_docs=False`` (the engine's
+    sentinel keeps them as '')."""
+    ec = "".join(f", {c}" for c in extra_cols)
+    ecd = "".join(f", d.{c}" for c in extra_cols)
+    keep_pred = ("" if not drop_empty_docs
+                 else " WHERE k._ctext IS NOT NULL AND k._ctext != ''")
+    return (
+        f"WITH _sp AS (SELECT {id_col}, {group_col}{ec}, "
+        f"string_split({col}, chr(10)) AS _ls FROM {table} "
+        f"WHERE {col} IS NOT NULL),\n"
+        f"_bl AS (SELECT {id_col}, {group_col}{ec}, "
+        f"unnest(_ls) AS _line, "
+        f"unnest(range(1, len(_ls) + 1)) AS _pos FROM _sp),\n"
+        f"_cnt AS (SELECT {group_col}, _line, "
+        f"count(DISTINCT {id_col}) AS _nd FROM _bl "
+        f"GROUP BY {group_col}, _line),\n"
+        f"_npd AS (SELECT {group_col}, count(DISTINCT {id_col}) AS _np "
+        f"FROM _bl GROUP BY {group_col}),\n"
+        f"_bp AS (SELECT c.{group_col}, c._line FROM _cnt c "
+        f"JOIN _npd n USING ({group_col}) "
+        f"WHERE c._nd >= {int(min_docs)} "
+        f"AND c._nd > {float(max_frac)!r} * n._np),\n"
+        f"_keep AS (SELECT b.* FROM _bl b ANTI JOIN _bp p "
+        f"ON b.{group_col} = p.{group_col} AND b._line = p._line)\n"
+        f"SELECT d.{id_col}, d.{group_col}{ecd}, "
+        f"coalesce(k._ctext, '') AS {col} FROM "
+        f"(SELECT DISTINCT {id_col}, {group_col}{ec} FROM _bl) d "
+        f"LEFT JOIN (SELECT {id_col}, "
+        f"string_agg(_line, chr(10) ORDER BY _pos) AS _ctext "
+        f"FROM _keep GROUP BY {id_col}) k USING ({id_col})"
+        f"{keep_pred}"
+    )
+
+
 def _gather_strings(data: np.ndarray, starts: np.ndarray, lens: np.ndarray,
                     null_mask: np.ndarray | None = None) -> pa.Array:
     """Build a string array from (start, len) slices of a byte view —
