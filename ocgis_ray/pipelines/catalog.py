@@ -964,11 +964,22 @@ def q_text_stats_documents(sf_dir: str):
 
     out = out.map_batches(add_norm_len, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+    # round-4: corpus-df tf-idf keyword extraction (stages/tfidf.py) —
+    # the rank-1 keyword + score per doc pins the WHOLE df aggregate
+    # (one wrong df anywhere moves some doc's argmax); ties replay the
+    # engine's token-hash order in the twin
+    from ocgis_ray.stages.tfidf import (add_top_keyword, collect_df_model,
+                                        doc_frequency)
+
+    dfm = collect_df_model(doc_frequency(read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["text"])))
+    out = add_top_keyword(out, dfm)
     return out.select_columns(
         ["doc_id", "token_count", "alpha_ratio", "punct_ratio", "quality_score",
          "dup_word_frac", "mean_word_len", "stopword_frac", "top_bigram_frac",
          "gopher_keep", "bpe_token_count", "mix_keep", "token_entropy",
-         "split", "norm_len"]
+         "split", "norm_len", "kw_top", "kw_score"]
     )
 
 
@@ -990,8 +1001,13 @@ def sql_text_stats_documents() -> str:
     frags["norm_len"] = (
         f"CAST(length({normalize_text_sql('d.text', lower=True)}) AS BIGINT)")
     extra = ",\n    ".join(f"{sql} AS {name}" for name, sql in frags.items())
-    return quality_stats_sql(col="text", table="documents", id_col="doc_id",
+    base = quality_stats_sql(col="text", table="documents", id_col="doc_id",
                              extra_select=extra)
+    from ocgis_ray.stages.tfidf import top_keyword_sql
+
+    kw = top_keyword_sql("documents")
+    return (f"SELECT s.*, k.kw_top, k.kw_score FROM ({base}) s "
+            f"JOIN ({kw}) k USING (doc_id)")
 
 
 CAP_K = 20

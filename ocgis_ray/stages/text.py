@@ -281,7 +281,7 @@ _WS_LUT[list(_WS_BYTES)] = True
 _TOKEN_HASH_MAX_LEN = 64
 
 
-def _tokenize_hash(arr, lower: bool = True) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+def _tokenize_hash(arr, lower: bool = True, with_spans: bool = False):
     """Arrow string column -> (token_hashes, token_row, tokens_per_row).
 
     Fully vectorized over the zero-copy byte view: ASCII-lowercase via
@@ -289,12 +289,22 @@ def _tokenize_hash(arr, lower: bool = True) -> tuple[np.ndarray, np.ndarray, np.
     always break tokens), Horner polynomial hash per token (loop over
     CHAR POSITION, not tokens — ~12 vector ops for typical text).
     Tokens longer than 64 bytes hash their prefix (no stopword is near
-    that long)."""
+    that long).
+
+    ``with_spans=True`` appends ``(byte_buffer, tok_starts, tok_lens)``
+    to the tuple so callers can materialize the (lowercased) token
+    STRINGS from the same pass (``quality._gather_strings``) — the
+    buffer is the lowered copy when ``lower=True``, else the raw
+    view; spans cover FULL token length (only the hash is capped)."""
     data, off = _string_byte_view(arr)
     n = len(off) - 1
     if len(data) == 0:
-        return (np.empty(0, np.uint64), np.empty(0, np.int64),
-                np.zeros(n, np.int64))
+        empty = (np.empty(0, np.uint64), np.empty(0, np.int64),
+                 np.zeros(n, np.int64))
+        if with_spans:
+            return empty + (np.empty(0, np.uint8),
+                            np.empty(0, np.int64), np.empty(0, np.int64))
+        return empty
     low = _LOWER_LUT[data] if lower else data
     ws = _WS_LUT[low]
     nonws = ~ws
@@ -318,6 +328,9 @@ def _tokenize_hash(arr, lower: bool = True) -> tuple[np.ndarray, np.ndarray, np.
     h = _mix64(h)
     tok_row = np.searchsorted(off[1:], tok_starts, side="right").astype(np.int64)
     tokens_per_row = np.bincount(tok_row, minlength=n).astype(np.int64)
+    if with_spans:
+        return (h, tok_row, tokens_per_row, low,
+                tok_starts.astype(np.int64), tok_lens.astype(np.int64))
     return h, tok_row, tokens_per_row
 
 
