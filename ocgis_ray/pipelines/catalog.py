@@ -1024,7 +1024,11 @@ def q_token_rollup_by_lang(sf_dir: str):
     (CCNet shape, grouped by source) must strip it (plus any
     genuinely frequent natural line), and the per-lang
     removed-char sum + bit-XOR of the cleaned-text content hashes
-    pin the rebuilt text of EVERY document against the SQL twin."""
+    pin the rebuilt text of EVERY document against the SQL twin —
+    AND the exact-heavy-hitter gate (stages/freq.py): per-lang top
+    unigram/bigram + counts via Misra-Gries candidates + broadcast
+    recount, proof flag asserted engine-side, hash-checked against
+    the unnest/count/row_number twin."""
     from ocgis_ray.sources.io import (bucketed_group_apply,
                                       read_parquet_sized)
     from ocgis_ray.stages.quality import boilerplate_line_filter
@@ -1087,10 +1091,28 @@ def q_token_rollup_by_lang(sf_dir: str):
                             zero_copy_batch=True),
         ["lang"], lang_roll)
 
-    # three lang-grain rollups (driver-safe: one row per language)
-    return agg.to_pandas().merge(
+    # round-4: exact heavy-hitter gate (stages/freq.py) — per-lang top
+    # unigram AND top bigram via Misra-Gries candidates + recount; the
+    # proof flag must certify exactness for the hash-checked columns
+    from ocgis_ray.stages.freq import frequent_ngrams
+
+    slim = docs.select_columns(["lang", "text"])
+    hh = []
+    for nn, pre in ((1, "top_term"), (2, "top_bigram")):
+        f = frequent_ngrams(slim, n=nn, k=1, group_col="lang",
+                            capacity=512)
+        assert f["exact_guaranteed"].all(), \
+            f"heavy-hitter proof failed for n={nn} — raise capacity"
+        hh.append(f.rename(columns={"term": pre, "cnt": f"{pre}_count"})
+                  [["lang", pre, f"{pre}_count"]])
+
+    # lang-grain rollups (driver-safe: one row per language)
+    out = agg.to_pandas().merge(
         cagg.to_pandas()[["lang", "n_capped", "capped_id_sum"]],
         on="lang").merge(bpagg.to_pandas(), on="lang")
+    for f in hh:
+        out = out.merge(f, on="lang")
+    return out
 
 
 def sql_token_rollup_by_lang() -> str:
@@ -1104,6 +1126,10 @@ def sql_token_rollup_by_lang() -> str:
     bq = boilerplate_line_filter_sql(
         "d2", "source", min_docs=2, max_frac=0.9,
         drop_empty_docs=False, extra_cols=("lang", "_olen"))
+    from ocgis_ray.stages.freq import frequent_ngrams_sql
+
+    f1 = frequent_ngrams_sql("documents", n=1, k=1, group_col="lang")
+    f2 = frequent_ngrams_sql("documents", n=2, k=1, group_col="lang")
     ch = sql_signed64(f"({sql_string_hash('text')})")
     return (
         f"WITH d2 AS (SELECT doc_id, lang, source,\n"
@@ -1113,17 +1139,23 @@ def sql_token_rollup_by_lang() -> str:
         f"bq AS ({bq}),\n"
         f"bpl AS (SELECT lang,\n"
         f"  CAST(sum(_olen - length(text)) AS BIGINT) AS bp_removed_chars,\n"
-        f"  bit_xor({ch}) AS bp_clean_xor FROM bq GROUP BY lang)\n"
+        f"  bit_xor({ch}) AS bp_clean_xor FROM bq GROUP BY lang),\n"
+        f"f1 AS (SELECT lang, term AS top_term, cnt AS top_term_count "
+        f"FROM ({f1})),\n"
+        f"f2 AS (SELECT lang, term AS top_bigram, cnt AS top_bigram_count "
+        f"FROM ({f2}))\n"
         f"SELECT t.lang, t.n_docs, t.sum_tokens, t.sum_bpe_tokens,\n"
         f"  c.n_capped, c.capped_id_sum, bpl.bp_removed_chars,\n"
-        f"  bpl.bp_clean_xor FROM (\n"
+        f"  bpl.bp_clean_xor, f1.top_term, f1.top_term_count,\n"
+        f"  f2.top_bigram, f2.top_bigram_count FROM (\n"
         f"SELECT lang, count(*) AS n_docs, CAST(sum({tokens}) AS BIGINT) AS sum_tokens,\n"
         f"  CAST(sum({bpe}) AS BIGINT) AS sum_bpe_tokens\n"
         "FROM documents GROUP BY lang) t JOIN (\n"
         f"SELECT lang, count(*) AS n_capped,\n"
         f"  CAST(sum(doc_id) AS BIGINT) AS capped_id_sum\n"
         f"FROM ({cap}) GROUP BY lang) c ON t.lang = c.lang\n"
-        f"JOIN bpl ON t.lang = bpl.lang"
+        f"JOIN bpl ON t.lang = bpl.lang\n"
+        f"JOIN f1 ON t.lang = f1.lang JOIN f2 ON t.lang = f2.lang"
     )
 
 
