@@ -1892,18 +1892,30 @@ def sql_value_histogram_events() -> str:
 
 
 
+#: deterministic rate-band table for the interval-join gate: full
+#: coverage of the value domain so the inner range join preserves the
+#: asof row count (edges chosen off any generated value).
+BAND_EDGES = [-1e9, 15.0, 42.5, 90.0, 180.0, 333.0, 1e9]
+
+
 def q_asof_join_events(sf_dir: str):
     """As-of join (build brief custom operator): each event picks up
     the latest hourly 'rate' mark at-or-before its timestamp
-    (broadcast series + vectorized searchsorted)."""
+    (broadcast series + vectorized searchsorted).  Round-4: the rows
+    then pick up (band_id, band_rate) from a deterministic rate-band
+    range table via the generic broadcast interval join
+    (stages/interval.py) — the brief's named "range join" custom
+    operator, SQL twin = a BETWEEN-style VALUES join."""
     from ocgis_ray.stages.asof import asof_join
+    from ocgis_ray.stages.interval import interval_join
 
     marks = pd.date_range("2024-01-01", "2024-01-31", freq="h")
     series = pd.DataFrame({
         "ts": marks,
         "rate": np.arange(len(marks), dtype=np.float64),
     })
-    out = asof_join(_events(sf_dir, ["event_id", "ts"]), series, on="ts")
+    out = asof_join(_events(sf_dir, ["event_id", "ts", "value"]), series,
+                    on="ts")
     # SQL ASOF (inner) drops rows with no mark at-or-before; the
     # engine keeps them with a null rate — filter for parity (the
     # asof_join docstring's documented contract; latent until an event
@@ -1913,15 +1925,31 @@ def q_asof_join_events(sf_dir: str):
     out = out.map_batches(
         lambda t: t.filter(_pc.is_valid(t["rate"])),
         batch_format="pyarrow", zero_copy_batch=True)
-    return out.select_columns(["event_id", "rate"])
+    e = np.asarray(BAND_EDGES)
+    bands = pd.DataFrame({
+        "lo": e[:-1], "hi": e[1:],
+        "band_id": np.arange(len(e) - 1, dtype=np.int64),
+        "band_rate": np.arange(len(e) - 1, dtype=np.float64) * 1.75 + 0.5,
+    })
+    out = interval_join(out, bands, "value",
+                        payload_cols=["band_id", "band_rate"])
+    return out.select_columns(["event_id", "rate", "band_id", "band_rate"])
 
 
 def sql_asof_join_events() -> str:
-    return """WITH marks AS (
+    rows = ",\n    ".join(
+        f"({i}, {BAND_EDGES[i]!r}, {BAND_EDGES[i + 1]!r}, {i * 1.75 + 0.5!r})"
+        for i in range(len(BAND_EDGES) - 1))
+    return f"""WITH marks AS (
   SELECT ts, CAST(row_number() OVER (ORDER BY ts) - 1 AS DOUBLE) AS rate
   FROM generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-31', INTERVAL 1 HOUR) t(ts)
+), bands(band_id, lo, hi, band_rate) AS (
+  VALUES {rows}
 )
-SELECT e.event_id, m.rate FROM events e ASOF JOIN marks m ON e.ts >= m.ts"""
+SELECT e.event_id, m.rate, CAST(b.band_id AS BIGINT) AS band_id,
+       CAST(b.band_rate AS DOUBLE) AS band_rate
+FROM events e ASOF JOIN marks m ON e.ts >= m.ts
+JOIN bands b ON e.value >= b.lo AND e.value < b.hi"""
 
 
 # =====================================================================
