@@ -183,6 +183,82 @@ def join_datasets(left, right, on, right_on=None, join_type: str = "inner",
     )
 
 
+def skew_join(left, right, on: str, right_on: str | None = None,
+              join_type: str = "inner", hot_values=None, hot_k: int = 32,
+              salt: int = 16, num_partitions: int | None = None):
+    """Hash join resilient to hot keys (salted replication).
+
+    A plain hash join sends EVERY row of a hot key to one aggregator
+    partition — at web scale one popular domain can be 10% of the
+    corpus and that partition becomes the pipeline.  This helper
+    spreads each hot key's probe rows across ``salt`` partitions and
+    replicates the (typically few) build rows of those keys to every
+    salt, so the join on ``(key, _sj_salt)`` balances:
+
+    - **left** (probe, the big/skewed side): rows whose key is hot get
+      ``_sj_salt = arange % salt`` within each batch (placement-only —
+      any assignment yields the same join OUTPUT, so resume stability
+      of the salt itself is not required); cold rows get salt 0.
+    - **right** (build): hot-key rows are replicated once per salt;
+      cold rows get salt 0.  Replication factor = salt x hot build
+      rows — keep the hot build side per key small or lower ``salt``.
+
+    ``hot_values``: explicit hot-key list, or None to auto-detect the
+    top ``hot_k`` left keys with the bounded-memory Misra-Gries sketch
+    (one extra pass over ``left``; pass the list when you already know
+    the skew).  ``join_type``: ``inner`` or ``left_outer`` (left rows
+    are never replicated so left-outer stays exact; right/full outer
+    would emit a missing right row once per salt — rejected)."""
+    import pyarrow.compute as pc
+
+    if join_type not in ("inner", "left_outer"):
+        raise ValueError(
+            f"skew_join supports inner/left_outer, not {join_type!r}")
+    if salt < 1:
+        raise ValueError("salt must be >= 1")
+    right_on = right_on or on
+    if hot_values is None:
+        from ocgis_ray.stages.sketch import heavy_hitters
+
+        hot_values = heavy_hitters(left, on, k=hot_k).to_pandas()[
+            "value"].tolist()
+    hot = list(hot_values)
+
+    def salt_left(t: pa.Table) -> pa.Table:
+        if hot:
+            m = pc.is_in(t[on], value_set=pa.array(hot)).to_numpy(
+                zero_copy_only=False)
+            s = np.where(m, np.arange(t.num_rows) % salt, 0)
+        else:
+            s = np.zeros(t.num_rows, dtype=np.int64)
+        return t.append_column("_sj_salt", pa.array(s.astype(np.int64)))
+
+    def replicate_right(t: pa.Table) -> pa.Table:
+        base = t.append_column(
+            "_sj_salt", pa.array(np.zeros(t.num_rows, dtype=np.int64)))
+        if not hot or salt == 1:
+            return base
+        m = pc.is_in(t[right_on], value_set=pa.array(hot)).to_numpy(
+            zero_copy_only=False)
+        idx = np.nonzero(m)[0]
+        if not idx.size:
+            return base
+        rep = t.take(pa.array(np.repeat(idx, salt - 1), pa.int64()))
+        rep = rep.append_column("_sj_salt", pa.array(np.tile(
+            np.arange(1, salt, dtype=np.int64), idx.size)))
+        return pa.concat_tables([base, rep])
+
+    lhs = left.map_batches(salt_left, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    rhs = right.map_batches(replicate_right, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    out = join_datasets(lhs, rhs, on=[on, "_sj_salt"],
+                        right_on=[right_on, "_sj_salt"],
+                        join_type=join_type,
+                        num_partitions=num_partitions)
+    return out.drop_columns(["_sj_salt"])
+
+
 def ensure_list_column(t, col: str, value_type=None):
     """Normalize a column to a plain Arrow list array.
 
