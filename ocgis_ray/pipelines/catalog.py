@@ -877,6 +877,38 @@ def q_events_user_rollup(sf_dir: str):
         raise AssertionError(
             "approx_distinct_by diverged from exact distinct event types")
 
+    # round-4: the salted-replication skew join rides this gate too —
+    # event_type has ~5 distinct values, i.e. EVERY key is hot, the
+    # exact shape skew_join exists for.  Join events x a per-type dim
+    # with all keys declared hot (salt=8) and require the per-type
+    # rollup to equal the no-join direct rollup; a divergence errors
+    # the query and turns the oracle row red.
+    import ray.data as _rd
+
+    from ocgis_ray.sources.io import skew_join
+
+    ev_t = _events(sf_dir, ["event_id", "event_type"])
+    types = sorted(distinct_rows(ev_t.select_columns(["event_type"]),
+                                 "event_type").to_pandas()["event_type"])
+    dim = _rd.from_pandas(pd.DataFrame({
+        "event_type": types,
+        "type_code": np.arange(len(types), dtype=np.int64)}))
+    sj = skew_join(ev_t, dim, "event_type", hot_values=types, salt=8)
+    per_type = grouped_aggregate(
+        sj, ["event_type"],
+        {"n_sj": (None, "count"), "code_sum": ("type_code", "sum")},
+    ).to_pandas().sort_values("event_type").reset_index(drop=True)
+    direct = grouped_aggregate(
+        ev_t, ["event_type"], {"n": (None, "count")},
+    ).to_pandas().sort_values("event_type").reset_index(drop=True)
+    codes = np.arange(len(types), dtype=np.int64)
+    if (len(per_type) != len(direct)
+            or not (per_type["n_sj"].to_numpy()
+                    == direct["n"].to_numpy()).all()
+            or not (per_type["code_sum"].to_numpy()
+                    == direct["n"].to_numpy() * codes).all()):
+        raise AssertionError("skew_join diverged from the direct rollup")
+
     agg = grouped_aggregate(
         _events(sf_dir, ["user_id", "value"]),
         ["user_id"],
