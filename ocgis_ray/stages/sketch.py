@@ -679,3 +679,115 @@ def quantile_sketch_rollup(ds, keys, value_col: str, qs: list[float],
 
     return cent.groupby("_bucket").map_groups(combine,
                                               batch_format="pandas")
+
+
+# ----------------------------------------------------- count-min sketch
+
+class CountMinSketch:
+    """Count-min (Cormode & Muthukrishnan 2005): ``depth x width``
+    counters, per-value probes by double hashing (same Kirsch-
+    Mitzenmacher derivation as :class:`BloomFilter`).  Estimates are
+    the row-wise MINIMUM — never an undercount; overcount bounded by
+    ``e*N/width`` per row with prob ``1 - e^-depth``.  Mergeable by
+    elementwise SUM, which is what the distributed build exploits."""
+
+    def __init__(self, width: int = 4096, depth: int = 4):
+        self.width = int(width)
+        self.depth = int(depth)
+        self.table = np.zeros((self.depth, self.width), dtype=np.int64)
+
+    def _slots(self, h: np.ndarray) -> np.ndarray:
+        h1 = h % np.uint64(self.width)
+        h2 = (h >> np.uint64(33)) | np.uint64(1)
+        idx = np.empty((self.depth, len(h)), dtype=np.int64)
+        for d in range(self.depth):
+            idx[d] = ((h1 + np.uint64(d) * h2)
+                      % np.uint64(self.width)).astype(np.int64)
+        return idx
+
+    def add_hashes(self, h: np.ndarray, counts: np.ndarray) -> None:
+        idx = self._slots(h)
+        for d in range(self.depth):
+            np.add.at(self.table[d], idx[d], counts)
+
+    def estimate_hashes(self, h: np.ndarray) -> np.ndarray:
+        if len(h) == 0:
+            return np.zeros(0, dtype=np.int64)
+        idx = self._slots(h)
+        est = self.table[0][idx[0]]
+        for d in range(1, self.depth):
+            est = np.minimum(est, self.table[d][idx[d]])
+        return est
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        assert (other.width, other.depth) == (self.width, self.depth)
+        self.table += other.table
+        return self
+
+
+def count_min(ds, col: str, width: int = 4096, depth: int = 4,
+              batch_size: int = 65536) -> CountMinSketch:
+    """Build a count-min sketch over ``col`` distributedly: each batch
+    emits SPARSE (slot, cnt) rows (<= depth x distinct-in-batch —
+    bounded per batch whatever ``width`` is), a grouped aggregate sums
+    per slot, and the driver materializes at most ``depth * width``
+    rows.  Nulls are not counted (SQL count semantics)."""
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        cms = CountMinSketch(width, depth)
+        if t.num_rows:
+            vc = pc.value_counts(t[col])
+            vals = vc.field("values")
+            cnts = vc.field("counts").to_numpy(zero_copy_only=False)
+            valid = _valid_mask(vals)
+            h = _hash64(vals)
+            idx = cms._slots(h)
+            cnts = cnts[valid].astype(np.int64)
+            slots = (idx + (np.arange(depth, dtype=np.int64)[:, None]
+                            * width)).ravel()
+            all_cnts = np.tile(cnts, depth)
+            # within-batch slot collisions sum here, not on the shuffle
+            uniq, inv = np.unique(slots, return_inverse=True)
+            summed = np.zeros(len(uniq), dtype=np.int64)
+            np.add.at(summed, inv, all_cnts)
+            return pa.table({"slot": pa.array(uniq),
+                             "cnt": pa.array(summed)})
+        return pa.table({"slot": pa.array([], pa.int64()),
+                         "cnt": pa.array([], pa.int64())})
+
+    from ocgis_ray.stages.tiles import grouped_aggregate
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=batch_size)
+    summed = grouped_aggregate(partials, ["slot"], {"cnt": ("cnt", "sum")})
+    out = CountMinSketch(width, depth)
+    for row in summed.take_all():
+        s = int(row["slot"])
+        out.table[s // width, s % width] += int(row["cnt"])
+    return out
+
+
+def cms_add_estimate(ds, col: str, cms: CountMinSketch,
+                     out_col: str = "freq_est"):
+    """Append each row's estimated ``col`` frequency — broadcast once
+    (``ray.put``), probe vectorized; the frequency-based gate shape
+    (e.g. drop boilerplate values seen > K times) WITHOUT a
+    corpus-sized exact count shuffle.  Null values estimate 0."""
+    import ray
+
+    ref = ray.put({"table": cms.table, "width": cms.width,
+                   "depth": cms.depth})
+
+    def f(t: pa.Table) -> pa.Table:
+        b = ray.get(ref)
+        sk = CountMinSketch(b["width"], b["depth"])
+        sk.table = b["table"]
+        est = np.zeros(t.num_rows, dtype=np.int64)
+        if t.num_rows:
+            valid = _valid_mask(t[col])
+            if valid.any():
+                est[valid] = sk.estimate_hashes(_hash64(t[col]))
+        return t.append_column(out_col, pa.array(est))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

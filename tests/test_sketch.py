@@ -4,6 +4,7 @@ against DuckDB ground truth."""
 
 import duckdb
 import numpy as np
+import pandas as pd
 import pytest
 
 
@@ -220,3 +221,62 @@ def test_approx_distinct_by_null_semantics(ray_session):
     got = (approx_distinct_by(rd.from_pandas(df), "k", "v", p=10)
            .to_pandas().set_index("k")["approx_distinct"])
     assert got.to_dict() == {"x": 1}  # nulls don't count; all-null group absent
+
+
+# ----------------------------------------------------- count-min sketch
+
+class TestCountMin:
+    def _data(self, n=20000, seed=2):
+        rng = np.random.RandomState(seed)
+        # Zipf-ish: a few heavy values + long tail
+        vals = np.where(rng.rand(n) < 0.4,
+                        rng.randint(0, 5, n),
+                        rng.randint(0, 2000, n))
+        return pd.DataFrame({"v": vals.astype(np.int64)})
+
+    def test_never_undercounts_and_bounded_overcount(self, ray_session):
+        import ray.data as rd
+
+        from ocgis_ray.stages.sketch import count_min
+
+        df = self._data()
+        cms = count_min(rd.from_pandas(df), "v", width=4096, depth=4,
+                        batch_size=2048)
+        exact = df["v"].value_counts()
+        import pandas.util as pu
+
+        keys = exact.index.to_numpy(np.int64)
+        h = pu.hash_array(keys)
+        est = cms.estimate_hashes(h)
+        true = exact.to_numpy(np.int64)
+        assert (est >= true).all()          # CMS guarantee
+        n = len(df)
+        assert (est - true).max() <= np.e * n / 4096 * 3  # generous bound
+        # heavy values estimate near-exactly
+        heavy = true >= 500
+        assert (est[heavy] == true[heavy]).all() or \
+            (est[heavy] - true[heavy]).max() <= n // 4096
+
+    def test_merge_is_sum(self):
+        from ocgis_ray.stages.sketch import CountMinSketch
+        import pandas.util as pu
+
+        a, b = CountMinSketch(256, 3), CountMinSketch(256, 3)
+        h = pu.hash_array(np.array([7, 9], dtype=np.int64))
+        a.add_hashes(h, np.array([5, 2]))
+        b.add_hashes(h, np.array([1, 10]))
+        a.merge(b)
+        assert (a.estimate_hashes(h) >= np.array([6, 12])).all()
+
+    def test_add_estimate_column_and_nulls(self, ray_session):
+        import ray.data as rd
+
+        from ocgis_ray.stages.sketch import cms_add_estimate, count_min
+
+        df = pd.DataFrame({"v": pd.array([1, 1, 1, 2, None],
+                                         dtype="Int64")})
+        ds = rd.from_pandas(df)
+        cms = count_min(ds, "v", width=512, depth=4)
+        out = cms_add_estimate(ds, "v", cms).to_pandas()
+        got = dict(zip(out["v"].fillna(-1), out["freq_est"]))
+        assert got[1] >= 3 and got[2] >= 1 and got[-1] == 0
