@@ -962,6 +962,8 @@ MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
 
 
 SPLIT_RATES = {"train": 0.8, "val": 0.1, "test": 0.1}
+# token-window chunking gate (small window so synthetic docs span >1)
+CHUNK_MAX, CHUNK_OVL = 64, 16
 
 
 def q_text_stats_documents(sf_dir: str):
@@ -1007,11 +1009,19 @@ def q_text_stats_documents(sf_dir: str):
     dfm = collect_df_model(doc_frequency(read_parquet_sized(
         f"{sf_dir}/documents.parquet", columns=["text"])))
     out = add_top_keyword(out, dfm)
+
+    # round-4 s6: token-window chunk count (stages/chunk.py) — pins
+    # the chunker's whitespace-token segmentation kernel + window
+    # formula against the regexp twin
+    from ocgis_ray.stages.chunk import add_chunk_count
+
+    out = add_chunk_count(out, "text", max_tokens=CHUNK_MAX,
+                          overlap=CHUNK_OVL)
     return out.select_columns(
         ["doc_id", "token_count", "alpha_ratio", "punct_ratio", "quality_score",
          "dup_word_frac", "mean_word_len", "stopword_frac", "top_bigram_frac",
          "gopher_keep", "bpe_token_count", "mix_keep", "token_entropy",
-         "split", "norm_len", "kw_top", "kw_score"]
+         "split", "norm_len", "kw_top", "kw_score", "n_chunks"]
     )
 
 
@@ -1032,6 +1042,11 @@ def sql_text_stats_documents() -> str:
 
     frags["norm_len"] = (
         f"CAST(length({normalize_text_sql('d.text', lower=True)}) AS BIGINT)")
+    from ocgis_ray.stages.chunk import chunk_counts_sql
+
+    frags["n_chunks"] = chunk_counts_sql(
+        r"len(regexp_extract_all(d.text, '[^ \t\n\r\v\f]+'))",
+        CHUNK_MAX, CHUNK_OVL)
     extra = ",\n    ".join(f"{sql} AS {name}" for name, sql in frags.items())
     base = quality_stats_sql(col="text", table="documents", id_col="doc_id",
                              extra_select=extra)
