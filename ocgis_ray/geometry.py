@@ -919,3 +919,85 @@ def difference_faces(a: "Polygon", b: "Polygon") -> list[np.ndarray]:
 def symmetric_difference_area(a: "Polygon", b: "Polygon") -> float:
     """Exact area of ``a XOR b``."""
     return boolean_area([a, b], lambda m: (m == 1) | (m == 2))
+
+
+# ------------------------------------------------- simplification (DP)
+
+def _dp_chain(verts: np.ndarray, tol: float) -> np.ndarray:
+    """Douglas-Peucker keep-mask over an open chain (first and last
+    vertices are always kept).  Iterative stack + vectorized
+    point-to-segment distances per split — no recursion depth limit,
+    no per-vertex Python loop inside a segment."""
+    n = len(verts)
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j - i < 2:
+            continue
+        a, b = verts[i], verts[j]
+        pts = verts[i + 1: j]
+        ab = b - a
+        denom = float(ab @ ab)
+        if denom == 0.0:
+            d = np.hypot(*(pts - a).T)
+        else:
+            t = np.clip(((pts - a) @ ab) / denom, 0.0, 1.0)
+            proj = a + t[:, None] * ab
+            d = np.hypot(*(pts - proj).T)
+        kmax = int(np.argmax(d))
+        if d[kmax] > tol:
+            m = i + 1 + kmax
+            keep[m] = True
+            stack.append((i, m))
+            stack.append((m, j))
+    return keep
+
+
+def simplify_ring(verts: np.ndarray, tol: float) -> np.ndarray:
+    """Douglas-Peucker on an OPEN ring: anchor at vertex 0 and the
+    vertex farthest from it (the classic ring split — no edge of the
+    ring is ever simplified across the seam), simplify both chains,
+    rejoin.  Kept vertices are a SUBSET of the input; every dropped
+    vertex lies within ``tol`` of the simplified boundary (the DP
+    guarantee per chain).  Collapsed results fall back to the
+    original ring (never emits a degenerate <3-vertex ring)."""
+    v = np.asarray(verts, dtype=np.float64)
+    n = len(v)
+    if n <= 3 or tol < 0:
+        return v.copy()
+    far = int(np.argmax(np.hypot(*(v - v[0]).T)))
+    if far == 0:  # all points coincident
+        return v.copy()
+    c1 = v[: far + 1]
+    c2 = np.concatenate([v[far:], v[:1]])
+    k1 = _dp_chain(c1, tol)
+    k2 = _dp_chain(c2, tol)
+    keep = np.zeros(n, dtype=bool)
+    keep[: far + 1] = k1
+    keep[far:] |= k2[:-1]
+    keep[0] |= k2[-1]
+    out = v[keep]
+    return out if len(out) >= 3 else v.copy()
+
+
+def simplify_polygon(p: "Polygon", tol: float) -> "Polygon":
+    """Topology-light polygon simplification (reference users run
+    ``geom.simplify`` via shapely/GEOS before a join; the engine's
+    layers are driver-resident, so this runs once at build time and
+    every probe afterwards gets cheaper point-in-polygon tests).
+    Holes whose simplified ring drops below ``min_hole_area`` = 0
+    area are kept as-is by the ring fallback; holes are simplified
+    with the same tolerance."""
+    return Polygon(
+        ugid=p.ugid, name=p.name,
+        verts=simplify_ring(p.verts, tol),
+        holes=[simplify_ring(h, tol) for h in p.holes],
+    )
+
+
+def simplify_layer(polys: list, tol: float) -> list:
+    """Simplify every polygon of a layer (build-side prep for
+    :func:`ocgis_ray.stages.spatial_join.build_index`)."""
+    return [simplify_polygon(p, tol) for p in polys]
