@@ -88,8 +88,8 @@ def spatial_reorder(ds, lon_col: str = "lon", lat_col: str = "lat",
     otherwise it is dropped after the sort.  The name must not already
     exist in the table.
     """
-    if order not in ("lon", "morton"):
-        raise ValueError("order must be 'lon' or 'morton'")
+    if order not in ("lon", "morton", "hilbert"):
+        raise ValueError("order must be 'lon', 'morton' or 'hilbert'")
     keep_key = key_col is not None
     key_col = key_col or "_spatial_key"
     existing = ds.schema().names
@@ -106,8 +106,9 @@ def spatial_reorder(ds, lon_col: str = "lon", lat_col: str = "lat",
             t = t.append_column(key_col, pa.array(key, pa.float64()))
         else:
             lat = np.asarray(t[lat_col].to_numpy(zero_copy_only=False), np.float64)
+            fn = morton_key if order == "morton" else hilbert_key
             t = t.append_column(key_col, pa.array(
-                morton_key(lon, lat, res), pa.int64()))
+                fn(lon, lat, res), pa.int64()))
         return t
 
     out = ds.map_batches(add_key, batch_format="pyarrow",
@@ -243,3 +244,114 @@ def read_morton_pruned(path, x0: float, y0: float, x1: float, y1: float,
                          filter=morton_filter_expr(ranges, key_col),
                          **read_kwargs)
     return bbox_filter(ds, x0, y0, x1, y1, lon_col=lon_col, lat_col=lat_col)
+
+
+# ------------------------------------------------------- hilbert order
+
+def hilbert_key_cells(ix: np.ndarray, iy: np.ndarray,
+                      side_bits: int) -> np.ndarray:
+    """(ix, iy) cell indices -> Hilbert curve keys on the
+    ``2**side_bits``-square grid (vectorized xy->d, the standard
+    quadrant-rotation loop).  Unlike Morton, the key depends on the
+    grid SIZE — writers and range queries must use the same
+    ``side_bits`` (:func:`hilbert_key` pins ``res + 1``, covering the
+    lon=180/lat=90 boundary-overflow index like the Morton path)."""
+    x = np.asarray(ix).astype(np.int64).copy()
+    y = np.asarray(iy).astype(np.int64).copy()
+    d = np.zeros(x.shape, dtype=np.int64)
+    s = np.int64(1) << np.int64(side_bits - 1)
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        # rotate quadrant so the sub-square is in canonical orientation
+        flip = (ry == 0) & (rx == 1)
+        x2 = np.where(flip, s - 1 - x, x)
+        y2 = np.where(flip, s - 1 - y, y)
+        swap = ry == 0
+        x, y = np.where(swap, y2, x2), np.where(swap, x2, y2)
+        s >>= 1
+    return d
+
+
+def _hilbert_scalar(ix: int, iy: int, side_bits: int) -> int:
+    """Python-int twin (test parity + range decomposition corners)."""
+    x, y, d = int(ix), int(iy), 0
+    s = 1 << (side_bits - 1)
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = s - 1 - x, s - 1 - y
+            x, y = y, x
+        s >>= 1
+    return d
+
+
+def hilbert_key(lon: np.ndarray, lat: np.ndarray, res: int) -> np.ndarray:
+    """Hilbert key of the ``res`` quadgrid cell — the Morton
+    alternative with strictly better locality (every consecutive key
+    pair is GRID-ADJACENT; Z-order jumps across quadrant seams), so
+    range reads touch fewer row groups per bbox at the same
+    ``max_ranges`` budget."""
+    return hilbert_key_cells(*grid.split(grid.encode(lon, lat, res)),
+                             side_bits=res + 1)
+
+
+def hilbert_ranges(x0: float, y0: float, x1: float, y1: float, res: int,
+                   max_ranges: int = 64) -> list[tuple[int, int]]:
+    """bbox -> sorted inclusive Hilbert-key ranges covering exactly
+    the cells intersecting the bbox (same contract/coalescing as
+    :func:`morton_ranges`).
+
+    Decomposition rides the Hilbert invariant that every quadtree-
+    aligned square is CONTIGUOUS on the curve: a fully-inside node
+    emits ``[floor(key(corner) / s^2) * s^2, +s^2)`` — no orientation
+    bookkeeping needed; ranges sort afterwards (the walk's emission
+    order is Morton, not Hilbert)."""
+    if res < 0 or res > 20:
+        raise ValueError("res must be in [0, 20]")
+    if x1 < x0 or y1 < y0:
+        return []
+    qx0, qy0, qx1, qy1 = grid.bbox_index_rect(x0, y0, x1, y1, res)
+    if qx1 < qx0 or qy1 < qy0:
+        return []
+    side_bits = res + 1
+    ranges: list[list[int]] = []
+    stack = [(0, 0, 0)]
+    while stack:
+        d, mx, my = stack.pop()
+        s = 1 << (side_bits - d)
+        if mx > qx1 or my > qy1 or mx + s - 1 < qx0 or my + s - 1 < qy0:
+            continue
+        if (qx0 <= mx and mx + s - 1 <= qx1
+                and qy0 <= my and my + s - 1 <= qy1):
+            sq = s * s
+            base = (_hilbert_scalar(mx, my, side_bits) // sq) * sq
+            ranges.append([base, base + sq - 1])
+            continue
+        h = s >> 1
+        for ix_half, iy_half in ((1, 1), (1, 0), (0, 1), (0, 0)):
+            stack.append((d + 1, mx + ix_half * h, my + iy_half * h))
+    ranges.sort()
+    merged: list[list[int]] = []
+    for lo, hi in ranges:
+        if merged and lo <= merged[-1][1] + 1:
+            merged[-1][1] = max(merged[-1][1], hi)
+        else:
+            merged.append([lo, hi])
+    if max_ranges < 1:
+        raise ValueError("max_ranges must be >= 1")
+    if len(merged) > max_ranges:
+        if max_ranges == 1:
+            return [(merged[0][0], merged[-1][1])]
+        los = np.array([m[0] for m in merged], dtype=np.int64)
+        his = np.array([m[1] for m in merged], dtype=np.int64)
+        sep = np.sort(np.argsort(los[1:] - his[:-1],
+                                 kind="stable")[-(max_ranges - 1):])
+        starts = np.concatenate([[0], sep + 1])
+        ends = np.concatenate([sep, [len(merged) - 1]])
+        merged = [[int(los[s]), int(his[e])] for s, e in zip(starts, ends)]
+    return [(lo, hi) for lo, hi in merged]

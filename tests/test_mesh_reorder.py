@@ -103,7 +103,7 @@ def test_spatial_reorder_bad_order(ray_session):
 
     ds = ray.data.from_pandas(pd.DataFrame({"lon": [0.0], "lat": [0.0]}))
     with pytest.raises(ValueError):
-        spatial_reorder(ds, order="hilbert")
+        spatial_reorder(ds, order="peano")
 
 
 # ------------------------------------------------------------------ mesh
@@ -314,3 +314,80 @@ def test_mesh_destination_conservative_regrid(ray_session):
                         value_col="value").to_pandas()
     assert len(out) == len(tris)
     np.testing.assert_allclose(out["wsum"], -3.5, rtol=1e-10)
+
+
+# ------------------------------------------------------- hilbert order
+
+class TestHilbert:
+    def test_vectorized_matches_scalar(self):
+        from ocgis_ray.stages.reorder import (_hilbert_scalar,
+                                              hilbert_key_cells)
+
+        rng = np.random.RandomState(0)
+        for bits in (1, 3, 6, 10):
+            n = 1 << bits
+            ix = rng.randint(0, n, 200)
+            iy = rng.randint(0, n, 200)
+            got = hilbert_key_cells(ix, iy, bits)
+            want = [_hilbert_scalar(x, y, bits) for x, y in zip(ix, iy)]
+            assert list(got) == want
+
+    def test_bijective_and_adjacent(self):
+        """The full grid traversal visits every key once and every
+        consecutive key pair is GRID-ADJACENT (the Hilbert property
+        Morton lacks)."""
+        from ocgis_ray.stages.reorder import hilbert_key_cells, morton_key_cells
+
+        bits = 4
+        n = 1 << bits
+        ix, iy = np.meshgrid(np.arange(n), np.arange(n))
+        ix, iy = ix.ravel(), iy.ravel()
+        key = hilbert_key_cells(ix, iy, bits)
+        assert sorted(key) == list(range(n * n))
+        order = np.argsort(key)
+        steps = (np.abs(np.diff(ix[order])) + np.abs(np.diff(iy[order])))
+        assert (steps == 1).all()
+        # Morton, by contrast, jumps: total path length strictly larger
+        morder = np.argsort(morton_key_cells(ix, iy))
+        msteps = (np.abs(np.diff(ix[morder])) + np.abs(np.diff(iy[morder])))
+        assert msteps.sum() > steps.sum()
+
+    def test_ranges_cover_exactly(self):
+        """hilbert_ranges at unlimited budget covers EXACTLY the keys
+        of cells intersecting the bbox."""
+        from ocgis_ray import grid
+        from ocgis_ray.stages.reorder import hilbert_key_cells, hilbert_ranges
+
+        rng = np.random.RandomState(7)
+        res = 4
+        side = 1 << res
+        ix, iy = np.meshgrid(np.arange(side), np.arange(side))
+        ix, iy = ix.ravel(), iy.ravel()
+        keys = hilbert_key_cells(ix, iy, res + 1)
+        for _ in range(10):
+            x0, x1 = np.sort(rng.uniform(-180, 180, 2))
+            y0, y1 = np.sort(rng.uniform(-90, 90, 2))
+            qx0, qy0, qx1, qy1 = grid.bbox_index_rect(x0, y0, x1, y1, res)
+            inside = ((ix >= qx0) & (ix <= qx1)
+                      & (iy >= qy0) & (iy <= qy1))
+            want = set(keys[inside])
+            ranges = hilbert_ranges(x0, y0, x1, y1, res, max_ranges=10**9)
+            got = {k for k in keys
+                   if any(lo <= k <= hi for lo, hi in ranges)}
+            assert got == want
+
+    def test_spatial_reorder_hilbert(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from ocgis_ray.stages.reorder import hilbert_key, spatial_reorder
+
+        rng = np.random.RandomState(3)
+        df = pd.DataFrame({"lon": rng.uniform(-180, 180, 500),
+                           "lat": rng.uniform(-90, 90, 500)})
+        out = spatial_reorder(rd.from_pandas(df), order="hilbert", res=6,
+                              key_col="hkey").to_pandas()
+        assert (np.diff(out["hkey"]) >= 0).all()
+        want = np.sort(hilbert_key(df["lon"].to_numpy(),
+                                   df["lat"].to_numpy(), 6))
+        assert list(out["hkey"]) == list(want)
