@@ -138,3 +138,90 @@ def read_manifest(out_dir: str) -> list[dict]:
         return []
     with open(mp) as f:
         return [json.loads(line) for line in f]
+
+
+def partition_files(out_dir: str, partition: str) -> list[str]:
+    d = os.path.join(out_dir, f"part={partition}")
+    if not os.path.isdir(d):
+        return []
+    return sorted(os.path.join(d, fn) for fn in os.listdir(d)
+                  if fn.endswith(".parquet"))
+
+
+def compact_partitions(out_dir: str, target_bytes: int = 128 * 1024 * 1024,
+                       min_files: int = 2,
+                       partitions: list[str] | None = None) -> list[dict]:
+    """Merge a partition's many small parquet files into
+    ~``target_bytes`` files — the table-maintenance pass a resumable
+    100 TB job needs: every incremental run / retried shard appends
+    files, readers pay a per-file open (and object stores a
+    per-request) cost, and a partition that accreted 500 x 2 MB files
+    scans 10x slower than the same bytes in 8 files.
+
+    Eligibility: >= ``min_files`` files AND mean file size below
+    ``target_bytes / 2`` (already-compact partitions are never
+    rewritten, so the pass is idempotent and safe to run on a cron).
+    The rewrite reuses the atomic tmp-dir + rename + manifest-append
+    protocol — a crash mid-compaction leaves the original partition
+    intact; a crash between rename and manifest append only loses the
+    compaction RECORD, not data.  Row counts are re-read from the
+    rewritten footers and must match the originals exactly (a
+    mismatch raises BEFORE the rename, keeping the source intact).
+    Completed-partition status never changes: compaction appends a
+    ``status="compacted"`` metrics record; resume logic keys on
+    ``status="complete"`` rows only."""
+    import ray.data as rd
+
+    done = completed_partitions(out_dir) if partitions is None \
+        else set(partitions)
+    records: list[dict] = []
+    for part in sorted(done):
+        files = partition_files(out_dir, part)
+        if len(files) < min_files:
+            continue
+        total = sum(os.path.getsize(f) for f in files)
+        if total / len(files) >= target_bytes / 2:
+            continue
+        import pyarrow.parquet as pq
+
+        want_rows = sum(pq.ParquetFile(f).metadata.num_rows
+                        for f in files)
+        n_out = max(1, -(-total // target_bytes))
+        tmp = os.path.join(out_dir, f"_tmp_compact_{part}")
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        t0 = time.perf_counter()
+        # partitioning=None: the default hive inference would graft a
+        # "part" column out of the part=<id> directory name into the
+        # rewritten files
+        (rd.read_parquet(files, override_num_blocks=n_out,
+                         partitioning=None)
+         .write_parquet(tmp, min_rows_per_file=max(1, want_rows // n_out)))
+        os.makedirs(tmp, exist_ok=True)
+        got_rows = sum(pq.ParquetFile(os.path.join(tmp, fn)).metadata.num_rows
+                       for fn in os.listdir(tmp) if fn.endswith(".parquet"))
+        if got_rows != want_rows:
+            shutil.rmtree(tmp)
+            raise AssertionError(
+                f"compaction of part={part} would change row count "
+                f"{want_rows} -> {got_rows}; source left untouched")
+        final = os.path.join(out_dir, f"part={part}")
+        shutil.rmtree(final)
+        os.rename(tmp, final)
+        rec = {
+            "partition": part,
+            "status": "compacted",
+            "rows": got_rows,
+            "files_before": len(files),
+            "files_after": len(partition_files(out_dir, part)),
+            "bytes": sum(os.path.getsize(f)
+                         for f in partition_files(out_dir, part)),
+            "wall_sec": round(time.perf_counter() - t0, 3),
+            "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        }
+        with open(manifest_path(out_dir), "a") as f:
+            f.write(json.dumps(rec) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+        records.append(rec)
+    return records

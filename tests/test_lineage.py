@@ -147,3 +147,46 @@ def test_chunked_rwg_weights_and_resume(ray_session, tmp_path):
     out = str(tmp_path / "rwg")
     lineage.write_partition(rd.from_pandas(w), out, "tile_000", meta={"tile": 0})
     assert lineage.completed_partitions(out) == {"tile_000"}
+
+
+# ------------------------------------------------------------ compaction
+
+class TestCompaction:
+    def _write_fragmented(self, tmp_path, part="a", n_files=6, rows=300):
+        import ray.data as rd
+
+        out = str(tmp_path / "tbl")
+        ds = rd.from_pandas(pd.DataFrame({
+            "k": np.arange(rows, dtype=np.int64),
+            "v": np.arange(rows, dtype=np.float64) * 0.5,
+        })).repartition(n_files)
+        lineage.write_partition(ds, out, part)
+        return out
+
+    def test_compacts_small_files_and_preserves_rows(self, ray_session,
+                                                     tmp_path):
+        out = self._write_fragmented(tmp_path)
+        before = lineage.partition_files(out, "a")
+        assert len(before) >= 2
+        recs = lineage.compact_partitions(out, target_bytes=1 << 30)
+        assert len(recs) == 1 and recs[0]["status"] == "compacted"
+        after = lineage.partition_files(out, "a")
+        assert len(after) < len(before)
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(after, partitioning=None)
+        assert t.num_rows == 300
+        assert sorted(t["k"].to_pylist()) == list(range(300))
+        # resume status unchanged: partition still counted complete
+        assert lineage.completed_partitions(out) == {"a"}
+
+    def test_idempotent_second_pass(self, ray_session, tmp_path):
+        out = self._write_fragmented(tmp_path)
+        assert len(lineage.compact_partitions(out, target_bytes=1 << 30)) == 1
+        # second pass: already compact -> no rewrite
+        assert lineage.compact_partitions(out, target_bytes=1 << 30) == []
+
+    def test_large_files_left_alone(self, ray_session, tmp_path):
+        out = self._write_fragmented(tmp_path, n_files=2)
+        # tiny target: mean size is above target/2 -> not eligible
+        assert lineage.compact_partitions(out, target_bytes=2) == []
