@@ -112,9 +112,18 @@ def grouped_aggregate(ds, keys: list[str] | str, spec: dict, batch_size: int = 6
     for out, (_, kind) in spec.items():
         how[out] = "sum" if kind in ("count", "sum", "sumsq") else kind
 
+    val_cols = list(spec)
+
     def combine(g: pd.DataFrame) -> pa.Table:
+        # sort partials by (keys, values) BEFORE summing: block arrival
+        # order varies run to run, and float partial sums in arrival
+        # order differ in the last ulp — which flips a downstream
+        # round() exactly on a .5 boundary (observed once at sf0.1 on
+        # the area-weighted rollup).  Sorting makes every combine a
+        # pure function of the data.
         out = (
             g.drop(columns=["_bucket"])
+            .sort_values(keys + val_cols, kind="mergesort")
             .groupby(keys, as_index=False, sort=False)
             .agg(how)
         )
