@@ -1010,3 +1010,119 @@ def video_near_duplicates(ds, container: str = "ppm", n_sample: int = 3,
                                          min_matching_frames))
 
     return rolled.map_batches(keep, batch_format="pyarrow")
+
+
+# ------------------------------------------- audio fingerprint (HK)
+
+def _wav_pcm(data: np.ndarray, off_lo: int, off_hi: int,
+             n_samples: int) -> np.ndarray:
+    """One payload's PCM16 samples as float64 (the RIFF tail contract
+    :func:`decode_wav_stats` validates)."""
+    nbytes = n_samples * 2
+    if nbytes <= 0 or off_hi - off_lo < nbytes:
+        return np.zeros(0, np.float64)
+    raw = data[off_hi - nbytes: off_hi]
+    return np.frombuffer(raw.tobytes(), dtype="<i2").astype(np.float64)
+
+
+def hk_subfingerprints(samples: np.ndarray, rate: int,
+                       frame: int = 2048, hop: int = 1024,
+                       nbands: int = 65, f_lo: float = 300.0,
+                       f_hi: float = 3000.0) -> np.ndarray:
+    """Haitsma-Kalker (2002) audio sub-fingerprints, 64 bits/frame.
+
+    Hann-windowed frames -> power spectrum -> ``nbands`` log-spaced
+    bands in [f_lo, f_hi] -> bit(b, t) = sign of the band-energy
+    difference's TIME difference: ``(E[t,b]-E[t,b+1]) -
+    (E[t-1,b]-E[t-1,b+1]) > 0``.  Energy-ratio signs are invariant to
+    volume scaling and robust to coding noise — the property the
+    original paper exploits for 3-second clip lookup.  Returns uint64
+    sub-fingerprints, one per frame after the first (vectorized across
+    all frames; the FFT is the only O(n log n) step)."""
+    n = len(samples)
+    if n < 2 * frame:
+        return np.zeros(0, dtype=np.uint64)
+    n_frames = 1 + (n - frame) // hop
+    idx = (np.arange(frame)[None, :]
+           + (np.arange(n_frames) * hop)[:, None])
+    win = samples[idx] * np.hanning(frame)[None, :]
+    spec = np.abs(np.fft.rfft(win, axis=1)) ** 2
+    freqs = np.fft.rfftfreq(frame, 1.0 / rate)
+    f_hi = min(f_hi, rate / 2.0)
+    edges = np.geomspace(f_lo, f_hi, nbands + 1)
+    band_idx = np.searchsorted(freqs, edges)
+    E = np.add.reduceat(spec, band_idx[:-1], axis=1)
+    d = E[:, :-1] - E[:, 1:]          # band differences (nbands-1=64)
+    bits = (d[1:] - d[:-1]) > 0       # time difference signs
+    packed = np.zeros(bits.shape[0], dtype=np.uint64)
+    for b in range(bits.shape[1]):
+        packed |= bits[:, b].astype(np.uint64) << np.uint64(b)
+    return packed
+
+
+def audio_fingerprint_batch(batch: pa.Table,
+                            id_col: str = "media_id") -> pa.Table:
+    """(id, payload PCM WAV, meta_w=rate, meta_h=n_samples) ->
+    (id, af_frames list<int64> sub-fingerprints, af_sig int64
+    majority-vote clip signature).
+
+    ``af_sig`` is the clip-level 64-bit signature (per-bit majority
+    over frames) that rides the pigeonhole SimHash pairing machinery;
+    ``af_frames`` is the full HK stream for alignment-level matching
+    downstream."""
+    data, off = _binary_view(batch["payload"])
+    rate = batch["meta_w"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ns = batch["meta_h"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = batch.num_rows
+    frames: list[np.ndarray] = []
+    sig = np.zeros(n, dtype=np.uint64)
+    for i in range(n):
+        pcm = _wav_pcm(data, int(off[i]), int(off[i + 1]), int(ns[i]))
+        fp = hk_subfingerprints(pcm, int(rate[i]))
+        frames.append(fp.astype(np.int64))
+        if len(fp):
+            cols = (fp[:, None] >> np.arange(64, dtype=np.uint64)[None, :]
+                    ) & np.uint64(1)
+            maj = cols.sum(axis=0) * 2 > len(fp)
+            sig[i] = np.bitwise_or.reduce(
+                maj.astype(np.uint64) << np.arange(64, dtype=np.uint64))
+    return pa.table({
+        id_col: batch[id_col],
+        "af_frames": pa.array(frames, type=pa.list_(pa.int64())),
+        "af_sig": pa.array(sig.astype(np.int64)),
+    })
+
+
+def audio_fingerprints(ds, id_col: str = "media_id", concurrency=None,
+                       batch_size: int = 256):
+    """Distributed HK fingerprint stage over an audio media table."""
+    from ocgis_ray.tuning import auto_pool
+
+    concurrency = auto_pool() if concurrency is None else concurrency
+    return ds.map_batches(
+        lambda b: audio_fingerprint_batch(b, id_col=id_col),
+        batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=concurrency, batch_size=batch_size)
+
+
+def audio_near_duplicates(sig_ds, max_hamming: int = 8,
+                          id_col: str = "media_id"):
+    """Audio near-dup pairs within ``max_hamming`` signature bits —
+    the same pigeonhole-banded pairing :func:`phash_near_duplicates`
+    rides (a 64-bit signature is a 64-bit signature)."""
+    from ocgis_ray.stages.dedup import simhash_near_duplicates
+
+    def to_sig(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t[id_col], "simhash": t["af_sig"]})
+
+    pairs = simhash_near_duplicates(
+        sig_ds.map_batches(to_sig, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        max_hamming=max_hamming)
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({f"{id_col}_a": t["doc_a"],
+                         f"{id_col}_b": t["doc_b"],
+                         "hamming": t["hamming"]})
+
+    return pairs.map_batches(rename, batch_format="pyarrow")
