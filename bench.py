@@ -329,7 +329,37 @@ def run_queries() -> dict[str, float]:
         edges = host_edges(links).filter(expr="src != dst")
         return pagerank(edges, iters=3)
 
+    _rag_n = [0]
+
+    def extra_rag_index():
+        # RAG corpus build end to end: token-window chunking ->
+        # feature-hashing embed -> shard-local HNSW persisted through
+        # the lineage manifest -> 8-query search.  Fresh index path
+        # per call so the timed run pays the real build (resume would
+        # otherwise skip it).
+        import shutil
+
+        from ocgis_ray.pipelines.rag import build_rag_index, rag_search
+        from ocgis_ray.sources.io import read_parquet_sized
+
+        _rag_n[0] += 1
+        path = f"/tmp/graft_bench/ragidx_{os.getpid()}_{_rag_n[0]}"
+        shutil.rmtree(path, ignore_errors=True)
+        docs = read_parquet_sized(f"{SF_DIR}/documents.parquet",
+                                  columns=["doc_id", "text"])
+        build_rag_index(docs, path, max_tokens=128, overlap=32,
+                        dim=256, shard_size=512)
+        return rag_search(path, ["solar energy panels",
+                                 "quarterly revenue growth",
+                                 "flour and eggs recipe",
+                                 "magnetic field navigation",
+                                 "database index structures",
+                                 "mountain trail hiking",
+                                 "stock market analysis",
+                                 "neural network training"], k=5)
+
     extras = {"dom_extract_pages": extra_dom_extract,
+              "rag_chunk_index": extra_rag_index,
               "outlink_graph_pages": extra_outlink_graph,
               "ann_hnsw_synth": extra_ann_hnsw,
               "warc_dom_flagship": extra_warc_dom_flagship,

@@ -88,7 +88,7 @@ def build_rag_index(docs, path: str, col: str = "text",
                     id_col: str = "doc_id", max_tokens: int = 128,
                     overlap: int = 32, dim: int = 256, M: int = 12,
                     ef_construction: int = 48, run_id: str = "base",
-                    concurrency=None) -> dict:
+                    shard_size: int = 8192, concurrency=None) -> dict:
     """documents Dataset -> persisted chunk-level HNSW index at
     ``path`` (graphs under ``path/graph``, chunk texts under
     ``path/chunks`` — both lineage-managed and resumable; re-running
@@ -122,7 +122,7 @@ def build_rag_index(docs, path: str, col: str = "text",
         emb.select_columns(["chunk_uid", "embedding"]),
         f"{path}/graph", id_col="chunk_uid", M=M,
         ef_construction=ef_construction, run_id=run_id,
-        concurrency=concurrency)
+        batch_size=shard_size, concurrency=concurrency)
     return {"path": path, "dim": dim, "graph": rec}
 
 
