@@ -1300,8 +1300,14 @@ def q_langid_documents(sf_dir: str):
         return t
 
     out = out.map_batches(rnd, batch_format="pyarrow", zero_copy_batch=True)
+    # round-4 s9: CCNet head/middle/tail bucketing over the rounded
+    # perplexity (lm.perplexity_buckets; exact-quantile thresholds)
+    from ocgis_ray.stages.lm import perplexity_buckets
+
+    out = perplexity_buckets(out, col="ppl")
     return out.select_columns(["doc_id", "lang_pred", "ppl", "dsir_logw",
-                               "nb_label", "nb_margin", "kn_ppl"])
+                               "nb_label", "nb_margin", "kn_ppl",
+                               "ppl_bucket"])
 
 
 # decontamination params carried by fingerprint_documents: benchmark
@@ -2240,12 +2246,17 @@ def sql_langid_documents() -> str:
     # round-3 s4: interpolated Kneser-Ney bigram perplexity (the
     # KenLM/CCNet gate shape), trained + scored in SQL (stages/kn.py)
     kn = kn_ppl_sql(LM_VOCAB)
-    return (f"SELECT l.doc_id, l.lang_pred, p.ppl, d.dsir_logw,\n"
+    base = (f"SELECT l.doc_id, l.lang_pred, p.ppl, d.dsir_logw,\n"
             f"       n.nb_label, n.nb_margin, k.kn_ppl\n"
             f"FROM ({lid}) l JOIN ({ppl}) p ON l.doc_id = p.doc_id\n"
             f"JOIN ({dsir}) d ON l.doc_id = d.doc_id\n"
             f"JOIN ({nb}) n ON l.doc_id = n.doc_id\n"
             f"JOIN ({kn}) k ON l.doc_id = k.doc_id")
+    # round-4 s9: CCNet tertile bucket twin (quantile_cont thresholds
+    # over the same rounded ppl)
+    from ocgis_ray.stages.lm import ppl_bucket_sql
+
+    return ppl_bucket_sql(base)
 
 
 def sql_fingerprint_documents() -> str:

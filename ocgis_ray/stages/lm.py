@@ -375,3 +375,60 @@ def dsir_resample(ds, target_model: dict, raw_model: dict,
 
     return with_z.map_batches(keep, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+def perplexity_buckets(ds, col: str = "ppl", out: str = "ppl_bucket",
+                       labels: tuple = ("head", "middle", "tail"),
+                       round_digits: int = 6):
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): split
+    the corpus into head/middle/tail thirds by LM perplexity.
+
+    Thresholds = ``round(quantile_cont(col, 1/3 | 2/3), round_digits)``
+    computed by the exact distributed quantile kernel
+    (:func:`ocgis_ray.stages.calc.quantile_rollup` — already proven
+    bit-compatible with DuckDB ``quantile_cont`` by the daily_perc
+    oracle), then a broadcast compare: ``<= t1`` -> head, ``<= t2`` ->
+    middle, else tail (empty docs score +inf and land in tail).  Pass
+    the ROUNDED perplexity column so engine and SQL twin bucket the
+    same doubles."""
+    import pyarrow as pa
+
+    from ocgis_ray.stages.calc import quantile_rollup
+
+    slim = ds.select_columns([col]).map_batches(
+        lambda t: t.append_column("_g", pa.array(
+            np.zeros(t.num_rows, dtype=np.int64))),
+        batch_format="pyarrow", zero_copy_batch=True)
+    ts = []
+    for q in (1.0 / 3.0, 2.0 / 3.0):
+        df = quantile_rollup(slim, "_g", col, q, out_col="t",
+                             round_digits=round_digits).to_pandas()
+        ts.append(float(df["t"].iloc[0]))
+    t1, t2 = ts
+    lab = np.asarray(labels, dtype=object)
+
+    def f(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False)
+        b = np.where(v <= t1, 0, np.where(v <= t2, 1, 2))
+        return t.append_column(out, pa.array(lab[b], pa.string()))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def ppl_bucket_sql(base_select: str, col: str = "ppl",
+                   out: str = "ppl_bucket",
+                   labels: tuple = ("head", "middle", "tail"),
+                   round_digits: int = 6) -> str:
+    """Wrap a SELECT producing ``col`` with the tertile bucket column
+    (the :func:`perplexity_buckets` twin)."""
+    return f"""WITH pbase AS ({base_select}),
+pth AS (
+  SELECT round(quantile_cont({col}, 1.0/3), {round_digits}) AS t1,
+         round(quantile_cont({col}, 2.0/3), {round_digits}) AS t2
+  FROM pbase
+)
+SELECT pbase.*,
+       CASE WHEN {col} <= t1 THEN '{labels[0]}'
+            WHEN {col} <= t2 THEN '{labels[1]}'
+            ELSE '{labels[2]}' END AS {out}
+FROM pbase, pth"""

@@ -156,3 +156,25 @@ def test_empty_and_oov_edge(ray_session):
     out = score_perplexity(ds, model).to_pandas().set_index("doc_id")
     assert np.isinf(out.loc[1, "ppl"])
     assert np.isfinite(out.loc[0, "ppl"])
+
+
+def test_perplexity_buckets_thirds(ray_session):
+    import ray.data as rd
+
+    from ocgis_ray.stages.lm import perplexity_buckets
+
+    rng = np.random.RandomState(0)
+    df = pd.DataFrame({"doc_id": np.arange(900, dtype=np.int64),
+                       "ppl": rng.uniform(1, 100, 900)})
+    out = perplexity_buckets(rd.from_pandas(df)).to_pandas()
+    counts = out["ppl_bucket"].value_counts()
+    assert abs(counts["head"] - 300) <= 1
+    assert abs(counts["middle"] - 300) <= 1
+    # order respected: every head ppl <= every tail ppl
+    assert out[out.ppl_bucket == "head"]["ppl"].max() <= \
+        out[out.ppl_bucket == "tail"]["ppl"].min()
+    # infinities (empty docs) land in tail once thresholds are finite
+    df2 = pd.DataFrame({"doc_id": np.arange(9, dtype=np.int64),
+                        "ppl": [1, 2, 3, 4, 5, 6, 7, 8, np.inf]})
+    out2 = perplexity_buckets(rd.from_pandas(df2)).to_pandas()
+    assert out2.sort_values("doc_id")["ppl_bucket"].iloc[8] == "tail"
