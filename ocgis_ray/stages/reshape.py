@@ -430,3 +430,40 @@ def stratified_sample_flag(ds, key_col: str, group_col: str, rates: dict,
         return t.append_column(out, pa.array((h < thr).astype(np.int64)))
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sample_exact_k(ds, key_col: str, k: int, salt: int = 0):
+    """Deterministic EXACT-k uniform sample: the k rows with the
+    smallest ``splitmix64(key ^ salt)`` (bottom-k sampling — the
+    order-statistics trick behind KMV sketches).  Properties a
+    training/eval pipeline wants that ``rate``-based sampling lacks:
+
+    - exactly ``k`` rows, whatever the input size;
+    - resume-stable and seedable (pure function of key + salt; a new
+      ``salt`` is a fresh draw);
+    - NO shuffle: each batch keeps its local bottom-k (<= k rows per
+      batch leave the worker), one tiny final merge.
+
+    Keys must be unique for exactness (duplicate keys ride together).
+    Returns the sampled Dataset (row order = hash order)."""
+    import pyarrow as pa
+
+    from ocgis_ray.stages.text import _mix64
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    def local(t: pa.Table) -> pa.Table:
+        raw = t[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = _mix64(raw ^ np.uint64(salt)).astype(np.int64)
+        t = t.append_column("_sk", pa.array(h))
+        if t.num_rows <= k:
+            return t
+        idx = np.argpartition(h, k)[:k]
+        return t.take(pa.array(np.sort(idx), pa.int64()))
+
+    partials = ds.map_batches(local, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    # final merge: global bottom-k over <= k-per-block partials
+    out = partials.sort("_sk").limit(k)
+    return out.drop_columns(["_sk"])

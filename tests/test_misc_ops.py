@@ -330,3 +330,29 @@ def test_vector_writers_roundtrip(tmp_path):
     for a, b in zip(src, back):
         assert a.ugid == b.ugid
         assert b.area() == pytest.approx(a.area(), rel=1e-12)
+
+
+def test_sample_exact_k(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ocgis_ray.stages.reshape import sample_exact_k
+
+    df = pd.DataFrame({"doc_id": np.arange(5000, dtype=np.int64),
+                       "v": np.arange(5000) * 2.0})
+    ds = rd.from_pandas(df).repartition(8)
+    a = sample_exact_k(ds, "doc_id", 100).to_pandas()
+    assert len(a) == 100
+    # deterministic across runs and partitionings
+    b = sample_exact_k(rd.from_pandas(df).repartition(3),
+                       "doc_id", 100).to_pandas()
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+    # a different salt is a different draw
+    c = sample_exact_k(ds, "doc_id", 100, salt=7).to_pandas()
+    assert sorted(c["doc_id"]) != sorted(a["doc_id"])
+    # k >= n returns everything
+    full = sample_exact_k(ds, "doc_id", 10_000).to_pandas()
+    assert sorted(full["doc_id"]) == list(range(5000))
+    # roughly uniform: mean of sampled ids near the population mean
+    assert abs(a["doc_id"].mean() - 2500) < 450
