@@ -467,3 +467,51 @@ def sample_exact_k(ds, key_col: str, k: int, salt: int = 0):
     # final merge: global bottom-k over <= k-per-block partials
     out = partials.sort("_sk").limit(k)
     return out.drop_columns(["_sk"])
+
+
+def plan_mixture(available: dict, weights: dict, budget: float) -> dict:
+    """Water-filling mixture planner: per-group keep RATES that hit a
+    token ``budget`` at target proportions ``weights`` (the static
+    data-mixing step of a DoReMi/Pile-style recipe; feed the rates to
+    :func:`stratified_sample`).
+
+    ``available[g]`` = tokens on hand per group (from a rollup, e.g.
+    ``token_rollup_by_lang``); ``weights[g]`` = desired mixture
+    fractions (normalized internally).  A group that cannot supply its
+    target share saturates at rate 1.0 and its unmet share
+    redistributes among the unsaturated groups in proportion to their
+    weights (exact water-filling, iterated to fixpoint ≤ #groups
+    rounds).  If the budget exceeds the total supply every rate is
+    1.0 (and the mixture is whatever the data has — logged via the
+    returned ``_unmet`` entry when nonzero)."""
+    groups = [g for g in weights if available.get(g, 0) > 0]
+    wsum = float(sum(weights[g] for g in groups))
+    if not groups or wsum <= 0:
+        return {"_unmet": float(budget)}
+    w = {g: weights[g] / wsum for g in groups}
+    target = {g: w[g] * float(budget) for g in groups}
+    rates = {g: 0.0 for g in groups}
+    active = set(groups)
+    remaining = float(budget)
+    while active and remaining > 1e-9:
+        aw = sum(w[g] for g in active)
+        sat = set()
+        for g in active:
+            want = remaining * w[g] / aw
+            if available[g] <= want + 1e-9:
+                rates[g] = 1.0
+                sat.add(g)
+        if not sat:
+            for g in active:
+                want = remaining * w[g] / aw
+                rates[g] = min(1.0, rates[g] + want / available[g])
+            remaining = 0.0
+            break
+        remaining -= sum(available[g] for g in sat)
+        active -= sat
+    got = sum(rates[g] * available[g] for g in groups)
+    out = dict(rates)
+    unmet = float(budget) - got
+    if unmet > max(1.0, 1e-6 * budget):
+        out["_unmet"] = unmet
+    return out

@@ -356,3 +356,36 @@ def test_sample_exact_k(ray_session):
     assert sorted(full["doc_id"]) == list(range(5000))
     # roughly uniform: mean of sampled ids near the population mean
     assert abs(a["doc_id"].mean() - 2500) < 450
+
+
+def test_plan_mixture_water_filling():
+    from ocgis_ray.stages.reshape import plan_mixture
+
+    # no saturation: rates hit the exact proportional targets
+    avail = {"web": 1000.0, "books": 1000.0}
+    r = plan_mixture(avail, {"web": 0.5, "books": 0.5}, 1000)
+    assert abs(r["web"] - 0.5) < 1e-9 and abs(r["books"] - 0.5) < 1e-9
+
+    # books saturates; its unmet share flows to web
+    avail = {"web": 10_000.0, "books": 100.0}
+    r = plan_mixture(avail, {"web": 0.5, "books": 0.5}, 1000)
+    assert r["books"] == 1.0
+    got = r["web"] * avail["web"] + avail["books"]
+    assert abs(got - 1000) < 1e-6
+    assert "_unmet" not in r
+
+    # budget exceeds supply: all 1.0 + unmet reported
+    r = plan_mixture({"a": 50.0, "b": 30.0}, {"a": 0.7, "b": 0.3}, 1000)
+    assert r["a"] == 1.0 and r["b"] == 1.0
+    assert abs(r["_unmet"] - 920) < 1e-6
+
+    # three-way cascade: two saturate in sequence
+    avail = {"a": 10.0, "b": 100.0, "c": 100000.0}
+    r = plan_mixture(avail, {"a": 1 / 3, "b": 1 / 3, "c": 1 / 3}, 900)
+    assert r["a"] == 1.0 and r["b"] == 1.0
+    got = sum(r[g] * avail[g] for g in avail)
+    assert abs(got - 900) < 1e-6
+
+    # groups with zero supply are skipped; empty -> all budget unmet
+    r = plan_mixture({"a": 0.0}, {"a": 1.0}, 10)
+    assert r["_unmet"] == 10.0
