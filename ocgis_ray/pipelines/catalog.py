@@ -1301,13 +1301,16 @@ def q_langid_documents(sf_dir: str):
 
     out = out.map_batches(rnd, batch_format="pyarrow", zero_copy_batch=True)
     # round-4 s9: CCNet head/middle/tail bucketing over the rounded
-    # perplexity (lm.perplexity_buckets; exact-quantile thresholds)
+    # perplexity (lm.perplexity_buckets; exact-quantile thresholds).
+    # Project to the slim doc-level numeric rows FIRST and materialize,
+    # so the expensive scoring pipeline runs once — the bucketer's two
+    # passes (threshold + label) then read cached slim blocks.
     from ocgis_ray.stages.lm import perplexity_buckets
 
-    out = perplexity_buckets(out, col="ppl")
-    return out.select_columns(["doc_id", "lang_pred", "ppl", "dsir_logw",
-                               "nb_label", "nb_margin", "kn_ppl",
-                               "ppl_bucket"])
+    out = out.select_columns(["doc_id", "lang_pred", "ppl", "dsir_logw",
+                              "nb_label", "nb_margin", "kn_ppl"])
+    out = out.materialize()
+    return perplexity_buckets(out, col="ppl")
 
 
 # decontamination params carried by fingerprint_documents: benchmark

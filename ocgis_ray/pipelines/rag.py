@@ -107,6 +107,12 @@ def build_rag_index(docs, path: str, col: str = "text",
         if seq.size and int(seq.max()) >= (1 << CHUNK_SEQ_BITS):
             raise ValueError("chunk_seq overflows CHUNK_SEQ_BITS — "
                              "raise max_tokens or split the document")
+        if did.size and (int(did.min()) < 0
+                         or int(did.max()) >= (1 << (63 - CHUNK_SEQ_BITS))):
+            raise ValueError(
+                f"doc_id outside [0, 2^{63 - CHUNK_SEQ_BITS}) — the "
+                "packed (doc_id << CHUNK_SEQ_BITS) | chunk_seq uid "
+                "would wrap/collide; remap ids or lower CHUNK_SEQ_BITS")
         uid = (did << CHUNK_SEQ_BITS) | seq
         return t.append_column("chunk_uid", pa.array(uid))
 

@@ -81,7 +81,7 @@ def stats_rollup(ds, keys, value_col: str, round_digits: int = ROUND_DIGITS):
     return agg.map_batches(finalize, batch_format="pandas")
 
 
-def quantile_rollup(ds, keys, value_col: str, q: float, out_col: str = "q_v",
+def quantile_rollup(ds, keys, value_col: str, q, out_col="q_v",
                     round_digits: int = ROUND_DIGITS):
     """Exact grouped percentile (``freq_perc``/median analog) —
     linear interpolation, identical to DuckDB ``quantile_cont``.
@@ -89,17 +89,28 @@ def quantile_rollup(ds, keys, value_col: str, q: float, out_col: str = "q_v",
     co-locate via the hash-bucket shuffle and ALL groups in a bucket
     compute in one vectorized pandas pass (per-group ``map_groups``
     runs ~700 groups/s); for huge single groups a t-digest sketch
-    would replace this."""
+    would replace this.
+
+    ``q`` may be a sequence (with a matching ``out_col`` sequence):
+    every quantile is computed in ONE pass over the input — N
+    thresholds cost one upstream execution, not N (the CCNet tertile
+    case)."""
     keys = [keys] if isinstance(keys, str) else list(keys)
     from ocgis_ray.sources.io import bucketed_group_apply
 
+    qs = [float(q)] if np.isscalar(q) else [float(x) for x in q]
+    outs = [out_col] if isinstance(out_col, str) else list(out_col)
+    if len(qs) != len(outs):
+        raise ValueError("q and out_col lengths differ")
+
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        s = g.groupby(keys, sort=False)[value_col].quantile(
-            q, interpolation="linear"
-        )
-        out = s.reset_index()
-        out[out_col] = sql_round(out.pop(value_col).to_numpy(np.float64),
-                                 round_digits)
+        gb = g.groupby(keys, sort=False)[value_col]
+        out = None
+        for qq, name in zip(qs, outs):
+            s = gb.quantile(qq, interpolation="linear").reset_index()
+            s[name] = sql_round(s.pop(value_col).to_numpy(np.float64),
+                                round_digits)
+            out = s if out is None else out.merge(s, on=keys, how="inner")
         return out
 
     return bucketed_group_apply(ds, keys, per_bucket)

@@ -390,7 +390,13 @@ def perplexity_buckets(ds, col: str = "ppl", out: str = "ppl_bucket",
     oracle), then a broadcast compare: ``<= t1`` -> head, ``<= t2`` ->
     middle, else tail (empty docs score +inf and land in tail).  Pass
     the ROUNDED perplexity column so engine and SQL twin bucket the
-    same doubles."""
+    same doubles.
+
+    Cost: the upstream executes TWICE (one slim single-column pass for
+    both tertile thresholds — a single multi-quantile rollup, not one
+    pass per threshold — plus the labeling pass).  When the upstream
+    is expensive and small enough to cache, materialize it before
+    calling (the catalog's langid query does)."""
     import pyarrow as pa
 
     from ocgis_ray.stages.calc import quantile_rollup
@@ -399,12 +405,10 @@ def perplexity_buckets(ds, col: str = "ppl", out: str = "ppl_bucket",
         lambda t: t.append_column("_g", pa.array(
             np.zeros(t.num_rows, dtype=np.int64))),
         batch_format="pyarrow", zero_copy_batch=True)
-    ts = []
-    for q in (1.0 / 3.0, 2.0 / 3.0):
-        df = quantile_rollup(slim, "_g", col, q, out_col="t",
-                             round_digits=round_digits).to_pandas()
-        ts.append(float(df["t"].iloc[0]))
-    t1, t2 = ts
+    df = quantile_rollup(slim, "_g", col, (1.0 / 3.0, 2.0 / 3.0),
+                         out_col=("t1", "t2"),
+                         round_digits=round_digits).to_pandas()
+    t1, t2 = float(df["t1"].iloc[0]), float(df["t2"].iloc[0])
     lab = np.asarray(labels, dtype=object)
 
     def f(t: pa.Table) -> pa.Table:

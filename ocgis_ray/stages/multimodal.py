@@ -1040,7 +1040,12 @@ def hk_subfingerprints(samples: np.ndarray, rate: int,
     sub-fingerprints, one per frame after the first (vectorized across
     all frames; the FFT is the only O(n log n) step)."""
     n = len(samples)
-    if n < 2 * frame:
+    # degenerate metadata guard: a corrupt/hostile WAV header can
+    # claim rate<=0 (ZeroDivisionError in rfftfreq) or a Nyquist below
+    # f_lo (geomspace would emit DECREASING edges -> non-monotonic
+    # reduceat indices -> garbage bits). No usable band range -> no
+    # fingerprints, matching the too-short-clip contract.
+    if rate <= 0 or rate < 2.0 * f_lo or n < 2 * frame:
         return np.zeros(0, dtype=np.uint64)
     n_frames = 1 + (n - frame) // hop
     idx = (np.arange(frame)[None, :]
@@ -1051,6 +1056,7 @@ def hk_subfingerprints(samples: np.ndarray, rate: int,
     f_hi = min(f_hi, rate / 2.0)
     edges = np.geomspace(f_lo, f_hi, nbands + 1)
     band_idx = np.searchsorted(freqs, edges)
+    spec[:, band_idx[-1]:] = 0.0  # cut energy above the top band edge
     E = np.add.reduceat(spec, band_idx[:-1], axis=1)
     d = E[:, :-1] - E[:, 1:]          # band differences (nbands-1=64)
     bits = (d[1:] - d[:-1]) > 0       # time difference signs

@@ -445,16 +445,30 @@ def sample_exact_k(ds, key_col: str, k: int, salt: int = 0):
       batch leave the worker), one tiny final merge.
 
     Keys must be unique for exactness (duplicate keys ride together).
+    Integer keys hash directly; string keys hash by full content
+    (:func:`ocgis_ray.stages.text.string_value_hash`); float keys are
+    rejected — truncation would silently collide distinct keys.
     Returns the sampled Dataset (row order = hash order)."""
     import pyarrow as pa
 
-    from ocgis_ray.stages.text import _mix64
+    from ocgis_ray.stages.text import _mix64, string_value_hash
 
     if k < 1:
         raise ValueError("k must be >= 1")
 
+    def key_hash(arr: pa.ChunkedArray) -> np.ndarray:
+        typ = arr.type
+        if pa.types.is_integer(typ):
+            return arr.to_numpy(zero_copy_only=False).astype(np.uint64)
+        if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+            return string_value_hash(arr)
+        raise TypeError(
+            f"sample_exact_k key column {key_col!r} has type {typ}; "
+            "only integer or string keys are supported (float keys "
+            "would truncate and collide)")
+
     def local(t: pa.Table) -> pa.Table:
-        raw = t[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        raw = key_hash(t[key_col])
         h = _mix64(raw ^ np.uint64(salt)).astype(np.int64)
         t = t.append_column("_sk", pa.array(h))
         if t.num_rows <= k:

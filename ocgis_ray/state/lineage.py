@@ -161,16 +161,34 @@ def compact_partitions(out_dir: str, target_bytes: int = 128 * 1024 * 1024,
     Eligibility: >= ``min_files`` files AND mean file size below
     ``target_bytes / 2`` (already-compact partitions are never
     rewritten, so the pass is idempotent and safe to run on a cron).
-    The rewrite reuses the atomic tmp-dir + rename + manifest-append
-    protocol — a crash mid-compaction leaves the original partition
-    intact; a crash between rename and manifest append only loses the
+    The rewrite uses a RENAME-ASIDE protocol so the original
+    partition is never the only live copy: the verified tmp dir
+    replaces ``part=<id>`` via ``rename(final, final.old)`` ->
+    ``rename(tmp, final)`` -> ``rmtree(final.old)``.  A crash at any
+    point leaves at least one complete copy on disk, and the orphan
+    sweep at the top of the next run repairs it: a ``part=<id>.old``
+    whose target is missing is renamed back (crash between the two
+    renames); one whose target exists is deleted (crash before the
+    cleanup); a stale ``_tmp_compact_*`` is removed and rebuilt.  A
+    crash between rename and manifest append only loses the
     compaction RECORD, not data.  Row counts are re-read from the
     rewritten footers and must match the originals exactly (a
-    mismatch raises BEFORE the rename, keeping the source intact).
+    mismatch raises BEFORE the swap, keeping the source intact).
     Completed-partition status never changes: compaction appends a
     ``status="compacted"`` metrics record; resume logic keys on
     ``status="complete"`` rows only."""
     import ray.data as rd
+
+    # orphan sweep: repair any interrupted rename-aside swap first
+    for name in (os.listdir(out_dir) if os.path.isdir(out_dir) else []):
+        if not (name.startswith("part=") and name.endswith(".old")):
+            continue
+        aside = os.path.join(out_dir, name)
+        final = os.path.join(out_dir, name[:-len(".old")])
+        if os.path.exists(final):
+            shutil.rmtree(aside)          # crash before cleanup rmtree
+        else:
+            os.rename(aside, final)       # crash between the two renames
 
     done = completed_partitions(out_dir) if partitions is None \
         else set(partitions)
@@ -206,8 +224,12 @@ def compact_partitions(out_dir: str, target_bytes: int = 128 * 1024 * 1024,
                 f"compaction of part={part} would change row count "
                 f"{want_rows} -> {got_rows}; source left untouched")
         final = os.path.join(out_dir, f"part={part}")
-        shutil.rmtree(final)
+        aside = final + ".old"
+        if os.path.exists(aside):
+            shutil.rmtree(aside)
+        os.rename(final, aside)
         os.rename(tmp, final)
+        shutil.rmtree(aside)
         rec = {
             "partition": part,
             "status": "compacted",

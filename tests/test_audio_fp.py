@@ -113,3 +113,15 @@ def test_near_dup_pipeline(ray_session):
            zip(pairs["media_id_a"], pairs["media_id_b"])}
     assert (0, 1) in got
     assert all(p == (0, 1) for p in got)  # no cross-content pairs
+
+
+def test_degenerate_metadata_yields_empty_fingerprints():
+    samples = np.random.RandomState(0).normal(0, 1, NS)
+    # rate <= 0: previously ZeroDivisionError in rfftfreq
+    assert hk_subfingerprints(samples, 0).size == 0
+    assert hk_subfingerprints(samples, -8000).size == 0
+    # Nyquist below f_lo: previously decreasing geomspace edges ->
+    # non-monotonic reduceat -> garbage bits
+    assert hk_subfingerprints(samples, 500).size == 0
+    # healthy rate still fingerprints
+    assert hk_subfingerprints(samples, RATE).size > 0

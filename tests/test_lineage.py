@@ -190,3 +190,57 @@ class TestCompaction:
         out = self._write_fragmented(tmp_path, n_files=2)
         # tiny target: mean size is above target/2 -> not eligible
         assert lineage.compact_partitions(out, target_bytes=2) == []
+
+
+class TestCompactionCrashRecovery:
+    """Rename-aside swap: a crash anywhere leaves >=1 complete copy,
+    and the orphan sweep at the next run repairs the directory."""
+
+    def _fragmented(self, tmp_path):
+        import ray.data as rd
+
+        out = str(tmp_path / "tbl")
+        ds = rd.from_pandas(pd.DataFrame({
+            "k": np.arange(300, dtype=np.int64),
+            "v": np.arange(300, dtype=np.float64) * 0.5,
+        })).repartition(6)
+        lineage.write_partition(ds, out, "a")
+        return out
+
+    def test_orphan_aside_with_missing_target_is_restored(
+            self, ray_session, tmp_path):
+        import os
+        import shutil
+
+        out = self._fragmented(tmp_path)
+        final = os.path.join(out, "part=a")
+        # simulate a crash between rename(final, aside) and
+        # rename(tmp, final): only the aside copy exists
+        os.rename(final, final + ".old")
+        recs = lineage.compact_partitions(out, target_bytes=1 << 30)
+        # sweep restored the partition, then compaction proceeded
+        assert len(recs) == 1 and recs[0]["rows"] == 300
+        assert os.path.isdir(final)
+        assert not os.path.exists(final + ".old")
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(lineage.partition_files(out, "a"),
+                          partitioning=None)
+        assert sorted(t["k"].to_pylist()) == list(range(300))
+        shutil.rmtree(out)
+
+    def test_orphan_aside_with_live_target_is_deleted(
+            self, ray_session, tmp_path):
+        import os
+
+        out = self._fragmented(tmp_path)
+        final = os.path.join(out, "part=a")
+        # simulate a crash after rename(tmp, final) but before the
+        # cleanup rmtree: both copies exist, final is authoritative
+        import shutil as sh
+
+        sh.copytree(final, final + ".old")
+        lineage.compact_partitions(out, target_bytes=1 << 30)
+        assert os.path.isdir(final)
+        assert not os.path.exists(final + ".old")
+        assert lineage.completed_partitions(out) == {"a"}

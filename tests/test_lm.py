@@ -178,3 +178,23 @@ def test_perplexity_buckets_thirds(ray_session):
                         "ppl": [1, 2, 3, 4, 5, 6, 7, 8, np.inf]})
     out2 = perplexity_buckets(rd.from_pandas(df2)).to_pandas()
     assert out2.sort_values("doc_id")["ppl_bucket"].iloc[8] == "tail"
+
+
+def test_quantile_rollup_multi_single_pass(ray_session):
+    import ray.data as rd
+
+    from ocgis_ray.stages.calc import quantile_rollup
+
+    rng = np.random.RandomState(3)
+    df = pd.DataFrame({"g": np.repeat([0, 1], 500),
+                       "v": rng.uniform(0, 10, 1000)})
+    ds = rd.from_pandas(df).repartition(4)
+    multi = quantile_rollup(ds, "g", "v", (0.25, 0.75),
+                            out_col=("q25", "q75")).to_pandas()
+    lo = quantile_rollup(ds, "g", "v", 0.25,
+                         out_col="q25").to_pandas()
+    hi = quantile_rollup(ds, "g", "v", 0.75,
+                         out_col="q75").to_pandas()
+    m = multi.sort_values("g").reset_index(drop=True)
+    assert np.allclose(m["q25"], lo.sort_values("g")["q25"].to_numpy())
+    assert np.allclose(m["q75"], hi.sort_values("g")["q75"].to_numpy())

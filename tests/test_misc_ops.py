@@ -389,3 +389,27 @@ def test_plan_mixture_water_filling():
     # groups with zero supply are skipped; empty -> all budget unmet
     r = plan_mixture({"a": 0.0}, {"a": 1.0}, 10)
     assert r["_unmet"] == 10.0
+
+
+def test_sample_exact_k_string_and_float_keys(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from ocgis_ray.stages.reshape import sample_exact_k
+
+    # string keys: full-content hash, deterministic across partitionings
+    df = pd.DataFrame({"url": [f"https://example.com/{i}"
+                               for i in range(2000)]})
+    a = sample_exact_k(rd.from_pandas(df).repartition(5),
+                       "url", 50).to_pandas()
+    b = sample_exact_k(rd.from_pandas(df).repartition(2),
+                       "url", 50).to_pandas()
+    assert len(a) == 50
+    assert sorted(a["url"]) == sorted(b["url"])
+    # float keys: rejected loudly (truncation would collide 1.2 and 1.7)
+    fdf = pd.DataFrame({"key": np.linspace(0.0, 2.0, 100)})
+    with pytest.raises(Exception) as ei:
+        sample_exact_k(rd.from_pandas(fdf), "key", 10).to_pandas()
+    assert "integer or string" in str(ei.value)

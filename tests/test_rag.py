@@ -87,3 +87,24 @@ def test_incremental_ingest(ray_session, tmp_path):
     # old corpus still searchable
     hits0 = rag_search(path, ["photovoltaic solar"], k=2, dim=128)
     assert hits0.sort_values("sim", ascending=False)["doc_id"].iloc[0] == 0
+
+
+def test_uid_rejects_out_of_range_doc_ids(ray_session, tmp_path):
+    # doc_id >= 2^43 would wrap the packed (doc_id << 20) | seq uid
+    bad = rd.from_pandas(pd.DataFrame({
+        "doc_id": np.array([0, 1 << 44], dtype=np.int64),
+        "text": ["short text here", "another short text"],
+    }))
+    with pytest.raises(Exception) as ei:
+        build_rag_index(bad, str(tmp_path / "ix"), max_tokens=8,
+                        overlap=2, dim=32, concurrency=1)
+    assert "doc_id outside" in str(ei.value)
+
+    neg = rd.from_pandas(pd.DataFrame({
+        "doc_id": np.array([-1], dtype=np.int64),
+        "text": ["negative id text"],
+    }))
+    with pytest.raises(Exception) as ei2:
+        build_rag_index(neg, str(tmp_path / "ix2"), max_tokens=8,
+                        overlap=2, dim=32, concurrency=1)
+    assert "doc_id outside" in str(ei2.value)
