@@ -118,6 +118,10 @@ def build_rag_index(docs, path: str, col: str = "text",
 
     chunks = chunks.map_batches(add_uid, batch_format="pyarrow",
                                 zero_copy_batch=True)
+    # split single-block inputs (e.g. one small parquet file) so the
+    # embed pool, chunk write and HNSW shard builds all parallelize;
+    # streaming block split, not a shuffle
+    chunks = chunks.repartition(target_num_rows_per_block=shard_size)
     emb = embed_text(chunks, dim=dim, concurrency=concurrency)
     if run_id not in lineage.completed_partitions(f"{path}/chunks"):
         lineage.write_partition(
