@@ -938,10 +938,15 @@ def q_dedup_exact_documents(sf_dir: str):
     from ocgis_ray.pipelines.cleaning import clean_corpus_twopass
     from ocgis_ray.sources.io import read_parquet_sized
 
-    from ocgis_ray.stages.dedup import dedup_exact
+    from ocgis_ray.stages.dedup import dedup_exact, soft_dedup_weights
 
     docs = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    out = dedup_exact(docs, id_col="doc_id", col="text").select_columns(["doc_id"])
+    # round-5: SoftDeDup reweighting rides the same query — the kept
+    # min-id row carries its cluster's n^-1 sampling weight (exact
+    # IEEE twin: one double division on both sides)
+    w = soft_dedup_weights(docs, col="text")
+    out = dedup_exact(w, id_col="doc_id", col="text").select_columns(
+        ["doc_id", "soft_w"])
     tp = clean_corpus_twopass(
         docs, steps=("exact_dedup",),
         source=lambda cols: read_parquet_sized(
@@ -955,7 +960,8 @@ def q_dedup_exact_documents(sf_dir: str):
 
 
 def sql_dedup_exact_documents() -> str:
-    return "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
+    return ("SELECT min(doc_id) AS doc_id, 1.0 / count(*) AS soft_w "
+            "FROM documents GROUP BY text")
 
 
 MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}

@@ -55,8 +55,12 @@ DEFAULT_STEPS = ("url_dedup", "c4", "gopher", "decontam", "exact_dedup",
 # - url_filter: broadcast blocklist gate (UT1-style domain lists +
 #   RE2 path patterns, stages/url.py) — runs right after url_dedup,
 #   before any per-byte work; needs url_col + a non-empty blocklist
+# - wordlist: C4 document-level bad-word gate (whole-word RE2,
+#   quality.wordlist_doc_filter) — runs right before c4's line rules;
+#   needs a non-empty blocked_words tuple
 ALL_STEPS = DEFAULT_STEPS + ("substr_dedup", "compression", "kn_ppl",
-                             "classifier", "normalize", "url_filter")
+                             "classifier", "normalize", "url_filter",
+                             "wordlist")
 
 
 def clean_corpus(ds, id_col: str = "doc_id", text_col: str = "text",
@@ -75,6 +79,7 @@ def clean_corpus(ds, id_col: str = "doc_id", text_col: str = "text",
                  compression_max: float = 1.15,
                  blocked_domains: tuple[str, ...] = (),
                  blocked_patterns: tuple[str, ...] = (),
+                 blocked_words: tuple[str, ...] = (),
                  num_buckets: int | None = None):
     """Run the cleaning cascade over a documents Dataset; returns the
     surviving documents (same schema, text possibly rewritten by the
@@ -129,6 +134,11 @@ def clean_corpus(ds, id_col: str = "doc_id", text_col: str = "text",
                     "requested but both blocked_domains and "
                     "blocked_patterns are empty — it would silently "
                     "filter nothing; pass a blocklist or drop the step")
+        if "wordlist" in steps and not blocked_words:
+            raise ValueError(
+                "cleaning step 'wordlist' was explicitly requested "
+                "but blocked_words is empty — it would silently "
+                "filter nothing; pass the word list or drop the step")
 
     from ocgis_ray.stages import dedup, quality
     from ocgis_ray.stages.url import dedup_by_url
@@ -145,6 +155,8 @@ def clean_corpus(ds, id_col: str = "doc_id", text_col: str = "text",
 
         ds = url_filter(ds, blocked_domains=blocked_domains,
                         blocked_patterns=blocked_patterns, col=url_col)
+    if "wordlist" in steps and blocked_words:
+        ds = quality.wordlist_doc_filter(ds, blocked_words, col=text_col)
     if "c4" in steps:
         ds = quality.c4_line_filter(ds, col=text_col)
     if "gopher" in steps:

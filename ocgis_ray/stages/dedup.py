@@ -62,6 +62,48 @@ def dedup_exact(ds, id_col: str = "doc_id", col: str = "text"):
     return out.drop_columns(["text_hash"])
 
 
+def soft_dedup_weights(ds, col: str = "text", alpha: float = 1.0,
+                       out: str = "soft_w", count_col: str | None = None,
+                       num_buckets: int | None = None):
+    """SoftDeDup (He et al. 2024): instead of REMOVING duplicates,
+    downweight them — every row gains a sampling weight
+    ``n^-alpha`` where ``n`` is its exact-content duplicate-cluster
+    size (``alpha=1`` makes each distinct document contribute unit
+    total weight; ``alpha<1`` interpolates toward keeping duplicates).
+    The weight column feeds loss reweighting or rate-based sampling
+    (:func:`ocgis_ray.stages.reshape.sample_by_key` with per-row
+    rates) without the survivor-choice bias of hard dedup.
+
+    Scale shape: ONE hash-bucketed shuffle (same key the exact-dedup
+    cascade uses) — cluster counting and weight attach happen in the
+    same vectorized per-bucket pass; nothing is corpus-sized, no join
+    back.  Pre-project fat columns away if only (id, weight) is
+    needed downstream.
+
+    SQL twin (alpha=1): ``1.0 / count(*) OVER (PARTITION BY content)``
+    — exact IEEE equality, both sides compute one double division.
+    For general alpha the engine computes ``exp(-alpha * log(n))`` via
+    numpy ``power``; twin with DuckDB ``power(n, -alpha)`` and round.
+    """
+    from ocgis_ray.sources.io import bucketed_group_apply
+
+    hashed = add_text_hash(ds, col=col)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        n = g.groupby("text_hash", sort=False)["text_hash"].transform("size")
+        cnt = n.to_numpy(np.int64)
+        w = (1.0 / cnt.astype(np.float64) if alpha == 1.0
+             else np.power(cnt.astype(np.float64), -float(alpha)))
+        g = g.drop(columns=["text_hash"])
+        if count_col is not None:
+            g[count_col] = cnt
+        g[out] = w
+        return g
+
+    return bucketed_group_apply(hashed, "text_hash", per_bucket,
+                                num_buckets=num_buckets)
+
+
 # ------------------------------------------------------------------ shingles
 
 def _shingle_hashes_batch(arr, k: int = 3) -> tuple[np.ndarray, np.ndarray]:

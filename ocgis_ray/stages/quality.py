@@ -576,6 +576,55 @@ def pii_redact_sql(col: str = "text",
     return expr
 
 
+# ------------------------------------------------ document wordlist gate
+
+def _wordlist_pattern(words: tuple[str, ...]) -> str:
+    import re as _re
+
+    if not words:
+        raise ValueError("wordlist_doc_filter needs at least one word")
+    return r"\b(?:" + "|".join(_re.escape(w) for w in words) + r")\b"
+
+
+def wordlist_doc_filter(ds, words: tuple[str, ...], col: str = "text",
+                        mode: str = "drop", out: str = "has_blocked"):
+    """C4 §2.2 DOCUMENT-level blocklist gate (the 'bad words' rule):
+    drop — or with ``mode='flag'`` just mark — any document containing
+    a blocklisted WORD (whole-word, case-insensitive).  The line-level
+    substring rule is :func:`c4_line_filter`; this is the page killer
+    applied before it in the C4 recipe.
+
+    One Arrow RE2 pass over the byte buffer (alternation of escaped
+    words inside ``\\b...\\b``) — the same engine DuckDB's
+    ``regexp_matches`` uses, so the twin
+    (:func:`wordlist_doc_filter_sql`) matches by construction,
+    including ASCII-only ``\\b`` semantics.  NULL text never matches
+    (kept by ``drop``, flagged False by ``flag``)."""
+    pat = _wordlist_pattern(tuple(words))
+
+    def f(t: pa.Table) -> pa.Table:
+        m = pc.fill_null(pc.match_substring_regex(
+            t[col], pat, ignore_case=True), False)
+        if mode == "flag":
+            return t.append_column(out, m)
+        if mode == "drop":
+            return t.filter(pc.invert(m))
+        raise ValueError(f"mode must be 'drop' or 'flag', not {mode!r}")
+
+    from ocgis_ray.stages.text import KERNEL_BATCH_SIZE
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=KERNEL_BATCH_SIZE)
+
+
+def wordlist_doc_filter_sql(words: tuple[str, ...],
+                            col: str = "text") -> str:
+    """DuckDB predicate twin of :func:`wordlist_doc_filter`'s match
+    (true = document contains a blocklisted word)."""
+    p = _wordlist_pattern(tuple(words)).replace("'", "''")
+    return f"coalesce(regexp_matches({col}, '{p}', 'i'), false)"
+
+
 # ------------------------------------------------------ paragraph dedup
 
 def paragraph_dedup(ds, id_col: str = "doc_id", col: str = "text",

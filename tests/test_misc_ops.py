@@ -413,3 +413,28 @@ def test_sample_exact_k_string_and_float_keys(ray_session):
     with pytest.raises(Exception) as ei:
         sample_exact_k(rd.from_pandas(fdf), "key", 10).to_pandas()
     assert "integer or string" in str(ei.value)
+
+
+def test_soft_dedup_weights(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ocgis_ray.stages.dedup import soft_dedup_weights
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(9, dtype=np.int64),
+        "text": ["a", "a", "a", "b", "b", "c", "d", "d", "d"],
+    })
+    out = soft_dedup_weights(rd.from_pandas(df).repartition(3),
+                             count_col="n").to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    assert list(out["n"]) == [3, 3, 3, 2, 2, 1, 3, 3, 3]
+    assert np.allclose(out["soft_w"], 1.0 / out["n"].to_numpy())
+    # total weight == number of distinct documents (alpha=1 property)
+    assert out["soft_w"].sum() == pytest.approx(4.0)
+    # alpha=0.5 interpolates toward keeping duplicates
+    half = soft_dedup_weights(rd.from_pandas(df), alpha=0.5,
+                              count_col="n").to_pandas()
+    assert np.allclose(half["soft_w"],
+                       np.power(half["n"].to_numpy(np.float64), -0.5))

@@ -925,3 +925,63 @@ def test_clean_corpus_partitioned_twopass(ray_session, tmp_path):
         clean_corpus_partitioned(
             "/root/testdata/sf0.001/documents.parquet",
             str(tmp_path / "d"), dedup_method="nope")
+
+
+# ------------------------------------------------ document wordlist gate
+
+def test_wordlist_doc_filter_matches_duckdb(ray_session):
+    import ray.data as rd
+
+    from ocgis_ray.stages.quality import (wordlist_doc_filter,
+                                          wordlist_doc_filter_sql)
+
+    words = ("lottery", "free money", "casino")
+    texts = [
+        "Win the LOTTERY today and retire early.",     # case-insensitive
+        "The lotterys are unrelated words here.",      # \b: no match
+        "Get free money now, no strings attached.",    # phrase match
+        "A clean document about bird migration.",
+        "casino",                                      # whole doc is the word
+        "",
+        None,
+    ]
+    ds = rd.from_pandas(pd.DataFrame({
+        "i": np.arange(len(texts), dtype=np.int64),
+        "text": pd.array(texts, dtype="string"),
+    }))
+    flagged = wordlist_doc_filter(ds, words, mode="flag").to_pandas() \
+        .sort_values("i").reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.register("t", pa.table({"i": list(range(len(texts))),
+                                "text": pa.array(texts, type=pa.string())}))
+    pred = wordlist_doc_filter_sql(words)
+    want = con.execute(
+        f"SELECT i, {pred} AS has_blocked FROM t ORDER BY i").fetchdf()
+    con.close()
+    assert list(flagged["has_blocked"]) == list(want["has_blocked"])
+    assert list(flagged["has_blocked"]) == [True, False, True, False,
+                                            True, False, False]
+    kept = wordlist_doc_filter(ds, words, mode="drop").to_pandas()
+    assert sorted(kept["i"]) == [1, 3, 5, 6]
+
+
+def test_wordlist_step_in_cascade(ray_session):
+    import ray.data as rd
+
+    from ocgis_ray.pipelines.cleaning import clean_corpus
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": ["A fine document about science.",
+                 "Win the lottery now and always.",
+                 "A fine document about science.",   # dup of 0
+                 "Another clean piece of writing."],
+    })
+    out = clean_corpus(rd.from_pandas(df),
+                       steps=("wordlist", "exact_dedup"),
+                       blocked_words=("lottery",)).to_pandas()
+    assert sorted(out["doc_id"]) == [0, 3]
+    # explicit wordlist step with no words errors instead of no-op
+    with pytest.raises(ValueError, match="blocked_words"):
+        clean_corpus(rd.from_pandas(df), steps=("wordlist",))
