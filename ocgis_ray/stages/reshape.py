@@ -128,6 +128,43 @@ def sample_by_key_sql_pred(key_expr: str, rate: float, salt: int = 0) -> str:
             f" + {salt}) % 4294967296) < {threshold}")
 
 
+def sample_by_weight(ds, key_col: str, weight_col: str, salt: int = 0,
+                     scale: float = 1.0):
+    """Deterministic PER-ROW-rate sampling: keep a row iff
+    ``hash(key, salt) < clip(weight * scale, 0, 1) * 2^32`` — the same
+    multiplicative hash as :func:`sample_by_key`, thresholded by a
+    weight COLUMN instead of a constant.  Feed it
+    :func:`ocgis_ray.stages.dedup.soft_dedup_weights` output to turn
+    SoftDeDup weights into an actual sampled corpus (each duplicate
+    cluster contributes ~``scale`` expected survivors at ``alpha=1``),
+    or any per-row quality/importance score.  Stable under
+    resume/retry, no shuffle; NULL/NaN weights drop the row.
+
+    SQL twin: :func:`sample_by_weight_sql_pred` (same double->floor
+    integer threshold, bit-identical decisions)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        h = _key_hash(t[key_col].to_numpy(zero_copy_only=False), salt,
+                      "sample_by_weight")
+        w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        w = np.nan_to_num(w * float(scale), nan=0.0)
+        thr = np.floor(np.clip(w, 0.0, 1.0) * float(1 << 32)).astype(np.uint64)
+        return t.filter(pa.array(h < thr))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sample_by_weight_sql_pred(key_expr: str, weight_expr: str,
+                              salt: int = 0, scale: float = 1.0) -> str:
+    """DuckDB predicate twin of :func:`sample_by_weight` (exact same
+    double multiply/clip/floor, then integer compare)."""
+    h = (f"(((CAST({key_expr} AS UBIGINT) % 4294967296) * 2654435761"
+         f" + {salt}) % 4294967296)")
+    w = f"coalesce(CAST({weight_expr} AS DOUBLE) * {scale!r}, 0.0)"
+    thr = f"CAST(floor(least(greatest({w}, 0.0), 1.0) * 4294967296.0) AS UBIGINT)"
+    return f"{h} < {thr}"
+
+
 def stratified_sample(ds, key_col: str, group_col: str,
                       rates: dict, default_rate: float = 0.0,
                       salt: int = 0):

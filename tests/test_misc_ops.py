@@ -438,3 +438,45 @@ def test_soft_dedup_weights(ray_session):
                               count_col="n").to_pandas()
     assert np.allclose(half["soft_w"],
                        np.power(half["n"].to_numpy(np.float64), -0.5))
+
+
+def test_sample_by_weight_matches_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ocgis_ray.stages.dedup import soft_dedup_weights
+    from ocgis_ray.stages.reshape import (sample_by_weight,
+                                          sample_by_weight_sql_pred)
+
+    rng = np.random.RandomState(11)
+    df = pd.DataFrame({
+        "doc_id": np.arange(4000, dtype=np.int64),
+        # duplicate clusters of wildly different sizes
+        "text": [f"doc {i % 37}" if i % 3 == 0 else f"unique {i}"
+                 for i in range(4000)],
+    })
+    weighted = soft_dedup_weights(rd.from_pandas(df).repartition(4),
+                                  count_col="n")
+    kept = sample_by_weight(weighted, "doc_id", "soft_w",
+                            salt=5).to_pandas()
+
+    con = duckdb.connect()
+    con.register("docs", df)
+    pred = sample_by_weight_sql_pred("doc_id", "soft_w", salt=5)
+    want = con.execute(
+        "WITH w AS (SELECT doc_id, 1.0 / count(*) OVER (PARTITION BY text)"
+        f" AS soft_w FROM docs) SELECT doc_id FROM w WHERE {pred}"
+    ).fetchdf()
+    con.close()
+    assert sorted(kept["doc_id"]) == sorted(want["doc_id"])
+    # expected survivors per duplicate cluster ~= 1: the 37 hot
+    # clusters contribute ~37 rows, not 1333
+    hot = kept[kept["n"] > 1]
+    assert 10 <= len(hot) <= 80
+    # NULL/NaN weights drop
+    df2 = pd.DataFrame({"doc_id": [0, 1], "soft_w": [np.nan, 1.0]})
+    out2 = sample_by_weight(rd.from_pandas(df2), "doc_id",
+                            "soft_w").to_pandas()
+    assert list(out2["doc_id"]) == [1]
