@@ -160,6 +160,76 @@ def tile_rollup(
     return out.repartition(1).sort(cell_col)  # small result: local sort
 
 
+def tile_pyramid(ds, spec: dict, res: int, to_res: int = 0,
+                 cell_col: str | None = None, res_col: str = "res",
+                 cell_out: str = "cell", num_buckets: int | None = None):
+    """Multi-resolution tile-rollup pyramid (map-tile overview levels):
+    one Dataset with ``(res, cell, <aggregates>)`` rows for every
+    resolution ``to_res..res`` — the zoom-level pre-aggregation a tile
+    service serves from.
+
+    Scale shape: the RAW data is read exactly once (the finest-level
+    :func:`grouped_aggregate`); each coarser level re-aggregates the
+    PREVIOUS level's rollup (occupied-cell-sized, shrinking ~4x per
+    level) via :func:`ocgis_ray.grid.parent` — never the input.  Only
+    mergeable kinds are valid (count/sum/sumsq re-merge as sum,
+    min/max as themselves); a mean is sum/count downstream.
+
+    Exactness: ``parent(encode(p, r)) == encode(p, r-1)`` bit-for-bit
+    (cell sizes are exact binary, and binary-fp rounding is invariant
+    under powers of two), so every level equals a direct groupby of
+    the raw points at that resolution — the DuckDB-twin property the
+    parity test asserts per level."""
+    from ocgis_ray import grid
+
+    if not (grid.RES_MIN <= to_res <= res <= grid.RES_MAX):
+        raise ValueError(f"need {grid.RES_MIN} <= to_res <= res <= "
+                         f"{grid.RES_MAX}, got to_res={to_res} res={res}")
+    cell_col = cell_col or f"cell_r{res}"
+    merge_spec = {
+        out: (out, "sum" if kind in ("count", "sum", "sumsq") else kind)
+        for out, (_, kind) in spec.items()}
+    outs = list(spec)
+
+    def relabel(src: str, r: int):
+        def f(t: pa.Table) -> pa.Table:
+            cols = {res_col: pa.array(np.full(t.num_rows, r, np.int64)),
+                    cell_out: pa.array(t[src].to_numpy(
+                        zero_copy_only=False).astype(np.int64))}
+            for out in outs:
+                cols[out] = t[out]
+            return pa.table(cols)
+        return f
+
+    def to_parent(src: str, r: int):
+        def f(t: pa.Table) -> pa.Table:
+            p = grid.parent(t[src].to_numpy(zero_copy_only=False), r, r - 1)
+            cols = {"_pcell": pa.array(p)}
+            for out in outs:
+                cols[out] = t[out]
+            return pa.table(cols)
+        return f
+
+    levels = []
+    cur = grouped_aggregate(ds, cell_col, spec, num_buckets=num_buckets)
+    src = cell_col
+    for r in range(res, to_res - 1, -1):
+        levels.append(cur.map_batches(relabel(src, r),
+                                      batch_format="pyarrow",
+                                      zero_copy_batch=True))
+        if r > to_res:
+            parented = cur.map_batches(to_parent(src, r),
+                                       batch_format="pyarrow",
+                                       zero_copy_batch=True)
+            cur = grouped_aggregate(parented, "_pcell", merge_spec,
+                                    num_buckets=num_buckets)
+            src = "_pcell"
+    out = levels[0]
+    if len(levels) > 1:
+        out = out.union(*levels[1:])
+    return out
+
+
 def cell_histogram(ds, cell_col: str = "cell_r7", batch_size: int = 65536) -> pd.DataFrame:
     """Small driver-side histogram of pages per cell (itself computed
     with partial aggregation — cheap even on the full input)."""

@@ -108,3 +108,53 @@ def test_cell_histogram(ray_session, sf_dir):
     hist = cell_histogram(ds, "cell_r7")
     assert hist["n"].sum() == ds.count()
     assert hist["n"].max() > 100  # hot cells visible
+
+
+def test_tile_pyramid_matches_duckdb_per_level(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from ocgis_ray import grid
+    from ocgis_ray.stages.tiles import tile_pyramid
+
+    rng = np.random.RandomState(5)
+    n = 20_000
+    df = pd.DataFrame({
+        "lon": rng.uniform(-179.9, 179.9, n),
+        "lat": rng.uniform(-89.9, 89.9, n),
+        "v": rng.uniform(0, 100, n),
+    })
+    df["cell_r6"] = grid.encode(df["lon"].to_numpy(), df["lat"].to_numpy(), 6)
+    pyr = tile_pyramid(
+        rd.from_pandas(df).repartition(6),
+        {"n": (None, "count"), "sum_v": ("v", "sum"),
+         "max_v": ("v", "max")},
+        res=6, to_res=3).to_pandas()
+
+    con = duckdb.connect()
+    con.register("pts", df[["lon", "lat", "v"]])
+    parts = [
+        f"SELECT {r} AS res, {grid.encode_sql('lon', 'lat', r)} AS cell, "
+        f"count(*) AS n, sum(v) AS sum_v, max(v) AS max_v "
+        f"FROM pts GROUP BY cell"
+        for r in range(3, 7)
+    ]
+    want = con.execute(" UNION ALL ".join(parts)).fetchdf()
+    con.close()
+
+    a = pyr.sort_values(["res", "cell"]).reset_index(drop=True)
+    b = want.sort_values(["res", "cell"]).reset_index(drop=True)
+    assert len(a) == len(b)
+    assert list(a["res"]) == list(b["res"].astype(np.int64))
+    assert list(a["cell"]) == list(b["cell"])
+    assert list(a["n"]) == list(b["n"])
+    assert np.allclose(a["sum_v"], b["sum_v"], rtol=1e-12)
+    assert (a["max_v"] == b["max_v"]).all()
+    # level row counts shrink toward the root
+    sizes = a.groupby("res").size()
+    assert sizes.loc[3] < sizes.loc[6]
+
+    # non-mergeable kinds rejected by grouped_aggregate's partial
+    with pytest.raises(Exception):
+        tile_pyramid(rd.from_pandas(df), {"m": ("v", "mean")},
+                     res=6, to_res=5).to_pandas()
