@@ -226,6 +226,264 @@ def _disk_upper_km(ring: int, qlat: float, cs: float) -> float:
     return float(6371.0088 * (dlat + dlon * np.cos(np.radians(phi_low))))
 
 
+def _fold_cells(cell: np.ndarray, res: int) -> np.ndarray:
+    """Fold exact-boundary cells (lat=90 / lon=180 encode one past the
+    grid) onto the last interior row/col — geometrically exact, the
+    refine uses true coordinates."""
+    ix, iy = grid.split(cell)
+    n_ix = 1 << res
+    return (np.minimum(ix, n_ix - 1) * 4294967296
+            + np.minimum(iy, (n_ix >> 1) - 1))
+
+
+def _coverage_km_vec(ring: np.ndarray, qlat: np.ndarray,
+                     cs: float) -> np.ndarray:
+    """Vectorized :func:`_coverage_km` (same formula, array ring/lat)."""
+    sep = np.radians(ring * cs)
+    meridian = 6371.0088 * sep
+    phi_band = np.radians(np.minimum(89.9, np.abs(qlat) + ring * cs))
+    lon_case = 2.0 * 6371.0088 * np.arcsin(
+        np.sqrt(np.cos(np.radians(qlat))
+                * np.maximum(np.cos(phi_band), 0.0)) * np.sin(sep / 2.0))
+    return np.minimum(meridian, lon_case)
+
+
+def _disk_upper_km_vec(ring: np.ndarray, qlat: np.ndarray,
+                       cs: float) -> np.ndarray:
+    """Vectorized :func:`_disk_upper_km`."""
+    dlat = np.radians((ring + 1) * cs)
+    dlon = np.radians(np.minimum((ring + 1) * cs, 180.0))
+    phi_low = np.maximum(0.0, np.abs(qlat) - (ring + 1) * cs)
+    return 6371.0088 * (dlat + dlon * np.cos(np.radians(phi_low)))
+
+
+class _KnnJoinExplodeStage:
+    """Per LEFT batch: choose a provably-sufficient cell disk per row
+    from the broadcast right-side 2-D prefix-sum (the vectorized twin
+    of :func:`knn_cells` steps 2-3), then explode each row into its
+    disk cells for the bucketed co-location."""
+
+    def __init__(self, psum_ref, k: int, id_col: str, res: int,
+                 max_ring: int | None):
+        import ray
+
+        b = ray.get(psum_ref) if not isinstance(psum_ref, dict) else psum_ref
+        self.psum = b["psum"]            # (n_ix+1, n_iy+1) int64
+        self.total = int(b["total"])
+        self.k, self.id_col, self.res = k, id_col, res
+        self.n_ix = 1 << res
+        self.n_iy = self.n_ix >> 1
+        self.cap = (max_ring if max_ring is not None
+                    else max(self.n_ix, self.n_iy))
+
+    def _disk_counts(self, ix: np.ndarray, iy: np.ndarray,
+                     r: np.ndarray) -> np.ndarray:
+        n_ix, n_iy, psum = self.n_ix, self.n_iy, self.psum
+        y0 = np.maximum(0, iy - r)
+        y1 = np.minimum(n_iy - 1, iy + r)
+        x0, x1 = ix - r, ix + r
+        full = (x1 - x0 + 1) >= n_ix
+
+        def rect(a0, a1):
+            return (psum[a1 + 1, y1 + 1] - psum[a0, y1 + 1]
+                    - psum[a1 + 1, y0] + psum[a0, y0])
+
+        # clamp keeps psum indexing in range for rows that actually
+        # wrap (those take the `wrapped`/`full` branch below)
+        plain = rect(np.maximum(x0, 0), np.minimum(x1, n_ix - 1))
+        wrapped = rect(x0 % n_ix, np.full_like(x0, n_ix - 1)) \
+            + rect(np.zeros_like(x1), x1 % n_ix)
+        no_wrap = (x0 >= 0) & (x1 < n_ix)
+        out = np.where(full, rect(np.zeros_like(x0),
+                                  np.full_like(x0, n_ix - 1)),
+                       np.where(no_wrap, plain, wrapped))
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "_cell": pa.array([], pa.int64()),
+            "_side": pa.array([], pa.int8()),
+            "_id": pa.array([], pa.int64()),
+            "lon": pa.array([], pa.float64()),
+            "lat": pa.array([], pa.float64())})
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if lon.size == 0 or self.total == 0:
+            return empty
+        cs = grid.cell_size(self.res)
+        cell = _fold_cells(grid.encode(lon, lat, self.res), self.res)
+        ix, iy = grid.split(cell)
+        kq = min(self.k, self.total)
+        # smallest disk holding >= kq right points (vectorized rounds)
+        r0 = np.zeros(lon.size, dtype=np.int64)
+        while True:
+            need = (self._disk_counts(ix, iy, r0) < kq) & (r0 < self.cap)
+            if not need.any():
+                break
+            r0[need] += 1
+        # smallest ring whose guaranteed coverage exceeds the k-th
+        # distance upper bound — nothing outside can displace the top-k
+        bound = _disk_upper_km_vec(r0, lat, cs)
+        R = r0.copy()
+        while True:
+            need = (_coverage_km_vec(R, lat, cs) < bound) & (R < self.cap)
+            if not need.any():
+                break
+            R[need] += 1
+        # explode rows into their disk cells, grouped by ring value so
+        # each distinct R builds ONE (rows, (2R+1)^2) offset grid
+        cells_out, rows_out = [], []
+        for r in np.unique(R):
+            sel = np.nonzero(R == r)[0]
+            w = int(min(2 * r + 1, self.n_ix))
+            dxs = np.arange(w) - r
+            dys = np.arange(2 * r + 1) - r
+            shape = (sel.size, w, dys.size)
+            gx = np.broadcast_to(
+                (ix[sel][:, None, None] + dxs[None, :, None]) % self.n_ix,
+                shape)
+            gy = np.broadcast_to(iy[sel][:, None, None] + dys[None, None, :],
+                                 shape)
+            ok = (gy >= 0) & (gy < self.n_iy)
+            rows_out.append(np.broadcast_to(sel[:, None, None], shape)[ok])
+            cells_out.append(gx[ok] * 4294967296 + gy[ok])
+        cc = np.concatenate(cells_out)
+        rr = np.concatenate(rows_out)
+        return pa.table({
+            "_cell": pa.array(cc.astype(np.int64)),
+            "_side": pa.array(np.zeros(cc.size, np.int8)),
+            "_id": pa.array(ids[rr]),
+            "lon": pa.array(lon[rr]),
+            "lat": pa.array(lat[rr])})
+
+
+def knn_join(left, right, k: int, res: int = 7,
+             left_id: str = "query_id", right_id: str = "page_id",
+             max_ring: int | None = None, hist: pd.DataFrame | None = None,
+             num_buckets: int | None = None, batch_size: int = 16384):
+    """Exact distributed kNN JOIN — both sides are Datasets with
+    ``(id, lon, lat)`` rows: for every left row, its ``k`` nearest
+    right rows by great-circle distance.  Generalizes
+    :func:`knn_cells` (whose queries are a broadcast DataFrame) to a
+    corpus-sized left side.
+
+    Shape: one slim right-side cell-histogram pass (grid-bounded 2-D
+    prefix sum, broadcast once); each LEFT batch picks a provably
+    sufficient cell disk per row (same arcsine coverage bound as
+    :func:`knn_cells`, fully vectorized) and explodes into those
+    cells; ONE bucketed shuffle co-locates left probes with right
+    points by cell; exact haversine + per-left partial top-k per
+    bucket; one final bucketed top-k.  Left replication factor is the
+    mean disk size — small where the right side is dense; a SPARSE
+    right side inflates it (lower ``res`` or cap ``max_ring``; a cap
+    makes rows whose disk hit the cap approximate).  Ties rank by
+    (distance, right id), deterministic.
+
+    Returns (left_id, right_id, dist_km, rank)."""
+    import ray
+
+    from ocgis_ray.sources.io import bucketed_group_apply, topk_by_group
+
+    n_ix = 1 << res
+    n_iy = n_ix >> 1
+
+    def right_rows(t: pa.Table) -> pa.Table:
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        cell = _fold_cells(grid.encode(lon, lat, res), res)
+        return pa.table({
+            "_cell": pa.array(cell.astype(np.int64)),
+            "_side": pa.array(np.ones(len(lon), np.int8)),
+            "_id": pa.array(t[right_id].to_numpy(
+                zero_copy_only=False).astype(np.int64)),
+            "lon": pa.array(lon),
+            "lat": pa.array(lat)})
+
+    # ---- right histogram -> broadcast prefix sum --------------------
+    if hist is None:
+        from ocgis_ray.stages.tiles import grouped_aggregate
+
+        cells = right.map_batches(
+            lambda t: pa.table({"_cell": pa.array(_fold_cells(grid.encode(
+                t["lon"].to_numpy(zero_copy_only=False),
+                t["lat"].to_numpy(zero_copy_only=False), res),
+                res).astype(np.int64))}),
+            batch_format="pyarrow", zero_copy_batch=True)
+        hist = grouped_aggregate(cells, "_cell",
+                                 {"n": (None, "count")}).to_pandas()
+        hist = hist.rename(columns={"_cell": "cell"})
+    hx, hy = grid.split(hist["cell"].to_numpy())
+    counts2d = np.zeros((n_ix, n_iy), dtype=np.int64)
+    np.add.at(counts2d, (np.minimum(hx, n_ix - 1), np.minimum(hy, n_iy - 1)),
+              hist["n"].to_numpy())
+    psum = np.zeros((n_ix + 1, n_iy + 1), dtype=np.int64)
+    psum[1:, 1:] = counts2d.cumsum(axis=0).cumsum(axis=1)
+    psum_ref = ray.put({"psum": psum, "total": int(counts2d.sum())})
+
+    from ocgis_ray.tuning import task_stage
+
+    probes = left.map_batches(
+        task_stage(_KnnJoinExplodeStage, psum_ref=psum_ref, k=k,
+                   id_col=left_id, res=res, max_ring=max_ring),
+        batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size)
+    unioned = probes.union(right.map_batches(
+        right_rows, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        side = g["_side"].to_numpy(zero_copy_only=False)
+        cell = g["_cell"].to_numpy(zero_copy_only=False)
+        gid = g["_id"].to_numpy(zero_copy_only=False)
+        lon = g["lon"].to_numpy(zero_copy_only=False)
+        lat = g["lat"].to_numpy(zero_copy_only=False)
+        li = np.nonzero(side == 0)[0]
+        ri = np.nonzero(side == 1)[0]
+        empty = pa.table({left_id: pa.array([], pa.int64()),
+                          right_id: pa.array([], pa.int64()),
+                          "dist_km": pa.array([], pa.float64())})
+        if li.size == 0 or ri.size == 0:
+            return empty
+        # sort right by cell, gather each probe's cell range
+        r_ord = ri[np.argsort(cell[ri], kind="stable")]
+        r_cells = cell[r_ord]
+        uniq, starts = np.unique(r_cells, return_index=True)
+        off = np.concatenate([starts, [r_cells.size]]).astype(np.int64)
+        pos = np.minimum(np.searchsorted(uniq, cell[li]), uniq.size - 1)
+        hit = uniq[pos] == cell[li]
+        lrows = li[hit]
+        p = pos[hit]
+        counts = off[p + 1] - off[p]
+        total = int(counts.sum())
+        if total == 0:
+            return empty
+        within = (np.arange(total)
+                  - np.repeat(np.cumsum(counts) - counts, counts))
+        gather = r_ord[np.repeat(off[p], counts) + within]
+        l_rep = np.repeat(lrows, counts)
+        d = haversine_km(lon[l_rep], lat[l_rep], lon[gather], lat[gather])
+        lids, rids = gid[l_rep], gid[gather]
+        order = np.lexsort((rids, d, lids))
+        ls, ds_, rs = lids[order], d[order], rids[order]
+        new_l = np.empty(ls.shape, dtype=bool)
+        new_l[0] = True
+        new_l[1:] = ls[1:] != ls[:-1]
+        seq = np.arange(ls.size) - np.maximum.accumulate(
+            np.where(new_l, np.arange(ls.size), 0))
+        keep = seq < k
+        return pa.table({left_id: pa.array(ls[keep]),
+                         right_id: pa.array(rs[keep]),
+                         "dist_km": pa.array(ds_[keep])})
+
+    cand = bucketed_group_apply(unioned, "_cell", per_bucket,
+                                num_buckets=num_buckets,
+                                batch_format="pyarrow")
+    return topk_by_group(cand, left_id, ["dist_km", right_id],
+                         [True, True], k)
+
+
 def knn_cells(ds, queries: pd.DataFrame, k: int, id_col: str = "page_id",
               res: int = 7, cell_col: str | None = None,
               batch_size: int = 16384, hist: pd.DataFrame | None = None,

@@ -150,3 +150,69 @@ def test_knn_cells_pole_and_antimeridian_points(ray_session):
         b = bf[bf["query_id"] == qi].sort_values("rank")["page_id"].tolist()
         c = kc[kc["query_id"] == qi].sort_values("rank")["page_id"].tolist()
         assert b == c, (qi, b, c)
+
+
+class TestKnnJoin:
+    """knn_join (both sides Datasets) must equal knn_bruteforce with
+    the left side as broadcast queries — including antimeridian wrap,
+    pole clamp, and (dist, id) tie determinism."""
+
+    def _sides(self, n_left=300, n_right=4000, seed=3):
+        import ray.data as rd
+
+        rng = np.random.RandomState(seed)
+        left = pd.DataFrame({
+            "query_id": np.arange(n_left, dtype=np.int64),
+            "lon": rng.uniform(-180, 180, n_left),
+            "lat": rng.uniform(-90, 90, n_left),
+        })
+        # clustered right side + wrap/pole stress points
+        centers = rng.uniform(-170, 170, (12, 2))
+        pick = rng.randint(0, 12, n_right)
+        right = pd.DataFrame({
+            "page_id": np.arange(n_right, dtype=np.int64),
+            "lon": ((centers[pick, 0] + rng.normal(0, 8, n_right) + 180)
+                    % 360) - 180,
+            "lat": np.clip(centers[pick, 1] * 0.5
+                           + rng.normal(0, 8, n_right), -90, 90),
+        })
+        right.loc[:20, "lon"] = rng.uniform(176, 180, 21)   # near seam
+        right.loc[21:40, "lon"] = rng.uniform(-180, -176, 20)
+        right.loc[41:50, "lat"] = rng.uniform(88, 90, 10)   # near pole
+        left.loc[:5, "lon"] = rng.uniform(178, 180, 6)
+        left.loc[6:10, "lat"] = rng.uniform(-90, -88, 5)
+        return (rd.from_pandas(left).repartition(4),
+                rd.from_pandas(right).repartition(5), left)
+
+    def test_matches_bruteforce(self, ray_session):
+        from ocgis_ray.stages.knn import knn_bruteforce, knn_join
+
+        left_ds, right_ds, left_df = self._sides()
+        got = knn_join(left_ds, right_ds, k=5, res=6).to_pandas() \
+            .sort_values(["query_id", "rank"]).reset_index(drop=True)
+        want = knn_bruteforce(right_ds, left_df, k=5) \
+            .to_pandas().sort_values(["query_id", "rank"]) \
+            .reset_index(drop=True)
+        assert len(got) == len(want)
+        assert (got["query_id"] == want["query_id"]).all()
+        assert (got["page_id"] == want["page_id"]).all()
+        assert np.allclose(got["dist_km"], want["dist_km"], rtol=1e-12)
+
+    def test_duplicate_points_and_small_right(self, ray_session):
+        import ray.data as rd
+
+        from ocgis_ray.stages.knn import knn_join
+
+        left = rd.from_pandas(pd.DataFrame({
+            "query_id": np.array([0, 1], dtype=np.int64),
+            "lon": [0.0, 10.0], "lat": [0.0, 10.0]}))
+        # right has fewer rows than k and exact ties
+        right = rd.from_pandas(pd.DataFrame({
+            "page_id": np.array([7, 3, 9], dtype=np.int64),
+            "lon": [1.0, 1.0, 50.0], "lat": [1.0, 1.0, 50.0]}))
+        out = knn_join(left, right, k=5, res=5).to_pandas() \
+            .sort_values(["query_id", "rank"])
+        assert len(out) == 6  # min(k, |right|) per query
+        q0 = out[out.query_id == 0]
+        # tie at identical coords ranks by id: 3 before 7
+        assert list(q0["page_id"])[:2] == [3, 7]
