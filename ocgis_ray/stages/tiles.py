@@ -211,7 +211,12 @@ def tile_pyramid(ds, spec: dict, res: int, to_res: int = 0,
         return f
 
     levels = []
-    cur = grouped_aggregate(ds, cell_col, spec, num_buckets=num_buckets)
+    # each level's rollup is consumed by TWO branches (its relabel and
+    # the next coarser aggregate) and Ray Data does not dedupe shared
+    # lazy subplans — materialize each occupied-cell-sized rollup so
+    # the RAW data is scanned exactly once, not once per level
+    cur = grouped_aggregate(ds, cell_col, spec,
+                            num_buckets=num_buckets).materialize()
     src = cell_col
     for r in range(res, to_res - 1, -1):
         levels.append(cur.map_batches(relabel(src, r),
@@ -222,7 +227,7 @@ def tile_pyramid(ds, spec: dict, res: int, to_res: int = 0,
                                        batch_format="pyarrow",
                                        zero_copy_batch=True)
             cur = grouped_aggregate(parented, "_pcell", merge_spec,
-                                    num_buckets=num_buckets)
+                                    num_buckets=num_buckets).materialize()
             src = "_pcell"
     out = levels[0]
     if len(levels) > 1:
