@@ -120,8 +120,13 @@ def build_rag_index(docs, path: str, col: str = "text",
                                 zero_copy_batch=True)
     # split single-block inputs (e.g. one small parquet file) so the
     # embed pool, chunk write and HNSW shard builds all parallelize;
-    # streaming block split, not a shuffle
-    chunks = chunks.repartition(target_num_rows_per_block=shard_size)
+    # streaming block split, not a shuffle.  Materialize: the chunk
+    # table feeds TWO branches (the persisted chunk partition and the
+    # embed->graph build) and Ray re-executes shared lazy subplans —
+    # without this the docs are read and chunked twice.  The cached
+    # blocks spill to disk past the object-store budget.
+    chunks = chunks.repartition(
+        target_num_rows_per_block=shard_size).materialize()
     emb = embed_text(chunks, dim=dim, concurrency=concurrency)
     if run_id not in lineage.completed_partitions(f"{path}/chunks"):
         lineage.write_partition(

@@ -404,7 +404,7 @@ def knn_join(left, right, k: int, res: int = 7,
     if hist is None:
         from ocgis_ray.stages.tiles import grouped_aggregate
 
-        cells = right.map_batches(
+        cells = right.select_columns(["lon", "lat"]).map_batches(
             lambda t: pa.table({"_cell": pa.array(_fold_cells(grid.encode(
                 t["lon"].to_numpy(zero_copy_only=False),
                 t["lat"].to_numpy(zero_copy_only=False), res),
