@@ -360,7 +360,8 @@ class _KnnJoinExplodeStage:
 
 def knn_join(left, right, k: int, res: int = 7,
              left_id: str = "query_id", right_id: str = "page_id",
-             max_ring: int | None = None, hist: pd.DataFrame | None = None,
+             right_cols: tuple = (), max_ring: int | None = None,
+             hist: pd.DataFrame | None = None,
              num_buckets: int | None = None, batch_size: int = 16384):
     """Exact distributed kNN JOIN — both sides are Datasets with
     ``(id, lon, lat)`` rows: for every left row, its ``k`` nearest
@@ -378,27 +379,40 @@ def knn_join(left, right, k: int, res: int = 7,
     mean disk size — small where the right side is dense; a SPARSE
     right side inflates it (lower ``res`` or cap ``max_ring``; a cap
     makes rows whose disk hit the cap approximate).  Ties rank by
-    (distance, right id), deterministic.
+    (distance, right id), deterministic.  ``right_cols`` names extra
+    right-side columns carried through to the output (e.g. the value
+    column an interpolation consumes — saves a corpus-sized join
+    back).
 
-    Returns (left_id, right_id, dist_km, rank)."""
+    Returns (left_id, right_id, dist_km, [right_cols...], rank)."""
     import ray
 
     from ocgis_ray.sources.io import bucketed_group_apply, topk_by_group
 
     n_ix = 1 << res
     n_iy = n_ix >> 1
+    right_cols = tuple(right_cols)
+    # typed null placeholders for the probe side of the union (one
+    # Arrow schema end to end — the bucketed_pair_attach convention)
+    rsch = right.schema()
+    rtypes = dict(zip(rsch.names, rsch.types))
+    val_types = {c: rtypes[c] for c in right_cols}
 
     def right_rows(t: pa.Table) -> pa.Table:
         lon = t["lon"].to_numpy(zero_copy_only=False)
         lat = t["lat"].to_numpy(zero_copy_only=False)
         cell = _fold_cells(grid.encode(lon, lat, res), res)
-        return pa.table({
+        cols = {
             "_cell": pa.array(cell.astype(np.int64)),
             "_side": pa.array(np.ones(len(lon), np.int8)),
             "_id": pa.array(t[right_id].to_numpy(
                 zero_copy_only=False).astype(np.int64)),
             "lon": pa.array(lon),
-            "lat": pa.array(lat)})
+            "lat": pa.array(lat)}
+        for c in right_cols:
+            cols[f"_v_{c}"] = t[c].cast(val_types[c]) \
+                if isinstance(t[c], pa.ChunkedArray) else t[c]
+        return pa.table(cols)
 
     # ---- right histogram -> broadcast prefix sum --------------------
     if hist is None:
@@ -428,11 +442,28 @@ def knn_join(left, right, k: int, res: int = 7,
                    id_col=left_id, res=res, max_ring=max_ring),
         batch_format="pyarrow", zero_copy_batch=True,
         batch_size=batch_size)
+    if right_cols:
+        reserved = {left_id, right_id, "dist_km", "rank"}
+        bad = reserved & set(right_cols)
+        if bad:
+            raise ValueError(f"right_cols collide with output columns: "
+                             f"{sorted(bad)}")
+
+        def add_nulls(t: pa.Table) -> pa.Table:
+            for c in right_cols:
+                t = t.append_column(f"_v_{c}",
+                                    pa.nulls(t.num_rows, type=val_types[c]))
+            return t
+
+        probes = probes.map_batches(add_nulls, batch_format="pyarrow",
+                                    zero_copy_batch=True)
     unioned = probes.union(right.map_batches(
         right_rows, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=batch_size))
 
     def per_bucket(g: pa.Table) -> pa.Table:
+        from pyarrow.compute import take as pc_take
+
         g = g.combine_chunks()
         side = g["_side"].to_numpy(zero_copy_only=False)
         cell = g["_cell"].to_numpy(zero_copy_only=False)
@@ -441,9 +472,12 @@ def knn_join(left, right, k: int, res: int = 7,
         lat = g["lat"].to_numpy(zero_copy_only=False)
         li = np.nonzero(side == 0)[0]
         ri = np.nonzero(side == 1)[0]
-        empty = pa.table({left_id: pa.array([], pa.int64()),
-                          right_id: pa.array([], pa.int64()),
-                          "dist_km": pa.array([], pa.float64())})
+        ecols = {left_id: pa.array([], pa.int64()),
+                 right_id: pa.array([], pa.int64()),
+                 "dist_km": pa.array([], pa.float64())}
+        for c in right_cols:
+            ecols[c] = pa.array([], type=val_types[c])
+        empty = pa.table(ecols)
         if li.size == 0 or ri.size == 0:
             return empty
         # sort right by cell, gather each probe's cell range
@@ -473,9 +507,14 @@ def knn_join(left, right, k: int, res: int = 7,
         seq = np.arange(ls.size) - np.maximum.accumulate(
             np.where(new_l, np.arange(ls.size), 0))
         keep = seq < k
-        return pa.table({left_id: pa.array(ls[keep]),
-                         right_id: pa.array(rs[keep]),
-                         "dist_km": pa.array(ds_[keep])})
+        cols = {left_id: pa.array(ls[keep]),
+                right_id: pa.array(rs[keep]),
+                "dist_km": pa.array(ds_[keep])}
+        if right_cols:
+            src = pa.array(gather[order][keep], pa.int64())
+            for c in right_cols:
+                cols[c] = pc_take(g[f"_v_{c}"], src)
+        return pa.table(cols)
 
     cand = bucketed_group_apply(unioned, "_cell", per_bucket,
                                 num_buckets=num_buckets,

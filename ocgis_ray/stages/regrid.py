@@ -133,6 +133,58 @@ def idw_interpolate(ds, targets: pd.DataFrame, k: int = 8, power: float = 2.0,
     return partial.groupby("target_id").map_groups(finalize, batch_format="pandas")
 
 
+def idw_regrid_join(targets, sources, k: int = 8, power: float = 2.0,
+                    value_col: str = "n_chars", out_col: str = "idw_value",
+                    target_id: str = "target_id",
+                    source_id: str = "page_id", res: int = 7,
+                    round_digits: int = 4, num_buckets: int | None = None):
+    """IDW interpolation with BOTH sides as Datasets — the
+    corpus-sized-targets regrid :func:`idw_interpolate` (broadcast
+    targets) cannot do.  Composes :func:`ocgis_ray.stages.knn.knn_join`
+    (which carries the source value through, so no join back) with a
+    vectorized per-target finalize: zero-distance sources
+    short-circuit to their exact MIN value (the same convention the
+    broadcast path uses), else estimate = sum(v/d^p) / sum(1/d^p).
+
+    Neighbor-set tie convention differs from the broadcast path at the
+    k-th boundary only: knn_join breaks distance ties by source id,
+    idw_interpolate by value — identical results whenever the k-th
+    distance is unique (always, for continuous coordinates).
+
+    Returns (target_id, out_col) — one row per target with >= 1
+    neighbor."""
+    from ocgis_ray.parity import sql_round
+    from ocgis_ray.sources.io import bucketed_group_apply
+    from ocgis_ray.stages.knn import knn_join
+
+    nn = knn_join(targets, sources, k, res=res, left_id=target_id,
+                  right_id=source_id, right_cols=(value_col,),
+                  num_buckets=num_buckets)
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        d = g["dist_km"].to_numpy(np.float64)
+        v = g[value_col].to_numpy(np.float64)
+        exact = d <= 1e-12
+        w = np.where(exact, 0.0, 1.0 / np.where(exact, 1.0, d) ** power)
+        gb = pd.DataFrame({
+            target_id: g[target_id].to_numpy(np.int64),
+            "_wv": w * v, "_w": w,
+            "_ex": exact,
+            "_exv": np.where(exact, v, np.inf),
+        }).groupby(target_id, sort=False).agg(
+            _wv=("_wv", "sum"), _w=("_w", "sum"),
+            _ex=("_ex", "any"), _exv=("_exv", "min"))
+        est = np.where(gb["_ex"].to_numpy(),
+                       gb["_exv"].to_numpy(),
+                       gb["_wv"].to_numpy() / gb["_w"].to_numpy())
+        return pd.DataFrame({
+            target_id: gb.index.to_numpy(np.int64),
+            out_col: sql_round(est, round_digits)})
+
+    return bucketed_group_apply(nn, target_id, finalize,
+                                num_buckets=num_buckets)
+
+
 def apply_weights(ds, weights: pd.DataFrame, src_col: str = "cell_r7",
                   value_col: str = "n_chars", out_col: str = "wsum"):
     """Sparse weight application (the chunked-``smm`` analog): weights

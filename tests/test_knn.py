@@ -216,3 +216,37 @@ class TestKnnJoin:
         q0 = out[out.query_id == 0]
         # tie at identical coords ranks by id: 3 before 7
         assert list(q0["page_id"])[:2] == [3, 7]
+
+
+def test_idw_regrid_join_matches_broadcast_path(ray_session):
+    import ray.data as rd
+
+    from ocgis_ray.stages.regrid import idw_interpolate, idw_regrid_join
+
+    rng = np.random.RandomState(9)
+    src = pd.DataFrame({
+        "page_id": np.arange(3000, dtype=np.int64),
+        "lon": rng.uniform(-30, 30, 3000),
+        "lat": rng.uniform(-20, 20, 3000),
+        "val": rng.uniform(0, 50, 3000),
+    })
+    tgt = pd.DataFrame({
+        "target_id": np.arange(40, dtype=np.int64),
+        "lon": rng.uniform(-25, 25, 40),
+        "lat": rng.uniform(-15, 15, 40),
+    })
+    # exact-hit target: same coords as a source
+    tgt.loc[0, ["lon", "lat"]] = src.loc[7, ["lon", "lat"]].to_numpy()
+
+    src_ds = rd.from_pandas(src).repartition(4)
+    got = idw_regrid_join(rd.from_pandas(tgt).repartition(2), src_ds,
+                          k=6, value_col="val", res=5) \
+        .to_pandas().sort_values("target_id").reset_index(drop=True)
+    want = idw_interpolate(src_ds, tgt, k=6, value_col="val") \
+        .to_pandas().sort_values("target_id").reset_index(drop=True)
+    assert len(got) == 40
+    assert (got["target_id"] == want["target_id"]).all()
+    assert np.allclose(got["idw_value"], want["idw_value"])
+    # exact hit short-circuits to the source value
+    assert got.loc[0, "idw_value"] == pytest.approx(
+        round(float(src.loc[7, "val"]), 4))
