@@ -798,6 +798,120 @@ def hnsw_index_search(path: str, queries: pd.DataFrame, k: int,
     return topk_by_group(cand, "query_id", ["sim", id_col], [False, True], k)
 
 
+def ann_ivf_join(left, right, k: int, left_id: str = "query_id",
+                 right_id: str = "vec_id", col: str = "embedding",
+                 nlist: int = 16, nprobe: int = 6, train_n: int = 4096,
+                 batch_size: int = 4096, num_buckets: int | None = None):
+    """Approximate cosine top-k JOIN — both sides are Datasets of
+    ``(id, embedding)`` rows: for every left row, its ``k`` most
+    similar right rows.  The vector-space twin of
+    :func:`ocgis_ray.stages.knn.knn_join`, for corpus-sized query
+    sets (cross-corpus semantic dedup, retrieval-pair mining) that
+    the broadcast-queries :func:`ann_ivf` cannot serve.
+
+    Shape: spherical-k-means coarse quantizer trained on a bounded
+    right sample (driver holds <= train_n rows); LEFT rows replicate
+    to their ``nprobe`` nearest centroids, RIGHT rows to their single
+    nearest; ONE bucketed shuffle co-locates by centroid (vectors ride
+    packed as fixed-width binary — no Python objects); per centroid
+    one exact L x R cosine matmul with a per-left partial top-k; one
+    final bucketed top-k.  Recall == probe recall (``nprobe=nlist``
+    is exhaustive and equals brute force exactly — tested); left
+    replication factor is exactly ``nprobe``.
+
+    Returns (left_id, right_id, sim, rank); ties rank by
+    (-sim, right id)."""
+    from ocgis_ray.sources.io import bucketed_group_apply, topk_by_group
+
+    pdf = right.limit(train_n).to_pandas()
+    if len(pdf) == 0:
+        raise ValueError("ann_ivf_join: empty right side (no training "
+                         "sample)")
+    cent = _kmeans_spherical(np.stack(pdf[col].to_numpy()), nlist)
+    nprobe = min(nprobe, cent.shape[0])
+    dim = cent.shape[1]
+
+    def left_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"_cl": pa.array([], pa.int64()),
+                             "_side": pa.array([], pa.int8()),
+                             "_id": pa.array([], pa.int64()),
+                             "_vec": pa.array([], pa.binary())})
+        m = _normalize(_batch_matrix(t, col).astype(np.float64))
+        ids = t[left_id].to_numpy(zero_copy_only=False).astype(np.int64)
+        probes = np.argsort(-(m @ cent.T), axis=1,
+                            kind="stable")[:, :nprobe]
+        rows = np.repeat(np.arange(m.shape[0]), nprobe)
+        return pa.table({
+            "_cl": pa.array(probes.ravel().astype(np.int64)),
+            "_side": pa.array(np.zeros(rows.size, np.int8)),
+            "_id": pa.array(ids[rows]),
+            "_vec": pack_vectors(m[rows])})
+
+    def right_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"_cl": pa.array([], pa.int64()),
+                             "_side": pa.array([], pa.int8()),
+                             "_id": pa.array([], pa.int64()),
+                             "_vec": pa.array([], pa.binary())})
+        m = _normalize(_batch_matrix(t, col).astype(np.float64))
+        ids = t[right_id].to_numpy(zero_copy_only=False).astype(np.int64)
+        assign = np.argmax(m @ cent.T, axis=1)
+        return pa.table({
+            "_cl": pa.array(assign.astype(np.int64)),
+            "_side": pa.array(np.ones(m.shape[0], np.int8)),
+            "_id": pa.array(ids),
+            "_vec": pack_vectors(m)})
+
+    unioned = left.map_batches(
+        left_rows, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size).union(right.map_batches(
+            right_rows, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=batch_size))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        empty = pa.table({left_id: pa.array([], pa.int64()),
+                          right_id: pa.array([], pa.int64()),
+                          "sim": pa.array([], pa.float64())})
+        side = g["_side"].to_numpy(zero_copy_only=False)
+        cl = g["_cl"].to_numpy(zero_copy_only=False)
+        gid = g["_id"].to_numpy(zero_copy_only=False)
+        li = np.nonzero(side == 0)[0]
+        ri = np.nonzero(side == 1)[0]
+        if li.size == 0 or ri.size == 0:
+            return empty
+        vecs = unpack_vectors(g["_vec"], dim)
+        out_l, out_r, out_s = [], [], []
+        for c in np.unique(cl[li]):
+            lsel = li[cl[li] == c]
+            rsel = ri[cl[ri] == c]
+            if rsel.size == 0:
+                continue
+            sims = vecs[lsel] @ vecs[rsel].T        # (L, R) exact cosine
+            kk = min(k, rsel.size)
+            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            kth = np.take_along_axis(sims, part, axis=1).min(axis=1)
+            for i in range(lsel.size):
+                cand = np.nonzero(sims[i] >= kth[i])[0]
+                srt = np.lexsort((gid[rsel][cand], -sims[i][cand]))[:kk]
+                sel = cand[srt]
+                out_l.append(np.full(sel.size, gid[lsel[i]], np.int64))
+                out_r.append(gid[rsel][sel])
+                out_s.append(sims[i][sel])
+        if not out_l:
+            return empty
+        return pa.table({left_id: pa.array(np.concatenate(out_l)),
+                         right_id: pa.array(np.concatenate(out_r)),
+                         "sim": pa.array(np.concatenate(out_s))})
+
+    cand = bucketed_group_apply(unioned, "_cl", per_bucket,
+                                num_buckets=num_buckets,
+                                batch_format="pyarrow")
+    return topk_by_group(cand, left_id, ["sim", right_id],
+                         [False, True], k)
+
+
 def ann_ivf_hnsw(ds, queries: pd.DataFrame, k: int, id_col: str = "vec_id",
                  col: str = "embedding", nlist: int = 16, nprobe: int = 6,
                  train_n: int = 4096, M: int = 12, ef_construction: int = 48,

@@ -1,6 +1,7 @@
 """ANN: brute-force correctness, LSH recall."""
 
 import numpy as np
+import pandas as pd
 import pytest
 
 
@@ -328,3 +329,59 @@ def test_hnsw_index_incremental_append(emb, queries, tmp_path):
         return df.sort_values(["query_id", "rank"])[cols].reset_index(drop=True)
 
     assert canon(full).equals(canon(bf))
+
+
+class TestAnnIvfJoin:
+    def _sides(self, n_left=60, n_right=2000, dim=16, seed=4):
+        import ray.data as rd
+
+        rng = np.random.RandomState(seed)
+        # clustered vectors so IVF routing is meaningful
+        centers = rng.normal(0, 1, (8, dim))
+        def mk(n, id_name):
+            pick = rng.randint(0, 8, n)
+            m = centers[pick] + rng.normal(0, 0.15, (n, dim))
+            return pd.DataFrame({
+                id_name: np.arange(n, dtype=np.int64),
+                "embedding": list(m.astype(np.float64))})
+        left = mk(n_left, "query_id")
+        right = mk(n_right, "vec_id")
+        return (rd.from_pandas(left).repartition(3),
+                rd.from_pandas(right).repartition(4), left, right)
+
+    def _brute(self, left, right, k):
+        def norm(m):
+            return m / np.linalg.norm(m, axis=1, keepdims=True)
+        lm = norm(np.stack(left["embedding"].to_numpy()))
+        rm = norm(np.stack(right["embedding"].to_numpy()))
+        sims = lm @ rm.T
+        out = {}
+        for i in range(lm.shape[0]):
+            order = np.lexsort((right["vec_id"].to_numpy(), -sims[i]))[:k]
+            out[int(left["query_id"].iloc[i])] = list(
+                right["vec_id"].to_numpy()[order])
+        return out
+
+    def test_exhaustive_probe_equals_bruteforce(self, ray_session):
+        from ocgis_ray.stages.ann import ann_ivf_join
+
+        lds, rds, left, right = self._sides()
+        got = ann_ivf_join(lds, rds, k=5, nlist=8, nprobe=8,
+                           train_n=2000).to_pandas()
+        want = self._brute(left, right, 5)
+        for qid, grp in got.sort_values(["query_id", "rank"]) \
+                .groupby("query_id", sort=True):
+            assert list(grp["vec_id"]) == want[int(qid)]
+
+    def test_partial_probe_recall(self, ray_session):
+        from ocgis_ray.stages.ann import ann_ivf_join
+
+        lds, rds, left, right = self._sides()
+        got = ann_ivf_join(lds, rds, k=5, nlist=8, nprobe=3,
+                           train_n=2000).to_pandas()
+        want = self._brute(left, right, 5)
+        hits = total = 0
+        for qid, grp in got.groupby("query_id"):
+            hits += len(set(grp["vec_id"]) & set(want[int(qid)]))
+            total += 5
+        assert hits / total >= 0.9  # tight clusters: probe recall high
