@@ -236,68 +236,34 @@ def _fold_cells(cell: np.ndarray, res: int) -> np.ndarray:
             + np.minimum(iy, (n_ix >> 1) - 1))
 
 
-def _coverage_km_vec(ring: np.ndarray, qlat: np.ndarray,
-                     cs: float) -> np.ndarray:
-    """Vectorized :func:`_coverage_km` (same formula, array ring/lat)."""
-    sep = np.radians(ring * cs)
-    meridian = 6371.0088 * sep
-    phi_band = np.radians(np.minimum(89.9, np.abs(qlat) + ring * cs))
-    lon_case = 2.0 * 6371.0088 * np.arcsin(
-        np.sqrt(np.cos(np.radians(qlat))
-                * np.maximum(np.cos(phi_band), 0.0)) * np.sin(sep / 2.0))
-    return np.minimum(meridian, lon_case)
-
-
-def _disk_upper_km_vec(ring: np.ndarray, qlat: np.ndarray,
-                       cs: float) -> np.ndarray:
-    """Vectorized :func:`_disk_upper_km`."""
-    dlat = np.radians((ring + 1) * cs)
-    dlon = np.radians(np.minimum((ring + 1) * cs, 180.0))
-    phi_low = np.maximum(0.0, np.abs(qlat) - (ring + 1) * cs)
-    return 6371.0088 * (dlat + dlon * np.cos(np.radians(phi_low)))
-
-
 class _KnnJoinExplodeStage:
-    """Per LEFT batch: choose a provably-sufficient cell disk per row
-    from the broadcast right-side 2-D prefix-sum (the vectorized twin
-    of :func:`knn_cells` steps 2-3), then explode each row into its
-    disk cells for the bucketed co-location."""
+    """Per LEFT batch: emit the row against every OCCUPIED right cell
+    that can contain one of its top-k (exact — empty cells hold no
+    right rows).  Selection is distance-based, not ring-based: with
+    ``d_cent`` the probe→cell-center haversine and ``diag`` the max
+    center→point distance inside a cell, the kq-th smallest center
+    distance ``Dk`` bounds the k-th neighbor by ``Dk + diag``
+    (kq cells hold >= kq points), and any displacing point's cell
+    center lies within ``Dk + 2*diag`` (triangle inequality).
+    Candidate volume tracks the true k-ball, so far/sparse probes
+    probe a thin facing shell, never a Chebyshev square."""
 
-    def __init__(self, psum_ref, k: int, id_col: str, res: int,
-                 max_ring: int | None):
+    def __init__(self, occ_ref, k: int, id_col: str, res: int):
         import ray
 
-        b = ray.get(psum_ref) if not isinstance(psum_ref, dict) else psum_ref
-        self.psum = b["psum"]            # (n_ix+1, n_iy+1) int64
+        b = ray.get(occ_ref) if not isinstance(occ_ref, dict) else occ_ref
+        self.occ_cell = b["occ_cell"]     # sorted occupied cell ids
         self.total = int(b["total"])
         self.k, self.id_col, self.res = k, id_col, res
-        self.n_ix = 1 << res
-        self.n_iy = self.n_ix >> 1
-        self.cap = (max_ring if max_ring is not None
-                    else max(self.n_ix, self.n_iy))
-
-    def _disk_counts(self, ix: np.ndarray, iy: np.ndarray,
-                     r: np.ndarray) -> np.ndarray:
-        n_ix, n_iy, psum = self.n_ix, self.n_iy, self.psum
-        y0 = np.maximum(0, iy - r)
-        y1 = np.minimum(n_iy - 1, iy + r)
-        x0, x1 = ix - r, ix + r
-        full = (x1 - x0 + 1) >= n_ix
-
-        def rect(a0, a1):
-            return (psum[a1 + 1, y1 + 1] - psum[a0, y1 + 1]
-                    - psum[a1 + 1, y0] + psum[a0, y0])
-
-        # clamp keeps psum indexing in range for rows that actually
-        # wrap (those take the `wrapped`/`full` branch below)
-        plain = rect(np.maximum(x0, 0), np.minimum(x1, n_ix - 1))
-        wrapped = rect(x0 % n_ix, np.full_like(x0, n_ix - 1)) \
-            + rect(np.zeros_like(x1), x1 % n_ix)
-        no_wrap = (x0 >= 0) & (x1 < n_ix)
-        out = np.where(full, rect(np.zeros_like(x0),
-                                  np.full_like(x0, n_ix - 1)),
-                       np.where(no_wrap, plain, wrapped))
-        return out
+        # cell centers as unit vectors: cos(central angle) is then ONE
+        # BLAS matmul per batch — no transcendentals in the B x C loop
+        lam = np.radians(b["occ_lon"])
+        phi = np.radians(b["occ_lat"])
+        self.occ_xyz = np.stack([np.cos(phi) * np.cos(lam),
+                                 np.cos(phi) * np.sin(lam),
+                                 np.sin(phi)], axis=1)
+        # Manhattan bound on the center->any-point ANGLE in a cell
+        self.diag_rad = np.radians(grid.cell_size(res))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         empty = pa.table({
@@ -309,45 +275,32 @@ class _KnnJoinExplodeStage:
         lon = batch["lon"].to_numpy(zero_copy_only=False)
         lat = batch["lat"].to_numpy(zero_copy_only=False)
         ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        if lon.size == 0 or self.total == 0:
+        n_occ = self.occ_cell.size
+        if lon.size == 0 or self.total == 0 or n_occ == 0:
             return empty
-        cs = grid.cell_size(self.res)
-        cell = _fold_cells(grid.encode(lon, lat, self.res), self.res)
-        ix, iy = grid.split(cell)
         kq = min(self.k, self.total)
-        # smallest disk holding >= kq right points (vectorized rounds)
-        r0 = np.zeros(lon.size, dtype=np.int64)
-        while True:
-            need = (self._disk_counts(ix, iy, r0) < kq) & (r0 < self.cap)
-            if not need.any():
-                break
-            r0[need] += 1
-        # smallest ring whose guaranteed coverage exceeds the k-th
-        # distance upper bound — nothing outside can displace the top-k
-        bound = _disk_upper_km_vec(r0, lat, cs)
-        R = r0.copy()
-        while True:
-            need = (_coverage_km_vec(R, lat, cs) < bound) & (R < self.cap)
-            if not need.any():
-                break
-            R[need] += 1
-        # explode rows into their disk cells, grouped by ring value so
-        # each distinct R builds ONE (rows, (2R+1)^2) offset grid
+        lam = np.radians(lon)
+        phi = np.radians(lat)
+        xyz = np.stack([np.cos(phi) * np.cos(lam),
+                        np.cos(phi) * np.sin(lam),
+                        np.sin(phi)], axis=1)
         cells_out, rows_out = [], []
-        for r in np.unique(R):
-            sel = np.nonzero(R == r)[0]
-            w = int(min(2 * r + 1, self.n_ix))
-            dxs = np.arange(w) - r
-            dys = np.arange(2 * r + 1) - r
-            shape = (sel.size, w, dys.size)
-            gx = np.broadcast_to(
-                (ix[sel][:, None, None] + dxs[None, :, None]) % self.n_ix,
-                shape)
-            gy = np.broadcast_to(iy[sel][:, None, None] + dys[None, None, :],
-                                 shape)
-            ok = (gy >= 0) & (gy < self.n_iy)
-            rows_out.append(np.broadcast_to(sel[:, None, None], shape)[ok])
-            cells_out.append(gx[ok] * 4294967296 + gy[ok])
+        chunk = max(256, 32_000_000 // n_occ)
+        for c0 in range(0, lon.size, chunk):
+            sl = slice(c0, min(c0 + chunk, lon.size))
+            cosd = np.clip(xyz[sl] @ self.occ_xyz.T, -1.0, 1.0)
+            if kq < n_occ:
+                ck = np.partition(cosd, n_occ - kq, axis=1)[:, n_occ - kq]
+            else:
+                ck = cosd.min(axis=1)
+            # keep angle <= angle(ck) + 2*diag  <=>  cosd >= cos(...)
+            # (+1e-9 fp guard; the comparison only SELECTS cells — the
+            # per-bucket refine computes exact haversine)
+            ang = np.arccos(ck) + 2.0 * self.diag_rad + 1e-9
+            thr = np.where(ang >= np.pi, -1.0, np.cos(np.minimum(ang, np.pi)))
+            ri_, ci_ = np.nonzero(cosd >= thr[:, None])
+            rows_out.append(ri_ + c0)
+            cells_out.append(self.occ_cell[ci_])
         cc = np.concatenate(cells_out)
         rr = np.concatenate(rows_out)
         return pa.table({
@@ -360,7 +313,7 @@ class _KnnJoinExplodeStage:
 
 def knn_join(left, right, k: int, res: int = 7,
              left_id: str = "query_id", right_id: str = "page_id",
-             right_cols: tuple = (), max_ring: int | None = None,
+             right_cols: tuple = (),
              hist: pd.DataFrame | None = None,
              num_buckets: int | None = None, batch_size: int = 16384):
     """Exact distributed kNN JOIN — both sides are Datasets with
@@ -369,20 +322,21 @@ def knn_join(left, right, k: int, res: int = 7,
     :func:`knn_cells` (whose queries are a broadcast DataFrame) to a
     corpus-sized left side.
 
-    Shape: one slim right-side cell-histogram pass (grid-bounded 2-D
-    prefix sum, broadcast once); each LEFT batch picks a provably
-    sufficient cell disk per row (same arcsine coverage bound as
-    :func:`knn_cells`, fully vectorized) and explodes into those
-    cells; ONE bucketed shuffle co-locates left probes with right
+    Shape: one slim right-side cell-histogram pass (the occupied-cell
+    list, grid-bounded, broadcast once); each LEFT batch bounds its
+    k-th-neighbor distance from the kq nearest occupied cell centers
+    and emits the row against exactly the occupied cells that can
+    contain a top-k point (triangle-inequality bound — candidate
+    volume tracks the true k-ball, so sparse/far probes probe a thin
+    facing shell); ONE bucketed shuffle co-locates probes with right
     points by cell; exact haversine + per-left partial top-k per
-    bucket; one final bucketed top-k.  Left replication factor is the
-    mean disk size — small where the right side is dense; a SPARSE
-    right side inflates it (lower ``res`` or cap ``max_ring``; a cap
-    makes rows whose disk hit the cap approximate).  Ties rank by
-    (distance, right id), deterministic.  ``right_cols`` names extra
-    right-side columns carried through to the output (e.g. the value
-    column an interpolation consumes — saves a corpus-sized join
-    back).
+    bucket; one final bucketed top-k.  Per-probe broadcast work is
+    O(|occupied cells|) — pick ``res`` so the occupied-cell list
+    stays broadcastable (the same assumption the spatial-join index
+    makes).  Ties rank by (distance, right id), deterministic.
+    ``right_cols`` names extra right-side columns carried through to
+    the output (e.g. the value column an interpolation consumes —
+    saves a corpus-sized join back).
 
     Returns (left_id, right_id, dist_km, [right_cols...], rank)."""
     import ray
@@ -428,18 +382,22 @@ def knn_join(left, right, k: int, res: int = 7,
                                  {"n": (None, "count")}).to_pandas()
         hist = hist.rename(columns={"_cell": "cell"})
     hx, hy = grid.split(hist["cell"].to_numpy())
-    counts2d = np.zeros((n_ix, n_iy), dtype=np.int64)
-    np.add.at(counts2d, (np.minimum(hx, n_ix - 1), np.minimum(hy, n_iy - 1)),
-              hist["n"].to_numpy())
-    psum = np.zeros((n_ix + 1, n_iy + 1), dtype=np.int64)
-    psum[1:, 1:] = counts2d.cumsum(axis=0).cumsum(axis=1)
-    psum_ref = ray.put({"psum": psum, "total": int(counts2d.sum())})
+    hx = np.minimum(hx, n_ix - 1)
+    hy = np.minimum(hy, n_iy - 1)
+    occ_cell = hx.astype(np.int64) * 4294967296 + hy.astype(np.int64)
+    occ_cell, first = np.unique(occ_cell, return_index=True)
+    cs = grid.cell_size(res)
+    occ_ref = ray.put({
+        "occ_cell": occ_cell,
+        "occ_lon": (occ_cell // 4294967296 + 0.5) * cs - 180.0,
+        "occ_lat": (occ_cell % 4294967296 + 0.5) * cs - 90.0,
+        "total": int(hist["n"].to_numpy().sum())})
 
     from ocgis_ray.tuning import task_stage
 
     probes = left.map_batches(
-        task_stage(_KnnJoinExplodeStage, psum_ref=psum_ref, k=k,
-                   id_col=left_id, res=res, max_ring=max_ring),
+        task_stage(_KnnJoinExplodeStage, occ_ref=occ_ref, k=k,
+                   id_col=left_id, res=res),
         batch_format="pyarrow", zero_copy_batch=True,
         batch_size=batch_size)
     if right_cols:
