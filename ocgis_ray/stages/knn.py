@@ -239,35 +239,73 @@ def _fold_cells(cell: np.ndarray, res: int) -> np.ndarray:
 class _KnnJoinExplodeStage:
     """Per LEFT batch: emit the row against every OCCUPIED right cell
     that can contain one of its top-k (exact — empty cells hold no
-    right rows).  Selection is distance-based, not ring-based: with
-    ``d_cent`` the probe→cell-center haversine and ``diag`` the max
-    center→point distance inside a cell, the kq-th smallest center
-    distance ``Dk`` bounds the k-th neighbor by ``Dk + diag``
-    (kq cells hold >= kq points), and any displacing point's cell
-    center lies within ``Dk + 2*diag`` (triangle inequality).
-    Candidate volume tracks the true k-ball, so far/sparse probes
-    probe a thin facing shell, never a Chebyshev square."""
+    right rows).  Selection is distance-based via a TWO-LEVEL index:
+    a coarse pass over <= ~2k parent cells (one BLAS matmul — unit
+    vectors, cos of the central angle) finds the smallest prefix of
+    nearest coarse cells holding >= k points, bounding the k-th
+    neighbor by that prefix's last center angle + the coarse cell
+    diagonal; fine cells are then tested ONLY under coarse parents
+    that survive the bound (+ fine/coarse diagonal slack, triangle
+    inequality).  Candidate volume tracks the true k-ball at FINE
+    granularity while the full scan happens at coarse granularity —
+    neither the fine-cell count nor sparse/far probes blow it up.
+
+    HOT cells (web-scale coordinate stacks — one popular domain's
+    pages on near-identical coordinates) are SALTED: the driver
+    assigns ``ceil(count / rows_per_salt)`` sub-keys per hot cell,
+    right rows spread across them, and each probe of that cell is
+    emitted once per sub-key — the probe x hot-cell scan parallelizes
+    instead of serializing into one bucket task.  Exact: every
+    (probe, right-row) pair meets in exactly one sub-key."""
+
+    COARSE_RES = 6  # <= 2048 coarse cells: the per-probe full scan
+                    # happens at THIS level only
 
     def __init__(self, occ_ref, k: int, id_col: str, res: int):
         import ray
 
         b = ray.get(occ_ref) if not isinstance(occ_ref, dict) else occ_ref
         self.occ_cell = b["occ_cell"]     # sorted occupied cell ids
+        self.occ_salt = b["occ_salt"]     # sub-keys per cell (>= 1)
+        self.occ_n = b["occ_n"]           # right rows per cell
         self.total = int(b["total"])
         self.k, self.id_col, self.res = k, id_col, res
-        # cell centers as unit vectors: cos(central angle) is then ONE
-        # BLAS matmul per batch — no transcendentals in the B x C loop
-        lam = np.radians(b["occ_lon"])
-        phi = np.radians(b["occ_lat"])
-        self.occ_xyz = np.stack([np.cos(phi) * np.cos(lam),
-                                 np.cos(phi) * np.sin(lam),
-                                 np.sin(phi)], axis=1)
+
+        def unit(lon_deg, lat_deg):
+            lam = np.radians(lon_deg)
+            phi = np.radians(lat_deg)
+            return np.stack([np.cos(phi) * np.cos(lam),
+                             np.cos(phi) * np.sin(lam),
+                             np.sin(phi)], axis=1)
+
         # Manhattan bound on the center->any-point ANGLE in a cell
         self.diag_rad = np.radians(grid.cell_size(res))
+        # ---- two-level index: group fine cells under coarse parents
+        # so the O(B x cells) scan runs over <= ~2k coarse cells and
+        # fine cells are touched only under coarse survivors ----------
+        cres = min(res, self.COARSE_RES)
+        self.cdiag_rad = np.radians(grid.cell_size(cres))
+        parent = grid.parent(self.occ_cell, res, cres)
+        order = np.argsort(parent, kind="stable")
+        self.f_cell = self.occ_cell[order]
+        self.f_salt = self.occ_salt[order]
+        self.f_xyz = unit(b["occ_lon"][order], b["occ_lat"][order])
+        f_n = self.occ_n[order]
+        psort = parent[order]
+        uniq, starts = np.unique(psort, return_index=True)
+        self.c_uniq = uniq
+        self.c_off = np.concatenate([starts,
+                                     [psort.size]]).astype(np.int64)
+        self.c_count = np.add.reduceat(f_n, starts).astype(np.int64)
+        ccs = grid.cell_size(cres)
+        cx, cy = grid.split(uniq)
+        self.c_xyz = unit((cx + 0.5) * ccs - 180.0,
+                          (cy + 0.5) * ccs - 90.0)
+        self.n_coarse = uniq.size
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         empty = pa.table({
-            "_cell": pa.array([], pa.int64()),
+            "_key": pa.array([], pa.int64()),
             "_side": pa.array([], pa.int8()),
             "_id": pa.array([], pa.int64()),
             "lon": pa.array([], pa.float64()),
@@ -284,27 +322,83 @@ class _KnnJoinExplodeStage:
         xyz = np.stack([np.cos(phi) * np.cos(lam),
                         np.cos(phi) * np.sin(lam),
                         np.sin(phi)], axis=1)
-        cells_out, rows_out = [], []
-        chunk = max(256, 32_000_000 // n_occ)
+        nc = self.n_coarse
+        cells_out, rows_out, salts_out = [], [], []
+        chunk = max(256, 32_000_000 // max(1, nc))
         for c0 in range(0, lon.size, chunk):
             sl = slice(c0, min(c0 + chunk, lon.size))
-            cosd = np.clip(xyz[sl] @ self.occ_xyz.T, -1.0, 1.0)
-            if kq < n_occ:
-                ck = np.partition(cosd, n_occ - kq, axis=1)[:, n_occ - kq]
-            else:
-                ck = cosd.min(axis=1)
-            # keep angle <= angle(ck) + 2*diag  <=>  cosd >= cos(...)
-            # (+1e-9 fp guard; the comparison only SELECTS cells — the
-            # per-bucket refine computes exact haversine)
-            ang = np.arccos(ck) + 2.0 * self.diag_rad + 1e-9
-            thr = np.where(ang >= np.pi, -1.0, np.cos(np.minimum(ang, np.pi)))
-            ri_, ci_ = np.nonzero(cosd >= thr[:, None])
-            rows_out.append(ri_ + c0)
-            cells_out.append(self.occ_cell[ci_])
+            B = sl.stop - sl.start
+            # ---- coarse pass: bound the k-th distance ---------------
+            ccos = np.clip(xyz[sl] @ self.c_xyz.T, -1.0, 1.0)
+            ordc = np.argsort(-ccos, axis=1, kind="stable")
+            cum = np.cumsum(self.c_count[ordc], axis=1)
+            jstar = np.argmax(cum >= kq, axis=1)   # first prefix >= kq
+            ck = np.take_along_axis(ccos, ordc[np.arange(B), jstar][:, None],
+                                    axis=1)[:, 0]
+            # kq points live in the jstar+1 nearest coarse cells, each
+            # within its center angle + coarse diag
+            dk_ang = np.arccos(ck) + self.cdiag_rad
+            # tighten per own-coarse-group with FINE centers: probes
+            # inside dense data otherwise inherit the ~coarse-diagonal
+            # slack and keep thousands of fine cells.  The kq nearest
+            # fine cells under the probe's own coarse parent hold
+            # >= kq points (one each), bounding the k-th neighbor by
+            # that center angle + the FINE diagonal — valid on its
+            # own, so min() with the coarse bound is safe.
+            pcell = _fold_cells(grid.encode(lon[sl], lat[sl], self.res),
+                                self.res)
+            pcoarse = grid.parent(pcell, self.res,
+                                  min(self.res, self.COARSE_RES))
+            for cg in np.unique(pcoarse):
+                ci = np.searchsorted(self.c_uniq, cg)
+                if ci >= self.c_uniq.size or self.c_uniq[ci] != cg:
+                    continue
+                if self.c_count[ci] < kq:
+                    continue
+                mask = np.nonzero(pcoarse == cg)[0]
+                f0, f1 = int(self.c_off[ci]), int(self.c_off[ci + 1])
+                nf = f1 - f0
+                fc = np.clip(xyz[sl][mask] @ self.f_xyz[f0:f1].T,
+                             -1.0, 1.0)
+                if nf >= kq:
+                    fkq = (np.partition(fc, nf - kq, axis=1)[:, nf - kq]
+                           if nf > kq else fc.min(axis=1))
+                else:
+                    fkq = fc.min(axis=1)
+                dk_ang[mask] = np.minimum(
+                    dk_ang[mask], np.arccos(fkq) + self.diag_rad)
+            # a displacing point's FINE cell center is within
+            # dk + 2*fine diag; prune coarse parents by the extra
+            # coarse diag (fine center >= coarse center - coarse diag)
+            thr_ang = dk_ang + 2.0 * self.diag_rad + 1e-9
+            cthr = np.cos(np.minimum(thr_ang + self.cdiag_rad, np.pi))
+            fthr = np.cos(np.minimum(thr_ang, np.pi))
+            ckeep = ccos >= cthr[:, None]
+            # ---- fine pass: only under surviving coarse parents -----
+            for c in np.nonzero(ckeep.any(axis=0))[0]:
+                pc = np.nonzero(ckeep[:, c])[0]
+                f0, f1 = int(self.c_off[c]), int(self.c_off[c + 1])
+                fcos = np.clip(xyz[sl][pc] @ self.f_xyz[f0:f1].T,
+                               -1.0, 1.0)
+                ri_, ci_ = np.nonzero(fcos >= fthr[pc, None])
+                rows_out.append(pc[ri_] + c0)
+                cells_out.append(self.f_cell[f0 + ci_])
+                salts_out.append(self.f_salt[f0 + ci_])
         cc = np.concatenate(cells_out)
         rr = np.concatenate(rows_out)
+        ss = np.concatenate(salts_out)
+        # hot-cell expansion: one probe copy per sub-key (ss==1 for
+        # cold cells — no-op there)
+        if ss.max(initial=1) > 1:
+            tot = int(ss.sum())
+            within = (np.arange(tot)
+                      - np.repeat(np.cumsum(ss) - ss, ss))
+            cc = np.repeat(cc, ss) * 64 + within
+            rr = np.repeat(rr, ss)
+        else:
+            cc = cc * 64
         return pa.table({
-            "_cell": pa.array(cc.astype(np.int64)),
+            "_key": pa.array(cc.astype(np.int64)),
             "_side": pa.array(np.zeros(cc.size, np.int8)),
             "_id": pa.array(ids[rr]),
             "lon": pa.array(lon[rr]),
@@ -315,6 +409,7 @@ def knn_join(left, right, k: int, res: int = 7,
              left_id: str = "query_id", right_id: str = "page_id",
              right_cols: tuple = (),
              hist: pd.DataFrame | None = None,
+             rows_per_salt: int = 65536,
              num_buckets: int | None = None, batch_size: int = 16384):
     """Exact distributed kNN JOIN — both sides are Datasets with
     ``(id, lon, lat)`` rows: for every left row, its ``k`` nearest
@@ -333,7 +428,11 @@ def knn_join(left, right, k: int, res: int = 7,
     bucket; one final bucketed top-k.  Per-probe broadcast work is
     O(|occupied cells|) — pick ``res`` so the occupied-cell list
     stays broadcastable (the same assumption the spatial-join index
-    makes).  Ties rank by (distance, right id), deterministic.
+    makes).  HOT cells (> ``rows_per_salt`` right rows — web-scale
+    coordinate stacks) split across ceil(count/rows_per_salt) salted
+    sub-keys (max 63) with probes replicated per sub-key, so one
+    popular cell parallelizes instead of pinning a single bucket
+    task.  Ties rank by (distance, right id), deterministic.
     ``right_cols`` names extra right-side columns carried through to
     the output (e.g. the value column an interpolation consumes —
     saves a corpus-sized join back).
@@ -352,23 +451,7 @@ def knn_join(left, right, k: int, res: int = 7,
     rtypes = dict(zip(rsch.names, rsch.types))
     val_types = {c: rtypes[c] for c in right_cols}
 
-    def right_rows(t: pa.Table) -> pa.Table:
-        lon = t["lon"].to_numpy(zero_copy_only=False)
-        lat = t["lat"].to_numpy(zero_copy_only=False)
-        cell = _fold_cells(grid.encode(lon, lat, res), res)
-        cols = {
-            "_cell": pa.array(cell.astype(np.int64)),
-            "_side": pa.array(np.ones(len(lon), np.int8)),
-            "_id": pa.array(t[right_id].to_numpy(
-                zero_copy_only=False).astype(np.int64)),
-            "lon": pa.array(lon),
-            "lat": pa.array(lat)}
-        for c in right_cols:
-            cols[f"_v_{c}"] = t[c].cast(val_types[c]) \
-                if isinstance(t[c], pa.ChunkedArray) else t[c]
-        return pa.table(cols)
-
-    # ---- right histogram -> broadcast prefix sum --------------------
+    # ---- right histogram -> broadcast occupied-cell bundle ----------
     if hist is None:
         from ocgis_ray.stages.tiles import grouped_aggregate
 
@@ -384,14 +467,54 @@ def knn_join(left, right, k: int, res: int = 7,
     hx, hy = grid.split(hist["cell"].to_numpy())
     hx = np.minimum(hx, n_ix - 1)
     hy = np.minimum(hy, n_iy - 1)
-    occ_cell = hx.astype(np.int64) * 4294967296 + hy.astype(np.int64)
-    occ_cell, first = np.unique(occ_cell, return_index=True)
+    raw_cell = hx.astype(np.int64) * 4294967296 + hy.astype(np.int64)
+    order = np.argsort(raw_cell, kind="stable")
+    occ_cell = raw_cell[order]
+    occ_n = hist["n"].to_numpy()[order]
+    # boundary folding can merge two histogram rows into one cell
+    if occ_cell.size > 1 and (occ_cell[1:] == occ_cell[:-1]).any():
+        uniq, inv = np.unique(occ_cell, return_inverse=True)
+        occ_n = np.bincount(inv, weights=occ_n).astype(np.int64)
+        occ_cell = uniq
+    occ_salt = np.minimum(63, -(-occ_n // rows_per_salt)).astype(np.int64)
+    occ_salt = np.maximum(occ_salt, 1)
     cs = grid.cell_size(res)
     occ_ref = ray.put({
         "occ_cell": occ_cell,
+        "occ_salt": occ_salt,
+        "occ_n": occ_n.astype(np.int64),
         "occ_lon": (occ_cell // 4294967296 + 0.5) * cs - 180.0,
         "occ_lat": (occ_cell % 4294967296 + 0.5) * cs - 90.0,
-        "total": int(hist["n"].to_numpy().sum())})
+        "total": int(occ_n.sum())})
+    # hot-cell lookup for the right side (tiny: hot cells only)
+    hot_mask = occ_salt > 1
+    hot_cells = occ_cell[hot_mask]
+    hot_salts = occ_salt[hot_mask]
+
+    def right_rows(t: pa.Table) -> pa.Table:
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        cell = _fold_cells(grid.encode(lon, lat, res), res)
+        s = np.ones(cell.size, dtype=np.int64)
+        if hot_cells.size:
+            pos = np.minimum(np.searchsorted(hot_cells, cell),
+                             hot_cells.size - 1)
+            hit = hot_cells[pos] == cell
+            s[hit] = hot_salts[pos[hit]]
+        # placement-only salt assignment: any spread gives the same
+        # join output (probes cover every sub-key)
+        salt = np.arange(cell.size, dtype=np.int64) % s
+        cols = {
+            "_key": pa.array(cell * 64 + salt),
+            "_side": pa.array(np.ones(len(lon), np.int8)),
+            "_id": pa.array(t[right_id].to_numpy(
+                zero_copy_only=False).astype(np.int64)),
+            "lon": pa.array(lon),
+            "lat": pa.array(lat)}
+        for c in right_cols:
+            cols[f"_v_{c}"] = t[c].cast(val_types[c]) \
+                if isinstance(t[c], pa.ChunkedArray) else t[c]
+        return pa.table(cols)
 
     from ocgis_ray.tuning import task_stage
 
@@ -424,7 +547,7 @@ def knn_join(left, right, k: int, res: int = 7,
 
         g = g.combine_chunks()
         side = g["_side"].to_numpy(zero_copy_only=False)
-        cell = g["_cell"].to_numpy(zero_copy_only=False)
+        cell = g["_key"].to_numpy(zero_copy_only=False)
         gid = g["_id"].to_numpy(zero_copy_only=False)
         lon = g["lon"].to_numpy(zero_copy_only=False)
         lat = g["lat"].to_numpy(zero_copy_only=False)
@@ -474,7 +597,7 @@ def knn_join(left, right, k: int, res: int = 7,
                 cols[c] = pc_take(g[f"_v_{c}"], src)
         return pa.table(cols)
 
-    cand = bucketed_group_apply(unioned, "_cell", per_bucket,
+    cand = bucketed_group_apply(unioned, "_key", per_bucket,
                                 num_buckets=num_buckets,
                                 batch_format="pyarrow")
     return topk_by_group(cand, left_id, ["dist_km", right_id],

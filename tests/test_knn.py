@@ -250,3 +250,38 @@ def test_idw_regrid_join_matches_broadcast_path(ray_session):
     # exact hit short-circuits to the source value
     assert got.loc[0, "idw_value"] == pytest.approx(
         round(float(src.loc[7, "val"]), 4))
+
+
+def test_knn_join_hot_cell_salting(ray_session):
+    import ray.data as rd
+
+    from ocgis_ray.stages.knn import knn_bruteforce, knn_join
+
+    rng = np.random.RandomState(17)
+    # a web-scale coordinate stack: 5000 right rows on near-identical
+    # coords, plus scattered background
+    n_hot, n_bg = 5000, 500
+    right = pd.DataFrame({
+        "page_id": np.arange(n_hot + n_bg, dtype=np.int64),
+        "lon": np.concatenate([np.full(n_hot, 10.0)
+                               + rng.normal(0, 1e-4, n_hot),
+                               rng.uniform(-60, 60, n_bg)]),
+        "lat": np.concatenate([np.full(n_hot, 20.0)
+                               + rng.normal(0, 1e-4, n_hot),
+                               rng.uniform(-40, 40, n_bg)]),
+    })
+    left = pd.DataFrame({
+        "query_id": np.arange(50, dtype=np.int64),
+        "lon": np.concatenate([np.full(25, 10.0), rng.uniform(-60, 60, 25)]),
+        "lat": np.concatenate([np.full(25, 20.0), rng.uniform(-40, 40, 25)]),
+    })
+    # rows_per_salt=256 forces ~20 sub-keys on the stack
+    got = knn_join(rd.from_pandas(left).repartition(2),
+                   rd.from_pandas(right).repartition(4), k=4, res=6,
+                   rows_per_salt=256).to_pandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    want = knn_bruteforce(rd.from_pandas(right), left, k=4).to_pandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    assert (got["page_id"] == want["page_id"]).all()
+    assert np.allclose(got["dist_km"], want["dist_km"], rtol=1e-12)
