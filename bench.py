@@ -329,6 +329,84 @@ def run_queries() -> dict[str, float]:
         edges = host_edges(links).filter(expr="src != dst")
         return pagerank(edges, iters=3)
 
+    def extra_knn_join():
+        # exact distributed kNN JOIN: 50k uniform grid probes against
+        # the 2M-page corpus (coords derived from page_id, hot
+        # coordinate stacks present -> exercises the two-level index
+        # AND the salted hot-cell path).
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data as rd
+
+        from ocgis_ray.sources.io import read_parquet_sized
+        from ocgis_ray.stages.geocode import coords_from_page_id
+        from ocgis_ray.stages.knn import knn_join
+
+        sf_tag = os.path.basename(SF_DIR.rstrip("/"))
+        path = f"/tmp/graft_bench/{sf_tag}/pages_reps{BENCH_REPS}"
+
+        def geo(t: pa.Table) -> pa.Table:
+            pid = t["page_id"].to_numpy(zero_copy_only=False)
+            lon, lat = coords_from_page_id(pid)
+            return pa.table({"page_id": pa.array(pid),
+                             "lon": pa.array(lon), "lat": pa.array(lat)})
+
+        right = read_parquet_sized(path, columns=["page_id"]).map_batches(
+            geo, batch_format="pyarrow", zero_copy_batch=True)
+        g = np.arange(50_000, dtype=np.int64)
+        left = rd.from_pandas(pd.DataFrame({
+            "query_id": g,
+            "lon": (g % 250) * 1.43 - 178.0,
+            "lat": (g // 250) * 0.89 - 88.5})).repartition(32)
+        return knn_join(left, right, k=3, res=11, right_id="page_id",
+                        rows_per_salt=16384).count()
+
+    def extra_ann_ivf_join():
+        # approximate cosine top-k JOIN, both sides corpus-sized:
+        # 64k x 64k deterministic clustered vectors, IVF routing with
+        # nprobe=8 of nlist=32 (the cross-corpus semantic-dedup shape).
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data as rd
+
+        from ocgis_ray.stages.ann import ann_ivf_join
+
+        n_vec, dim, n_cl = 65536, 64, 32
+
+        def gen(tag_shift):
+            def f(batch: pa.Table) -> pa.Table:
+                ids = batch["id"].to_numpy().astype(np.uint64)
+                cl = (ids + np.uint64(tag_shift)) % np.uint64(n_cl)
+                cell = (ids[:, None] * np.uint64(dim)
+                        + np.arange(dim, dtype=np.uint64)[None, :])
+                z = cell + np.uint64(0x9E3779B97F4A7C15)
+                z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+                z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+                z = z ^ (z >> np.uint64(31))
+                m = (z / np.float64(2**64) - 0.5) * 0.2
+                # cluster centers: deterministic per cl index
+                cc = ((cl[:, None] * np.uint64(dim)
+                       + np.arange(dim, dtype=np.uint64)[None, :])
+                      * np.uint64(0xD1B54A32D192ED03))
+                cc = cc ^ (cc >> np.uint64(29))
+                m = m + (cc / np.float64(2**64) - 0.5)
+                return pa.table({
+                    "vec_id": pa.array(ids.astype(np.int64)),
+                    "embedding": pa.array(list(m.astype(np.float32)))})
+            return f
+
+        right = rd.range(n_vec, override_num_blocks=32).map_batches(
+            gen(0), batch_format="pyarrow", batch_size=2048)
+        left = rd.range(n_vec, override_num_blocks=32).map_batches(
+            gen(7), batch_format="pyarrow", batch_size=2048)
+        left = left.map_batches(
+            lambda t: t.rename_columns(["query_id", "embedding"]),
+            batch_format="pyarrow", zero_copy_batch=True)
+        return ann_ivf_join(left, right, k=5, nlist=n_cl, nprobe=8,
+                            train_n=8192).count()
+
     _rag_n = [0]
 
     def extra_rag_index():
@@ -358,7 +436,9 @@ def run_queries() -> dict[str, float]:
                                  "stock market analysis",
                                  "neural network training"], k=5)
 
-    extras = {"dom_extract_pages": extra_dom_extract,
+    extras = {"knn_join_pages": extra_knn_join,
+              "ann_ivf_join_synth": extra_ann_ivf_join,
+              "dom_extract_pages": extra_dom_extract,
               "rag_chunk_index": extra_rag_index,
               "outlink_graph_pages": extra_outlink_graph,
               "ann_hnsw_synth": extra_ann_hnsw,
