@@ -938,15 +938,16 @@ def q_dedup_exact_documents(sf_dir: str):
     from ocgis_ray.pipelines.cleaning import clean_corpus_twopass
     from ocgis_ray.sources.io import read_parquet_sized
 
-    from ocgis_ray.stages.dedup import dedup_exact, soft_dedup_weights
+    from ocgis_ray.stages.dedup import soft_dedup_weights
 
     docs = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     # round-5: SoftDeDup reweighting rides the same query — the kept
     # min-id row carries its cluster's n^-1 sampling weight (exact
-    # IEEE twin: one double division on both sides)
-    w = soft_dedup_weights(docs, col="text")
-    out = dedup_exact(w, id_col="doc_id", col="text").select_columns(
-        ["doc_id", "soft_w"])
+    # IEEE twin: one double division on both sides).  keep_first_by
+    # fuses dedup into the weight pass: one content-hash pass and one
+    # bucketed shuffle total, not two of each.
+    out = soft_dedup_weights(docs, col="text", keep_first_by="doc_id") \
+        .select_columns(["doc_id", "soft_w"])
     tp = clean_corpus_twopass(
         docs, steps=("exact_dedup",),
         source=lambda cols: read_parquet_sized(

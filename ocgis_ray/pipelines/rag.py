@@ -98,6 +98,15 @@ def build_rag_index(docs, path: str, col: str = "text",
     from ocgis_ray.stages.chunk import chunk_by_tokens
     from ocgis_ray.state import lineage
 
+    # resume checks FIRST: the chunk table below is materialized
+    # eagerly, so a completed run_id must short-circuit before any
+    # data work (the documented no-op re-run contract)
+    chunks_done = run_id in lineage.completed_partitions(f"{path}/chunks")
+    graph_done = run_id in lineage.completed_partitions(f"{path}/graph")
+    if chunks_done and graph_done:
+        return {"path": path, "dim": dim,
+                "graph": {"partition": run_id, "skipped": True}}
+
     chunks = chunk_by_tokens(docs, col=col, id_col=id_col,
                              max_tokens=max_tokens, overlap=overlap)
 
@@ -128,7 +137,7 @@ def build_rag_index(docs, path: str, col: str = "text",
     chunks = chunks.repartition(
         target_num_rows_per_block=shard_size).materialize()
     emb = embed_text(chunks, dim=dim, concurrency=concurrency)
-    if run_id not in lineage.completed_partitions(f"{path}/chunks"):
+    if not chunks_done:
         lineage.write_partition(
             chunks.select_columns([id_col, "chunk_seq", "chunk_uid",
                                    "chunk_text", "chunk_tokens"]),

@@ -64,6 +64,7 @@ def dedup_exact(ds, id_col: str = "doc_id", col: str = "text"):
 
 def soft_dedup_weights(ds, col: str = "text", alpha: float = 1.0,
                        out: str = "soft_w", count_col: str | None = None,
+                       keep_first_by: str | None = None,
                        num_buckets: int | None = None):
     """SoftDeDup (He et al. 2024): instead of REMOVING duplicates,
     downweight them — every row gains a sampling weight
@@ -84,6 +85,11 @@ def soft_dedup_weights(ds, col: str = "text", alpha: float = 1.0,
     — exact IEEE equality, both sides compute one double division.
     For general alpha the engine computes ``exp(-alpha * log(n))`` via
     numpy ``power``; twin with DuckDB ``power(n, -alpha)`` and round.
+
+    ``keep_first_by``: also HARD-dedup in the same pass — keep only
+    the min-``keep_first_by`` row per cluster, carrying its cluster
+    weight (the fused weights+dedup the exact-dedup oracle uses: one
+    hash pass and one shuffle instead of two of each).
     """
     from ocgis_ray.sources.io import bucketed_group_apply
 
@@ -94,11 +100,13 @@ def soft_dedup_weights(ds, col: str = "text", alpha: float = 1.0,
         cnt = n.to_numpy(np.int64)
         w = (1.0 / cnt.astype(np.float64) if alpha == 1.0
              else np.power(cnt.astype(np.float64), -float(alpha)))
-        g = g.drop(columns=["text_hash"])
         if count_col is not None:
             g[count_col] = cnt
         g[out] = w
-        return g
+        if keep_first_by is not None:
+            g = g.sort_values(keep_first_by, kind="mergesort") \
+                 .drop_duplicates("text_hash", keep="first")
+        return g.drop(columns=["text_hash"])
 
     return bucketed_group_apply(hashed, "text_hash", per_bucket,
                                 num_buckets=num_buckets)

@@ -446,10 +446,14 @@ def knn_join(left, right, k: int, res: int = 7,
     n_iy = n_ix >> 1
     right_cols = tuple(right_cols)
     # typed null placeholders for the probe side of the union (one
-    # Arrow schema end to end — the bucketed_pair_attach convention)
-    rsch = right.schema()
-    rtypes = dict(zip(rsch.names, rsch.types))
-    val_types = {c: rtypes[c] for c in right_cols}
+    # Arrow schema end to end — the bucketed_pair_attach convention).
+    # schema() executes the right plan's first block, so fetch it only
+    # when value columns are actually carried.
+    val_types = {}
+    if right_cols:
+        rsch = right.schema()
+        rtypes = dict(zip(rsch.names, rsch.types))
+        val_types = {c: rtypes[c] for c in right_cols}
 
     # ---- right histogram -> broadcast occupied-cell bundle ----------
     if hist is None:
@@ -464,10 +468,7 @@ def knn_join(left, right, k: int, res: int = 7,
         hist = grouped_aggregate(cells, "_cell",
                                  {"n": (None, "count")}).to_pandas()
         hist = hist.rename(columns={"_cell": "cell"})
-    hx, hy = grid.split(hist["cell"].to_numpy())
-    hx = np.minimum(hx, n_ix - 1)
-    hy = np.minimum(hy, n_iy - 1)
-    raw_cell = hx.astype(np.int64) * 4294967296 + hy.astype(np.int64)
+    raw_cell = _fold_cells(hist["cell"].to_numpy(), res)
     order = np.argsort(raw_cell, kind="stable")
     occ_cell = raw_cell[order]
     occ_n = hist["n"].to_numpy()[order]

@@ -1045,7 +1045,10 @@ def hk_subfingerprints(samples: np.ndarray, rate: int,
     # f_lo (geomspace would emit DECREASING edges -> non-monotonic
     # reduceat indices -> garbage bits). No usable band range -> no
     # fingerprints, matching the too-short-clip contract.
-    if rate <= 0 or rate < 2.0 * f_lo or n < 2 * frame:
+    if rate <= 0 or rate <= 2.0 * f_lo or n < 2 * frame:
+        # <= 2*f_lo: at exactly 2*f_lo the Nyquist EQUALS f_lo, the
+        # geomspace edges all collapse onto one frequency and every
+        # clip produces the same all-zero-difference "fingerprint"
         return np.zeros(0, dtype=np.uint64)
     n_frames = 1 + (n - frame) // hop
     idx = (np.arange(frame)[None, :]

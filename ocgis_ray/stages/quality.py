@@ -600,6 +600,10 @@ def wordlist_doc_filter(ds, words: tuple[str, ...], col: str = "text",
     (:func:`wordlist_doc_filter_sql`) matches by construction,
     including ASCII-only ``\\b`` semantics.  NULL text never matches
     (kept by ``drop``, flagged False by ``flag``)."""
+    if mode not in ("drop", "flag"):
+        # validate eagerly — inside the closure this would surface as
+        # a mid-pipeline RayTaskError instead of at the call site
+        raise ValueError(f"mode must be 'drop' or 'flag', not {mode!r}")
     pat = _wordlist_pattern(tuple(words))
 
     def f(t: pa.Table) -> pa.Table:
@@ -607,9 +611,7 @@ def wordlist_doc_filter(ds, words: tuple[str, ...], col: str = "text",
             t[col], pat, ignore_case=True), False)
         if mode == "flag":
             return t.append_column(out, m)
-        if mode == "drop":
-            return t.filter(pc.invert(m))
-        raise ValueError(f"mode must be 'drop' or 'flag', not {mode!r}")
+        return t.filter(pc.invert(m))
 
     from ocgis_ray.stages.text import KERNEL_BATCH_SIZE
 

@@ -157,10 +157,13 @@ def sample_by_weight(ds, key_col: str, weight_col: str, salt: int = 0,
 def sample_by_weight_sql_pred(key_expr: str, weight_expr: str,
                               salt: int = 0, scale: float = 1.0) -> str:
     """DuckDB predicate twin of :func:`sample_by_weight` (exact same
-    double multiply/clip/floor, then integer compare)."""
+    double multiply/clip/floor, then integer compare).  NaN weights
+    map to 0 (row dropped) on BOTH sides — DuckDB NaN is not NULL, so
+    a bare coalesce would keep NaN rows the engine drops."""
     h = (f"(((CAST({key_expr} AS UBIGINT) % 4294967296) * 2654435761"
          f" + {salt}) % 4294967296)")
-    w = f"coalesce(CAST({weight_expr} AS DOUBLE) * {scale!r}, 0.0)"
+    w0 = f"coalesce(CAST({weight_expr} AS DOUBLE) * {scale!r}, 0.0)"
+    w = f"(CASE WHEN isnan({w0}) THEN 0.0 ELSE {w0} END)"
     thr = f"CAST(floor(least(greatest({w}, 0.0), 1.0) * 4294967296.0) AS UBIGINT)"
     return f"{h} < {thr}"
 

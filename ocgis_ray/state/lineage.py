@@ -70,6 +70,14 @@ def write_partition(ds, out_dir: str, partition: str, meta: dict | None = None) 
     idempotently (the rename target is replaced wholesale), and
     ``completed_partitions`` double-checks the directory exists so a
     crash inside a re-write's rmtree/rename window is re-done too."""
+    if str(partition).endswith(".old"):
+        # reserved by compact_partitions' rename-aside protocol — the
+        # orphan sweep would delete or rename a live partition by
+        # this name
+        raise ValueError(
+            f"partition id {partition!r} ends with '.old', which the "
+            "compaction rename-aside protocol reserves; pick another "
+            "run/partition id")
     final = os.path.join(out_dir, f"part={partition}")
     tmp = os.path.join(out_dir, f"_tmp_{partition}")
     os.makedirs(out_dir, exist_ok=True)

@@ -125,3 +125,11 @@ def test_degenerate_metadata_yields_empty_fingerprints():
     assert hk_subfingerprints(samples, 500).size == 0
     # healthy rate still fingerprints
     assert hk_subfingerprints(samples, RATE).size > 0
+
+
+def test_rate_exactly_twice_f_lo_is_degenerate():
+    samples = np.random.RandomState(1).normal(0, 1, NS)
+    # rate == 2*f_lo: Nyquist equals f_lo, band edges collapse —
+    # previously produced identical all-zero-difference fingerprints
+    assert hk_subfingerprints(samples, 600).size == 0
+    assert hk_subfingerprints(samples, 601).size > 0

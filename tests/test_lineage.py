@@ -244,3 +244,11 @@ class TestCompactionCrashRecovery:
         assert os.path.isdir(final)
         assert not os.path.exists(final + ".old")
         assert lineage.completed_partitions(out) == {"a"}
+
+
+def test_write_partition_rejects_reserved_old_suffix(ray_session, tmp_path):
+    import ray.data as rd
+
+    ds = rd.from_pandas(pd.DataFrame({"k": [1]}))
+    with pytest.raises(ValueError, match="'.old'"):
+        lineage.write_partition(ds, str(tmp_path / "t"), "snap.old")

@@ -480,3 +480,48 @@ def test_sample_by_weight_matches_duckdb(ray_session):
     out2 = sample_by_weight(rd.from_pandas(df2), "doc_id",
                             "soft_w").to_pandas()
     assert list(out2["doc_id"]) == [1]
+
+
+def test_sample_by_weight_nan_parity_with_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocgis_ray.stages.reshape import (sample_by_weight,
+                                          sample_by_weight_sql_pred)
+
+    # REAL NaN (via pyarrow, not pandas-NULL) must drop on both sides
+    t = pa.table({"doc_id": pa.array(np.arange(100, dtype=np.int64)),
+                  "soft_w": pa.array([float("nan") if i % 3 == 0 else 1.0
+                                      for i in range(100)])})
+    kept = sample_by_weight(rd.from_arrow(t), "doc_id",
+                            "soft_w").to_pandas()
+    con = duckdb.connect()
+    con.register("w", t)
+    pred = sample_by_weight_sql_pred("doc_id", "soft_w")
+    want = con.execute(f"SELECT doc_id FROM w WHERE {pred}").fetchdf()
+    con.close()
+    assert sorted(kept["doc_id"]) == sorted(want["doc_id"])
+    assert not any(i % 3 == 0 for i in kept["doc_id"])
+
+
+def test_soft_dedup_keep_first_fused(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ocgis_ray.stages.dedup import soft_dedup_weights
+
+    df = pd.DataFrame({
+        "doc_id": np.array([5, 1, 3, 2, 4], dtype=np.int64),
+        "text": ["a", "a", "b", "a", "b"],
+    })
+    out = soft_dedup_weights(rd.from_pandas(df).repartition(2),
+                             keep_first_by="doc_id",
+                             count_col="n").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert list(out["doc_id"]) == [1, 3]
+    assert list(out["n"]) == [3, 2]
+    assert np.allclose(out["soft_w"], [1 / 3, 1 / 2])

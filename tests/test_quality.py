@@ -985,3 +985,13 @@ def test_wordlist_step_in_cascade(ray_session):
     # explicit wordlist step with no words errors instead of no-op
     with pytest.raises(ValueError, match="blocked_words"):
         clean_corpus(rd.from_pandas(df), steps=("wordlist",))
+
+
+def test_wordlist_mode_validated_eagerly(ray_session):
+    import ray.data as rd
+
+    from ocgis_ray.stages.quality import wordlist_doc_filter
+
+    ds = rd.from_pandas(pd.DataFrame({"text": ["x"]}))
+    with pytest.raises(ValueError, match="mode"):
+        wordlist_doc_filter(ds, ("w",), mode="flg")
