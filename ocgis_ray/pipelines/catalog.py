@@ -355,10 +355,24 @@ def sql_clip_rect_areas() -> str:
 
 
 def q_knn_pages(sf_dir: str):
-    from ocgis_ray.stages.knn import knn_bruteforce
+    """kNN through BOTH engine paths: broadcast brute force (returned)
+    and the round-5 distributed kNN JOIN (left side as a Dataset),
+    asserted identical engine-side — a divergence errors the query, so
+    the oracle gate covers the join's two-level index + salting too."""
+    import ray.data as rd
+
+    from ocgis_ray.stages.knn import knn_bruteforce, knn_join
 
     res = knn_bruteforce(_geo_pages(sf_dir), KNN_QUERIES, k=5)
-    return res.select_columns(["query_id", "page_id", "rank"])
+    out = res.select_columns(["query_id", "page_id", "rank"])
+    jn = knn_join(rd.from_pandas(KNN_QUERIES), _geo_pages(sf_dir), k=5,
+                  res=7).select_columns(
+        ["query_id", "page_id", "rank"]).to_pandas()
+    a = out.to_pandas().sort_values(["query_id", "rank"])
+    b = jn.sort_values(["query_id", "rank"])
+    if not (a["page_id"].to_numpy() == b["page_id"].to_numpy()).all():
+        raise AssertionError("knn_join diverged from brute force")
+    return out
 
 
 def sql_knn_pages() -> str:
@@ -1214,14 +1228,31 @@ def sql_token_rollup_by_lang() -> str:
 
 
 def q_ann_bruteforce(sf_dir: str):
-    from ocgis_ray.sources.io import read_parquet_sized
+    """ANN top-k through BOTH engine paths: broadcast brute force
+    (returned) and the round-5 IVF JOIN at exhaustive probing
+    (nprobe=nlist — provably equal to brute force), asserted
+    identical engine-side so the oracle gate covers the join's
+    routing/co-location/partial-top-k machinery too."""
+    import ray.data as rd
 
-    from ocgis_ray.stages.ann import ann_bruteforce, load_query_vectors
+    from ocgis_ray.sources.io import read_parquet_sized
+    from ocgis_ray.stages.ann import (ann_bruteforce, ann_ivf_join,
+                                      load_query_vectors)
 
     emb = read_parquet_sized(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     queries = load_query_vectors(sf_dir, ANN_QUERY_IDS)
     res = ann_bruteforce(emb, queries, k=10)
-    return res.select_columns(["query_id", "vec_id", "rank"])
+    out = res.select_columns(["query_id", "vec_id", "rank"])
+    left = rd.from_pandas(queries[["query_id", "embedding"]])
+    jn = ann_ivf_join(left, emb, k=10, nlist=8, nprobe=8,
+                      train_n=4096).select_columns(
+        ["query_id", "vec_id", "rank"]).to_pandas()
+    a = out.to_pandas().sort_values(["query_id", "rank"])
+    b = jn.sort_values(["query_id", "rank"])
+    if not (a["vec_id"].to_numpy() == b["vec_id"].to_numpy()).all():
+        raise AssertionError("ann_ivf_join (exhaustive) diverged from "
+                             "brute force")
+    return out
 
 
 def sql_ann_bruteforce() -> str:
