@@ -821,19 +821,34 @@ def ann_ivf_join(left, right, k: int, left_id: str = "query_id",
 
     Returns (left_id, right_id, sim, rank); ties rank by
     (-sim, right id)."""
+    import ray
+
     from ocgis_ray.sources.io import bucketed_group_apply, topk_by_group
 
     pdf = right.limit(train_n).to_pandas()
     if len(pdf) == 0:
         raise ValueError("ann_ivf_join: empty right side (no training "
                          "sample)")
-    cent = _kmeans_spherical(np.stack(pdf[col].to_numpy()), nlist)
+    sample = _normalize(np.stack(pdf[col].to_numpy()).astype(np.float64))
+    cent = _kmeans_spherical(sample, nlist)
     nprobe = min(nprobe, cent.shape[0])
     dim = cent.shape[1]
+    # HOT-centroid salting, sized from the training sample's cluster
+    # fractions (vector-space skew: one popular centroid can attract
+    # most of the corpus and serialize its matmul into one bucket
+    # task).  A centroid estimated to hold fraction f of the corpus
+    # splits across ~ceil(f * salt_budget) sub-keys — a parallelism
+    # knob only, any salt count is exact (probes replicate per
+    # sub-key, every pair meets exactly once).
+    salt_budget = 4 * int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 32
+    frac = np.bincount(np.argmax(sample @ cent.T, axis=1),
+                       minlength=cent.shape[0]) / max(1, sample.shape[0])
+    salts = np.clip(np.ceil(frac * salt_budget), 1, 63).astype(np.int64)
 
     def left_rows(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            return pa.table({"_cl": pa.array([], pa.int64()),
+            return pa.table({"_key": pa.array([], pa.int64()),
                              "_side": pa.array([], pa.int8()),
                              "_id": pa.array([], pa.int64()),
                              "_vec": pa.array([], pa.binary())})
@@ -842,23 +857,32 @@ def ann_ivf_join(left, right, k: int, left_id: str = "query_id",
         probes = np.argsort(-(m @ cent.T), axis=1,
                             kind="stable")[:, :nprobe]
         rows = np.repeat(np.arange(m.shape[0]), nprobe)
+        cl = probes.ravel().astype(np.int64)
+        # one probe copy per sub-key of each probed centroid
+        s = salts[cl]
+        tot = int(s.sum())
+        within = np.arange(tot) - np.repeat(np.cumsum(s) - s, s)
+        cl = np.repeat(cl, s)
+        rows = np.repeat(rows, s)
         return pa.table({
-            "_cl": pa.array(probes.ravel().astype(np.int64)),
+            "_key": pa.array(cl * 64 + within),
             "_side": pa.array(np.zeros(rows.size, np.int8)),
             "_id": pa.array(ids[rows]),
             "_vec": pack_vectors(m[rows])})
 
     def right_rows(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            return pa.table({"_cl": pa.array([], pa.int64()),
+            return pa.table({"_key": pa.array([], pa.int64()),
                              "_side": pa.array([], pa.int8()),
                              "_id": pa.array([], pa.int64()),
                              "_vec": pa.array([], pa.binary())})
         m = _normalize(_batch_matrix(t, col).astype(np.float64))
         ids = t[right_id].to_numpy(zero_copy_only=False).astype(np.int64)
-        assign = np.argmax(m @ cent.T, axis=1)
+        assign = np.argmax(m @ cent.T, axis=1).astype(np.int64)
+        # placement-only spread across the centroid's sub-keys
+        salt = np.arange(assign.size, dtype=np.int64) % salts[assign]
         return pa.table({
-            "_cl": pa.array(assign.astype(np.int64)),
+            "_key": pa.array(assign * 64 + salt),
             "_side": pa.array(np.ones(m.shape[0], np.int8)),
             "_id": pa.array(ids),
             "_vec": pack_vectors(m)})
@@ -875,7 +899,7 @@ def ann_ivf_join(left, right, k: int, left_id: str = "query_id",
                           right_id: pa.array([], pa.int64()),
                           "sim": pa.array([], pa.float64())})
         side = g["_side"].to_numpy(zero_copy_only=False)
-        cl = g["_cl"].to_numpy(zero_copy_only=False)
+        cl = g["_key"].to_numpy(zero_copy_only=False)
         gid = g["_id"].to_numpy(zero_copy_only=False)
         li = np.nonzero(side == 0)[0]
         ri = np.nonzero(side == 1)[0]
@@ -905,7 +929,7 @@ def ann_ivf_join(left, right, k: int, left_id: str = "query_id",
                          right_id: pa.array(np.concatenate(out_r)),
                          "sim": pa.array(np.concatenate(out_s))})
 
-    cand = bucketed_group_apply(unioned, "_cl", per_bucket,
+    cand = bucketed_group_apply(unioned, "_key", per_bucket,
                                 num_buckets=num_buckets,
                                 batch_format="pyarrow")
     return topk_by_group(cand, left_id, ["sim", right_id],

@@ -385,3 +385,34 @@ class TestAnnIvfJoin:
             hits += len(set(grp["vec_id"]) & set(want[int(qid)]))
             total += 5
         assert hits / total >= 0.9  # tight clusters: probe recall high
+
+
+def test_ann_ivf_join_hot_centroid_salting(ray_session):
+    import ray.data as rd
+
+    from ocgis_ray.stages.ann import ann_ivf_join
+
+    rng = np.random.RandomState(8)
+    dim, n = 16, 3000
+    # 90% of vectors in ONE tight cluster -> its centroid salts
+    hot = rng.normal(0, 1, dim)
+    m = np.where(rng.rand(n)[:, None] < 0.9,
+                 hot[None, :] + rng.normal(0, 0.05, (n, dim)),
+                 rng.normal(0, 1, (n, dim)))
+    right = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                          "embedding": list(m)})
+    left = pd.DataFrame({"query_id": np.arange(40, dtype=np.int64),
+                         "embedding": list(m[:40] + 1e-4)})
+    got = ann_ivf_join(rd.from_pandas(left).repartition(2),
+                       rd.from_pandas(right).repartition(3),
+                       k=4, nlist=4, nprobe=4, train_n=n).to_pandas()
+
+    def norm(x):
+        return x / np.linalg.norm(x, axis=1, keepdims=True)
+    sims = norm(np.stack(left["embedding"].to_numpy())) @ \
+        norm(np.stack(right["embedding"].to_numpy())).T
+    for qid, grp in got.sort_values(["query_id", "rank"]) \
+            .groupby("query_id", sort=True):
+        order = np.lexsort((right["vec_id"].to_numpy(),
+                            -sims[int(qid)]))[:4]
+        assert list(grp["vec_id"]) == list(right["vec_id"].to_numpy()[order])
