@@ -840,11 +840,16 @@ def ann_ivf_join(left, right, k: int, left_id: str = "query_id",
     # splits across ~ceil(f * salt_budget) sub-keys — a parallelism
     # knob only, any salt count is exact (probes replicate per
     # sub-key, every pair meets exactly once).
-    salt_budget = 4 * int(ray.cluster_resources().get("CPU", 8)) \
-        if ray.is_initialized() else 32
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
     frac = np.bincount(np.argmax(sample @ cent.T, axis=1),
                        minlength=cent.shape[0]) / max(1, sample.shape[0])
-    salts = np.clip(np.ceil(frac * salt_budget), 1, 63).astype(np.int64)
+    # dead-band: a centroid only salts when it would dominate a core
+    # (> 1/cpus of the corpus) — balanced partitions pay zero probe
+    # replication; a hot one splits to ~1/(2*cpus) per sub-key
+    salts = np.where(frac > 1.0 / ncpu,
+                     np.clip(np.ceil(frac * 2 * ncpu), 1, 63),
+                     1).astype(np.int64)
 
     def left_rows(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
