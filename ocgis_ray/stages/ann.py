@@ -844,12 +844,13 @@ def ann_ivf_join(left, right, k: int, left_id: str = "query_id",
         if ray.is_initialized() else 8
     frac = np.bincount(np.argmax(sample @ cent.T, axis=1),
                        minlength=cent.shape[0]) / max(1, sample.shape[0])
-    # dead-band: a centroid only salts when it would dominate a core
-    # (> 1/cpus of the corpus) — balanced partitions pay zero probe
-    # replication; a hot one splits to ~1/(2*cpus) per sub-key
-    salts = np.where(frac > 1.0 / ncpu,
-                     np.clip(np.ceil(frac * 2 * ncpu), 1, 63),
-                     1).astype(np.int64)
+    # target ~1/(4*cpus) of the corpus per (centroid, sub-key): a hot
+    # centroid splits many ways; a balanced partition splits mildly
+    # (same-window A/B on the 64k x 64k bench: 4*cpus budget 4.6-5.0s,
+    # 2*cpus 5.7s, no salting 5.9s — finer slices balance the matmul
+    # tasks better than the probe-replication cost); a fine partition
+    # (nlist >= 4*cpus) stays effectively unsalted
+    salts = np.clip(np.ceil(frac * 4 * ncpu), 1, 63).astype(np.int64)
 
     def left_rows(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
