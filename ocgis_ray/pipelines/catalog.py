@@ -354,6 +354,21 @@ def sql_clip_rect_areas() -> str:
     )
 
 
+def _assert_engine_paths_equal(a_ds, b_ds, id_col: str, label: str):
+    """Engine-side gate: two lazy top-k paths must agree row for row.
+    Materializes ``a_ds`` FIRST so returning it to the driver does not
+    re-execute the pipeline (Ray re-runs lazy plans per consumer).
+    Returns the materialized ``a_ds``."""
+    a_ds = a_ds.materialize()
+    a = a_ds.to_pandas().sort_values(["query_id", "rank"])
+    b = b_ds.to_pandas().sort_values(["query_id", "rank"])
+    if len(a) != len(b) or not (
+            a[id_col].to_numpy() == b[id_col].to_numpy()).all():
+        raise AssertionError(f"{label} diverged from brute force "
+                             f"({len(a)} vs {len(b)} rows)")
+    return a_ds
+
+
 def q_knn_pages(sf_dir: str):
     """kNN through BOTH engine paths: broadcast brute force (returned)
     and the round-5 distributed kNN JOIN (left side as a Dataset),
@@ -366,13 +381,8 @@ def q_knn_pages(sf_dir: str):
     res = knn_bruteforce(_geo_pages(sf_dir), KNN_QUERIES, k=5)
     out = res.select_columns(["query_id", "page_id", "rank"])
     jn = knn_join(rd.from_pandas(KNN_QUERIES), _geo_pages(sf_dir), k=5,
-                  res=7).select_columns(
-        ["query_id", "page_id", "rank"]).to_pandas()
-    a = out.to_pandas().sort_values(["query_id", "rank"])
-    b = jn.sort_values(["query_id", "rank"])
-    if not (a["page_id"].to_numpy() == b["page_id"].to_numpy()).all():
-        raise AssertionError("knn_join diverged from brute force")
-    return out
+                  res=7).select_columns(["query_id", "page_id", "rank"])
+    return _assert_engine_paths_equal(out, jn, "page_id", "knn_join")
 
 
 def sql_knn_pages() -> str:
@@ -945,10 +955,13 @@ def sql_events_user_rollup() -> str:
 # =====================================================================
 
 def q_dedup_exact_documents(sf_dir: str):
-    """Exact dedup through BOTH engine paths: the shuffle cascade
-    (dedup_exact, returned) and the round-4 decide-on-slim twopass
-    (clean_corpus_twopass), asserted identical engine-side — a
-    divergence errors the query, so the oracle gate covers both."""
+    """Exact dedup through BOTH engine paths: the fused
+    weights+keep-first shuffle pass (soft_dedup_weights with
+    keep_first_by — same min-id-per-content semantics as dedup_exact,
+    returned with the oracle-checked soft_w column) and the round-4
+    decide-on-slim twopass (clean_corpus_twopass), asserted identical
+    engine-side — a divergence errors the query, so the oracle gate
+    covers both."""
     from ocgis_ray.pipelines.cleaning import clean_corpus_twopass
     from ocgis_ray.sources.io import read_parquet_sized
 
@@ -1246,13 +1259,9 @@ def q_ann_bruteforce(sf_dir: str):
     left = rd.from_pandas(queries[["query_id", "embedding"]])
     jn = ann_ivf_join(left, emb, k=10, nlist=8, nprobe=8,
                       train_n=4096).select_columns(
-        ["query_id", "vec_id", "rank"]).to_pandas()
-    a = out.to_pandas().sort_values(["query_id", "rank"])
-    b = jn.sort_values(["query_id", "rank"])
-    if not (a["vec_id"].to_numpy() == b["vec_id"].to_numpy()).all():
-        raise AssertionError("ann_ivf_join (exhaustive) diverged from "
-                             "brute force")
-    return out
+        ["query_id", "vec_id", "rank"])
+    return _assert_engine_paths_equal(out, jn, "vec_id",
+                                      "ann_ivf_join (exhaustive)")
 
 
 def sql_ann_bruteforce() -> str:

@@ -816,8 +816,13 @@ def ann_ivf_join(left, right, k: int, left_id: str = "query_id",
     packed as fixed-width binary — no Python objects); per centroid
     one exact L x R cosine matmul with a per-left partial top-k; one
     final bucketed top-k.  Recall == probe recall (``nprobe=nlist``
-    is exhaustive and equals brute force exactly — tested); left
-    replication factor is exactly ``nprobe``.
+    is exhaustive and equals brute force exactly — tested).  HOT
+    centroids split across sample-estimated salted sub-keys (probes
+    replicated per sub-key, every pair meets exactly once), so left
+    replication is the sum of salt counts over probed centroids —
+    ``nprobe`` when the partition is balanced or fine, up to
+    ~``nprobe + 4*cpus`` on a skewed corpus (size memory/batch_size
+    for that, not for ``nprobe`` alone).
 
     Returns (left_id, right_id, sim, rank); ties rank by
     (-sim, right id)."""
