@@ -352,8 +352,11 @@ def run_queries() -> dict[str, float]:
             return pa.table({"page_id": pa.array(pid),
                              "lon": pa.array(lon), "lat": pa.array(lat)})
 
+        # materialize the slim (id, lon, lat) projection once: the
+        # join consumes the right side twice (histogram + co-location)
+        # and Ray re-executes lazy plans per consumer
         right = read_parquet_sized(path, columns=["page_id"]).map_batches(
-            geo, batch_format="pyarrow", zero_copy_batch=True)
+            geo, batch_format="pyarrow", zero_copy_batch=True).materialize()
         g = np.arange(50_000, dtype=np.int64)
         left = rd.from_pandas(pd.DataFrame({
             "query_id": g,
