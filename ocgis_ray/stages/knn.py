@@ -519,11 +519,14 @@ def knn_join(left, right, k: int, res: int = 7,
 
     from ocgis_ray.tuning import task_stage
 
+    # small batches for the explode: its per-probe work (coarse matmul
+    # + fine passes) dominates the join's compute, and the default
+    # batch size would bundle a 50k-probe side into ~3 tasks
     probes = left.map_batches(
         task_stage(_KnnJoinExplodeStage, occ_ref=occ_ref, k=k,
                    id_col=left_id, res=res),
         batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=batch_size)
+        batch_size=min(2048, batch_size))
     if right_cols:
         reserved = {left_id, right_id, "dist_km", "rank"}
         bad = reserved & set(right_cols)
